@@ -1,0 +1,49 @@
+"""Table loaders for the driver-provided parquet test tables.
+
+TESTDATA.md: ``/root/testdata/sf{0.001,0.01,0.1}/<name>.parquet`` with
+TPC-H-ish tables plus ``events``/``documents``/``embeddings``.
+
+At 100 TB these reads become partitioned parquet/Delta table scans; the
+API is the same (``spark.read.parquet``), and every downstream operator in
+this package expresses filters/projections declaratively so Catalyst pushes
+them into the scan (verify with ``df.explain`` → ``PushedFilters``,
+``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Plain parquet scan → full pushdown support."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL API path)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

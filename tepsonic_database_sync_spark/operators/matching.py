@@ -1,0 +1,93 @@
+"""Name-match joins — SURVEY.md §2.4 (J1-J5).
+
+The heart of the reference: fuzzy name lookup of vendor product groups
+against the admin catalog. The reference runs one unindexable
+case-insensitive regex ``findOne`` per group, sequentially awaited
+(src/routes/products.js:246-260) — a per-group collection scan. Here the
+whole cascade collapses into two set-oriented joins:
+
+- J1: equi-join on ``lower(name)`` — Catalyst broadcasts the catalog side
+  automatically (it is the small dimension), reproducing the reference's
+  hand-rolled ``$in``-prefetch-plus-hash-map (products.js:113-132) at any
+  scale.
+- J2: substring-containment theta-join for J1 misses — executes as a
+  BroadcastNestedLoopJoin while the catalog broadcasts. For a
+  both-sides-large catalog (100 TB design point) swap in the MinHash-LSH
+  blocked variant from ``operators.dedup`` as a pre-filter; the semantics
+  here stay the contract.
+
+``findOne`` returns an *arbitrary* first match; a parallel engine cannot
+reproduce "arbitrary" deterministically, so the engine defines the match
+as the minimum ``(name, _id)`` — documented deviation (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _pick_first(df: DataFrame, part_col: str, order: list[str]) -> DataFrame:
+    w = Window.partitionBy(part_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def match_exact(gnames: DataFrame, admin: DataFrame) -> DataFrame:
+    """J1 — case-insensitive exact name match (products.js:29-31).
+
+    ``gnames``: one column ``gname``. Returns (gname, product_id).
+    """
+    g, a = gnames.alias("g"), F.broadcast(admin).alias("a")
+    j = g.join(a, F.lower(F.col("g.gname")) == F.lower(F.col("a.name")), "inner").select(
+        F.col("g.gname").alias("gname"),
+        F.col("a._id").alias("product_id"),
+        F.col("a.name").alias("__aname"),
+    )
+    return _pick_first(j, "gname", ["__aname", "product_id"]).drop("__aname")
+
+
+def match_partial(misses: DataFrame, admin: DataFrame) -> DataFrame:
+    """J2 — substring containment fallback, guarded by ``len > 3``
+    (products.js:38-48). Returns (gname, product_id)."""
+    g = misses.filter(F.length("gname") > 3).alias("g")
+    a = F.broadcast(admin).alias("a")
+    j = g.join(
+        a, F.contains(F.lower(F.col("a.name")), F.lower(F.col("g.gname"))), "inner"
+    ).select(
+        F.col("g.gname").alias("gname"),
+        F.col("a._id").alias("product_id"),
+        F.col("a.name").alias("__aname"),
+    )
+    return _pick_first(j, "gname", ["__aname", "product_id"]).drop("__aname")
+
+
+def match_cascade(gnames: DataFrame, admin: DataFrame) -> DataFrame:
+    """J1 → anti → J2 → union: the full findExistingProduct cascade
+    (products.js:23-51). Returns (gname, product_id) for matched names."""
+    exact = match_exact(gnames, admin)
+    misses = gnames.join(exact.select("gname"), "gname", "left_anti")
+    partial = match_partial(misses, admin)
+    return exact.unionByName(partial)
+
+
+def valid_skip_split(
+    groups: DataFrame, matched: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """J5 — semi/anti split of (gname, grade) groups into valid vs skipped
+    (products.js:246-260; the anti count feeds ``skippedProducts``)."""
+    valid = groups.join(matched.select("gname"), "gname", "left_semi")
+    skipped = groups.join(matched.select("gname"), "gname", "left_anti")
+    return valid, skipped
+
+
+def variant_admin(admin: DataFrame) -> DataFrame:
+    """The $in-prefetch lookup table for variant resolution: exact
+    case-sensitive name → storage, duplicate names resolved "last wins"
+    (Map overwrite, products.js:129-132) → deterministic max ``_id``."""
+    return _pick_first(
+        admin.select("name", "storage", "_id"), "name", [F.col("_id").desc()]
+    ).drop("_id")

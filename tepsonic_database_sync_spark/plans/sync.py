@@ -1,0 +1,166 @@
+"""The flagship sync pipeline — SURVEY.md §3 entry point 1.
+
+Reference lifecycle (syncWholecellVendor, src/routes/products.js:227-354):
+fetch vendor items → group by (name, grade) → match each group against the
+admin catalog (exact-ci then substring regex, one awaited findOne per
+group) → per valid group, aggregate (color, variant) options → merge with
+stored state → bulk upsert → summary counters.
+
+Here the whole thing is ONE DataFrame lineage: the N+1 per-group lookups
+become two joins (operators.matching), the per-group Maps become grouped
+aggregations (operators.options), and the only driver-side materialization
+is the final summary collect — exactly the shape that scales to a
+1000-executor cluster (shuffles only at the groupBys/joins on well-
+distributed keys; the catalog side broadcasts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tepsonic_database_sync_spark.fixtures import FIXED_CONDITION_ID, build_fixtures
+from tepsonic_database_sync_spark.operators.matching import (
+    match_cascade,
+    valid_skip_split,
+    variant_admin,
+)
+from tepsonic_database_sync_spark.operators.options import (
+    aggregate_options,
+    option_source_rows,
+    with_group_keys,
+)
+
+
+def sync_options(
+    items: DataFrame, admin: DataFrame, flat_uids: bool = True
+) -> DataFrame:
+    """Full first-sync pipeline: flat vendor items in → aggregated option
+    rows out (one row per product × grade × color × variant)."""
+    keyed = with_group_keys(items)
+    gnames = keyed.select("gname").distinct()
+    matched = match_cascade(gnames, admin)
+    vadmin = variant_admin(admin)
+    src = option_source_rows(keyed, matched, vadmin)
+    return aggregate_options(src, flat_uids=flat_uids)
+
+
+def vendor_products(
+    items: DataFrame, admin: DataFrame, vendor_id: str = "vendor-1"
+) -> DataFrame:
+    """Faithful output shape: one row per (vendorId, product, condition)
+    with a ``selectedOptions`` array<struct> — the ``tep_vendor_products``
+    document shape (products.js:291-298). The reference hard-codes one
+    condition ObjectId for every row (products.js:230) which collapses
+    different grades onto one key; the engine keeps ``grade`` as an
+    explicit column beside the fixed id (documented deviation — the
+    reference would otherwise stage duplicate-key inserts)."""
+    opts = sync_options(items, admin, flat_uids=False)
+    option_struct = F.struct(
+        F.col("color"),
+        F.col("variant"),
+        F.col("stock"),
+        F.col("price"),
+        F.col("discount"),
+        F.col("uids").alias("uniqueNumbers"),
+    )
+    return (
+        opts.groupBy("product_id", "grade")
+        .agg(F.sort_array(F.collect_list(option_struct)).alias("selectedOptions"))
+        .select(
+            F.lit(vendor_id).alias("vendorId"),
+            F.col("product_id").alias("product"),
+            F.lit(FIXED_CONDITION_ID).alias("condition"),
+            F.col("grade"),
+            F.col("selectedOptions"),
+            F.lit("wholecell").alias("database"),
+            F.current_timestamp().alias("updatedAt"),
+            F.current_timestamp().alias("createdAt"),
+        )
+    )
+
+
+def sync_summary(
+    items: DataFrame,
+    admin: DataFrame,
+    state_keys: DataFrame | None = None,
+    vendor_id: str = "vendor-1",
+) -> DataFrame:
+    """A5 — the per-vendor run summary (products.js:343-353): one row of
+    counters. ``state_keys``: optional (product_id, grade) rows of the
+    pre-sync state table (drives new-vs-updated counts; None = first sync).
+
+    Counter semantics, faithful to the reference:
+    - totalFetched: ALL fetched items (including Sold).
+    - validProducts: matched (name, grade) groups — including groups later
+      skipped for zero stock (the reference counts them valid first,
+      products.js:255-256, and skips at products.js:277-281).
+    - skippedProducts: unmatched groups.
+    - written groups = valid groups with ≥1 Available item; each stages
+      exactly one bulk op (insert if absent from state, else update).
+    - totalStockProcessed: sum of option stocks over written groups =
+      number of Available items in them (products.js:329-332).
+    """
+    keyed = with_group_keys(items)
+    groups = keyed.select("gname", "grade_c").distinct()
+    gnames = groups.select("gname").distinct()
+    matched = match_cascade(gnames, admin)
+    valid, _skipped = valid_skip_split(groups, matched)
+
+    avail = (
+        keyed.filter(F.col("status") == "Available")
+        .groupBy("gname", "grade_c")
+        .agg(F.count("*").alias("n_avail"))
+    )
+    written = valid.join(avail, ["gname", "grade_c"]).join(matched, "gname")
+    if state_keys is not None:
+        st = state_keys.select(
+            F.col("product_id").alias("__sp"), F.col("grade").alias("__sg")
+        ).distinct()
+        written = written.join(
+            st,
+            (written.product_id == st.__sp) & (written.grade_c == st.__sg),
+            "left",
+        ).withColumn("is_update", F.col("__sp").isNotNull())
+    else:
+        written = written.withColumn("is_update", F.lit(False))
+
+    total_fetched = items.agg(F.count("*").cast("long").alias("totalFetched"))
+    group_counts = groups.agg(F.count("*").cast("long").alias("__totalGroups"))
+    valid_counts = valid.agg(F.count("*").cast("long").alias("validProducts"))
+    write_counts = written.agg(
+        F.coalesce(F.sum(F.when(~F.col("is_update"), 1)), F.lit(0))
+        .cast("long")
+        .alias("newVendorProducts"),
+        F.coalesce(F.sum(F.when(F.col("is_update"), 1)), F.lit(0))
+        .cast("long")
+        .alias("updatedVendorProducts"),
+        F.coalesce(F.sum("n_avail"), F.lit(0)).cast("long").alias("totalStockProcessed"),
+        F.count("*").cast("long").alias("totalOperations"),
+    )
+
+    return (
+        total_fetched.crossJoin(group_counts)
+        .crossJoin(valid_counts)
+        .crossJoin(write_counts)
+        .select(
+            F.lit(vendor_id).alias("vendorId"),
+            F.lit("wholecell").alias("database"),
+            "totalFetched",
+            "validProducts",
+            (F.col("__totalGroups") - F.col("validProducts"))
+            .cast("long")
+            .alias("skippedProducts"),
+            "newVendorProducts",
+            "updatedVendorProducts",
+            "totalStockProcessed",
+            "totalOperations",
+        )
+    )
+
+
+def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry used by ``__spark_entry__.entry``: fixtures → faithful
+    vendor-product rows (nested selectedOptions)."""
+    fx = build_fixtures(spark, sf_dir)
+    return vendor_products(fx["vendor_items"], fx["admin_products"])
