@@ -33,8 +33,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table. Plain parquet scan → full pushdown support."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one test table. Plain parquet scan → full pushdown support.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark 4
+    refuses by default; read it as long nanos (session-settable legacy
+    conf) and surface a real TimestampType column truncated to micros —
+    Spark's native timestamp precision.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -182,11 +182,19 @@ _CTE_ORDER = [
 ]
 
 
-def prefix(*names: str) -> str:
+def prefix(*names: str, items_where: str | None = None) -> str:
     """Build a ``WITH`` clause containing the named CTEs plus everything
-    they transitively need (order in ``_CTE_ORDER`` is already topological)."""
+    they transitively need (order in ``_CTE_ORDER`` is already topological).
+
+    ``items_where`` optionally restricts the vendor_items fixture (used by
+    queries that pipeline a filtered item subset, e.g. the upsert demo).
+    """
     want = set(names)
     # transitive closure by position: include every CTE up to the last wanted
     idx = max(i for i, (n, _) in enumerate(_CTE_ORDER) if n in want)
-    parts = [f"{n} AS ({sql})" for n, sql in _CTE_ORDER[: idx + 1]]
+    parts = []
+    for n, sql in _CTE_ORDER[: idx + 1]:
+        if n == "vendor_items" and items_where:
+            sql = f"SELECT * FROM ({sql}) WHERE {items_where}"
+        parts.append(f"{n} AS ({sql})")
     return "WITH " + ",\n".join(parts)

@@ -153,6 +153,118 @@ def q_s9_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s8_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/J4 — bulk upsert as full-outer-join with op audit column: state
+    from even-id items, new batch from odd-id items (products.js:309-341)."""
+    fx = build_fixtures(spark, sf_dir)
+    vi, ap = fx["vendor_items"], fx["admin_products"]
+    state = sync.sync_options(vi.filter(F.col("id") % 2 == 0), ap)
+    new = sync.sync_options(vi.filter(F.col("id") % 2 == 1), ap)
+    from tepsonic_database_sync_spark.operators.upsert import upsert_flagged
+
+    return upsert_flagged(state, new, ["product_id", "grade", "color", "variant"])
+
+
+def q_x1_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/F4 — per-vendor dispatch after backfill: non-wholecell vendors
+    become error rows (products.js:383-395)."""
+    from tepsonic_database_sync_spark.operators.upsert import dispatch_vendors
+
+    fx = build_fixtures(spark, sf_dir)
+    backfilled = fx["wholesale_apis"].withColumn(
+        "database", F.coalesce(F.col("database"), F.lit("wholecell"))
+    )
+    return dispatch_vendors(backfilled)
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit (free-in-Spark basics, SURVEY §2.6): global top-100
+    orders by total price, deterministic tiebreak on key."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_window_topk_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 orders per customer (row_number ≤ 3)."""
+    from pyspark.sql import Window
+    from tepsonic_database_sync_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: UNION DISTINCT of two label domains."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("v")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("v")
+    )
+    return c.union(o).distinct()
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT — customers who never placed an order."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.subtract(o)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-field escape hatch (SURVEY §1.4): parse the JSON props
+    column on demand — the engine's version of Mongo's schemaless fields."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window agg (batch form of the streaming operator)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window agg (1h window / 30m slide)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user (gaps-and-islands)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.windows import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — composed from oracle.py CTEs
 # ---------------------------------------------------------------------------
@@ -257,6 +369,102 @@ SELECT _id, "vendorId", "appId", "appSecret",
        coalesce("database", 'wholecell') AS "database"
 FROM wholesale_apis
 """,
+    "s8_upsert": f"""
+WITH state_options AS (
+  {oracle.prefix("options", items_where="id % 2 = 0")}
+  SELECT * FROM options
+),
+new_options AS (
+  {oracle.prefix("options", items_where="id % 2 = 1")}
+  SELECT * FROM options
+)
+SELECT
+  coalesce(n.product_id, s.product_id) AS product_id,
+  coalesce(n.grade, s.grade) AS grade,
+  coalesce(n.color, s.color) AS color,
+  coalesce(n.variant, s.variant) AS variant,
+  CASE WHEN s.product_id IS NOT NULL AND n.product_id IS NOT NULL THEN 'update'
+       WHEN n.product_id IS NOT NULL THEN 'insert' ELSE 'keep' END AS op,
+  CAST(coalesce(s.stock, 0) + coalesce(n.stock, 0) AS BIGINT) AS stock,
+  CAST(CASE WHEN s.price IS NULL THEN n.price
+            WHEN n.price IS NULL THEN s.price
+            ELSE least(s.price, n.price) END AS BIGINT) AS price,
+  array_to_string(list_sort(str_split(concat_ws('|', s.uids, n.uids), '|')), '|') AS uids
+FROM state_options s
+FULL OUTER JOIN new_options n
+  ON s.product_id = n.product_id AND s.grade = n.grade
+ AND s.color = n.color AND s.variant = n.variant
+""",
+    "x1_dispatch": oracle.prefix("wholesale_apis")
+    + """,
+b AS (SELECT "vendorId", coalesce("database", 'wholecell') AS "database"
+      FROM wholesale_apis)
+SELECT "vendorId", "database",
+       CASE WHEN "database" = 'wholecell' THEN NULL
+            ELSE 'No sync function available for this database type' END AS error
+FROM b
+""",
+    "topk_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+    "window_topk_per_cust": """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    "set_union": """
+SELECT c_mktsegment AS v FROM customer
+UNION
+SELECT o_orderpriority AS v FROM orders
+""",
+    "set_except": """
+SELECT c_custkey AS k FROM customer
+EXCEPT
+SELECT o_custkey AS k FROM orders
+""",
+    "events_json": """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+    "stream_tumbling": """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+    "stream_sliding": """
+SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800 - k.k) * 1800 AS ws, event_type
+  FROM events, (VALUES (0), (1)) k(k)
+) GROUP BY ws, event_type
+""",
+    "stream_sessions": """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+f AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+n AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(min(es) AS BIGINT) AS session_start,
+       CAST(max(es) AS BIGINT) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(es) - min(es) AS BIGINT) AS duration_secs
+FROM n GROUP BY user_id, session_seq
+""",
 }
 
 # name → (spark callable, oracle sql | None)
@@ -274,6 +482,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "j5_valid_skip_split": (q_j5_valid_skip_split, _O["j5_valid_skip_split"]),
     "s3_filtered_scan": (q_s3_filtered_scan, _O["s3_filtered_scan"]),
     "s9_backfill": (q_s9_backfill, _O["s9_backfill"]),
+    "s8_upsert": (q_s8_upsert, _O["s8_upsert"]),
+    "x1_dispatch": (q_x1_dispatch, _O["x1_dispatch"]),
+    "topk_orders": (q_topk_orders, _O["topk_orders"]),
+    "window_topk_per_cust": (q_window_topk_per_cust, _O["window_topk_per_cust"]),
+    "set_union": (q_set_union, _O["set_union"]),
+    "set_except": (q_set_except, _O["set_except"]),
+    "events_json": (q_events_json, _O["events_json"]),
+    "stream_tumbling": (q_stream_tumbling, _O["stream_tumbling"]),
+    "stream_sliding": (q_stream_sliding, _O["stream_sliding"]),
+    "stream_sessions": (q_stream_sessions, _O["stream_sessions"]),
 }
 
 
