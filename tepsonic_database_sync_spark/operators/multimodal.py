@@ -1,0 +1,146 @@
+"""Multimodal column plumbing — images/audio/video as opaque binary
+columns with typed metadata (training-data-pipeline extension).
+
+The convention: one row per asset with
+
+    asset_id  long
+    kind      string            ('image' | 'audio' | 'video')
+    payload   binary            (opaque encoded bytes)
+    meta      struct<width int, height int, n_frames int, format string>
+
+Everything Spark-side is real — schema, partitioning, Arrow batch shape
+through ``mapInPandas`` — while the *decode* step is a clearly-marked
+deterministic fake (``_FAKE_DECODE``): the image/audio codecs aren't in
+this container. Swapping in PIL/librosa/ffmpeg is a one-function change;
+the distributed plumbing (what actually matters at 100 TB) is exercised
+and tested as-is.
+
+Scale notes: payloads dominate bytes — keep them in their own parquet
+column (columnar pruning means metadata-only queries never read them),
+partition by ``kind`` + hash(asset_id), and size batches via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of decoded
+frames fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def synth_assets(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic multimodal asset table from ``documents``:
+    payload = utf-8 text bytes, kind cycles image/audio/video, metadata
+    from the text sizes. (Fixture generator — no randomness.)"""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+        (F.col("n_chars") % 24).cast("int").alias("n_frames"),
+        F.lit("synthetic").alias("format"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """STUB — deterministic stand-in for a real codec. Real deployments
+    replace this with PIL.Image.open / librosa.load / av.open; raising
+    NotImplementedError here would be the other contract-preserving
+    choice, but a deterministic fake lets the batch plumbing be tested."""
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    return [
+        float(sum(payload[i::FEATURE_DIM]) % 997) for i in range(FEATURE_DIM)
+    ]
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the canonical multimodal decode shape: batches in,
+    batches out, constant memory, no driver involvement."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                    "feature": pdf["payload"].map(_fake_decode),
+                }
+            )
+
+    return assets.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample(assets: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    index (the decode itself is the stub above). Pure expressions —
+    the frame index fan-out never touches Python."""
+    # guard: Spark's sequence DESCENDS when stop < start, so empty assets
+    # need an explicit empty array, not sequence(0, -1)
+    frames = F.when(
+        F.col("meta.n_frames") > 0,
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    sampled = F.filter(frames, lambda i: i % every_n == 0)
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", F.explode(sampled).alias("frame_idx"))
+    )
+
+
+def asset_stats(assets: DataFrame) -> DataFrame:
+    """Metadata-only rollup — never reads payload bytes (column pruning):
+    per kind: count, total payload bytes, max width."""
+    return assets.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+        F.max("meta.width").cast("int").alias("max_width"),
+    )

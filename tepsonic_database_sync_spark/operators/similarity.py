@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns — ANN extension set
+(BASELINE.json north star; no reference counterpart).
+
+Design for engine-exact, scale-ready similarity:
+
+- **Integer quantization**: embeddings (array<float>) are scaled to
+  integer vectors (×1000, round-half-away). All dot products and norms
+  are then *exact integer arithmetic* — order-independent, overflow-safe
+  (|c| ≤ ~10^3, d = 64 ⇒ dots ≤ ~10^8), and identical in any engine.
+  Cosine similarity divides two exactly-representable integers through
+  correctly-rounded double ops (sqrt, div) — bit-identical across
+  engines, reported as ``sim_e6`` (rounded to 1e-6).
+- **Brute-force top-k** (the baseline): broadcast the query set, scan the
+  corpus once, window top-k. O(N·Q) — at 100 TB this is the exact-recall
+  reference path; the scan is embarrassingly parallel with zero shuffle
+  except the final per-query top-k (tiny).
+- **LSH (random hyperplane) buckets** (the scale path): 8 deterministic
+  integer hyperplanes (md5-derived components, reproducible in SQL)
+  → 256 buckets → candidate set shrinks ~256× with equi-join candidate
+  generation. Same output shape as brute force.
+
+Python UDFs: none. For very wide vectors (≥1k dims) a Pandas-UDF matmul
+block path would win on constant factors; at 64 dims the codegen'd array
+expressions are faster than the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000
+N_PLANES = 8
+
+
+def int_vec(emb: Column, scale: int = QUANT_SCALE) -> Column:
+    """Quantize a float vector to exact integers (×scale, half-away)."""
+    return F.transform(
+        emb, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sim_e6(dot: Column, na2: Column, nb2: Column) -> Column:
+    """Cosine similarity in micro-units: round(dot/sqrt(na2*nb2)*1e6).
+    All inputs are exact integers < 2^53 ⇒ every double op is correctly
+    rounded ⇒ engine-portable bits."""
+    return F.round(
+        dot.cast("double") / F.sqrt((na2 * nb2).cast("double")) * 1e6, 0
+    ).cast("long")
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    iv = int_vec(F.col("embedding"))
+    return emb.select("vec_id", "label", iv.alias("iv")).withColumn(
+        "n2", int_dot(F.col("iv"), F.col("iv"))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: query set = vec_id < n_queries, ranked by
+    (sim desc, neighbor id) — fully deterministic."""
+    v = _quantized(emb)
+    q = v.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("n2").alias("q_n2"),
+    ).filter(F.col("q_id") < n_queries)
+    pairs = v.join(F.broadcast(q), v.vec_id != q.q_id)
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sim_e6(
+            int_dot(F.col("iv"), F.col("q_iv")), F.col("n2"), F.col("q_n2")
+        ).alias("sim_e6"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "sim_e6")
+    )
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic integer hyperplanes: component (p, d) =
+    md5-60bit("plane{p}_{d}") % 2001 - 1000. Reproducible verbatim in SQL
+    (same md5 formula as functions.hashing.h60)."""
+    return [
+        [
+            int(hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()[:15], 16) % 2001
+            - 1000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(iv: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit bucket code from integer hyperplane dots (exact)."""
+    code = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        pc = F.array(*[F.lit(c).cast("long") for c in plane])
+        code = code + F.when(int_dot(iv, pc) > 0, F.lit(1 << p)).otherwise(0)
+    return code
+
+
+def lsh_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 10, dim: int = 64
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket (equi-join on the code — the 100 TB path: candidate generation
+    is a shuffle on a well-spread small key, not a cross join)."""
+    planes = hyperplanes(dim=dim)
+    v = _quantized(emb).withColumn("bucket", lsh_bucket(F.col("iv"), planes))
+    q = v.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("n2").alias("q_n2"),
+        F.col("bucket"),
+    ).filter(F.col("q_id") < n_queries)
+    pairs = v.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sim_e6(
+            int_dot(F.col("iv"), F.col("q_iv")), F.col("n2"), F.col("q_n2")
+        ).alias("sim_e6"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "sim_e6")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold_e6: int = 990000
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by the coarse
+    ``label`` column (IVF-style: compare only within a cell). The demo
+    corpus unions an id-shifted copy so true near-dups exist."""
+    v = _quantized(emb)
+    copy = v.select(
+        (F.col("vec_id") + 10000000).alias("vec_id"), "label", "iv", "n2"
+    )
+    corpus = v.unionByName(copy)
+    a = corpus.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label"),
+        F.col("iv").alias("a_iv"),
+        F.col("n2").alias("a_n2"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label"),
+        F.col("iv").alias("b_iv"),
+        F.col("n2").alias("b_n2"),
+    )
+    pairs = a.join(b, "label").filter(F.col("a_id") < F.col("b_id"))
+    scored = pairs.select(
+        "label",
+        "a_id",
+        "b_id",
+        sim_e6(
+            int_dot(F.col("a_iv"), F.col("b_iv")), F.col("a_n2"), F.col("b_n2")
+        ).alias("sim_e6"),
+    )
+    return scored.filter(F.col("sim_e6") >= threshold_e6)

@@ -1,0 +1,134 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline extension set (BASELINE.json north star; no
+reference counterpart — the reference processes no free text).
+
+All pure ``pyspark.sql.functions`` expressions (codegen'd, no UDFs):
+tokenization, token counting (whitespace + BPE-ish regex), per-document
+statistics, stopword-based language ID, quality scoring, and
+fingerprinting. Ratios are emitted as integer permille (``a*1000 div b``)
+so results are bit-identical across engines — no float division anywhere.
+
+Scale notes: every operator here is a narrow projection — no shuffle at
+all until a later groupBy. At 100 TB this runs at parquet-scan speed with
+full column pruning (only ``text`` + keys are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit"],
+    "fr": ["le", "la", "les", "et", "des", "un", "est"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def _occurrences(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
+
+
+def _permille(num: Column, den: Column) -> Column:
+    """Integer permille. ``floor(a*1000 / b)`` on BIGINTs < 2^52 is exact
+    integer division (IEEE division is correctly rounded, so a representable
+    integer quotient comes back bit-exact) — matches DuckDB ``//``."""
+    return F.when(den > 0, F.floor((num * 1000) / den).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document statistics: sizes, token counts (whitespace and
+    BPE-ish), punctuation/digit/stopword permilles, uniq-token permille."""
+    t = tokens(F.col("text"))
+    n_tokens = F.size(t).cast("long")
+    chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("long")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), 0)).cast("long")
+    n_digit_runs = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0)
+    ).cast("long")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)).cast("long")
+    n_uniq = F.size(F.array_distinct(t)).cast("long")
+    sw = _occurrences(t, STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        n_punct.alias("n_punct"),
+        n_digit_runs.alias("n_digit_runs"),
+        _permille(chars_no_ws, n_tokens).alias("avg_token_len_permille"),
+        _permille(n_uniq, n_tokens).alias("uniq_permille"),
+        _permille(sw, n_tokens).alias("stopword_permille"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: CJK codepoints ⇒ zh; else argmax of
+    per-language stopword occurrences (deterministic tie order
+    en > es > de > fr; no signal ⇒ 'und')."""
+    t = tokens(F.col("text"))
+    cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\x{4e00}-\x{9fff}]"), 0))
+    s = {lang: _occurrences(t, words) for lang, words in STOPWORDS.items()}
+    guess = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), F.lit("es"))
+        .when((s["de"] >= s["fr"]) & (s["de"] > 0), F.lit("de"))
+        .when(s["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        s["en"].alias("sw_en"),
+        s["es"].alias("sw_es"),
+        s["de"].alias("sw_de"),
+        s["fr"].alias("sw_fr"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite 0-100 quality score from integer signals: reasonable
+    length, healthy stopword density, low punctuation, lexical diversity.
+    (The standard pre-training quality gate shape — each signal is a flag
+    so the score is engine-exact.)"""
+    stats = text_stats(docs)
+    flag = lambda c: F.when(c, 25).otherwise(0)  # noqa: E731
+    score = (
+        flag(F.col("n_tokens").between(10, 1000))
+        + flag(F.col("stopword_permille").between(20, 600))
+        + flag(F.col("n_punct") * 1000 < F.col("n_chars") * 300)
+        + flag(F.col("uniq_permille") > 300)
+    )
+    return stats.select("doc_id", score.cast("long").alias("quality"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (exact-dup key)
+    plus a 60-bit integer form for compact joins."""
+    from tepsonic_database_sync_spark.functions.hashing import h60
+
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        h60(norm).alias("fp_h60"),
+    )

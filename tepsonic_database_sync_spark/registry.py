@@ -265,6 +265,205 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+# --- text analysis & dedup extensions (documents table) --------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics (sizes, token/punct counts, permilles)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import text_stats
+
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword/CJK language ID."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0-100 quality score."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprints (md5 + 60-bit integer form)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ an id-shifted copy — a corpus with known exact dups
+    (the raw table has none, so dedup demos synthesize them)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = d.select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    return d.unionByName(copy)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keeper (min id) + copy count."""
+    from tepsonic_database_sync_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_corpus_with_dups(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise 3-gram Jaccard overlap (integer inter/union)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16 salted 60-bit hashes over 3-gram shingles)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (4 bands × 4 rows)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB twins of the text/dedup building blocks
+_D_TOKS = r"""
+toks AS (
+  SELECT doc_id, n_chars, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+)"""
+
+_D_SHINGLES = r""",
+sh AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+           list_transform(range(0, len(t) - 2),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [] END AS shingles
+  FROM toks
+)"""
+
+_D_H60 = "CAST(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def _sw(lang_words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in lang_words)
+    return f"len(list_filter(t, x -> x IN ({inlist})))"
+
+
+from tepsonic_database_sync_spark.operators.text import STOPWORDS as _SW  # noqa: E402
+
+
+# --- similarity search (embeddings table) ----------------------------------
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 10 query vectors (quantized
+    integer dot products — engine-exact)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via deterministic random-hyperplane LSH buckets."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked, over a corpus with
+    an id-shifted copy (known true dups)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- multimodal columns (binary + typed metadata) --------------------------
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.multimodal import synth_assets
+
+    return synth_assets(load_table(spark, sf_dir, "documents"))
+
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollup over binary assets (payload column pruned)."""
+    from tepsonic_database_sync_spark.operators.multimodal import asset_stats
+
+    return asset_stats(_assets(spark, sf_dir))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (1 row per sampled frame index)."""
+    from tepsonic_database_sync_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_assets(spark, sf_dir))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature plumbing via mapInPandas (stubbed
+    codec — rows-only check: not SQL-expressible)."""
+    from tepsonic_database_sync_spark.operators.multimodal import extract_features
+
+    return extract_features(_assets(spark, sf_dir))
+
+
+_D_IDOT = (
+    "CAST(list_aggregate(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i] * {b}[i]), 'sum') AS BIGINT)"
+)
+_D_SIM = (
+    "CAST(ROUND(CAST({dot} AS DOUBLE) / sqrt(CAST({na2} * {nb2} AS DOUBLE))"
+    " * 1000000, 0) AS BIGINT)"
+)
+_D_QUANT = """
+iv0 AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS iv
+  FROM embeddings
+),
+v AS (
+  SELECT vec_id, label, iv, {n2} AS n2 FROM iv0
+)""".format(n2=_D_IDOT.format(a="iv", b="iv"))
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — composed from oracle.py CTEs
 # ---------------------------------------------------------------------------
@@ -444,6 +643,236 @@ SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n FROM (
   FROM events, (VALUES (0), (1)) k(k)
 ) GROUP BY ws, event_type
 """,
+    "text_stats": f"""
+WITH {_D_TOKS}
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+    AS n_bpe_tokens,
+  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_tokens,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+  CAST(CASE WHEN len(t) > 0
+       THEN (length(regexp_replace(text, '\\s', '', 'g')) * 1000) // len(t)
+       ELSE 0 END AS BIGINT) AS avg_token_len_permille,
+  CAST(CASE WHEN len(t) > 0
+       THEN (len(list_distinct(t)) * 1000) // len(t) ELSE 0 END AS BIGINT)
+    AS uniq_permille,
+  CAST(CASE WHEN len(t) > 0
+       THEN ({_sw(_SW["en"])} * 1000) // len(t) ELSE 0 END AS BIGINT)
+    AS stopword_permille
+FROM toks
+""",
+    "text_lang_id": f"""
+WITH {_D_TOKS}
+SELECT doc_id,
+  CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+       WHEN {_sw(_SW["en"])} >= {_sw(_SW["es"])} AND {_sw(_SW["en"])} >= {_sw(_SW["de"])}
+            AND {_sw(_SW["en"])} >= {_sw(_SW["fr"])} AND {_sw(_SW["en"])} > 0 THEN 'en'
+       WHEN {_sw(_SW["es"])} >= {_sw(_SW["de"])} AND {_sw(_SW["es"])} >= {_sw(_SW["fr"])}
+            AND {_sw(_SW["es"])} > 0 THEN 'es'
+       WHEN {_sw(_SW["de"])} >= {_sw(_SW["fr"])} AND {_sw(_SW["de"])} > 0 THEN 'de'
+       WHEN {_sw(_SW["fr"])} > 0 THEN 'fr'
+       ELSE 'und' END AS lang_guess,
+  CAST({_sw(_SW["en"])} AS BIGINT) AS sw_en,
+  CAST({_sw(_SW["es"])} AS BIGINT) AS sw_es,
+  CAST({_sw(_SW["de"])} AS BIGINT) AS sw_de,
+  CAST({_sw(_SW["fr"])} AS BIGINT) AS sw_fr
+FROM toks
+""",
+    "text_quality": f"""
+WITH {_D_TOKS},
+s AS (
+  SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         CASE WHEN len(t) > 0 THEN (len(list_distinct(t)) * 1000) // len(t)
+              ELSE 0 END AS uniq_permille,
+         CASE WHEN len(t) > 0 THEN ({_sw(_SW["en"])} * 1000) // len(t)
+              ELSE 0 END AS stopword_permille
+  FROM toks
+)
+SELECT doc_id, CAST(
+    (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 25 ELSE 0 END)
+  + (CASE WHEN stopword_permille BETWEEN 20 AND 600 THEN 25 ELSE 0 END)
+  + (CASE WHEN n_punct * 1000 < n_chars * 300 THEN 25 ELSE 0 END)
+  + (CASE WHEN uniq_permille > 300 THEN 25 ELSE 0 END) AS BIGINT) AS quality
+FROM s
+""",
+    "text_fingerprint": f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT doc_id, md5(nt) AS fp_md5, {_D_H60.format(e="nt")} AS fp_h60
+FROM norm
+""",
+    "dedup_exact": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT fp, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM fp GROUP BY fp
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_D_TOKS}{_D_SHINGLES},
+blocked AS (
+  SELECT doc_id, shingles, n_chars // 100 AS blk FROM sh
+)
+SELECT CAST(a.blk AS BIGINT) AS blk,
+       a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter_size,
+       CAST(len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS union_size
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) >= 2
+""",
+    "dedup_minhash_sigs": f"""
+WITH {_D_TOKS}{_D_SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ks AS (SELECT unnest(range(0, 16)) AS i),
+h AS (
+  SELECT doc_id, i,
+         {_D_H60.format(e="CAST(i AS VARCHAR) || '#' || s")} AS h
+  FROM ex, ks
+)
+SELECT doc_id, CAST(i AS INT) AS i, CAST(min(h) AS BIGINT) AS sig
+FROM h GROUP BY doc_id, i
+""",
+    "dedup_minhash_lsh": f"""
+WITH {_D_TOKS}{_D_SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ks AS (SELECT unnest(range(0, 16)) AS i),
+h AS (
+  SELECT doc_id, i,
+         {_D_H60.format(e="CAST(i AS VARCHAR) || '#' || s")} AS h
+  FROM ex, ks
+),
+sigs AS (
+  SELECT doc_id, i, min(h) AS sig FROM h GROUP BY doc_id, i
+),
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ',')) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    "dedup_simhash": f"""
+WITH {_D_TOKS},
+ex AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, {_D_H60.format(e="tk")} AS h FROM ex),
+bits AS (SELECT unnest(range(0, 32)) AS b),
+v AS (
+  SELECT doc_id, b, (CAST(1 AS BIGINT) << CAST(b AS INT)) AS mask,
+         CASE WHEN (h & (CAST(1 AS BIGINT) << CAST(b AS INT))) <> 0
+              THEN 1 ELSE -1 END AS vote
+  FROM h, bits
+),
+s AS (SELECT doc_id, b, mask, sum(vote) AS sv FROM v GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(sum(CASE WHEN sv > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+""",
+    "multimodal_stats": """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         encode(text) AS payload,
+         CAST(n_chars % 640 AS INT) AS width,
+         CAST(n_chars % 24 AS INT) AS n_frames
+  FROM documents
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(max(width) AS INT) AS max_width
+FROM assets GROUP BY kind
+""",
+    "multimodal_frames": """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(n_chars % 24 AS INT) AS n_frames
+  FROM documents
+)
+SELECT asset_id, CAST(f.i AS INT) AS frame_idx
+FROM assets, unnest(range(0, n_frames)) f(i)
+WHERE kind = 'video' AND f.i % 4 = 0
+""",
+    "ann_bruteforce_topk": f"""
+WITH {_D_QUANT},
+q AS (SELECT vec_id AS q_id, iv AS q_iv, n2 AS q_n2 FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, v.vec_id AS neighbor_id,
+         {_D_SIM.format(dot=_D_IDOT.format(a="v.iv", b="q.q_iv"), na2="v.n2", nb2="q.q_n2")} AS sim_e6
+  FROM v, q WHERE v.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim_e6 DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, sim_e6
+FROM ranked WHERE rn <= 10
+""",
+    "ann_lsh_topk": f"""
+WITH {_D_QUANT},
+planes AS (
+  SELECT t1.p, t2.d,
+         ({_D_H60.format(e="'plane' || CAST(t1.p AS VARCHAR) || '_' || CAST(t2.d AS VARCHAR)")}
+          % 2001) - 1000 AS c
+  FROM range(0, 8) t1(p), range(0, 64) t2(d)
+),
+bdots AS (
+  SELECT v.vec_id, pl.p, CAST(sum(v.iv[pl.d + 1] * pl.c) AS BIGINT) AS pdot
+  FROM v, planes pl GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pdot > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM bdots GROUP BY vec_id
+),
+vb AS (SELECT v.*, b.bucket FROM v JOIN buckets b USING (vec_id)),
+q AS (SELECT vec_id AS q_id, iv AS q_iv, n2 AS q_n2, bucket
+      FROM vb WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, vb.vec_id AS neighbor_id,
+         {_D_SIM.format(dot=_D_IDOT.format(a="vb.iv", b="q.q_iv"), na2="vb.n2", nb2="q.q_n2")} AS sim_e6
+  FROM vb JOIN q ON vb.bucket = q.bucket AND vb.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim_e6 DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, sim_e6
+FROM ranked WHERE rn <= 10
+""",
+    "embed_neardup": f"""
+WITH {_D_QUANT},
+corpus AS (
+  SELECT vec_id, label, iv, n2 FROM v
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, label, iv, n2 FROM v
+)
+SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+       {_D_SIM.format(dot=_D_IDOT.format(a="a.iv", b="b.iv"), na2="a.n2", nb2="b.n2")} AS sim_e6
+FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_D_SIM.format(dot=_D_IDOT.format(a="a.iv", b="b.iv"), na2="a.n2", nb2="b.n2")} >= 990000
+""",
     "stream_sessions": """
 WITH e AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
@@ -492,6 +921,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_tumbling": (q_stream_tumbling, _O["stream_tumbling"]),
     "stream_sliding": (q_stream_sliding, _O["stream_sliding"]),
     "stream_sessions": (q_stream_sessions, _O["stream_sessions"]),
+    "text_stats": (q_text_stats, _O["text_stats"]),
+    "text_lang_id": (q_text_lang_id, _O["text_lang_id"]),
+    "text_quality": (q_text_quality, _O["text_quality"]),
+    "text_fingerprint": (q_text_fingerprint, _O["text_fingerprint"]),
+    "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
+    "dedup_minhash_sigs": (q_dedup_minhash_sigs, _O["dedup_minhash_sigs"]),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _O["dedup_minhash_lsh"]),
+    "dedup_simhash": (q_dedup_simhash, _O["dedup_simhash"]),
+    "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
+    "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
+    "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
+    "multimodal_stats": (q_multimodal_stats, _O["multimodal_stats"]),
+    "multimodal_frames": (q_multimodal_frames, _O["multimodal_frames"]),
+    # mapInPandas decode plumbing — rows-only (not SQL-expressible)
+    "multimodal_features": (q_multimodal_features, None),
 }
 
 

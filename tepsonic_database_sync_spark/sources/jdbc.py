@@ -1,0 +1,109 @@
+"""JDBC source/sink + parquet state store — SURVEY.md §2.1 S2/S3/S8.
+
+The reference's MongoDB collections map to JDBC tables (BASELINE.json
+"spark_approach": DataFrame read/write with JDBC connectors). No JDBC
+driver jar nor database exists in this container, so the JDBC helpers are
+thin, documented wrappers (predicate pushdown comes free from Catalyst —
+S3's ``find({database:'wholecell'})`` is just ``.filter`` after ``.load``);
+the *testable* persistence surface is ``ParquetStateStore``, the engine's
+stand-in for the ``tep_vendor_products`` state collection:
+
+- read state → merge with the new batch (operators.options.merge_options
+  semantics = the reference's bulkWrite upsert, products.js:300-341)
+  → atomic swap (write to a new versioned dir, then repoint a pointer
+  file). Readers never see partial writes — the parquet equivalent of
+  ``bulkWrite({ordered:false})``'s all-at-once visibility per key.
+
+At 100 TB: keep the state table hash-bucketed by the merge key so the
+merge join co-locates, and swap per-partition instead of whole-table
+(or use Delta MERGE where available — same call shape).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicate: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """S2/S3 — JDBC scan; filters passed via ``.filter`` push down to the
+    source (Catalyst JDBC pushdown), and ``partition_column`` splits the
+    read across executors."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return df.filter(predicate) if predicate else df
+
+
+def write_jdbc_append(df: DataFrame, url: str, table: str, batchsize: int = 10000) -> None:
+    """S8 append path — unordered batched writes (the reference's
+    ``{ordered:false}``); for true upserts stage into a temp table and
+    issue MERGE on the database side."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode("append")
+        .save()
+    )
+
+
+class ParquetStateStore:
+    """Versioned parquet state table with atomic pointer swap."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def current_path(self) -> str | None:
+        if not os.path.exists(self._pointer):
+            return None
+        with open(self._pointer) as f:
+            return json.load(f)["path"]
+
+    def read(self) -> DataFrame | None:
+        path = self.current_path()
+        return self.spark.read.parquet(path) if path else None
+
+    def overwrite(self, df: DataFrame) -> str:
+        """Write a new version and atomically repoint (os.replace)."""
+        version = f"v{int(time.time() * 1000)}"
+        path = os.path.join(self.root, version)
+        df.write.mode("overwrite").parquet(path)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"path": path, "version": version}, f)
+        os.replace(tmp, self._pointer)
+        return path
+
+    def merge(self, new: DataFrame, merge_fn) -> DataFrame:
+        """Read-merge-write: ``merge_fn(state, new) -> merged`` (pass
+        ``operators.options.merge_options`` for the reference semantics).
+        First write = plain overwrite."""
+        state = self.read()
+        merged = new if state is None else merge_fn(state, new)
+        self.overwrite(merged)
+        return self.read()
