@@ -21,12 +21,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tepsonic_database_sync_spark.session import build_session
 from tepsonic_database_sync_spark import registry
 
+# ordered cheap → heavy; covers the reference spine + every extension family
 HEADLINE = [
-    "sync_pipeline",
-    "sync_summary",
-    "sync_merge_resync",
-    "p6_resolve_variant",
     "j2_match_partial",
+    "p6_resolve_variant",
+    "stream_sessions",
+    "text_stats",
+    "events_json",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "sync_summary",
+    "sync_pipeline",
+    "sync_merge_resync",
 ]
 
 
@@ -36,6 +43,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # generous heap: the collect_list-heavy sync queries otherwise leave
+    # GC pressure that skews timings of later headline queries
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     spark = build_session(app_name="bench", cpus=cpus)
     spark.range(1).count()  # JVM warm-up
 
@@ -47,6 +57,8 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # stabilize: don't let one query's GC debt bill the next one
+        spark.sparkContext._jvm.System.gc()
 
     out = {
         "metric": "headline_queries_total",

@@ -102,60 +102,55 @@ def sync_summary(
       number of Available items in them (products.js:329-332).
     """
     keyed = with_group_keys(items)
-    groups = keyed.select("gname", "grade_c").distinct()
+    # one pass over items → one row per (gname, grade_c) with both counts;
+    # everything downstream is group-level (tiny) + one broadcast join
+    groups = keyed.groupBy("gname", "grade_c").agg(
+        F.count("*").alias("n_items"),
+        F.count_if(F.col("status") == "Available").alias("n_avail"),
+    )
     gnames = groups.select("gname").distinct()
     matched = match_cascade(gnames, admin)
-    valid, _skipped = valid_skip_split(groups, matched)
-
-    avail = (
-        keyed.filter(F.col("status") == "Available")
-        .groupBy("gname", "grade_c")
-        .agg(F.count("*").alias("n_avail"))
+    g = groups.join(F.broadcast(matched), "gname", "left").withColumn(
+        "is_valid", F.col("product_id").isNotNull()
     )
-    written = valid.join(avail, ["gname", "grade_c"]).join(matched, "gname")
+    written = F.col("is_valid") & (F.col("n_avail") > 0)
     if state_keys is not None:
-        st = state_keys.select(
-            F.col("product_id").alias("__sp"), F.col("grade").alias("__sg")
-        ).distinct()
-        written = written.join(
-            st,
-            (written.product_id == st.__sp) & (written.grade_c == st.__sg),
-            "left",
+        st = F.broadcast(
+            state_keys.select(
+                F.col("product_id").alias("__sp"), F.col("grade").alias("__sg")
+            ).distinct()
+        )
+        g = g.join(
+            st, (g.product_id == st.__sp) & (g.grade_c == st.__sg), "left"
         ).withColumn("is_update", F.col("__sp").isNotNull())
     else:
-        written = written.withColumn("is_update", F.lit(False))
+        g = g.withColumn("is_update", F.lit(False))
 
-    total_fetched = items.agg(F.count("*").cast("long").alias("totalFetched"))
-    group_counts = groups.agg(F.count("*").cast("long").alias("__totalGroups"))
-    valid_counts = valid.agg(F.count("*").cast("long").alias("validProducts"))
-    write_counts = written.agg(
-        F.coalesce(F.sum(F.when(~F.col("is_update"), 1)), F.lit(0))
-        .cast("long")
-        .alias("newVendorProducts"),
-        F.coalesce(F.sum(F.when(F.col("is_update"), 1)), F.lit(0))
-        .cast("long")
-        .alias("updatedVendorProducts"),
-        F.coalesce(F.sum("n_avail"), F.lit(0)).cast("long").alias("totalStockProcessed"),
-        F.count("*").cast("long").alias("totalOperations"),
-    )
+    zero = F.lit(0).cast("long")
 
-    return (
-        total_fetched.crossJoin(group_counts)
-        .crossJoin(valid_counts)
-        .crossJoin(write_counts)
-        .select(
-            F.lit(vendor_id).alias("vendorId"),
-            F.lit("wholecell").alias("database"),
-            "totalFetched",
-            "validProducts",
-            (F.col("__totalGroups") - F.col("validProducts"))
-            .cast("long")
-            .alias("skippedProducts"),
-            "newVendorProducts",
-            "updatedVendorProducts",
-            "totalStockProcessed",
-            "totalOperations",
-        )
+    def cnt(cond):
+        return F.coalesce(F.sum(F.when(cond, 1)), zero).cast("long")
+
+    return g.agg(
+        F.coalesce(F.sum("n_items"), zero).cast("long").alias("totalFetched"),
+        cnt(F.col("is_valid")).alias("validProducts"),
+        cnt(~F.col("is_valid")).alias("skippedProducts"),
+        cnt(written & ~F.col("is_update")).alias("newVendorProducts"),
+        cnt(written & F.col("is_update")).alias("updatedVendorProducts"),
+        F.coalesce(F.sum(F.when(written, F.col("n_avail"))), zero)
+        .cast("long")
+        .alias("totalStockProcessed"),
+        cnt(written).alias("totalOperations"),
+    ).select(
+        F.lit(vendor_id).alias("vendorId"),
+        F.lit("wholecell").alias("database"),
+        "totalFetched",
+        "validProducts",
+        "skippedProducts",
+        "newVendorProducts",
+        "updatedVendorProducts",
+        "totalStockProcessed",
+        "totalOperations",
     )
 
 

@@ -373,6 +373,25 @@ sh AS (
 
 _D_H60 = "CAST(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
 
+from tepsonic_database_sync_spark.functions.hashing import (  # noqa: E402
+    MERSENNE31 as _P31,
+    affine_coeffs as _affine,
+)
+
+_D_KS = "ks(i, a, b) AS (VALUES " + ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_affine(16))
+) + ")"
+
+_D_MINHASH_SIGS = f""",
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (SELECT doc_id, ({_D_H60.format(e="s")} % {_P31}) AS h FROM ex),
+{_D_KS},
+sigs AS (
+  SELECT doc_id, CAST(ks.i AS INT) AS i,
+         CAST(min((ks.a * hx.h + ks.b) % {_P31}) AS BIGINT) AS sig
+  FROM hx, ks GROUP BY doc_id, ks.i
+)"""
+
 
 def _sw(lang_words: list[str]) -> str:
     inlist = ", ".join(f"'{w}'" for w in lang_words)
@@ -735,29 +754,11 @@ FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.shingles, b.shingles)) >= 2
 """,
     "dedup_minhash_sigs": f"""
-WITH {_D_TOKS}{_D_SHINGLES},
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-ks AS (SELECT unnest(range(0, 16)) AS i),
-h AS (
-  SELECT doc_id, i,
-         {_D_H60.format(e="CAST(i AS VARCHAR) || '#' || s")} AS h
-  FROM ex, ks
-)
-SELECT doc_id, CAST(i AS INT) AS i, CAST(min(h) AS BIGINT) AS sig
-FROM h GROUP BY doc_id, i
+WITH {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS}
+SELECT doc_id, i, sig FROM sigs
 """,
     "dedup_minhash_lsh": f"""
-WITH {_D_TOKS}{_D_SHINGLES},
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-ks AS (SELECT unnest(range(0, 16)) AS i),
-h AS (
-  SELECT doc_id, i,
-         {_D_H60.format(e="CAST(i AS VARCHAR) || '#' || s")} AS h
-  FROM ex, ks
-),
-sigs AS (
-  SELECT doc_id, i, min(h) AS sig FROM h GROUP BY doc_id, i
-),
+WITH {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS},
 banded AS (
   SELECT doc_id, i // 4 AS band,
          md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ',')) AS band_key
