@@ -401,6 +401,205 @@ def _sw(lang_words: list[str]) -> str:
 from tepsonic_database_sync_spark.operators.text import STOPWORDS as _SW  # noqa: E402
 
 
+# --- classic OLAP (TPC-H-style) + §2 completeness --------------------------
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (integer-cent money math)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).cast("long").alias("sum_base_cents"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("sum_disc_cents"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 open orders by discounted revenue for one
+    segment (3-way join + agg + deterministic top-k)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "long"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).cast("long").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by returned-item revenue."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "long"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus) with subtotal rows (SURVEY §2.5
+    noted grouping sets absent in the reference — free in Spark)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents("l_extendedprice")).cast("long").alias("sum_cents"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per market segment × order priority."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(_PRIORITIES)}
+    cols = [F.col("c_mktsegment")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(renames[p])
+        for p in _PRIORITIES
+    ]
+    return piv.select(*cols)
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in reference, SURVEY §2.5)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer (window frame + lag)."""
+    from pyspark.sql import Window
+    from tepsonic_database_sync_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("running_cents"),
+        F.coalesce(F.lag(cents).over(w), F.lit(0)).cast("long").alias("prev_cents"),
+    )
+
+
+def q_a4_stock_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — per-product stock totals over aggregated options
+    (products.js:329-332)."""
+    from tepsonic_database_sync_spark.operators.options import stock_totals
+
+    fx = build_fixtures(spark, sf_dir)
+    return stock_totals(sync.sync_options(fx["vendor_items"], fx["admin_products"]))
+
+
+def q_s2_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — full control-table scan (find({}), products.js:363-367)."""
+    fx = build_fixtures(spark, sf_dir)
+    return fx["wholesale_apis"]
+
+
+def q_j3_item_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — the hand-rolled $in-prefetch broadcast lookup as an explicit
+    per-item left join (products.js:113-132,148): exact case-sensitive
+    name probe, last-wins on duplicate names."""
+    fx = build_fixtures(spark, sf_dir)
+    keyed = options.with_group_keys(fx["vendor_items"])
+    admin = fx["admin_products"]
+    from tepsonic_database_sync_spark.operators.matching import _pick_first
+
+    va = _pick_first(
+        admin.select("name", "_id"), "name", [F.col("_id").desc()]
+    )
+    j = keyed.join(F.broadcast(va), keyed.gname == va.name, "left")
+    return j.select(
+        "id", F.col("_id").alias("admin_id"), F.col("_id").isNotNull().alias("matched")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event ← latest view/click by that user
+    at-or-before it (union-sort single-shuffle implementation)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.asof import as_of_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type").isin("view", "click"))
+    return as_of_join(purchases, views)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: (error, click) pairs within the preceding 10 minutes
+    per user (interval-bucketed equi-join, not a theta join)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.asof import range_join_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error")
+    clicks = e.filter(F.col("event_type") == "click")
+    return range_join_pairs(errors, clicks)
+
+
 # --- similarity search (embeddings table) ----------------------------------
 
 
@@ -784,6 +983,130 @@ SELECT doc_id,
        CAST(sum(CASE WHEN sv > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
 FROM s GROUP BY doc_id
 """,
+    "tpch_q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+    AS sum_disc_cents,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_q3_topk": """
+SELECT l_orderkey,
+  CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+""",
+    "tpch_q10_returns": """
+SELECT c_custkey, c_name,
+  CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+""",
+    "rollup_sales": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    "pivot_segment_priority": """
+SELECT c_mktsegment,
+  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS p1,
+  CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS p2,
+  CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS p3,
+  CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS p4,
+  CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS p5
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    "count_distinct": """
+SELECT l_returnflag,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    "window_running_total": """
+SELECT o_custkey, o_orderkey,
+  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+  CAST(coalesce(lag(cents) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey), 0) AS BIGINT)
+    AS prev_cents
+FROM (SELECT *, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
+""",
+    "a4_stock_totals": oracle.prefix("options")
+    + """
+SELECT product_id, grade,
+       CAST(sum(stock) AS BIGINT) AS total_stock,
+       CAST(count(*) AS BIGINT) AS n_options
+FROM options GROUP BY product_id, grade
+""",
+    "s2_full_scan": oracle.prefix("wholesale_apis")
+    + "\nSELECT * FROM wholesale_apis",
+    "j3_item_lookup": oracle.prefix("admin_products")
+    + """,
+va AS (
+  SELECT name, _id FROM (
+    SELECT name, _id, row_number() OVER (PARTITION BY name ORDER BY _id DESC) AS rn
+    FROM admin_products
+  ) WHERE rn = 1
+),
+i AS (
+  SELECT id, trim(coalesce(manufacturer, '') || ' ' || coalesce(model, '')) AS gname
+  FROM vendor_items
+)
+SELECT i.id, va._id AS admin_id, va._id IS NOT NULL AS matched
+FROM i LEFT JOIN va ON va.name = i.gname
+""",
+    "asof_join": """
+WITH r AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         event_id AS rid, CAST(NULL AS BIGINT) AS lid
+  FROM events WHERE event_type IN ('view', 'click')
+),
+l AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(NULL AS BIGINT) AS rid, event_id AS lid
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+m AS (
+  SELECT *, last_value(rid IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY es, coalesce(rid, 4611686018427387904)
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_rid
+  FROM u
+)
+SELECT user_id, lid AS event_id, es AS epoch_s, asof_rid
+FROM m WHERE lid IS NOT NULL
+""",
+    "range_join": """
+WITH a AS (
+  SELECT user_id, event_id AS a_id, CAST(floor(epoch(ts)) AS BIGINT) AS ea
+  FROM events WHERE event_type = 'error'
+),
+b AS (
+  SELECT user_id, event_id AS b_id, CAST(floor(epoch(ts)) AS BIGINT) AS eb
+  FROM events WHERE event_type = 'click'
+)
+SELECT a.user_id, a.a_id, b.b_id
+FROM a JOIN b ON a.user_id = b.user_id
+ AND b.eb >= a.ea - 600 AND b.eb < a.ea
+""",
     "multimodal_stats": """
 WITH assets AS (
   SELECT doc_id AS asset_id,
@@ -934,6 +1257,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
     "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
+    "tpch_q1_pricing": (q_tpch_q1_pricing, _O["tpch_q1_pricing"]),
+    "tpch_q3_topk": (q_tpch_q3_topk, _O["tpch_q3_topk"]),
+    "tpch_q10_returns": (q_tpch_q10_returns, _O["tpch_q10_returns"]),
+    "rollup_sales": (q_rollup_sales, _O["rollup_sales"]),
+    "pivot_segment_priority": (q_pivot_segment_priority, _O["pivot_segment_priority"]),
+    "count_distinct": (q_count_distinct, _O["count_distinct"]),
+    "window_running_total": (q_window_running_total, _O["window_running_total"]),
+    "a4_stock_totals": (q_a4_stock_totals, _O["a4_stock_totals"]),
+    "s2_full_scan": (q_s2_full_scan, _O["s2_full_scan"]),
+    "j3_item_lookup": (q_j3_item_lookup, _O["j3_item_lookup"]),
+    "asof_join": (q_asof_join, _O["asof_join"]),
+    "range_join": (q_range_join, _O["range_join"]),
     "multimodal_stats": (q_multimodal_stats, _O["multimodal_stats"]),
     "multimodal_frames": (q_multimodal_frames, _O["multimodal_frames"]),
     # mapInPandas decode plumbing — rows-only (not SQL-expressible)
