@@ -133,6 +133,35 @@ def merge_options(existing: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def merge_options_idempotent(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """The engine's opt-in IDEMPOTENT merge mode (SURVEY.md §7): dedupe on
+    uniqueNumbers so re-syncing the same payload is a no-op — stock is the
+    count of distinct unit ids, price still min. ``merge(x, x) == merge(x,
+    empty)`` by construction (the faithful mode deliberately double-counts;
+    reference products.js:208)."""
+    both = existing.unionByName(new)
+    uids_set = F.array_sort(
+        F.array_distinct(F.flatten(F.collect_list(F.split(F.col("uids"), "\\|"))))
+    )
+    return (
+        both.groupBy("product_id", "grade", "color", "variant")
+        .agg(
+            F.min("price").cast("long").alias("price"),
+            uids_set.alias("__uids"),
+        )
+        .select(
+            "product_id",
+            "grade",
+            "color",
+            "variant",
+            F.size("__uids").cast("long").alias("stock"),
+            "price",
+            F.col("price").alias("discount"),
+            F.array_join(F.col("__uids"), "|").alias("uids"),
+        )
+    )
+
+
 def stock_totals(options: DataFrame) -> DataFrame:
     """A4 — total stock per product row (products.js:329-332)."""
     return options.groupBy("product_id", "grade").agg(

@@ -401,6 +401,141 @@ def _sw(lang_words: list[str]) -> str:
 from tepsonic_database_sync_spark.operators.text import STOPWORDS as _SW  # noqa: E402
 
 
+def q_x2_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — quarantine pattern: malformed rows split to a rejects flag
+    instead of failing the job (reference per-group try/catch,
+    products.js:269-335). Demo corrupts every 7th props JSON."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.col("props"), F.lit("}"))
+    ).otherwise(F.col("props"))
+    c = e.select("event_id", p.alias("p"))
+    valid = F.col("p").rlike(r'^\{"k": -?[0-9]+\}$')
+    k = F.regexp_extract(F.col("p"), r'"k": (-?[0-9]+)', 1)
+    return c.select(
+        "event_id",
+        valid.alias("is_valid"),
+        F.when(valid, k.cast("long")).alias("k"),
+    )
+
+
+def q_a3_merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 idempotent mode (SURVEY §7 extension): merging a sync with
+    itself is a no-op — stock = distinct unit ids, not double-counted."""
+    from tepsonic_database_sync_spark.operators.options import (
+        merge_options_idempotent,
+    )
+
+    fx = build_fixtures(spark, sf_dir)
+    opts = sync.sync_options(fx["vendor_items"], fx["admin_products"])
+    return merge_options_idempotent(opts, opts)
+
+
+def q_s1_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — distributed paginated REST ingestion (products.js:233-240) with
+    an injected local transport (no network in tests): pages slice the
+    documents table. Rows-only check: the fetch callback isn't SQL."""
+    from pyspark.sql import types as T
+    from tepsonic_database_sync_spark.sources.rest import paginated_source
+
+    path = f"{sf_dir}/documents.parquet"
+    page_size = 50
+
+    def fetch_page(page: int) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=["doc_id", "lang"])
+        chunk = tbl.slice(page * page_size, page_size).to_pylist()
+        return [
+            {"id": r["doc_id"], "status": "Available", "lang": r["lang"]}
+            for r in chunk
+        ]
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    return paginated_source(spark, 10, fetch_page, schema)
+
+
+def q_s10_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — the full sync report: one row per vendor; wholecell vendors
+    carry the sync summary (every wholecell vendor fetches the same
+    payload, products.js:236), others carry the error string
+    (products.js:397-406). Timestamp omitted (non-deterministic)."""
+    from tepsonic_database_sync_spark.operators.upsert import dispatch_vendors
+
+    fx = build_fixtures(spark, sf_dir)
+    backfilled = fx["wholesale_apis"].withColumn(
+        "database", F.coalesce(F.col("database"), F.lit("wholecell"))
+    )
+    dispatch = dispatch_vendors(backfilled)
+    summary = sync.sync_summary(fx["vendor_items"], fx["admin_products"]).drop(
+        "vendorId", "database"
+    )
+    ok = dispatch.filter(F.col("error").isNull()).crossJoin(F.broadcast(summary))
+    err = dispatch.filter(F.col("error").isNotNull())
+    for c in summary.columns:
+        err = err.withColumn(c, F.lit(None).cast("long"))
+    return ok.unionByName(err)
+
+
+# Shared-text SQL (parses identically in Spark SQL and DuckDB) — the SQL
+# API path: Catalyst gets the same text the oracle runs.
+TPCH_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+EXISTS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+def q_tpch_q6_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 via the SQL API — the SAME text DuckDB verifies (shared
+    dialect subset), demonstrating spark.sql as a first-class entry."""
+    from tepsonic_database_sync_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q6_SQL)
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (SQL API, shared text) — Catalyst
+    rewrites to a left-semi join."""
+    from tepsonic_database_sync_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(EXISTS_SQL)
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the pivoted segment×priority counts back to long
+    form — DataFrame.unpivot, the stack() twin."""
+    piv = q_pivot_segment_priority(spark, sf_dir)
+    return piv.unpivot(
+        ["c_mktsegment"],
+        [f"p{i}" for i in range(1, 6)],
+        "priority",
+        "n",
+    )
+
+
 # --- classic OLAP (TPC-H-style) + §2 completeness --------------------------
 
 
@@ -983,6 +1118,85 @@ SELECT doc_id,
        CAST(sum(CASE WHEN sv > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
 FROM s GROUP BY doc_id
 """,
+    "s10_report": oracle.prefix("matched")
+    + """,
+backfilled AS (
+  SELECT "vendorId", coalesce("database", 'wholecell') AS "database"
+  FROM wholesale_apis
+),
+g AS (
+  SELECT groups.gname, groups.grade_c,
+         (SELECT count(*) FROM vendor_items v
+          WHERE trim(coalesce(v.manufacturer, '') || ' ' || coalesce(v.model, '')) = groups.gname
+            AND coalesce(nullif(v.grade, ''), 'Unknown') = groups.grade_c) AS n_items,
+         (SELECT count(*) FROM vendor_items v
+          WHERE trim(coalesce(v.manufacturer, '') || ' ' || coalesce(v.model, '')) = groups.gname
+            AND coalesce(nullif(v.grade, ''), 'Unknown') = groups.grade_c
+            AND v.status = 'Available') AS n_avail,
+         EXISTS (SELECT 1 FROM matched m WHERE m.gname = groups.gname) AS is_valid
+  FROM groups
+),
+summary AS (
+  SELECT
+    CAST(sum(n_items) AS BIGINT) AS "totalFetched",
+    CAST(count(CASE WHEN is_valid THEN 1 END) AS BIGINT) AS "validProducts",
+    CAST(count(CASE WHEN NOT is_valid THEN 1 END) AS BIGINT) AS "skippedProducts",
+    CAST(count(CASE WHEN is_valid AND n_avail > 0 THEN 1 END) AS BIGINT)
+      AS "newVendorProducts",
+    CAST(0 AS BIGINT) AS "updatedVendorProducts",
+    CAST(coalesce(sum(CASE WHEN is_valid AND n_avail > 0 THEN n_avail END), 0) AS BIGINT)
+      AS "totalStockProcessed",
+    CAST(count(CASE WHEN is_valid AND n_avail > 0 THEN 1 END) AS BIGINT)
+      AS "totalOperations"
+  FROM g
+)
+SELECT b."vendorId", b."database",
+       CAST(NULL AS VARCHAR) AS error,
+       s."totalFetched", s."validProducts", s."skippedProducts",
+       s."newVendorProducts", s."updatedVendorProducts",
+       s."totalStockProcessed", s."totalOperations"
+FROM backfilled b, summary s WHERE b."database" = 'wholecell'
+UNION ALL
+SELECT b."vendorId", b."database",
+       'No sync function available for this database type' AS error,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM backfilled b WHERE b."database" <> 'wholecell'
+""",
+    "tpch_q6_sql": TPCH_Q6_SQL,
+    "exists_subquery": EXISTS_SQL,
+    "unpivot": """
+SELECT c_mktsegment, 'p' || CAST(i AS VARCHAR) AS priority,
+  CAST(CASE i
+    WHEN 1 THEN count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+    WHEN 2 THEN count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+    WHEN 3 THEN count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+    WHEN 4 THEN count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+    WHEN 5 THEN count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+  END AS BIGINT) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey, unnest(range(1, 6)) t(i)
+GROUP BY c_mktsegment, i
+""",
+    "x2_quarantine": r"""
+WITH c AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN props || '}' ELSE props END AS p
+  FROM events
+)
+SELECT event_id,
+       regexp_matches(p, '^\{"k": -?[0-9]+\}$') AS is_valid,
+       CASE WHEN regexp_matches(p, '^\{"k": -?[0-9]+\}$')
+            THEN CAST(regexp_extract(p, '"k": (-?[0-9]+)', 1) AS BIGINT) END AS k
+FROM c
+""",
+    "a3_merge_idempotent": oracle.prefix("options")
+    + """
+SELECT product_id, grade, color, variant,
+       CAST(len(list_distinct(str_split(uids, '|'))) AS BIGINT) AS stock,
+       CAST(price AS BIGINT) AS price,
+       CAST(price AS BIGINT) AS discount,
+       array_to_string(list_sort(list_distinct(str_split(uids, '|'))), '|') AS uids
+FROM options
+""",
     "tpch_q1_pricing": """
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -1257,6 +1471,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
     "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
+    "s10_report": (q_s10_report, _O["s10_report"]),
+    "tpch_q6_sql": (q_tpch_q6_sql, _O["tpch_q6_sql"]),
+    "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),
+    "unpivot": (q_unpivot, _O["unpivot"]),
+    "x2_quarantine": (q_x2_quarantine, _O["x2_quarantine"]),
+    "a3_merge_idempotent": (q_a3_merge_idempotent, _O["a3_merge_idempotent"]),
+    # distributed REST ingestion with injected transport — rows-only
+    "s1_rest_ingest": (q_s1_rest_ingest, None),
     "tpch_q1_pricing": (q_tpch_q1_pricing, _O["tpch_q1_pricing"]),
     "tpch_q3_topk": (q_tpch_q3_topk, _O["tpch_q3_topk"]),
     "tpch_q10_returns": (q_tpch_q10_returns, _O["tpch_q10_returns"]),

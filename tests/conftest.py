@@ -22,8 +22,13 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = build_session(app_name="tests", cpus=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = build_session(
+        app_name="tests",
+        cpus=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
 
 

@@ -1,0 +1,117 @@
+"""Physical-plan assertions — the "would this survive 100×?" gate.
+
+These tests pin the *plan shape*, not results: filters reach the parquet
+scan, small dimensions broadcast, the flagship contains zero Python
+evaluation, and hot aggregations do map-side partial aggregation. A
+regression here is a scale bug even while results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_UNIT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, SF_UNIT, "lineitem")
+    q = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "EqualTo(l_returnflag,R)" in plan, plan
+    # column pruning: the scan must not read all 11 columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema, read_schema
+
+
+def test_flagship_broadcasts_catalog_and_stays_jvm_side(spark):
+    from tepsonic_database_sync_spark.fixtures import build_fixtures
+    from tepsonic_database_sync_spark.plans.sync import sync_options
+
+    fx = build_fixtures(spark, SF_UNIT)
+    plan = _plan(sync_options(fx["vendor_items"], fx["admin_products"]))
+    assert "BroadcastHashJoin" in plan
+    # the whole reference pipeline must run without Python evaluation
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # substring fallback may be a nested-loop join, but only broadcast-side
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregations_do_partial_aggregation(spark):
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import simhash
+
+    docs = load_table(spark, SF_UNIT, "documents")
+    plan = _plan(simhash(docs))
+    # partial (map-side) agg before the exchange, final after
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_lsh_candidates_join_on_equi_keys(spark):
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_UNIT, "documents")
+    plan = _plan(lsh_candidate_pairs(minhash_signatures(docs)))
+    # candidate generation must be a hash-joinable equi-join, never a
+    # cross/nested-loop product over documents
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.asof import range_join_pairs
+
+    e = load_table(spark, SF_UNIT, "events")
+    a = e.filter(F.col("event_type") == "error")
+    b = e.filter(F.col("event_type") == "click")
+    plan = _plan(range_join_pairs(a, b))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_streaming_stateful_user_totals(spark):
+    import tempfile
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.stateful import (
+        streaming_user_totals,
+    )
+
+    events = load_table(spark, SF_UNIT, "events")
+    expected = (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    exp = {r["user_id"]: r["n_events"] for r in expected}
+
+    with tempfile.TemporaryDirectory() as d:
+        events.write.mode("overwrite").parquet(d)
+        stream = streaming_user_totals(spark, d, events.schema)
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("user_totals")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql(
+            "SELECT user_id, max(n_events) AS n FROM user_totals GROUP BY user_id"
+        ).collect()
+    assert {r["user_id"]: r["n"] for r in got} == exp

@@ -1,0 +1,68 @@
+"""Scale-pattern tests: salting equivalence, bucketed-join co-location.
+
+These pin the 100 TB toolbox: salted two-phase aggregation must be
+result-identical to a plain groupBy, and bucketed tables must join
+without a shuffle (the storage-partitioned co-location the state table
+relies on at scale).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from conftest import SF_UNIT
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.skew import salted_two_phase_agg
+
+    li = load_table(spark, SF_UNIT, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    salted = salted_two_phase_agg(li, "l_returnflag", sum_cols=("q",)).toPandas()
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("q").cast("long").alias("sum_q"))
+        .toPandas()
+    )
+    s = salted.sort_values("l_returnflag").reset_index(drop=True)
+    p = plain.sort_values("l_returnflag").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s[["l_returnflag", "n", "sum_q"]], p)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    from tepsonic_database_sync_spark.io import load_table
+
+    o = load_table(spark, SF_UNIT, "orders")
+    li = load_table(spark, SF_UNIT, "lineitem")
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    # force the non-broadcast path: at real scale both sides are too big
+    # to broadcast, which is exactly when bucketing pays
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: sort-merge with NO shuffle exchange
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
