@@ -31,8 +31,39 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Fan-out gate: only repartition fact-sized tables (bytes); small dims are
+# broadcast by every consumer and repartitioning them is pure overhead.
+_FAN_OUT_MIN_BYTES = 2_000_000
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Local-small-file remediation, deliberately a no-op at scale.
+
+    The driver's testdata writes ONE parquet row group per table, so the
+    scan's max parallelism is 1 no matter how small
+    ``spark.sql.files.maxPartitionBytes`` goes — every downstream stage of a
+    fact-table pipeline would run on one core of local[32]. One cheap
+    round-robin shuffle right after the scan restores full parallelism.
+
+    On a real deployment (many files, 128 MB row groups, 100 TB) the scan
+    already yields >= cores input splits, the gate below fails, and no extra
+    shuffle ever happens — this never reshuffles data that arrives
+    well-partitioned.
+    """
+    try:
+        if os.path.getsize(path) < _FAN_OUT_MIN_BYTES:
+            return df
+        cores = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() * 2 >= cores:
+            return df
+        return df.repartition(cores)
+    except Exception:  # non-local path / estimation failure: leave the scan alone
+        return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
+) -> DataFrame:
     """Read one test table. Plain parquet scan → full pushdown support.
 
     ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark 4
@@ -46,10 +77,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        if fan_out:
+            df = _fan_out(spark, df, path)
         return df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
         )
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if fan_out:
+        df = _fan_out(spark, df, path)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -50,9 +50,20 @@ def match_exact(gnames: DataFrame, admin: DataFrame) -> DataFrame:
     return _pick_first(j, "gname", ["__aname", "product_id"]).drop("__aname")
 
 
-def match_partial(misses: DataFrame, admin: DataFrame) -> DataFrame:
+def match_partial(
+    misses: DataFrame, admin: DataFrame, blocked: bool = True
+) -> DataFrame:
     """J2 — substring containment fallback, guarded by ``len > 3``
-    (products.js:38-48). Returns (gname, product_id)."""
+    (products.js:38-48). Returns (gname, product_id).
+
+    ``blocked=True`` (default) runs the q-gram-blocked equi-join plan —
+    see ``match_partial_blocked``; exact same output, hash-joinable.
+    ``blocked=False`` keeps the direct theta-join (BroadcastNestedLoopJoin),
+    the simplest faithful plan, fine while the catalog broadcasts AND the
+    distinct-miss side is small.
+    """
+    if blocked:
+        return match_partial_blocked(misses, admin)
     g = misses.filter(F.length("gname") > 3).alias("g")
     a = F.broadcast(admin).alias("a")
     j = g.join(
@@ -61,6 +72,59 @@ def match_partial(misses: DataFrame, admin: DataFrame) -> DataFrame:
         F.col("g.gname").alias("gname"),
         F.col("a._id").alias("product_id"),
         F.col("a.name").alias("__aname"),
+    )
+    return _pick_first(j, "gname", ["__aname", "product_id"]).drop("__aname")
+
+
+_BLOCK_Q = 4  # sound: the len>3 guard guarantees every candidate has a 4-gram
+
+
+def match_partial_blocked(misses: DataFrame, admin: DataFrame) -> DataFrame:
+    """J2 as an exact q-gram-blocked EQUI-join — the 100 TB plan.
+
+    A substring-containment predicate is not hash-joinable, so the direct
+    plan is a nested-loop scan: O(|misses| × |catalog|) ``contains`` calls,
+    quadratic blow-up when both sides grow. Blocking restores a shuffle/
+    broadcast hash join with zero false negatives:
+
+      contains(lower(a.name), lower(g.gname))  ⇒  the first ``q`` chars of
+      ``g.gname`` appear verbatim somewhere in ``a.name``  ⇒  equality on
+      that q-gram blocks the pair.
+
+    Catalog side: explode each name into its distinct lowercase q-grams
+    (|name| rows each, bounded — names are short); miss side: one prefix
+    q-gram per name (the len>3 guard makes it total). Equi-join on the gram,
+    then verify the true ``contains`` predicate and keep the deterministic
+    first match. Candidate fan-out is |gram collisions|, not |catalog|.
+    """
+    g = (
+        misses.filter(F.length("gname") > 3)
+        .select(
+            F.col("gname"),
+            F.lower(F.col("gname")).alias("__lg"),
+            F.substring(F.lower(F.col("gname")), 1, _BLOCK_Q).alias("__gram"),
+        )
+        .alias("g")
+    )
+    grams = admin.select(
+        F.col("_id").alias("product_id"),
+        F.col("name").alias("__aname"),
+        F.lower(F.col("name")).alias("__la"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("name") - _BLOCK_Q + 1, F.lit(1))
+                    ),
+                    lambda i: F.lower(F.col("name")).substr(i, F.lit(_BLOCK_Q)),
+                )
+            )
+        ).alias("__gram"),
+    ).alias("a")
+    j = (
+        g.join(grams, "__gram")
+        .filter(F.contains(F.col("a.__la"), F.col("g.__lg")))
+        .select("gname", "product_id", "__aname")
     )
     return _pick_first(j, "gname", ["__aname", "product_id"]).drop("__aname")
 

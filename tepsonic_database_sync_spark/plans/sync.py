@@ -33,20 +33,49 @@ from tepsonic_database_sync_spark.operators.options import (
 
 
 def sync_options(
-    items: DataFrame, admin: DataFrame, flat_uids: bool = True
+    items: DataFrame,
+    admin: DataFrame,
+    flat_uids: bool = True,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """Full first-sync pipeline: flat vendor items in → aggregated option
-    rows out (one row per product × grade × color × variant)."""
+    rows out (one row per product × grade × color × variant).
+
+    ``matched``: optionally a precomputed (gname, product_id) match table
+    (see ``cached_matched``) — the catalog match is tiny and slowly-changing,
+    so callers that run several pipeline variants share one materialization.
+    """
     keyed = with_group_keys(items)
-    gnames = keyed.select("gname").distinct()
-    matched = match_cascade(gnames, admin)
+    if matched is None:
+        gnames = keyed.select("gname").distinct()
+        matched = match_cascade(gnames, admin)
     vadmin = variant_admin(admin)
     src = option_source_rows(keyed, matched, vadmin)
     return aggregate_options(src, flat_uids=flat_uids)
 
 
+# (applicationId, sf_dir) → persisted match table. The match cascade output
+# is ~|distinct product names| rows (KBs even at 100 TB fact scale — it is
+# bounded by the catalog, not the fact table), and every sync entry point
+# needs it; one persist amortizes it across the whole query session.
+_MATCH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_matched(
+    spark: SparkSession, sf_dir: str, items: DataFrame, admin: DataFrame
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MATCH_CACHE:
+        gnames = with_group_keys(items).select("gname").distinct()
+        _MATCH_CACHE[key] = match_cascade(gnames, admin).persist()
+    return _MATCH_CACHE[key]
+
+
 def vendor_products(
-    items: DataFrame, admin: DataFrame, vendor_id: str = "vendor-1"
+    items: DataFrame,
+    admin: DataFrame,
+    vendor_id: str = "vendor-1",
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """Faithful output shape: one row per (vendorId, product, condition)
     with a ``selectedOptions`` array<struct> — the ``tep_vendor_products``
@@ -55,7 +84,7 @@ def vendor_products(
     different grades onto one key; the engine keeps ``grade`` as an
     explicit column beside the fixed id (documented deviation — the
     reference would otherwise stage duplicate-key inserts)."""
-    opts = sync_options(items, admin, flat_uids=False)
+    opts = sync_options(items, admin, flat_uids=False, matched=matched)
     option_struct = F.struct(
         F.col("color"),
         F.col("variant"),
@@ -85,6 +114,7 @@ def sync_summary(
     admin: DataFrame,
     state_keys: DataFrame | None = None,
     vendor_id: str = "vendor-1",
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """A5 — the per-vendor run summary (products.js:343-353): one row of
     counters. ``state_keys``: optional (product_id, grade) rows of the
@@ -108,8 +138,9 @@ def sync_summary(
         F.count("*").alias("n_items"),
         F.count_if(F.col("status") == "Available").alias("n_avail"),
     )
-    gnames = groups.select("gname").distinct()
-    matched = match_cascade(gnames, admin)
+    if matched is None:
+        gnames = groups.select("gname").distinct()
+        matched = match_cascade(gnames, admin)
     g = groups.join(F.broadcast(matched), "gname", "left").withColumn(
         "is_valid", F.col("product_id").isNotNull()
     )
@@ -158,4 +189,5 @@ def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry used by ``__spark_entry__.entry``: fixtures → faithful
     vendor-product rows (nested selectedOptions)."""
     fx = build_fixtures(spark, sf_dir)
-    return vendor_products(fx["vendor_items"], fx["admin_products"])
+    m = cached_matched(spark, sf_dir, fx["vendor_items"], fx["admin_products"])
+    return vendor_products(fx["vendor_items"], fx["admin_products"], matched=m)

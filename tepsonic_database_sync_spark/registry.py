@@ -37,13 +37,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def q_sync_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the full first-sync spine (SURVEY §3 entry 1, steps 2-5)."""
     fx = build_fixtures(spark, sf_dir)
-    return sync.sync_options(fx["vendor_items"], fx["admin_products"])
+    m = sync.cached_matched(spark, sf_dir, fx["vendor_items"], fx["admin_products"])
+    return sync.sync_options(fx["vendor_items"], fx["admin_products"], matched=m)
 
 
 def q_sync_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — per-vendor run summary counters (products.js:343-353)."""
     fx = build_fixtures(spark, sf_dir)
-    return sync.sync_summary(fx["vendor_items"], fx["admin_products"])
+    m = sync.cached_matched(spark, sf_dir, fx["vendor_items"], fx["admin_products"])
+    return sync.sync_summary(fx["vendor_items"], fx["admin_products"], matched=m)
 
 
 def q_sync_merge_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +53,12 @@ def q_sync_merge_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniqueNumbers concatenate (non-idempotent by reference design,
     products.js:194-223, 300-307)."""
     fx = build_fixtures(spark, sf_dir)
-    opts = sync.sync_options(fx["vendor_items"], fx["admin_products"])
+    m = sync.cached_matched(spark, sf_dir, fx["vendor_items"], fx["admin_products"])
+    # the "existing" side of a re-sync is materialized state in reality;
+    # persist so the self-merge reads one computation, not two
+    opts = sync.sync_options(
+        fx["vendor_items"], fx["admin_products"], matched=m
+    ).persist()
     return options.merge_options(opts, opts)
 
 
@@ -429,7 +436,10 @@ def q_a3_merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fx = build_fixtures(spark, sf_dir)
-    opts = sync.sync_options(fx["vendor_items"], fx["admin_products"])
+    m = sync.cached_matched(spark, sf_dir, fx["vendor_items"], fx["admin_products"])
+    opts = sync.sync_options(
+        fx["vendor_items"], fx["admin_products"], matched=m
+    ).persist()
     return merge_options_idempotent(opts, opts)
 
 
