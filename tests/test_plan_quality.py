@@ -1,0 +1,119 @@
+"""Physical-plan regression tests — the 100 TB design points, asserted.
+
+Correctness tests prove the operators compute the right rows; these prove
+Catalyst compiles them into the plans that survive a 1000-executor,
+100 TB deployment: catalog-side broadcast hash joins (not sort-merge on
+the fact side, never nested-loop), parquet filter pushdown, column
+pruning, and no Cartesian products anywhere in the flagship lineage.
+
+They assert on ``executedPlan`` strings, which is deliberate: a future
+"refactor" that silently degrades a broadcast join to a
+BroadcastNestedLoopJoin, or breaks pushdown by burying a filter under a
+non-transparent node, fails here long before it shows up as a 100×
+regression on real data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_UNIT
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fixtures(spark):
+    from tepsonic_database_sync_spark.fixtures import build_fixtures
+
+    # cache=False: assert on the raw compiled plan, not InMemoryTableScan
+    return build_fixtures(spark, SF_UNIT, cache=False)
+
+
+def test_sync_pipeline_has_no_cartesian_or_nested_loop(spark):
+    from tepsonic_database_sync_spark.plans.sync import sync_options
+
+    fx = _fixtures(spark)
+    plan = plan_of(sync_options(fx["vendor_items"], fx["admin_products"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the catalog (small dim) side must be broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
+
+
+def test_match_exact_is_broadcast_hash_join(spark):
+    from tepsonic_database_sync_spark.operators.matching import match_exact
+    from tepsonic_database_sync_spark.operators.options import with_group_keys
+
+    fx = _fixtures(spark)
+    gnames = with_group_keys(fx["vendor_items"]).select("gname").distinct()
+    plan = plan_of(match_exact(gnames, fx["admin_products"]))
+    assert "BroadcastHashJoin [lower(gname" in plan
+    assert "SortMergeJoin [lower" not in plan
+
+
+def test_match_partial_blocked_is_equi_join(spark):
+    """The q-gram blocking rewrite: substring containment compiles to a
+    hash-joinable equi-join (gram = gram) with the true predicate as a
+    residual — NOT a nested-loop scan of the catalog per miss."""
+    from tepsonic_database_sync_spark.operators.matching import match_partial
+    from tepsonic_database_sync_spark.operators.options import with_group_keys
+
+    fx = _fixtures(spark)
+    gnames = with_group_keys(fx["vendor_items"]).select("gname").distinct()
+    blocked = plan_of(match_partial(gnames, fx["admin_products"], blocked=True))
+    assert "BroadcastNestedLoopJoin" not in blocked
+    assert "__gram" in blocked and "Contains" in blocked
+    # and the direct theta-join form really is the nested-loop plan we avoid
+    direct = plan_of(match_partial(gnames, fx["admin_products"], blocked=False))
+    assert "BroadcastNestedLoopJoin" in direct
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """A selective predicate on scan columns must land in the FileScan's
+    PushedFilters — through the fan-out repartition — so at 100 TB the
+    scan skips row groups instead of materializing them."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, SF_UNIT, "lineitem")
+    q = li.filter(
+        (F.col("l_shipdate") >= "1994-01-01") & (F.col("l_discount") > 0.05)
+    ).select("l_extendedprice")
+    plan = plan_of(q)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    """A two-column projection must read a two-column schema — through the
+    fan-out repartition — not the full 16-column lineitem row."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, SF_UNIT, "lineitem")
+    plan = plan_of(li.select("l_orderkey", "l_quantity"))
+    scan = plan.split("ReadSchema:")[1]
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_comment" not in scan and "l_shipdate" not in scan
+
+
+def test_aggregate_is_partial_then_final(spark):
+    """groupBy aggregations must map-side combine (partial_ functions
+    before the exchange) — the difference between shuffling pre-aggregated
+    groups and shuffling every raw row at 100 TB."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, SF_UNIT, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = plan_of(q)
+    assert "partial_sum" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    top-k then merge), never a global sort of the full table."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    o = load_table(spark, SF_UNIT, "orders")
+    q = o.orderBy(F.col("o_totalprice").desc()).limit(5)
+    assert "TakeOrderedAndProject" in plan_of(q)
