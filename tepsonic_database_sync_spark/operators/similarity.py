@@ -151,6 +151,85 @@ def lsh_topk(
     )
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _nearest_cells(vecs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """Per vector, its ``n`` nearest centroids by cosine (ties → min cell
+    id). ``cents`` is broadcast — the coarse codebook is tiny by design."""
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("cent_id"),
+        sim_e6(
+            int_dot(F.col("iv"), F.col("c_iv")), F.col("n2"), F.col("c_n2")
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-style approximate top-k — the cell-probing scale path.
+
+    Classic inverted-file ANN, kept engine-exact: the coarse quantizer is a
+    deterministic seed selection (the ``n_cells`` lowest vec_ids) instead of
+    trained k-means centroids — training is an offline concern; the *query
+    plan* is identical either way. Every vector is assigned to its nearest
+    centroid (one broadcast join over the tiny codebook — the standard IVF
+    assign cost); a query probes its ``n_probe`` nearest cells and scores
+    only vectors inverted under those cells.
+
+    At 100 TB: the corpus shuffles once on ``cell`` (n_cells-way, uniform
+    for spread-out data), candidate scoring touches ~n_probe/n_cells of the
+    corpus per query, and the final top-k is a per-query window over a
+    candidate set that no longer scales with the corpus. Same output shape
+    as ``brute_force_topk``.
+    """
+    v = _quantized(emb)
+    cents = v.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("iv").alias("c_iv"),
+        F.col("n2").alias("c_n2"),
+    )
+    inverted = v.join(_nearest_cells(v, cents, 1), "vec_id")
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("n2").alias("q_n2"),
+    )
+    probes = _nearest_cells(
+        v.filter(F.col("vec_id") < n_queries), cents, n_probe
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    qcells = q.join(probes, "q_id")
+    pairs = inverted.join(F.broadcast(qcells), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sim_e6(
+            int_dot(F.col("iv"), F.col("q_iv")), F.col("n2"), F.col("q_n2")
+        ).alias("sim_e6"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "sim_e6")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold_e6: int = 990000
 ) -> DataFrame:

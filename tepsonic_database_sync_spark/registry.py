@@ -272,6 +272,27 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery dedup (batch analog of the watermarked
+    ``dropDuplicatesWithinWatermark`` stream — streaming form tested in
+    tests/test_streaming_ops.py)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.ops import dedup_events_batch
+
+    return dedup_events_batch(load_table(spark, sf_dir, "events"))
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join (batch analog; the streaming form
+    broadcast-joins each micro-batch against the static dim)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.ops import enrich_events_batch
+
+    return enrich_events_batch(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
 # --- text analysis & dedup extensions (documents table) --------------------
 
 
@@ -765,6 +786,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF cell probing (deterministic seed
+    centroids, nearest-cell inverted lists, n_probe=4)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked, over a corpus with
     an id-shifted copy (known true dups)."""
@@ -999,6 +1029,18 @@ SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+""",
+    "stream_dedup": """
+SELECT DISTINCT event_id, user_id, event_type,
+       CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+""",
+    "stream_enrich": """
+SELECT e.event_id, e.user_id,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type,
+       CAST(round(e.value * 100, 0) AS BIGINT) AS value_cents
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """,
     "stream_sliding": """
 SELECT ws, event_type, CAST(count(*) AS BIGINT) AS n FROM (
@@ -1409,6 +1451,46 @@ ranked AS (
 SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, sim_e6
 FROM ranked WHERE rn <= 10
 """,
+    "ann_ivf_topk": f"""
+WITH {_D_QUANT},
+cents AS (
+  SELECT vec_id AS cent_id, iv AS c_iv, n2 AS c_n2 FROM v WHERE vec_id < 16
+),
+cscore AS (
+  SELECT v.vec_id, c.cent_id,
+         {_D_SIM.format(dot=_D_IDOT.format(a="v.iv", b="c.c_iv"), na2="v.n2", nb2="c.c_n2")} AS c_sim
+  FROM v, cents c
+),
+cranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY c_sim DESC, cent_id) AS crn
+  FROM cscore
+),
+inverted AS (
+  SELECT v.*, r.cent_id AS cell FROM v
+  JOIN cranked r ON v.vec_id = r.vec_id AND r.crn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, cent_id AS cell FROM cranked
+  WHERE vec_id < 10 AND crn <= 4
+),
+q AS (SELECT vec_id AS q_id, iv AS q_iv, n2 AS q_n2 FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, i.vec_id AS neighbor_id,
+         {_D_SIM.format(dot=_D_IDOT.format(a="i.iv", b="q.q_iv"), na2="i.n2", nb2="q.q_n2")} AS sim_e6
+  FROM inverted i
+  JOIN probes p ON i.cell = p.cell
+  JOIN q ON q.q_id = p.q_id
+  WHERE i.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY sim_e6 DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, sim_e6
+FROM ranked WHERE rn <= 10
+""",
     "embed_neardup": f"""
 WITH {_D_QUANT},
 corpus AS (
@@ -1469,6 +1551,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_tumbling": (q_stream_tumbling, _O["stream_tumbling"]),
     "stream_sliding": (q_stream_sliding, _O["stream_sliding"]),
     "stream_sessions": (q_stream_sessions, _O["stream_sessions"]),
+    "stream_dedup": (q_stream_dedup, _O["stream_dedup"]),
+    "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
     "text_stats": (q_text_stats, _O["text_stats"]),
     "text_lang_id": (q_text_lang_id, _O["text_lang_id"]),
     "text_quality": (q_text_quality, _O["text_quality"]),
@@ -1480,6 +1564,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, _O["dedup_simhash"]),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
+    "ann_ivf_topk": (q_ann_ivf_topk, _O["ann_ivf_topk"]),
     "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
     "s10_report": (q_s10_report, _O["s10_report"]),
     "tpch_q6_sql": (q_tpch_q6_sql, _O["tpch_q6_sql"]),
