@@ -26,11 +26,16 @@ HEADLINE = [
     "j2_match_partial",
     "p6_resolve_variant",
     "stream_sessions",
+    "stream_enrich",
     "text_stats",
+    "text_top_terms",
     "events_json",
+    "tpch_q1_pricing",
     "dedup_simhash",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "s8_upsert",
     "sync_summary",
     "sync_pipeline",
     "sync_merge_resync",

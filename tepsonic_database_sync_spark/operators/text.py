@@ -121,6 +121,20 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return stats.select("doc_id", score.cast("long").alias("quality"))
 
 
+def top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus heavy hitters: top-k terms by frequency (ties → term order).
+
+    The canonical two-phase scale shape: explode → groupBy(term) with
+    map-side partial counts (the shuffle moves one row per distinct term
+    per partition, not one per token), then a global top-k that compiles
+    to TakeOrderedAndProject — no full sort of the term dictionary."""
+    t = docs.select(F.explode(tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = t.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("term")).limit(k)
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the normalized text (exact-dup key)
     plus a 60-bit integer form for compact joins."""

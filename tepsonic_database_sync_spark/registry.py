@@ -165,8 +165,11 @@ def q_s8_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from even-id items, new batch from odd-id items (products.js:309-341)."""
     fx = build_fixtures(spark, sf_dir)
     vi, ap = fx["vendor_items"], fx["admin_products"]
-    state = sync.sync_options(vi.filter(F.col("id") % 2 == 0), ap)
-    new = sync.sync_options(vi.filter(F.col("id") % 2 == 1), ap)
+    # the session-cached match table covers all gnames — a superset of each
+    # half's names; the inner join keeps exactly the matching subset
+    m = sync.cached_matched(spark, sf_dir, vi, ap)
+    state = sync.sync_options(vi.filter(F.col("id") % 2 == 0), ap, matched=m)
+    new = sync.sync_options(vi.filter(F.col("id") % 2 == 1), ap, matched=m)
     from tepsonic_database_sync_spark.operators.upsert import upsert_flagged
 
     return upsert_flagged(state, new, ["product_id", "grade", "color", "variant"])
@@ -326,6 +329,14 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tepsonic_database_sync_spark.operators.text import fingerprint
 
     return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-50 terms (partial-agg + TakeOrdered)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import top_terms
+
+    return top_terms(load_table(spark, sf_dir, "documents"))
 
 
 def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1115,17 @@ SELECT doc_id, CAST(
   + (CASE WHEN uniq_permille > 300 THEN 25 ELSE 0 END) AS BIGINT) AS quality
 FROM s
 """,
+    "text_top_terms": """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM toks WHERE term <> ''
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 50
+""",
     "text_fingerprint": f"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
@@ -1557,6 +1579,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_lang_id": (q_text_lang_id, _O["text_lang_id"]),
     "text_quality": (q_text_quality, _O["text_quality"]),
     "text_fingerprint": (q_text_fingerprint, _O["text_fingerprint"]),
+    "text_top_terms": (q_text_top_terms, _O["text_top_terms"]),
     "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, _O["dedup_minhash_sigs"]),

@@ -96,3 +96,34 @@ def test_multimodal_features_shape(spark):
     assert len(feats) == 20
     assert all(len(r["feature"]) == 8 for r in feats)
     assert all(r["n_bytes"] > 0 for r in feats)
+
+
+def test_rest_datasource_partition_per_page(spark, tmp_path):
+    """PySpark 4 Python DataSource: one InputPartition per page, error rows
+    (not job aborts) for failed pages."""
+    import json
+
+    from tepsonic_database_sync_spark.sources.rest_datasource import (
+        RestInventoryDataSource,
+    )
+
+    spark.dataSource.register(RestInventoryDataSource)
+    for p in range(3):
+        items = [
+            {"id": p * 10 + i, "status": "Available", "esn": f"E{p}{i}",
+             "total_price_paid": 100, "manufacturer": "B", "model": f"M{p}",
+             "capacity": "128", "grade": "A"}
+            for i in range(4)
+        ]
+        (tmp_path / f"page-{p}.json").write_text(json.dumps({"data": items}))
+    df = (
+        spark.read.format("rest_inventory")
+        .option("pages", "4")  # page 3 missing → one error row
+        .option("payload_dir", str(tmp_path))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    ok = df.filter(F.col("_error").isNull())
+    assert ok.count() == 12
+    assert df.filter(F.col("_error").isNotNull()).count() == 1
+    assert ok.agg(F.max("id")).collect()[0][0] == 23
