@@ -275,6 +275,26 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: daily rollup computed from
+    the hourly rollup (re-aggregable counts/sums), oracle-checked against
+    a direct daily aggregation of the raw events."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.windows import multires_rollup
+
+    return multires_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (skew mitigation): must equal the
+    plain one-shuffle groupBy — the oracle IS the unsalted form."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.skew import salted_two_phase_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return salted_two_phase_agg(li, "l_returnflag", sum_cols=("l_quantity",))
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once delivery dedup (batch analog of the watermarked
     ``dropDuplicatesWithinWatermark`` stream — streaming form tested in
@@ -1041,6 +1061,19 @@ SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """,
+    "rollup_multires": """
+SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS ds,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+    "skew_salted_agg": """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_l_quantity
+FROM lineitem GROUP BY 1
+""",
     "stream_dedup": """
 SELECT DISTINCT event_id, user_id, event_type,
        CAST(round(value * 100, 0) AS BIGINT) AS value_cents
@@ -1574,6 +1607,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_sliding": (q_stream_sliding, _O["stream_sliding"]),
     "stream_sessions": (q_stream_sessions, _O["stream_sessions"]),
     "stream_dedup": (q_stream_dedup, _O["stream_dedup"]),
+    "rollup_multires": (q_rollup_multires, _O["rollup_multires"]),
+    "skew_salted_agg": (q_skew_salted_agg, _O["skew_salted_agg"]),
     "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
     "text_stats": (q_text_stats, _O["text_stats"]),
     "text_lang_id": (q_text_lang_id, _O["text_lang_id"]),

@@ -107,3 +107,91 @@ class ParquetStateStore:
         merged = new if state is None else merge_fn(state, new)
         self.overwrite(merged)
         return self.read()
+
+
+class BucketedParquetStateStore:
+    """Hash-bucketed state table with partition-pruned MERGE — the 100 TB
+    upsert path made concrete (upsert.py's scale note, implemented).
+
+    State lives as parquet partitioned by ``__bucket = pmod(xxhash64(keys),
+    n_buckets)``. A merge batch touches only the buckets its keys hash to:
+
+    1. bucket the new batch; collect its distinct bucket ids (bounded by
+       ``n_buckets`` — a driver-side list of ints, never data rows);
+    2. read the state *pruned to those buckets* (partition pruning — the
+       scan never opens untouched bucket directories);
+    3. apply ``merge_fn`` and write back in dynamic partition-overwrite
+       mode, which replaces only the buckets present in the output.
+
+    Untouched buckets are never read and never rewritten — at 100 TB a
+    small incremental sync costs O(touched buckets), not O(state). The
+    whole-table rewrite of ``ParquetStateStore`` is the degenerate
+    n_buckets=1 case. On a Delta/Iceberg cluster the same key/bucket layout
+    backs ``MERGE INTO`` with file skipping.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, keys: list[str], n_buckets: int = 64
+    ):
+        self.spark = spark
+        self.root = root
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    @property
+    def _data(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._data)
+
+    def read(self) -> DataFrame | None:
+        if not self.exists():
+            return None
+        return self.spark.read.parquet(self._data).drop("__bucket")
+
+    def write_full(self, df: DataFrame) -> None:
+        (
+            self._bucketed(df)
+            .repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(self._data)
+        )
+
+    def merge(self, new: DataFrame, merge_fn) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if not self.exists():
+            self.write_full(new)
+            return self.read()
+        newb = self._bucketed(new)
+        touched = [int(r[0]) for r in newb.select("__bucket").distinct().collect()]
+        state = (
+            self.spark.read.parquet(self._data)
+            .filter(F.col("__bucket").isin(touched))  # partition-pruned scan
+            .drop("__bucket")
+        )
+        merged = merge_fn(state, new)
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                self._bucketed(merged)
+                .repartition("__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(self._data)
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return self.read()

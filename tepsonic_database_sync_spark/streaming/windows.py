@@ -51,6 +51,22 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def multires_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: the daily aggregate is
+    computed FROM the hourly aggregate, not from raw events — the
+    continuous-aggregate pattern. At 100 TB the daily pass touches
+    |hours × types| pre-aggregated rows (thousands) instead of re-scanning
+    the fact table; chain further (day → month) at ~zero marginal cost.
+    Correctness relies on count/sum being re-aggregable (no avg/distinct
+    at the coarse level without sketch columns)."""
+    hourly = tumbling_counts(events, "1 hour")
+    ds = (F.floor(F.col("ws") / 86400) * 86400).cast("long").alias("ds")
+    return hourly.groupBy(ds, "event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+    )
+
+
 def sliding_counts(
     events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:

@@ -127,3 +127,53 @@ def test_rest_datasource_partition_per_page(spark, tmp_path):
     assert ok.count() == 12
     assert df.filter(F.col("_error").isNotNull()).count() == 1
     assert ok.agg(F.max("id")).collect()[0][0] == 23
+
+
+def test_bucketed_state_store_prunes_untouched_buckets(spark, tmp_path):
+    """Partition-pruned MERGE: result matches the full merge semantics and
+    untouched bucket directories are not rewritten (same files, same
+    mtimes) — the O(touched buckets) upsert property."""
+    import os
+
+    from tepsonic_database_sync_spark.operators.options import merge_options
+    from tepsonic_database_sync_spark.sources.jdbc import BucketedParquetStateStore
+
+    rows = [(f"p{i}", "A", "Black", f"{64*(i%4+1)}GB", 1 + i % 3, 100 + i, 100 + i, f"u{i}")
+            for i in range(40)]
+    cols = ["product_id", "grade", "color", "variant", "stock", "price", "discount", "uids"]
+    state0 = spark.createDataFrame(rows, cols)
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "st"), keys=["product_id"], n_buckets=8
+    )
+    store.merge(state0, merge_options)  # first write
+
+    data_dir = str(tmp_path / "st" / "data")
+    before = {}
+    for d in os.listdir(data_dir):
+        if d.startswith("__bucket="):
+            for f in os.listdir(os.path.join(data_dir, d)):
+                p = os.path.join(data_dir, d, f)
+                before[p] = os.path.getmtime(p)
+
+    batch = spark.createDataFrame(rows[:5], cols)  # touches a few buckets
+    merged = store.merge(batch, merge_options)
+
+    want = {r["product_id"]: r for r in merge_options(state0, batch).collect()}
+    got = {r["product_id"]: r for r in merged.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["stock"] == want[k]["stock"], k
+        assert got[k]["uids"] == want[k]["uids"], k
+
+    from pyspark.sql import functions as F
+    touched = {
+        int(r[0])
+        for r in store._bucketed(batch).select("__bucket").distinct().collect()
+    }
+    untouched_files = {
+        p: m for p, m in before.items()
+        if int(p.split("__bucket=")[1].split("/")[0]) not in touched
+    }
+    assert untouched_files, "test needs at least one untouched bucket"
+    for p, m in untouched_files.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == m, f"rewritten: {p}"
