@@ -275,6 +275,61 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation for one region — a 6-table join
+    where Catalyst broadcast-chains the dimension spine (region→nation→
+    supplier) and the fact side shuffles once on orderkey."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "long"
+    )
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(dim),
+            (li.l_suppkey == dim.s_suppkey)
+            & (c.c_nationkey == dim.s_nationkey),  # customer and supplier co-national
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_cents"))
+    )
+
+
+def q_tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: per line status, counts of high- vs low-priority
+    orders (conditional aggregation over a fact⋈fact join)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(high).cast("long").alias("high_line_count"),
+            F.count_if(~high).cast("long").alias("low_line_count"),
+        )
+    )
+
+
 def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: daily rollup computed from
     the hourly rollup (re-aggregable counts/sums), oracle-checked against
@@ -1061,6 +1116,28 @@ SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """,
+    "tpch_q5_region_revenue": """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                 AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    "tpch_q12_priority_counts": """
+SELECT l.l_linestatus,
+       CAST(count(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+            AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_linestatus
+""",
     "rollup_multires": """
 SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS ds,
        event_type,
@@ -1608,6 +1685,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_sessions": (q_stream_sessions, _O["stream_sessions"]),
     "stream_dedup": (q_stream_dedup, _O["stream_dedup"]),
     "rollup_multires": (q_rollup_multires, _O["rollup_multires"]),
+    "tpch_q5_region_revenue": (q_tpch_q5_region_revenue, _O["tpch_q5_region_revenue"]),
+    "tpch_q12_priority_counts": (
+        q_tpch_q12_priority_counts,
+        _O["tpch_q12_priority_counts"],
+    ),
     "skew_salted_agg": (q_skew_salted_agg, _O["skew_salted_agg"]),
     "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
     "text_stats": (q_text_stats, _O["text_stats"]),
