@@ -111,9 +111,9 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
-    """k-wide MinHash signature per document, output long format
-    (doc_id, i, sig).
+def minhash_sig_array(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
+    """k-wide MinHash signature per document as ONE array row
+    (doc_id, sigs: array<long>) — a single groupBy over the shingle hashes.
 
     One md5 per shingle (the expensive op), then k affine maps
     (a·h31 + b) mod 2^31-1 folded into a single groupBy as k min
@@ -130,34 +130,65 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
     hashed = s.select("doc_id", F.explode("shingles").alias("sh")).select(
         "doc_id", h31(F.col("sh")).alias("h")
     )
-    sigs = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         F.array(
             *[
-                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31)
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31).cast("long")
                 for a, b in affine_coeffs(k)
             ]
         ).alias("sigs")
     )
-    return sigs.select(
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
+    """Long-format view of the signature (doc_id, i, sig) — the
+    oracle-comparable shape."""
+    return minhash_sig_array(docs, k, n).select(
         "doc_id", F.posexplode("sigs").alias("i", "sig")
-    ).select("doc_id", F.col("i").cast("int").alias("i"), F.col("sig").cast("long").alias("sig"))
+    ).select(
+        "doc_id", F.col("i").cast("int").alias("i"), F.col("sig").cast("long").alias("sig")
+    )
+
+
+def _banded(sig_arr: DataFrame, k: int, band_size: int) -> DataFrame:
+    """(doc_id, band, band_key) from array signatures — pure array exprs:
+    band keys are sliced out of the signature array in the same stage that
+    produced it. The long-format alternative (posexplode → second groupBy)
+    costs an extra k-rows/doc aggregation pass — not an extra shuffle,
+    since Spark reuses the doc_id partitioning for the (doc_id, band)
+    re-group — but the slice form removes both the pass and the k× row
+    materialization between them."""
+    n_bands = k // band_size
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                ",", F.array_sort(F.slice(F.col("sigs"), b * band_size + 1, band_size))
+            )
+        ),
+    )
+    return sig_arr.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, band_size: int = LSH_BAND_SIZE
+    sigs: DataFrame, band_size: int = LSH_BAND_SIZE, k: int = MINHASH_K
 ) -> DataFrame:
-    """LSH banding over long-format signatures: band id = i div band_size,
-    band key = md5 of the ordered sigs in the band; candidates = pairs of
-    docs sharing any (band, key) bucket."""
-    banded = (
-        sigs.withColumn("band", F.floor(F.col("i") / band_size).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(",", F.array_sort(F.collect_list(F.col("sig"))))
-            ).alias("band_key")
+    """LSH banding: candidates = pairs of docs sharing any (band, band_key)
+    bucket. Accepts array-form signatures (doc_id, sigs) from
+    ``minhash_sig_array`` (preferred — banding is shuffle-free) or the
+    long form (doc_id, i, sig), which is re-banded with a groupBy."""
+    if "sigs" in sigs.columns:
+        banded = _banded(sigs, k, band_size)
+    else:
+        banded = (
+            sigs.withColumn("band", F.floor(F.col("i") / band_size).cast("long"))
+            .groupBy("doc_id", "band")
+            .agg(
+                F.md5(
+                    F.concat_ws(",", F.array_sort(F.collect_list(F.col("sig"))))
+                ).alias("band_key")
+            )
         )
-    )
     a = banded.select(
         F.col("doc_id").alias("a_id"), "band", F.col("band_key")
     )

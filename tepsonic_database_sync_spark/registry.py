@@ -448,14 +448,15 @@ def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (4 bands × 4 rows)."""
+    """MinHash-LSH candidate pairs (4 bands × 4 rows); banding is sliced
+    from the array signatures — no second shuffle."""
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.operators.dedup import (
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_sig_array,
     )
 
-    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_sig_array(load_table(spark, sf_dir, "documents"))
     return lsh_candidate_pairs(sigs)
 
 

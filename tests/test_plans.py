@@ -115,3 +115,23 @@ def test_streaming_stateful_user_totals(spark):
             "SELECT user_id, max(n_events) AS n FROM user_totals GROUP BY user_id"
         ).collect()
     assert {r["user_id"]: r["n"] for r in got} == exp
+
+
+def test_lsh_array_banding_matches_long_format(spark):
+    """Array-sliced banding must produce exactly the candidate pairs of
+    the long-format groupBy banding and never add exchanges. (Spark
+    already reuses the doc_id hash partitioning for the (doc_id, band)
+    re-group, so the long form costs an extra aggregation pass, not an
+    extra shuffle.)"""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_sig_array,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF_UNIT, "documents")
+    fast = lsh_candidate_pairs(minhash_sig_array(docs))
+    slow = lsh_candidate_pairs(minhash_signatures(docs))
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    assert _plan(fast).count("Exchange") <= _plan(slow).count("Exchange")
