@@ -119,6 +119,45 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """STUB — deterministic stand-in for a real image resize (PIL
+    ``Image.resize`` in deployment). Produces exactly w*h bytes by
+    tiling/truncating the source so batch memory shapes are realistic."""
+    if payload is None or w <= 0 or h <= 0:
+        return b""
+    need = w * h
+    reps = -(-need // max(len(payload), 1))
+    return (payload * reps)[:need]
+
+
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize plumbing via ``mapInPandas``: binary payload in,
+    resized binary payload out, metadata struct rewritten to the target
+    dims. The Arrow batch carries the bytes both ways — the shape that
+    matters at scale: constant-memory batches, no driver hop, output
+    partitioning inherited from input (no shuffle)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[pdf["kind"] == "image"].copy()
+            out["payload"] = out["payload"].map(
+                lambda p: _fake_resize(p, width, height)
+            )
+            out["meta"] = out["meta"].map(
+                lambda m: {
+                    "width": width,
+                    "height": height,
+                    "n_frames": (m or {}).get("n_frames"),
+                    "format": (m or {}).get("format"),
+                }
+            )
+            yield out
+
+    return assets.filter(F.col("kind") == "image").mapInPandas(
+        batches, ASSET_SCHEMA
+    )
+
+
 def frame_sample(assets: DataFrame, every_n: int = 4) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     index (the decode itself is the stub above). Pure expressions —

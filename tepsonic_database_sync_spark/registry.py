@@ -925,6 +925,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(_assets(spark, sf_dir))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing size contract: every image payload becomes exactly
+    width×height bytes (empty sources stay empty), meta rewritten. The
+    oracle checks the byte/dim contract; the bytes themselves are the
+    stubbed codec's output (see operators.multimodal)."""
+    from tepsonic_database_sync_spark.operators.multimodal import resize_images
+
+    out = resize_images(_assets(spark, sf_dir), width=16, height=8)
+    return out.select(
+        "asset_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.width").cast("int").alias("width"),
+        F.col("meta.height").cast("int").alias("height"),
+    )
+
+
 _D_IDOT = (
     "CAST(list_aggregate(list_transform(range(1, len({a}) + 1),"
     " i -> {a}[i] * {b}[i]), 'sum') AS BIGINT)"
@@ -1521,6 +1537,14 @@ SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
        CAST(max(width) AS INT) AS max_width
 FROM assets GROUP BY kind
 """,
+    "multimodal_resize": """
+SELECT doc_id AS asset_id,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 16 * 8 END
+            AS BIGINT) AS n_bytes,
+       CAST(16 AS INT) AS width,
+       CAST(8 AS INT) AS height
+FROM documents WHERE doc_id % 3 = 0
+""",
     "multimodal_frames": """
 WITH assets AS (
   SELECT doc_id AS asset_id,
@@ -1731,6 +1755,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_frames": (q_multimodal_frames, _O["multimodal_frames"]),
     # mapInPandas decode plumbing — rows-only (not SQL-expressible)
     "multimodal_features": (q_multimodal_features, None),
+    "multimodal_resize": (q_multimodal_resize, _O["multimodal_resize"]),
 }
 
 

@@ -177,3 +177,19 @@ def test_bucketed_state_store_prunes_untouched_buckets(spark, tmp_path):
     assert untouched_files, "test needs at least one untouched bucket"
     for p, m in untouched_files.items():
         assert os.path.exists(p) and os.path.getmtime(p) == m, f"rewritten: {p}"
+
+
+def test_multimodal_resize_shapes(spark):
+    """Resize plumbing: every output payload is exactly w*h bytes, meta is
+    rewritten to the target dims, non-image assets are excluded."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.multimodal import (
+        resize_images,
+        synth_assets,
+    )
+
+    docs = load_table(spark, SF_UNIT, "documents").limit(30)
+    out = resize_images(synth_assets(docs), width=16, height=8).collect()
+    assert out and all(r["kind"] == "image" for r in out)
+    assert all(len(r["payload"]) == 16 * 8 for r in out)
+    assert all(r["meta"]["width"] == 16 and r["meta"]["height"] == 8 for r in out)
