@@ -73,3 +73,40 @@ def test_merge_conserves_stock_and_uids(spark, a, b):
     assert merged["stock"].sum() == total_in
     n_uids = sum(len(u.split("|")) for u in merged["uids"]) if len(merged) else 0
     assert n_uids == len(a) + len(b)
+
+
+# --- q-gram-blocked substring join ≡ direct theta join ---------------------
+
+name_strat = st.text(
+    alphabet="ab c",  # tiny alphabet maximizes collisions and substrings
+    min_size=0,
+    max_size=10,
+).map(lambda s: s.strip())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    misses=st.lists(name_strat, min_size=0, max_size=8),
+    admin=st.lists(name_strat.filter(bool), min_size=0, max_size=8),
+)
+def test_blocked_partial_match_equals_theta_join(spark, misses, admin):
+    """The q-gram blocking rewrite must be EXACTLY equivalent to the
+    direct containment theta-join for arbitrary names — zero false
+    negatives from blocking, zero false positives from gram collisions."""
+    from tepsonic_database_sync_spark.operators.matching import match_partial
+
+    m = spark.createDataFrame(
+        [(x,) for x in set(misses)] or [("",)], "gname string"
+    )
+    a = spark.createDataFrame(
+        [(f"id{i}", x, "64GB 4GB RAM") for i, x in enumerate(sorted(set(admin)))]
+        or [("id0", "zzz", "64GB 4GB RAM")],
+        "_id string, name string, storage string",
+    )
+    got = sorted(map(tuple, match_partial(m, a, blocked=True).collect()))
+    want = sorted(map(tuple, match_partial(m, a, blocked=False).collect()))
+    assert got == want
