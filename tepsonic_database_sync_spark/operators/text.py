@@ -146,3 +146,73 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         h60(norm).alias("fp_h60"),
     )
+
+
+# Winnowing parameters: k-gram size, window width, polynomial base/modulus.
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_B = 131
+WINNOW_M = (1 << 31) - 1
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS scheme): polynomial hash of every
+    character k-gram, then the minimum of each w-wide window; the distinct
+    minima are the document's fingerprint set — robust to local edits,
+    the standard partial-overlap detector.
+
+    A sequential implementation updates the hash incrementally ("rolling",
+    O(1)/position); here each position's hash is the same polynomial
+    Σ code(i+j)·B^(k-1-j) mod M computed directly — identical values,
+    expressed as data-parallel array expressions (O(k)/position inside
+    codegen, no Python, no sequential dependency to break distribution).
+    All arithmetic stays < 2^63 (per-term powers are pre-reduced mod M).
+
+    Output: (doc_id, n_grams, fps) with fps = '|'-joined sorted distinct
+    minima — oracle-comparable as a plain string.
+    """
+    powers = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
+
+    # materialize the char-code array ONCE per doc: higher-order functions
+    # are interpreted (no codegen), and substr-per-position inside the
+    # position transform is O(n) per call → O(n²·k)/doc. One split + one
+    # code transform, then O(1) array gets, keeps the whole thing O(n·k).
+    coded = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(normalize_text(F.col("text")), ""),
+            lambda c: F.ascii(c).cast("long"),
+        ).alias("codes"),
+    )
+    npos = F.size("codes") - k + 1
+
+    def gram_hash(i):  # i: 1-based gram start position (Column)
+        acc = None
+        for j, p in enumerate(powers):
+            term = F.get(F.col("codes"), i + F.lit(j - 1)) * F.lit(p).cast("long")
+            acc = term if acc is None else acc + term
+        return acc % F.lit(WINNOW_M).cast("long")
+
+    # guards: Spark's sequence DESCENDS when stop < start, so short docs
+    # need explicit empty arrays, not sequence(1, 0)
+    hashed = coded.select(
+        "doc_id",
+        F.greatest(npos, F.lit(0)).cast("long").alias("n_grams"),
+        F.when(
+            npos >= 1, F.transform(F.sequence(F.lit(1), npos), gram_hash)
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("hashes"),
+    )
+    n_windows = F.size("hashes") - w + 1
+    minima = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(F.col("hashes"), i, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    fps = F.array_join(F.array_sort(F.array_distinct(minima)), "|")
+    return hashed.select("doc_id", "n_grams", fps.alias("fps"))

@@ -406,6 +406,15 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k-gram polynomial hash + window minima) —
+    the partial-overlap / plagiarism-detector fingerprint set."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters: top-50 terms (partial-agg + TakeOrdered)."""
     from tepsonic_database_sync_spark.io import load_table
@@ -964,6 +973,58 @@ v AS (
 # Oracle SQL (DuckDB) — composed from oracle.py CTEs
 # ---------------------------------------------------------------------------
 
+def _text_winnow_sql() -> str:
+    """DuckDB mirror of operators.text.winnow_fingerprints — the k-gram
+    polynomial (per-term powers pre-reduced mod M, products cast BIGINT so
+    nothing overflows) and the w-window minima, generated from the same
+    constants."""
+    from tepsonic_database_sync_spark.operators.text import (
+        WINNOW_B,
+        WINNOW_K,
+        WINNOW_M,
+        WINNOW_W,
+    )
+
+    powers = [pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_M) for j in range(WINNOW_K)]
+    gram = " + ".join(
+        f"codes[CAST(i AS INT) + {j}] * CAST({p} AS BIGINT)"
+        for j, p in enumerate(powers)
+    )
+    k, w, m = WINNOW_K, WINNOW_W, WINNOW_M
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+),
+coded AS (
+  SELECT doc_id, length(nt) AS n,
+         list_transform(range(1, length(nt) + 1),
+                        i -> CAST(ascii(substr(nt, CAST(i AS INT), 1)) AS BIGINT))
+           AS codes
+  FROM norm
+),
+h AS (
+  SELECT doc_id, n - {k} + 1 AS npos,
+         CASE WHEN n >= {k} THEN
+           list_transform(range(1, n - {k} + 2),
+                          i -> ({gram}) % {m})
+         ELSE [] END AS hashes
+  FROM coded
+),
+m AS (
+  SELECT doc_id, greatest(npos, 0) AS n_grams,
+         CASE WHEN len(hashes) >= {w} THEN
+           list_transform(range(1, len(hashes) - {w} + 2),
+                          i -> list_aggregate(hashes[CAST(i AS INT):CAST(i AS INT) + {w - 1}], 'min'))
+         ELSE [] END AS minima
+  FROM h
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       array_to_string(list_sort(list_distinct(minima)), '|') AS fps
+FROM m
+"""
+
+
 _O = {
     "sync_pipeline": oracle.prefix("options") + "\nSELECT * FROM options",
     "sync_summary": oracle.prefix("matched")
@@ -1242,6 +1303,7 @@ SELECT doc_id, CAST(
   + (CASE WHEN uniq_permille > 300 THEN 25 ELSE 0 END) AS BIGINT) AS quality
 FROM s
 """,
+    "text_winnow": _text_winnow_sql(),
     "text_top_terms": """
 WITH toks AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
@@ -1722,6 +1784,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality": (q_text_quality, _O["text_quality"]),
     "text_fingerprint": (q_text_fingerprint, _O["text_fingerprint"]),
     "text_top_terms": (q_text_top_terms, _O["text_top_terms"]),
+    "text_winnow": (q_text_winnow, _O["text_winnow"]),
     "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, _O["dedup_minhash_sigs"]),
