@@ -330,6 +330,56 @@ def q_tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule evaluation (the quarantine pattern's metric side,
+    X2): per rule, how many rows violate it. One pass per table, counts
+    via conditional aggregation; the FK check is a broadcast anti-join."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    orphans = (
+        e.join(F.broadcast(c), "user_id", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_violations"))
+        .select(F.lit("orphan_user").alias("rule"), "n_violations")
+    )
+    scalar = e.agg(
+        F.count_if(F.col("value") < 0).cast("long").alias("neg"),
+        F.count_if(F.col("event_type").isNull()).cast("long").alias("nullt"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("negative_value"), F.col("neg"),
+                F.lit("null_event_type"), F.col("nullt"),
+            )
+        ).alias("rule", "n_violations")
+    )
+    return orphans.unionByName(scalar)
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of order value per segment (integer cents;
+    interpolation on exact ints → engine-portable doubles). At 100 TB the
+    same query swaps ``percentile`` for ``approx_percentile`` (t-digest) —
+    the exact form is the correctness oracle for that swap."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile(cents, 0.5).alias("p50_cents"),
+            F.percentile(cents, 0.95).alias("p95_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
 def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: daily rollup computed from
     the hourly rollup (re-aggregable counts/sums), oracle-checked against
@@ -1216,6 +1266,29 @@ SELECT l.l_linestatus,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY l.l_linestatus
 """,
+    "dq_checks": """
+SELECT 'orphan_user' AS rule,
+       CAST((SELECT count(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = e.user_id)) AS BIGINT)
+         AS n_violations
+UNION ALL
+SELECT 'negative_value',
+       CAST((SELECT count(*) FROM events WHERE value < 0) AS BIGINT)
+UNION ALL
+SELECT 'null_event_type',
+       CAST((SELECT count(*) FROM events WHERE event_type IS NULL) AS BIGINT)
+""",
+    "percentiles": """
+SELECT c.c_mktsegment,
+       quantile_cont(CAST(round(o.o_totalprice * 100, 0) AS BIGINT), 0.5)
+         AS p50_cents,
+       quantile_cont(CAST(round(o.o_totalprice * 100, 0) AS BIGINT), 0.95)
+         AS p95_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
     "rollup_multires": """
 SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS ds,
        event_type,
@@ -1778,6 +1851,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _O["tpch_q12_priority_counts"],
     ),
     "skew_salted_agg": (q_skew_salted_agg, _O["skew_salted_agg"]),
+    "dq_checks": (q_dq_checks, _O["dq_checks"]),
+    "percentiles": (q_percentiles, _O["percentiles"]),
     "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
     "text_stats": (q_text_stats, _O["text_stats"]),
     "text_lang_id": (q_text_lang_id, _O["text_lang_id"]),
