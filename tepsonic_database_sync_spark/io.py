@@ -88,6 +88,53 @@ def load_table(
     return df
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~target-sized files. The perennial 100 TB operational task — streaming
+    and incremental-merge sinks accrete KB-scale files whose per-file open
+    cost eventually dominates scans. Returns the output file count.
+
+    Sizing uses the source's on-disk bytes (compressed) — the right basis,
+    since output files are compressed too. ``coalesce`` (not repartition)
+    when shrinking: no shuffle, just fewer write tasks.
+    """
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src)
+    if n_files < df.rdd.getNumPartitions():
+        df = df.coalesce(n_files)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dest)
+    return sum(
+        1 for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+
+
+def write_clustered(
+    df: DataFrame, path: str, cluster_cols: list[str], n_files: int | None = None
+) -> None:
+    """Cluster-on-write for data skipping: range-partition by the cluster
+    columns, sort within each output file, write. Parquet footers then
+    carry tight, mostly-disjoint min/max ranges per file and row group, so
+    a later filter on those columns prunes whole files without reading
+    them (the poor engineer's Z-order; at 100 TB this is the difference
+    between a scan and a seek).
+    """
+    out = df.repartitionByRange(*(([n_files] if n_files else []) + cluster_cols))
+    out.sortWithinPartitions(*cluster_cols).write.mode("overwrite").parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

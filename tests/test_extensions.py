@@ -193,3 +193,50 @@ def test_multimodal_resize_shapes(spark):
     assert out and all(r["kind"] == "image" for r in out)
     assert all(len(r["payload"]) == 16 * 8 for r in out)
     assert all(r["meta"]["width"] == 16 and r["meta"]["height"] == 8 for r in out)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Compaction: a many-small-files directory rewrites to ~target-sized
+    files with identical contents."""
+    from tepsonic_database_sync_spark.io import compact_parquet, load_table
+
+    src, dest = str(tmp_path / "small"), str(tmp_path / "compact")
+    li = load_table(spark, SF_UNIT, "lineitem")
+    li.repartition(40).write.parquet(src)  # simulate a small-files sink
+    import os
+
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    n_out = compact_parquet(spark, src, dest, target_file_bytes=1 << 30)
+    assert n_src == 40 and n_out < 5
+    assert spark.read.parquet(dest).count() == li.count()
+
+
+def test_write_clustered_gives_disjoint_file_ranges(spark, tmp_path):
+    """Cluster-on-write: per-file min/max ranges on the cluster column are
+    non-overlapping (range partitioning) — the footer stats a reader uses
+    to skip files entirely."""
+    import pyarrow.parquet as pq
+    import os
+
+    from tepsonic_database_sync_spark.io import load_table, write_clustered
+
+    path = str(tmp_path / "clustered")
+    o = load_table(spark, SF_UNIT, "orders")
+    write_clustered(o, path, ["o_orderkey"], n_files=4)
+
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_orderkey"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 3
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping file ranges: {ranges}"
