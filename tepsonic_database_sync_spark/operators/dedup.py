@@ -203,6 +203,68 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the step
+    that turns near-dup candidate PAIRS into dedup CLUSTERS (keeper = the
+    cluster's min id). Returns (node, comp).
+
+    ``edges``: (a_id, b_id) undirected; ``nodes``: one column ``node``
+    (so isolated docs form singleton clusters).
+
+    Each iteration is one join + one groupBy over the edge list; labels
+    converge in O(cluster diameter) rounds — near-dup clusters are
+    shallow, so this terminates in a handful of iterations. The driver
+    loop only orchestrates (one small ``count()`` per round to detect the
+    fixpoint); all data movement is distributed. At extreme graph scale
+    swap the loop body for the large-star/small-star contraction
+    (Kiveris et al.), which keeps the same interface.
+    """
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("comp"))
+    prev = None
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                    "new_comp"
+                ),
+                F.col("comp").alias("old_comp"),
+            )
+        ).persist()
+        n_changed = updated.filter(F.col("new_comp") < F.col("old_comp")).count()
+        labels = updated.select("node", F.col("new_comp").alias("comp"))
+        # release the previous round's cache — it's fully consumed; only
+        # the latest labels need to stay materialized
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
+        if n_changed == 0:
+            break
+    if prev is not None:
+        # materialize the final labels eagerly, then drop the cache entry
+        # so no plan fragments linger in the session CacheManager (they
+        # would silently substitute into unrelated later queries)
+        final = labels.localCheckpoint(eager=True)
+        prev.unpersist()
+        return final
+    return labels
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash signature: per token a 60-bit hash votes ±1 on each of
     ``bits`` positions; the packed majority bits form the signature.

@@ -506,6 +506,28 @@ def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (iterative min-label
+    propagation) over the MinHash-LSH candidate pairs; every doc gets the
+    min doc_id of its cluster as the keeper key."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_sig_array,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # checkpoint (not persist): the pair list is re-joined every
+    # propagation round, and an eager local checkpoint leaves no cache
+    # entry behind to leak into unrelated plans
+    pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(eager=True)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return connected_components(pairs, nodes).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (4 bands × 4 rows); banding is sliced
     from the array signatures — no second shuffle."""
@@ -1427,6 +1449,34 @@ WHERE len(list_intersect(a.shingles, b.shingles)) >= 2
 WITH {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS}
 SELECT doc_id, i, sig FROM sigs
 """,
+    "dedup_clusters": f"""
+WITH RECURSIVE {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ',')) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d
+LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+  ON d.doc_id = m.src
+""",
     "dedup_minhash_lsh": f"""
 WITH {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS},
 banded AS (
@@ -1864,6 +1914,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, _O["dedup_minhash_sigs"]),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _O["dedup_minhash_lsh"]),
+    "dedup_clusters": (q_dedup_clusters, _O["dedup_clusters"]),
     "dedup_simhash": (q_dedup_simhash, _O["dedup_simhash"]),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),

@@ -240,3 +240,16 @@ def test_write_clustered_gives_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) >= 3
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, f"overlapping file ranges: {ranges}"
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Label propagation: a 4-node chain collapses to its min id (needs
+    multiple propagation rounds), isolated nodes stay singletons."""
+    from tepsonic_database_sync_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(3, 2), (2, 1), (4, 3), (10, 11)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 7, 10, 11)], "node long")
+    got = {r["node"]: r["comp"] for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 10: 10, 11: 10}
