@@ -121,6 +121,50 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return stats.select("doc_id", score.cast("long").alias("quality"))
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Sliding-window document chunking — the pre-training / RAG
+    preprocessor: fixed-size token windows with overlap, one output row
+    per chunk. Pure array expressions (split once, slice per window), so
+    the fan-out is a codegen'd generator — no shuffle at all until a
+    downstream groupBy; at 100 TB this runs at scan speed and the chunk
+    count per task is bounded by input split size.
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the final
+    window is the (possibly short) remainder. Empty/whitespace-only texts
+    produce zero chunks.
+    """
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.when(F.trim(F.concat_ws(" ", F.col("t"))) == "", 0)
+        .when(F.size("t") <= chunk_tokens, 1)
+        .otherwise(
+            F.ceil((F.size("t") - chunk_tokens) / F.lit(float(step))).cast("int") + 1
+        )
+        .alias("n_chunks"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda i: F.slice(F.col("t"), i * step + 1, chunk_tokens),
+    )
+    out = toked.filter(F.col("n_chunks") > 0).select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "ctoks")
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("ctoks").cast("long").alias("n_tokens"),
+        F.array_join(F.col("ctoks"), " ").alias("chunk_text"),
+    )
+
+
 def top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus heavy hitters: top-k terms by frequency (ties → term order).
 

@@ -456,6 +456,15 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16 overlap) — one row
+    per chunk with its token count and text."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k-gram polynomial hash + window minima) —
     the partial-overlap / plagiarism-detector fingerprint set."""
@@ -1398,6 +1407,29 @@ SELECT doc_id, CAST(
   + (CASE WHEN uniq_permille > 300 THEN 25 ELSE 0 END) AS BIGINT) AS quality
 FROM s
 """,
+    "text_chunks": """
+WITH toked AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS t,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t,
+         CASE WHEN trim(array_to_string(t, ' ')) = '' THEN 0
+              WHEN n <= 64 THEN 1
+              ELSE CAST(ceil((n - 64) / 48.0) AS INT) + 1 END AS n_chunks
+  FROM toked
+)
+SELECT s.doc_id,
+       CAST(r.i AS INT) AS chunk_idx,
+       CAST(len(t[CAST(r.i AS INT) * 48 + 1 : CAST(r.i AS INT) * 48 + 64])
+            AS BIGINT) AS n_tokens,
+       array_to_string(t[CAST(r.i AS INT) * 48 + 1 : CAST(r.i AS INT) * 48 + 64], ' ')
+         AS chunk_text
+FROM sized s, unnest(range(0, s.n_chunks)) r(i)
+WHERE s.n_chunks > 0
+""",
     "text_winnow": _text_winnow_sql(),
     "text_top_terms": """
 WITH toks AS (
@@ -1910,6 +1942,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (q_text_fingerprint, _O["text_fingerprint"]),
     "text_top_terms": (q_text_top_terms, _O["text_top_terms"]),
     "text_winnow": (q_text_winnow, _O["text_winnow"]),
+    "text_chunks": (q_text_chunks, _O["text_chunks"]),
     "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, _O["dedup_minhash_sigs"]),
