@@ -1,0 +1,60 @@
+"""Deterministic sampling — reproducible splits for training data.
+
+``df.sample()`` is seed-and-partitioning dependent: the same row can land
+in different splits after a repartition or an engine upgrade — poison for
+train/test hygiene. Everything here derives membership from a *portable
+content hash* of the row key (the md5-based ``h60``, reproducible in any
+SQL engine), so a row's split is a pure function of its key: stable
+across runs, engines, partitionings, and cluster sizes, and exactly
+oracle-checkable.
+
+At 100 TB both operators are narrow projections (hash + compare) with no
+shuffle; the stratified sampler adds one window per stratum, partitioned
+on the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tepsonic_database_sync_spark.functions.hashing import h60
+
+
+def split_bucket(key: Column, salt: str = "split") -> Column:
+    """Stable 0-99 bucket from a key: h60('{salt}:' || key) % 100."""
+    return h60(F.concat(F.lit(salt + ":"), key.cast("string"))) % 100
+
+
+def dataset_split(
+    df: DataFrame,
+    key: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by hash bucket (train_pct/val_pct/rest).
+    Adds ``split`` and keeps the input columns."""
+    b = split_bucket(F.col(key), salt)
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame, stratum: str, key: str, k: int, salt: str = "sample"
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows inside each
+    stratum by (hash, key) and keep the first k. Hash order is uniform →
+    an unbiased without-replacement sample, yet fully reproducible; the
+    (hash, key) tie-break makes it total even on hash collisions."""
+    h = h60(F.concat(F.lit(salt + ":"), F.col(key).cast("string")))
+    w = Window.partitionBy(stratum).orderBy(h, F.col(key))
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )

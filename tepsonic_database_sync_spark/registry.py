@@ -330,6 +330,26 @@ def q_tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by portable content hash
+    (80/10/10) — stable across runs, engines, and partitionings."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import dataset_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return dataset_split(d, "doc_id")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k-per-stratum sample: 5 events per
+    event_type, ranked by content hash."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import stratified_sample
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_sample(e, "event_type", "event_id", k=5)
+
+
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality rule evaluation (the quarantine pattern's metric side,
     X2): per rule, how many rows violate it. One pass per table, counts
@@ -1297,6 +1317,26 @@ SELECT l.l_linestatus,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY l.l_linestatus
 """,
+    "dataset_split": f"""
+SELECT doc_id,
+       CASE WHEN {_D_H60.format(e="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+              THEN 'train'
+            WHEN {_D_H60.format(e="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    "stratified_sample": f"""
+WITH ranked AS (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY {_D_H60.format(e="'sample:' || CAST(event_id AS VARCHAR)")},
+                    event_id) AS r
+  FROM events
+)
+SELECT event_id, event_type FROM ranked WHERE r <= 5
+""",
     "dq_checks": """
 SELECT 'orphan_user' AS rule,
        CAST((SELECT count(*) FROM events e
@@ -1934,6 +1974,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "skew_salted_agg": (q_skew_salted_agg, _O["skew_salted_agg"]),
     "dq_checks": (q_dq_checks, _O["dq_checks"]),
+    "dataset_split": (q_dataset_split, _O["dataset_split"]),
+    "stratified_sample": (q_stratified_sample, _O["stratified_sample"]),
     "percentiles": (q_percentiles, _O["percentiles"]),
     "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
     "text_stats": (q_text_stats, _O["text_stats"]),
