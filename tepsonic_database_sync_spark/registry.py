@@ -72,6 +72,24 @@ def q_p1_norm_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p_nested_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The faithful nested payload shape (product_variation.product.*,
+    SURVEY §1.2): null-safe struct navigation (the reference's ``?.``
+    chains, products.js:61-66) back to flat columns — exercises nested
+    field access + the NULL-struct guard rows (l_linenumber = 7)."""
+    fx = build_fixtures(spark, sf_dir)
+    n = fx["vendor_items_nested"]
+    return n.select(
+        "id",
+        "status",
+        F.col("product_variation.product.manufacturer").alias("manufacturer"),
+        F.col("product_variation.product.model").alias("model"),
+        F.col("product_variation.grade").alias("grade"),
+        F.col("product_variation.sku").alias("sku"),
+        F.col("product_variation").isNull().alias("no_variation"),
+    )
+
+
 def q_p3_uid_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 — falsy-skipping identifier coalesce chain (products.js:185-187)."""
     fx = build_fixtures(spark, sf_dir)
@@ -1317,6 +1335,13 @@ SELECT l.l_linestatus,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY l.l_linestatus
 """,
+    "p_nested_project": oracle.prefix("vendor_items")
+    + """
+SELECT id, status, manufacturer, model, grade, sku,
+       (manufacturer IS NULL AND model IS NULL
+        AND grade IS NULL AND sku IS NULL) AS no_variation
+FROM vendor_items
+""",
     "dataset_split": f"""
 SELECT doc_id,
        CASE WHEN {_D_H60.format(e="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
@@ -1947,6 +1972,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),
     "p1_norm_name": (q_p1_norm_name, _O["p1_norm_name"]),
     "p3_uid_coalesce": (q_p3_uid_coalesce, _O["p3_uid_coalesce"]),
+    "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
     "p4_cents_to_dollars": (q_p4_cents_to_dollars, _O["p4_cents_to_dollars"]),
     "p6_resolve_variant": (q_p6_resolve_variant, _O["p6_resolve_variant"]),
     "f1_status_filter": (q_f1_status_filter, _O["f1_status_filter"]),

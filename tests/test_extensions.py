@@ -253,3 +253,28 @@ def test_connected_components_chain_and_singleton(spark):
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 7, 10, 11)], "node long")
     got = {r["node"]: r["comp"] for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 10: 10, 11: 10}
+
+
+def test_sampling_invariant_under_repartition(spark):
+    """The whole point of hash-based sampling: identical membership no
+    matter how the data is partitioned."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import (
+        dataset_split,
+        stratified_sample,
+    )
+
+    d = load_table(spark, SF_UNIT, "documents").select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in dataset_split(d, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(d.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+
+    e = load_table(spark, SF_UNIT, "events").select("event_id", "event_type")
+    s1 = sorted(map(tuple, stratified_sample(e, "event_type", "event_id", 5).collect()))
+    s2 = sorted(
+        map(tuple, stratified_sample(e.repartition(11), "event_type", "event_id", 5).collect())
+    )
+    assert s1 == s2
