@@ -418,6 +418,38 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of orders-per-customer — left outer
+    join (customers with zero orders count at 0) + two-level aggregation."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: large-volume orders — fact aggregation with a
+    HAVING filter on the summed quantity."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+
+
 def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: daily rollup computed from
     the hourly rollup (re-aggregable counts/sums), oracle-checked against
@@ -1385,6 +1417,20 @@ SELECT c.c_mktsegment,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
+    "tpch_q13_custdist": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+""",
+    "tpch_q18_big_orders": """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_custkey
+HAVING CAST(sum(l.l_quantity) AS BIGINT) > 150
+""",
     "rollup_multires": """
 SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS ds,
        event_type,
@@ -1998,6 +2044,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q_tpch_q12_priority_counts,
         _O["tpch_q12_priority_counts"],
     ),
+    "tpch_q13_custdist": (q_tpch_q13_custdist, _O["tpch_q13_custdist"]),
+    "tpch_q18_big_orders": (q_tpch_q18_big_orders, _O["tpch_q18_big_orders"]),
     "skew_salted_agg": (q_skew_salted_agg, _O["skew_salted_agg"]),
     "dq_checks": (q_dq_checks, _O["dq_checks"]),
     "dataset_split": (q_dataset_split, _O["dataset_split"]),
