@@ -52,11 +52,18 @@ def group_sizes(items_keyed: DataFrame) -> DataFrame:
 
 
 def option_source_rows(
-    items_keyed: DataFrame, matched: DataFrame, vadmin: DataFrame
+    items_keyed: DataFrame,
+    matched: DataFrame,
+    vadmin: DataFrame,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Per-item option attributes for Available items of matched groups:
     resolved variant (P6/P7), filled color (P2), dollars (P4), uid (P3).
-    ``vadmin`` is the exact-name variant lookup (operators.matching.variant_admin)."""
+    ``vadmin`` is the exact-name variant lookup (operators.matching.variant_admin).
+
+    ``extra_cols``: additional Column expressions to carry through — lets
+    callers enrich ONCE and split afterward (e.g. the upsert demo's
+    state/new halves) instead of running the join pipeline per split."""
     avail = items_keyed.filter(F.col("status") == "Available")
     enriched = (
         avail.join(matched, "gname")
@@ -73,6 +80,7 @@ def option_source_rows(
         uid_coalesce(
             F.col("esn"), F.col("hex_id"), F.col("sku"), F.col("id")
         ).alias("uid"),
+        *extra_cols,
     )
 
 

@@ -181,13 +181,22 @@ def q_s9_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_s8_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/J4 — bulk upsert as full-outer-join with op audit column: state
     from even-id items, new batch from odd-id items (products.js:309-341)."""
+    from tepsonic_database_sync_spark.operators.matching import variant_admin
+
     fx = build_fixtures(spark, sf_dir)
     vi, ap = fx["vendor_items"], fx["admin_products"]
-    # the session-cached match table covers all gnames — a superset of each
-    # half's names; the inner join keeps exactly the matching subset
+    # enrich ONCE over all items (the joins are the expensive part), then
+    # split into state/new halves and aggregate each — instead of running
+    # the whole pipeline per half
     m = sync.cached_matched(spark, sf_dir, vi, ap)
-    state = sync.sync_options(vi.filter(F.col("id") % 2 == 0), ap, matched=m)
-    new = sync.sync_options(vi.filter(F.col("id") % 2 == 1), ap, matched=m)
+    src = options.option_source_rows(
+        options.with_group_keys(vi),
+        m,
+        variant_admin(ap),
+        extra_cols=((F.col("id") % 2 == 0).alias("is_state"),),
+    )
+    state = options.aggregate_options(src.filter(F.col("is_state")).drop("is_state"))
+    new = options.aggregate_options(src.filter(~F.col("is_state")).drop("is_state"))
     from tepsonic_database_sync_spark.operators.upsert import upsert_flagged
 
     return upsert_flagged(state, new, ["product_id", "grade", "color", "variant"])
