@@ -165,6 +165,32 @@ def chunk_documents(
     )
 
 
+# Conservative patterns — valid and identical in Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+URL_RE = r"https?://[a-zA-Z0-9./_-]+"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction pass every pre-training corpus gets:
+    emails and URLs replaced with typed placeholders, per-doc match counts
+    kept for audit. Narrow projection, no shuffle, regex engines stay
+    JVM-side; the pattern subset is restricted to syntax that means the
+    same thing in Java regex and RE2 so results are engine-portable."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long")
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).cast("long")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 def top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus heavy hitters: top-k terms by frequency (ties → term order).
 

@@ -535,6 +535,35 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministically injected
+    emails/URLs (every 3rd doc), so the replacement path is exercised,
+    not just the no-op: counts + the scrubbed text, hash-compared."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import scrub_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via http://site.test/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id", "n_emails", "n_urls", F.md5("scrubbed").alias("scrubbed_md5")
+    )
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (64-token windows, 16 overlap) — one row
     per chunk with its token count and text."""
@@ -1527,6 +1556,28 @@ SELECT doc_id, CAST(
   + (CASE WHEN uniq_permille > 300 THEN 25 ELSE 0 END) AS BIGINT) AS quality
 FROM s
 """,
+    "text_scrub": r"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com via http://site.test/p/'
+                   || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[a-zA-Z0-9./_-]+')) AS BIGINT)
+         AS n_urls,
+       md5(regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             'https?://[a-zA-Z0-9./_-]+', '<URL>', 'g')) AS scrubbed_md5
+FROM injected
+""",
     "text_chunks": """
 WITH toked AS (
   SELECT doc_id,
@@ -2068,6 +2119,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_top_terms": (q_text_top_terms, _O["text_top_terms"]),
     "text_winnow": (q_text_winnow, _O["text_winnow"]),
     "text_chunks": (q_text_chunks, _O["text_chunks"]),
+    "text_scrub": (q_text_scrub, _O["text_scrub"]),
     "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, _O["dedup_minhash_sigs"]),
