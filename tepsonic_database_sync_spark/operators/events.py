@@ -1,0 +1,76 @@
+"""Event analytics — funnel conversion and cohort retention.
+
+Product-analytics staples over the ``events`` stream, expressed as plain
+grouped aggregations so they hold at 100 TB: each is ONE shuffle on
+``user_id`` (high-cardinality, uniform) followed by a tiny rollup; no
+windows over the full event table, no self-joins over raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WEEK_SECS = 7 * 24 * 3600
+
+
+def funnel_conversion(
+    events: DataFrame, stages: tuple[str, ...] = ("signup", "view", "purchase")
+) -> DataFrame:
+    """Ordered funnel: a user reaches stage k if their earliest stage-k
+    event is at-or-after their earliest stage-(k-1) event. One groupBy
+    collects each user's min-timestamp per stage (map-side combined);
+    the stage counts are a rollup of that per-user row.
+
+    Returns (stage_idx, stage, n_users), n_users non-increasing.
+    """
+    es = F.unix_timestamp("ts").cast("long")
+    per_user = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, es)).alias(f"t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    reached = None
+    flags = []
+    for i in range(len(stages)):
+        cur = F.col(f"t{i}").isNotNull()
+        if i > 0:
+            cur = cur & flags[i - 1] & (F.col(f"t{i}") >= F.col(f"t{i-1}"))
+        flags.append(cur)
+        reached = cur if reached is None else reached
+    counts = per_user.agg(
+        *[F.count_if(flags[i]).cast("long").alias(f"n{i}") for i in range(len(stages))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per week-offset of later activity. Two aggregations — per
+    (user, week) activity, then the cohort rollup — both shuffles on
+    well-spread keys. Returns (cohort_ws, week_offset, n_users)."""
+    es = F.unix_timestamp("ts").cast("long")
+    week = (F.floor(es / WEEK_SECS) * WEEK_SECS).cast("long")
+    user_weeks = events.select("user_id", week.alias("ws")).distinct()
+    first = user_weeks.groupBy("user_id").agg(F.min("ws").alias("cohort_ws"))
+    return (
+        user_weeks.join(first, "user_id")
+        .groupBy(
+            "cohort_ws",
+            ((F.col("ws") - F.col("cohort_ws")) / WEEK_SECS).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

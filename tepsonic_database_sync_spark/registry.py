@@ -357,6 +357,23 @@ def q_tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (signup → view → purchase): per-user
+    min-timestamp per stage in one groupBy, then a stage-count rollup."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import funnel_conversion
+
+    return funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (first-activity week × offset)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test assignment by portable content hash
     (80/10/10) — stable across runs, engines, and partitionings."""
@@ -1412,6 +1429,45 @@ SELECT id, status, manufacturer, model, grade, sku,
         AND grade IS NULL AND sku IS NULL) AS no_variation
 FROM vendor_items
 """,
+    "funnel": """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t0,
+         min(CASE WHEN event_type = 'view'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t1,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t2
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT t0 IS NOT NULL AS f0,
+         (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0) AS f1,
+         (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+          AND t2 IS NOT NULL AND t2 >= t1) AS f2
+  FROM per_user
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'signup' AS stage,
+       CAST(count(*) FILTER (f0) AS BIGINT) AS n_users FROM f
+UNION ALL
+SELECT 1, 'view', CAST(count(*) FILTER (f1) AS BIGINT) FROM f
+UNION ALL
+SELECT 2, 'purchase', CAST(count(*) FILTER (f2) AS BIGINT) FROM f
+""",
+    "cohort_retention": """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800) * 604800
+              AS BIGINT) AS ws
+  FROM events
+),
+first AS (SELECT user_id, min(ws) AS cohort_ws FROM uw GROUP BY user_id)
+SELECT f.cohort_ws,
+       CAST((uw.ws - f.cohort_ws) / 604800 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN first f ON uw.user_id = f.user_id
+GROUP BY 1, 2
+""",
     "dataset_split": f"""
 SELECT doc_id,
        CASE WHEN {_D_H60.format(e="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
@@ -2109,6 +2165,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "skew_salted_agg": (q_skew_salted_agg, _O["skew_salted_agg"]),
     "dq_checks": (q_dq_checks, _O["dq_checks"]),
     "dataset_split": (q_dataset_split, _O["dataset_split"]),
+    "funnel": (q_funnel, _O["funnel"]),
+    "cohort_retention": (q_cohort_retention, _O["cohort_retention"]),
     "stratified_sample": (q_stratified_sample, _O["stratified_sample"]),
     "percentiles": (q_percentiles, _O["percentiles"]),
     "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
