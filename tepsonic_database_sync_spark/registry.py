@@ -357,6 +357,52 @@ def q_tpch_q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outliers_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-based anomaly counts: per event type, the exact p99 of
+    value-cents and how many events exceed it. Percentile thresholds
+    instead of z-scores — mean/stddev of doubles are summation-order-
+    dependent, exact percentiles of integers are not."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    thresh = e.groupBy("event_type").agg(
+        F.percentile(cents, 0.99).alias("p99_cents")
+    )
+    return (
+        e.select("event_type", cents.alias("cents"))
+        .join(F.broadcast(thresh), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("p99_cents").alias("p99_cents"),
+            F.count_if(F.col("cents") > F.col("p99_cents"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order counts with deltas (lag window over the
+    tiny monthly aggregate, never over raw rows)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    month = F.trunc(F.col("o_orderdate").cast("date"), "month")
+    monthly = o.groupBy(month.alias("month")).agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        F.col("month").cast("string").alias("month"),
+        "n_orders",
+        (F.col("n_orders") - F.coalesce(F.lag("n_orders").over(w), F.lit(0)))
+        .cast("long")
+        .alias("delta"),
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion (signup → view → purchase): per-user
     min-timestamp per stage in one groupBy, then a stage-count rollup."""
@@ -1429,6 +1475,29 @@ SELECT id, status, manufacturer, model, grade, sku,
         AND grade IS NULL AND sku IS NULL) AS no_variation
 FROM vendor_items
 """,
+    "outliers_p99": """
+WITH t AS (
+  SELECT event_type,
+         quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.99) AS p99_cents
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, min(t.p99_cents) AS p99_cents,
+       CAST(count(*) FILTER (CAST(round(e.value * 100, 0) AS BIGINT) > t.p99_cents)
+            AS BIGINT) AS n_outliers
+FROM events e JOIN t ON e.event_type = t.event_type
+GROUP BY e.event_type
+""",
+    "mom_growth": """
+WITH m AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS month,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+       CAST(n_orders - coalesce(lag(n_orders) OVER (ORDER BY month), 0) AS BIGINT)
+         AS delta
+FROM m
+""",
     "funnel": """
 WITH per_user AS (
   SELECT user_id,
@@ -2166,6 +2235,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dq_checks": (q_dq_checks, _O["dq_checks"]),
     "dataset_split": (q_dataset_split, _O["dataset_split"]),
     "funnel": (q_funnel, _O["funnel"]),
+    "outliers_p99": (q_outliers_p99, _O["outliers_p99"]),
+    "mom_growth": (q_mom_growth, _O["mom_growth"]),
     "cohort_retention": (q_cohort_retention, _O["cohort_retention"]),
     "stratified_sample": (q_stratified_sample, _O["stratified_sample"]),
     "percentiles": (q_percentiles, _O["percentiles"]),
