@@ -185,3 +185,23 @@ def build_fixtures(
         fx["admin_products"] = fx["admin_products"].persist()
         _FIXTURE_CACHE[key] = fx
     return fx
+
+
+def invalidate_fixture_cache(spark: SparkSession | None = None) -> int:
+    """Unpersist and drop cached fixture tables (all sessions, or just
+    ``spark``'s). Counterpart of ``plans.sync.invalidate_match_cache`` —
+    together they release every session-scoped persisted handle the
+    registry relies on."""
+    app_id = spark.sparkContext.applicationId if spark is not None else None
+    released = 0
+    for key in list(_FIXTURE_CACHE):
+        if app_id is None or key[0] == app_id:
+            fx = _FIXTURE_CACHE[key]
+            for name in ("vendor_items", "admin_products"):
+                try:
+                    fx[name].unpersist()
+                except Exception:
+                    pass  # session already stopped
+            del _FIXTURE_CACHE[key]
+            released += 1
+    return released

@@ -58,6 +58,11 @@ def sync_options(
 # is ~|distinct product names| rows (KBs even at 100 TB fact scale — it is
 # bounded by the catalog, not the fact table), and every sync entry point
 # needs it; one persist amortizes it across the whole query session.
+#
+# Staleness contract: the cache key is (session, sf_dir), NOT the catalog
+# contents — a caller that mutates the catalog mid-session MUST call
+# ``invalidate_match_cache`` (tested in tests/test_plans.py). Long-lived
+# services should invalidate on their catalog-refresh tick.
 _MATCH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -69,6 +74,25 @@ def cached_matched(
         gnames = with_group_keys(items).select("gname").distinct()
         _MATCH_CACHE[key] = match_cascade(gnames, admin).persist()
     return _MATCH_CACHE[key]
+
+
+def invalidate_match_cache(spark: SparkSession | None = None) -> int:
+    """Unpersist and drop cached match tables (all sessions, or just
+    ``spark``'s). Returns the number of entries released. This is the
+    explicit hook that keeps the memoization honest: nothing stays in the
+    CacheManager after invalidation, and the next ``cached_matched`` call
+    recomputes against the current catalog."""
+    app_id = spark.sparkContext.applicationId if spark is not None else None
+    released = 0
+    for key in list(_MATCH_CACHE):
+        if app_id is None or key[0] == app_id:
+            try:
+                _MATCH_CACHE[key].unpersist()
+            except Exception:
+                pass  # session already stopped — the cache entry is dead anyway
+            del _MATCH_CACHE[key]
+            released += 1
+    return released
 
 
 def vendor_products(

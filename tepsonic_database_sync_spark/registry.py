@@ -55,10 +55,13 @@ def q_sync_merge_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = build_fixtures(spark, sf_dir)
     m = sync.cached_matched(spark, sf_dir, fx["vendor_items"], fx["admin_products"])
     # the "existing" side of a re-sync is materialized state in reality;
-    # persist so the self-merge reads one computation, not two
+    # eager localCheckpoint (not persist) materializes it once for the
+    # self-merge WITHOUT leaving a CacheManager entry behind — repeated
+    # invocations (bench min-of-N, driver_sim) would otherwise stack
+    # duplicate cache entries that are never unpersisted
     opts = sync.sync_options(
         fx["vendor_items"], fx["admin_products"], matched=m
-    ).persist()
+    ).localCheckpoint(eager=True)
     return options.merge_options(opts, opts)
 
 
@@ -806,9 +809,10 @@ def q_a3_merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fx = build_fixtures(spark, sf_dir)
     m = sync.cached_matched(spark, sf_dir, fx["vendor_items"], fx["admin_products"])
+    # eager localCheckpoint, not persist — see q_sync_merge_resync
     opts = sync.sync_options(
         fx["vendor_items"], fx["admin_products"], matched=m
-    ).persist()
+    ).localCheckpoint(eager=True)
     return merge_options_idempotent(opts, opts)
 
 
