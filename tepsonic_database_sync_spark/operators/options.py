@@ -84,13 +84,23 @@ def option_source_rows(
     )
 
 
-def aggregate_options(opts_src: DataFrame, flat_uids: bool = True) -> DataFrame:
+def aggregate_options(
+    opts_src: DataFrame, flat_uids: bool = True, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
     """A2 — (product, grade, color, variant) → stock/price/discount/uids
     (products.js:164-190). ``flat_uids=True`` canonicalizes uniqueNumbers
     to a sorted '|'-joined string for oracle comparison; ``False`` keeps
-    the faithful array shape."""
+    the faithful array shape.
+
+    ``extra_keys``: additional grouping columns carried through the output
+    — lets callers aggregate several logical batches (e.g. the upsert
+    demo's state/new halves) in ONE grouped pass / one shuffle, then split
+    the already-aggregated (tiny) result, instead of running a separate
+    shuffle per batch."""
     uids = F.array_sort(F.collect_list("uid"))
-    agg = opts_src.groupBy("product_id", "grade_c", "color_c", "variant").agg(
+    agg = opts_src.groupBy(
+        "product_id", "grade_c", "color_c", "variant", *extra_keys
+    ).agg(
         F.count("*").cast("long").alias("stock"),
         F.min("dollars").cast("long").alias("price"),
         (F.array_join(uids, "|") if flat_uids else uids).alias("uids"),
@@ -100,6 +110,7 @@ def aggregate_options(opts_src: DataFrame, flat_uids: bool = True) -> DataFrame:
         F.col("grade_c").alias("grade"),
         F.col("color_c").alias("color"),
         "variant",
+        *extra_keys,
         "stock",
         "price",
         F.col("price").alias("discount"),

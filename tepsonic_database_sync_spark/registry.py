@@ -189,8 +189,11 @@ def q_s8_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = build_fixtures(spark, sf_dir)
     vi, ap = fx["vendor_items"], fx["admin_products"]
     # enrich ONCE over all items (the joins are the expensive part), then
-    # split into state/new halves and aggregate each — instead of running
-    # the whole pipeline per half
+    # aggregate BOTH halves in one grouped pass with is_state in the key —
+    # one shuffle over the fact rows instead of two — and split the tiny
+    # aggregated result. The eager localCheckpoint materializes that
+    # result once so the full-outer merge's two inputs don't each re-run
+    # the scan+join+agg subtree (and leaves no CacheManager entry).
     m = sync.cached_matched(spark, sf_dir, vi, ap)
     src = options.option_source_rows(
         options.with_group_keys(vi),
@@ -198,8 +201,11 @@ def q_s8_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         variant_admin(ap),
         extra_cols=((F.col("id") % 2 == 0).alias("is_state"),),
     )
-    state = options.aggregate_options(src.filter(F.col("is_state")).drop("is_state"))
-    new = options.aggregate_options(src.filter(~F.col("is_state")).drop("is_state"))
+    agg = options.aggregate_options(src, extra_keys=("is_state",)).localCheckpoint(
+        eager=True
+    )
+    state = agg.filter(F.col("is_state")).drop("is_state")
+    new = agg.filter(~F.col("is_state")).drop("is_state")
     from tepsonic_database_sync_spark.operators.upsert import upsert_flagged
 
     return upsert_flagged(state, new, ["product_id", "grade", "color", "variant"])
