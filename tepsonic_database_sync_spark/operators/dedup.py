@@ -204,7 +204,7 @@ def lsh_candidate_pairs(
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 20, strict: bool = True
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the step
     that turns near-dup candidate PAIRS into dedup CLUSTERS (keeper = the
@@ -220,7 +220,16 @@ def connected_components(
     fixpoint); all data movement is distributed. At extreme graph scale
     swap the loop body for the large-star/small-star contraction
     (Kiveris et al.), which keeps the same interface.
+
+    Convergence is VERIFIED, never assumed: plain propagation advances
+    min-labels one hop per round, so a component with diameter > max_iter
+    (a long near-dup chain) would otherwise return silently-wrong labels.
+    ``strict=True`` (default) raises if the fixpoint wasn't reached;
+    ``strict=False`` logs a warning and returns the partial labels (for
+    exploratory use only).
     """
+    import warnings
+
     sym = (
         edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(
@@ -230,6 +239,7 @@ def connected_components(
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("comp"))
     prev = None
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -254,7 +264,21 @@ def connected_components(
             prev.unpersist()
         prev = updated
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        if prev is not None:
+            prev.unpersist()
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — a candidate component has diameter > max_iter and the "
+            "returned labels would be wrong. Raise max_iter (rounds needed = "
+            "longest chain length) or switch to star-contraction."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        return labels
     if prev is not None:
         # materialize the final labels eagerly, then drop the cache entry
         # so no plan fragments linger in the session CacheManager (they

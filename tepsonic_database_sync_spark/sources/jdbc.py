@@ -155,7 +155,13 @@ class BucketedParquetStateStore:
         return os.path.exists(self._data)
 
     def read(self) -> DataFrame | None:
+        import glob
+
         if not self.exists():
+            return None
+        # a fully-retracted store has the data dir but zero bucket dirs —
+        # schema inference would fail on it
+        if not glob.glob(os.path.join(self._data, "__bucket=*")):
             return None
         return self.spark.read.parquet(self._data).drop("__bucket")
 
@@ -169,29 +175,44 @@ class BucketedParquetStateStore:
         )
 
     def merge(self, new: DataFrame, merge_fn) -> DataFrame:
+        """MERGE: read only the touched buckets, apply ``merge_fn``, write
+        back only those buckets. Supports deleting/retracting merges: a
+        touched bucket for which ``merge_fn`` returns zero rows has its
+        directory removed (dynamic partition overwrite alone would leave
+        the stale files — it only replaces partitions present in the
+        output). The overwrite mode is scoped to THIS write via the
+        writer-level ``partitionOverwriteMode`` option, so a concurrent
+        writer in the same session never sees a flipped session conf."""
+        import shutil
+
         from pyspark.sql import functions as F
 
         if not self.exists():
             self.write_full(new)
             return self.read()
         newb = self._bucketed(new)
-        touched = [int(r[0]) for r in newb.select("__bucket").distinct().collect()]
+        touched = {int(r[0]) for r in newb.select("__bucket").distinct().collect()}
         state = (
             self.spark.read.parquet(self._data)
-            .filter(F.col("__bucket").isin(touched))  # partition-pruned scan
+            .filter(F.col("__bucket").isin(list(touched)))  # partition-pruned scan
             .drop("__bucket")
         )
-        merged = merge_fn(state, new)
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                self._bucketed(merged)
-                .repartition("__bucket")
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(self._data)
-            )
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        return self.read()
+        # eager checkpoint: the merged batch is both written AND probed for
+        # its output buckets — one computation, no CacheManager entry
+        mb = self._bucketed(merge_fn(state, new)).localCheckpoint(eager=True)
+        out_buckets = {int(r[0]) for r in mb.select("__bucket").distinct().collect()}
+        (
+            mb.repartition("__bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(self._data)
+        )
+        for b in touched - out_buckets:  # retracted-to-empty buckets
+            d = os.path.join(self._data, f"__bucket={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        out = self.read()
+        if out is None:  # everything retracted — typed empty result
+            return self.spark.createDataFrame([], mb.drop("__bucket").schema)
+        return out

@@ -63,6 +63,66 @@ def test_state_store_merge_accumulates(spark, tmp_path):
     assert after["stock"] == 4 and after["uids"] == "a|a|b|b"
 
 
+def test_merge_sink_round_trip_matches_merge_options(spark, tmp_path):
+    """The reference's whole purpose is a DB upsert sink (bulkWrite,
+    products.js:309-341). This drives the REAL pipeline output through the
+    bucketed MERGE sink — write state, merge a new batch, re-read — and
+    checks the persisted rows are value-identical to computing
+    merge_options directly in memory. The sink must be a pure transport:
+    MERGE-equivalence is the capability a JDBC/Delta backend would have to
+    preserve."""
+    from pyspark.sql import functions as F
+
+    from conftest import assert_frames_match
+    from tepsonic_database_sync_spark.fixtures import build_fixtures
+    from tepsonic_database_sync_spark.operators.options import merge_options
+    from tepsonic_database_sync_spark.plans.sync import sync_options
+    from tepsonic_database_sync_spark.sources.jdbc import BucketedParquetStateStore
+
+    fx = build_fixtures(spark, SF_UNIT)
+    opts = sync_options(fx["vendor_items"], fx["admin_products"])
+    # split the real pipeline output into an initial state and a re-sync
+    # batch on a key hash — both sides hit shared and disjoint merge keys
+    h = F.abs(F.xxhash64("product_id", "grade", "color", "variant")) % 3
+    state = opts.filter(h < 2)
+    batch = opts.filter(h > 0)
+
+    keys = ["product_id", "grade", "color", "variant"]
+    store = BucketedParquetStateStore(spark, str(tmp_path / "st"), keys, n_buckets=8)
+    store.merge(state, merge_options)  # first write
+    got = store.merge(batch, merge_options).toPandas()  # MERGE round-trip
+
+    want = merge_options(state, batch).toPandas()
+    assert_frames_match(got, want, "merge_sink_round_trip")
+
+
+def test_bucketed_merge_retraction_removes_emptied_bucket(spark, tmp_path):
+    """A merge_fn that deletes all rows of a touched bucket must not leave
+    the bucket's stale files on disk (dynamic partition overwrite only
+    rewrites partitions present in the output)."""
+    from tepsonic_database_sync_spark.sources.jdbc import BucketedParquetStateStore
+
+    rows = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(20)], "k string, v long"
+    )
+    store = BucketedParquetStateStore(spark, str(tmp_path / "st"), ["k"], n_buckets=4)
+    store.merge(rows, lambda s, n: n)
+    assert store.read().count() == 20
+
+    def delete_matching(state, new):
+        # anti-join delete: retract every state row whose key appears in new
+        return state.join(new.select("k"), "k", "left_anti")
+
+    remaining = store.merge(rows, delete_matching)
+    assert remaining.count() == 0
+    # and a partial delete keeps the untouched rows intact
+    store2 = BucketedParquetStateStore(spark, str(tmp_path / "st2"), ["k"], n_buckets=4)
+    store2.merge(rows, lambda s, n: n)
+    some = rows.filter("v < 5")
+    left = store2.merge(some, delete_matching)
+    assert left.count() == 15
+
+
 def test_streaming_tumbling_matches_batch(spark):
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.streaming.windows import (
@@ -253,6 +313,32 @@ def test_connected_components_chain_and_singleton(spark):
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 7, 10, 11)], "node long")
     got = {r["node"]: r["comp"] for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 10: 10, 11: 10}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A component with diameter > max_iter must FAIL loudly, not return
+    silently-wrong labels (min-label propagation moves one hop per round)."""
+    import pytest
+
+    from tepsonic_database_sync_spark.operators.dedup import connected_components
+
+    # 6-node chain: label 1 needs 5 rounds to reach node 6
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "node long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=2)
+    # non-strict mode returns partial labels with a warning instead
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = connected_components(edges, nodes, max_iter=2, strict=False)
+    assert partial.count() == 6
+    # and enough rounds converges exactly
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, nodes, max_iter=6).collect()
+    }
+    assert got == {i: 1 for i in range(1, 7)}
 
 
 def test_sampling_invariant_under_repartition(spark):

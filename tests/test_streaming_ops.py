@@ -35,6 +35,25 @@ def test_streaming_dedup_matches_batch(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
 
 
+def test_event_id_unique_in_source(spark):
+    """dedup_events_batch's oracle is DISTINCT over whole rows while the
+    Spark side keys on event_id alone — equivalent ONLY while duplicates
+    of an event_id are bit-identical rows. The registry dedup demos build
+    duplicates by replaying the table against itself, so the contract is
+    exactly 'event_id is unique in the source table'; enforce it here
+    rather than assume it in a comment."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.io import load_table
+
+    for sf in (SF_UNIT, "/root/testdata/sf0.01"):
+        e = load_table(spark, sf, "events")
+        dup = (
+            e.groupBy("event_id").count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        assert not dup, f"duplicate event_id in {sf}: {dup}"
+
+
 def test_streaming_enrich_matches_batch(spark):
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.streaming.ops import (
