@@ -82,8 +82,11 @@ def ngram_jaccard_pairs(
     block (n_chars // block_chars); overlap reported as exact integers
     (inter/union sizes) — no float ratios.
 
-    At 100 TB the blocking key bounds the join fan-out; swap the length
-    block for LSH bands (below) when recall matters more than cost.
+    RECALL CAVEAT: length blocking misses near-dup pairs that straddle a
+    block boundary (e.g. 99 vs 101 chars). Use this form only when the
+    cheap candidate key matters more than recall;
+    ``ngram_jaccard_pairs_banded`` (the default candidate generator —
+    MinHash-LSH bands) has no length-boundary failure mode.
     """
     s = _with_shingles(docs, n)
     a = s.select(
@@ -109,6 +112,32 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("inter_size") >= min_inter)
     )
+
+
+def ngram_jaccard_pairs_banded(
+    docs: DataFrame, n: int = 3, min_inter: int = 2
+) -> DataFrame:
+    """The DEFAULT near-dup Jaccard pipeline: MinHash-LSH banded candidate
+    generation + exact shingle-set verification. Unlike the length-block
+    variant it has no block-boundary recall hole — a pair is a candidate
+    whenever any signature band collides, which is driven by actual
+    content similarity, not by document length landing in the same bucket.
+
+    Cost shape at 100 TB: signatures are one md5 per shingle + k mins in
+    one groupBy; candidates are an equi-join on (band, band_key);
+    verification re-joins the shingle arrays only for candidate pairs —
+    every step is a narrow projection or an equi-join on well-spread hash
+    keys, never all-pairs."""
+    s = _with_shingles(docs, n)
+    cands = lsh_candidate_pairs(minhash_sig_array(docs, n=n))
+    a = s.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b = s.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    pairs = cands.join(a, "a_id").join(b, "b_id")
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh"))).cast("long")
+    union = (F.size("a_sh") + F.size("b_sh")).cast("long") - inter
+    return pairs.select(
+        "a_id", "b_id", inter.alias("inter_size"), union.alias("union_size")
+    ).filter(F.col("inter_size") >= min_inter)
 
 
 def minhash_sig_array(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:

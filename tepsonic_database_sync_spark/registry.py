@@ -717,6 +717,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default Jaccard near-dup pipeline: MinHash-LSH banded candidates +
+    exact shingle verification — no length-block recall hole."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import ngram_jaccard_pairs_banded
+
+    return ngram_jaccard_pairs_banded(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (4 bands × 4 rows); banding is sliced
     from the array signatures — no second shuffle."""
@@ -1826,6 +1835,27 @@ SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """,
+    "dedup_jaccard_banded": f"""
+WITH {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ',')) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter_size,
+       CAST(len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS union_size
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.a_id
+JOIN sh sb ON sb.doc_id = c.b_id
+WHERE len(list_intersect(sa.shingles, sb.shingles)) >= 2
+""",
     "dedup_simhash": f"""
 WITH {_D_TOKS},
 ex AS (SELECT doc_id, unnest(t) AS tk FROM toks),
@@ -2262,6 +2292,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, _O["dedup_minhash_sigs"]),
+    "dedup_jaccard_banded": (q_dedup_jaccard_banded, _O["dedup_jaccard_banded"]),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _O["dedup_minhash_lsh"]),
     "dedup_clusters": (q_dedup_clusters, _O["dedup_clusters"]),
     "dedup_simhash": (q_dedup_simhash, _O["dedup_simhash"]),
