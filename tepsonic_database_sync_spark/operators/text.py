@@ -205,6 +205,102 @@ def top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
     return counts.orderBy(F.col("n").desc(), F.col("term")).limit(k)
 
 
+def iln_milli(x_milli: Column) -> Column:
+    """Portable integer natural log: ln(X/1000)·1000 for a fixed-point
+    milli input X ≥ 1, using floor(log2) + linear interpolation within the
+    octave — every step is integer arithmetic (or a float op whose floor
+    is provably exact for X < 2^34), so Spark and DuckDB agree bit-for-bit
+    by construction. Max approximation error ~0.061 nats (the log2-linear
+    interpolation bound · ln 2) — documented as part of the scoring
+    definition; relevance scoring needs monotone consistency, not libm.
+    """
+    k = F.floor(F.log2(x_milli)).cast("long")
+    p2k = F.pow(F.lit(2.0), k.cast("double")).cast("long")
+    frac = F.floor(((x_milli - p2k) * 1000) / p2k).cast("long")
+    log2m = k * 1000 + frac
+    return F.floor((log2m * 693147) / 1000000).cast("long") - 6908
+
+
+def bm25_tfidf(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """BM25 + TF-IDF document scoring against a fixed query — the
+    relevance primitive of a corpus pipeline, in engine-exact fixed-point:
+
+    - idf_bm25 = max(0, ln((N - df + 0.5)/(df + 0.5)))  [Robertson-Spärck
+      Jones, the standard BM25 idf, negative values clamped]
+    - tf_norm = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    - bm25 = Σ idf_bm25 · tf_norm;  tfidf = Σ tf · max(0, ln(N/df))
+
+    All ratios are milli-fixed-point integers and the log is ``iln_milli``
+    — no float division, no libm dependence, so the DuckDB oracle matches
+    exactly.
+
+    Scale shape: per-doc term counts are array expressions over the token
+    array (narrow, codegen'd, |Q| small); corpus stats (N, avgdl, df per
+    term) are ONE aggregation producing a single row that broadcasts back.
+    One shuffle total at any corpus size — the classic one-pass scoring
+    plan."""
+    toks_col = tokens(F.col("text"))
+    base = docs.select("doc_id", toks_col.alias("t")).select(
+        "doc_id",
+        F.size("t").cast("long").alias("dl"),
+        # NB: the lambda must stay 1-ary — a second parameter (even a
+        # defaulted one) makes F.filter pass the element INDEX into it
+        *[
+            F.size(F.filter(F.col("t"), lambda x: x == F.lit(query_terms[i])))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.floor((F.sum("dl") * 1000) / F.count("*")).cast("long").alias("avgdl_milli"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).cast("long").alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+
+    zero = F.lit(0).cast("long")
+    bm25 = zero
+    tfidf = zero
+    for i in range(len(query_terms)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        n = F.col("n_docs")
+        # (N - df + 0.5)/(df + 0.5) in milli = ((2(N-df)+1)·1000) // (2df+1)
+        x_bm25 = F.floor(((2 * (n - df) + 1) * 1000) / (2 * df + 1)).cast("long")
+        idf_b = F.greatest(zero, iln_milli(F.greatest(x_bm25, F.lit(1))))
+        denom = tf * 1000 + F.floor(
+            (
+                k1_milli
+                * (
+                    (1000 - b_milli)
+                    + F.floor((F.lit(b_milli) * F.col("dl") * 1000) / F.col("avgdl_milli"))
+                )
+            )
+            / 1000
+        ).cast("long")
+        tf_norm = F.floor((tf * (k1_milli + 1000) * 1000) / denom).cast("long")
+        bm25 = bm25 + F.floor((idf_b * tf_norm) / 1000).cast("long")
+        # plain tf-idf: tf · max(0, ln(N/df)); df = 0 contributes nothing
+        x_tfidf = F.floor((n * 1000) / F.greatest(df, F.lit(1))).cast("long")
+        idf_t = F.greatest(zero, iln_milli(F.greatest(x_tfidf, F.lit(1))))
+        tfidf = tfidf + F.when(df > 0, tf * idf_t).otherwise(zero)
+
+    return j.select(
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        bm25.cast("long").alias("bm25_milli"),
+        tfidf.cast("long").alias("tfidf_milli"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the normalized text (exact-dup key)
     plus a 60-bit integer form for compact joins."""

@@ -636,6 +636,21 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed scoring query: one rare term (positive idf), two common terms
+# (BM25 idf clamps to 0, plain tf-idf stays slightly positive)
+BM25_TERMS = ["dup", "vector", "spark"]
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + TF-IDF relevance scores for a fixed 3-term query —
+    milli-fixed-point integers via the portable iln_milli log, so the
+    DuckDB oracle is bit-exact."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import bm25_tfidf
+
+    return bm25_tfidf(load_table(spark, sf_dir, "documents"), BM25_TERMS)
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (64-token windows, 16 overlap) — one row
     per chunk with its token count and text."""
@@ -1296,7 +1311,63 @@ FROM m
 """
 
 
+def _d_iln(x: str) -> str:
+    """DuckDB twin of operators.text.iln_milli: ln(X/1000)·1000 for a
+    fixed-point milli BIGINT expr ``x`` — floor(log2) + in-octave linear
+    interpolation, all integer ops (// is BIGINT division)."""
+    k = f"CAST(floor(log2({x})) AS BIGINT)"
+    p = f"CAST(power(2, floor(log2({x}))) AS BIGINT)"
+    return f"((({k} * 1000 + (({x} - {p}) * 1000) // {p}) * 693147) // 1000000 - 6908)"
+
+
+def _bm25_oracle(terms: list[str], k1_milli: int = 1200, b_milli: int = 750) -> str:
+    """DuckDB twin of operators.text.bm25_tfidf for the fixed query."""
+    tf_cols = ",\n  ".join(
+        f"CAST(len(list_filter(t, x -> x = '{q}')) AS BIGINT) AS tf_{i}"
+        for i, q in enumerate(terms)
+    )
+    df_cols = ",\n  ".join(
+        f"CAST(count(*) FILTER (tf_{i} > 0) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    bm25_terms, tfidf_terms = [], []
+    for i in range(len(terms)):
+        x_b = f"greatest(((2 * (n_docs - df_{i}) + 1) * 1000) // (2 * df_{i} + 1), 1)"
+        idf_b = f"greatest(0, {_d_iln(x_b)})"
+        denom = (
+            f"(tf_{i} * 1000 + ({k1_milli} * ({1000 - b_milli} "
+            f"+ ({b_milli} * dl * 1000) // avgdl_milli)) // 1000)"
+        )
+        tf_norm = f"((tf_{i} * {k1_milli + 1000} * 1000) // {denom})"
+        bm25_terms.append(f"(({idf_b}) * {tf_norm}) // 1000")
+        x_t = f"greatest((n_docs * 1000) // greatest(df_{i}, 1), 1)"
+        idf_t = f"greatest(0, {_d_iln(x_t)})"
+        tfidf_terms.append(f"CASE WHEN df_{i} > 0 THEN tf_{i} * ({idf_t}) ELSE 0 END")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+  {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         (CAST(sum(dl) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS avgdl_milli,
+  {df_cols}
+  FROM base
+)
+SELECT doc_id, dl AS n_tokens,
+       CAST({" + ".join(bm25_terms)} AS BIGINT) AS bm25_milli,
+       CAST({" + ".join(tfidf_terms)} AS BIGINT) AS tfidf_milli
+FROM base, stats
+"""
+
+
 _O = {
+    "text_bm25": _bm25_oracle(BM25_TERMS),
     "sync_pipeline": oracle.prefix("options") + "\nSELECT * FROM options",
     "sync_summary": oracle.prefix("matched")
     + """,
@@ -2289,6 +2360,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_winnow": (q_text_winnow, _O["text_winnow"]),
     "text_chunks": (q_text_chunks, _O["text_chunks"]),
     "text_scrub": (q_text_scrub, _O["text_scrub"]),
+    "text_bm25": (q_text_bm25, _O["text_bm25"]),
     "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, _O["dedup_minhash_sigs"]),

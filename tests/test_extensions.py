@@ -341,6 +341,21 @@ def test_connected_components_nonconvergence_raises(spark):
     assert got == {i: 1 for i in range(1, 7)}
 
 
+def test_iln_milli_within_documented_bound(spark):
+    """The portable fixed-point log must stay within its documented
+    ~0.061-nat approximation bound of true ln everywhere."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.text import iln_milli
+
+    xs = spark.range(1, 3000).select((F.col("id") * 37).alias("x"))
+    for r in xs.select("x", iln_milli(F.col("x")).alias("l")).collect():
+        true = math.log(r["x"] / 1000) * 1000
+        assert abs(r["l"] - true) <= 63, (r["x"], r["l"], true)
+
+
 def test_sampling_invariant_under_repartition(spark):
     """The whole point of hash-based sampling: identical membership no
     matter how the data is partitioned."""
