@@ -1,0 +1,92 @@
+"""Approximate sketch aggregates, PAIRED with exact checks.
+
+At 100 TB, exact ``count(DISTINCT …)`` and exact ``percentile`` are the
+expensive aggregations: distinct needs a full shuffle of the distinct
+keys, percentile needs a sort (or a full value multiset) per group. The
+scale substitutes are sketches — HyperLogLog++ (``approx_count_distinct``)
+and t-digest (``approx_percentile``) — which are one-pass, fixed-memory,
+and mergeable (partial aggregation works, so the shuffle moves a few KB
+per group instead of the value set).
+
+Sketch outputs are engine-specific (HLL register layouts and digest
+compressions differ), so they can never be hash-compared against DuckDB.
+The contract here is the strongest cross-engine check that exists for
+them: emit the EXACT value (oracle-comparable) next to a boolean
+``within_*`` flag asserting the sketch landed inside its documented error
+bound. The oracle pins the exact columns and expects the flag to be TRUE
+— a sketch drifting out of bounds flips the flag and fails the
+correctness gate, exactly like a wrong value would.
+
+No reference counterpart (the reference has no aggregates beyond
+count/sum/min — SURVEY.md §2.5); this is north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_with_sketch_check(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    rsd: float = 0.05,
+    bound_permille: int = 150,
+) -> DataFrame:
+    """Per group: exact distinct count + a flag that HLL++ (relative
+    standard deviation ``rsd``) landed within ``bound_permille``/1000 of
+    it. 150‰ = 3σ at the default rsd — a sketch outside that is broken,
+    not unlucky."""
+    exact = F.count_distinct(F.col(value_col)).cast("long")
+    approx = F.approx_count_distinct(F.col(value_col), rsd).cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        exact.alias("exact_distinct"),
+        approx.alias("__approx"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    within = (
+        F.abs(F.col("__approx") - F.col("exact_distinct")) * 1000
+        <= F.col("exact_distinct") * bound_permille
+    )
+    return agg.select(
+        *group_cols, "exact_distinct", "n_rows", within.alias("within_bound")
+    )
+
+
+def percentile_with_sketch_check(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    pcts: tuple[float, ...] = (0.5, 0.95),
+    accuracy: int = 10000,
+    bound_permille: int = 50,
+    bound_abs: int = 500,
+) -> DataFrame:
+    """Per group: exact (interpolating) percentiles + flags that the
+    t-digest ``approx_percentile`` landed within
+    max(exact·bound_permille/1000, bound_abs) of each. approx_percentile
+    returns a member value whose rank error is ≤ n/accuracy, so the value
+    gap is bounded by the local quantile density — the generous default
+    bounds hold at any scale factor while still catching a broken digest."""
+    v = value.alias("__v")
+    base = df.select(*group_cols, v)
+    aggs = []
+    for p in pcts:
+        tag = str(int(p * 100))
+        aggs.append(F.percentile(F.col("__v"), p).alias(f"p{tag}_exact"))
+        aggs.append(
+            F.percentile_approx(F.col("__v"), F.lit(p), F.lit(accuracy)).alias(
+                f"__p{tag}_approx"
+            )
+        )
+    aggs.append(F.count("*").cast("long").alias("n_rows"))
+    agg = base.groupBy(*group_cols).agg(*aggs)
+    out_cols: list[Column | str] = [*group_cols, "n_rows"]
+    for p in pcts:
+        tag = str(int(p * 100))
+        exact, approx = F.col(f"p{tag}_exact"), F.col(f"__p{tag}_approx")
+        tol = F.greatest(F.abs(exact) * bound_permille / 1000, F.lit(float(bound_abs)))
+        out_cols.append(exact)
+        out_cols.append((F.abs(approx - exact) <= tol).alias(f"p{tag}_within"))
+    return agg.select(*out_cols)

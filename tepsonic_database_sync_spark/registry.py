@@ -499,6 +499,35 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count sketch vs exact: exact counts are oracle-
+    hashed; the within_bound flag turns a drifting sketch into a hard
+    correctness failure (the 100 TB plan uses the sketch, the oracle
+    keeps it honest)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sketches import (
+        distinct_with_sketch_check,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    return distinct_with_sketch_check(li, ["l_returnflag"], "l_partkey")
+
+
+def q_sketch_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest approx_percentile vs exact interpolating percentile, per
+    segment — same pairing contract as sketch_distinct."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sketches import (
+        percentile_with_sketch_check,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return percentile_with_sketch_check(j, ["c_mktsegment"], cents)
+
+
 def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped: distribution of orders-per-customer — left outer
     join (customers with zero orders count at 0) + two-level aggregation."""
@@ -1670,6 +1699,25 @@ SELECT c.c_mktsegment,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
+    "sketch_distinct": """
+SELECT l_returnflag,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+    "sketch_percentile": """
+SELECT c.c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  quantile_cont(o.cents, 0.5) AS p50_exact,
+  TRUE AS p50_within,
+  quantile_cont(o.cents, 0.95) AS p95_exact,
+  TRUE AS p95_within
+FROM (SELECT o_custkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders) o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
     "tpch_q13_custdist": """
 SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
   SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
@@ -2351,6 +2399,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cohort_retention": (q_cohort_retention, _O["cohort_retention"]),
     "stratified_sample": (q_stratified_sample, _O["stratified_sample"]),
     "percentiles": (q_percentiles, _O["percentiles"]),
+    "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),
+    "sketch_percentile": (q_sketch_percentile, _O["sketch_percentile"]),
     "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
     "text_stats": (q_text_stats, _O["text_stats"]),
     "text_lang_id": (q_text_lang_id, _O["text_lang_id"]),

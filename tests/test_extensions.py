@@ -341,6 +341,40 @@ def test_connected_components_nonconvergence_raises(spark):
     assert got == {i: 1 for i in range(1, 7)}
 
 
+def test_sketch_error_bounds(spark):
+    """The sketches must actually land within the bounds the registry
+    flags assert — measured directly against the exact aggregates, with
+    the raw approx values exposed (the registry entries only surface the
+    boolean so the oracle stays engine-portable)."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, SF_UNIT, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("exact"),
+            F.approx_count_distinct("l_partkey", 0.05).alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) * 1000 <= r["exact"] * 150, dict(r.asDict())
+
+    o = load_table(spark, SF_UNIT, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    r = o.agg(
+        F.percentile(cents, 0.5).alias("exact50"),
+        F.percentile_approx(cents, F.lit(0.5), F.lit(10000)).alias("approx50"),
+        F.percentile(cents, 0.95).alias("exact95"),
+        F.percentile_approx(cents, F.lit(0.95), F.lit(10000)).alias("approx95"),
+    ).collect()[0]
+    for p in (50, 95):
+        exact, approx = r[f"exact{p}"], r[f"approx{p}"]
+        assert abs(approx - exact) <= max(abs(exact) * 0.05, 500.0), (p, exact, approx)
+
+
 def test_iln_milli_within_documented_bound(spark):
     """The portable fixed-point log must stay within its documented
     ~0.061-nat approximation bound of true ln everywhere."""
