@@ -341,6 +341,56 @@ def test_connected_components_nonconvergence_raises(spark):
     assert got == {i: 1 for i in range(1, 7)}
 
 
+def test_star_contraction_matches_union_find(spark):
+    """The O(log n)-round large-star/small-star body must produce exactly
+    the right components — checked against a pure-Python union-find
+    oracle (NOT the min-label propagation body, which needs one Spark
+    round per hop and would make the deep-chain case take minutes) — on
+    a random graph, a deep chain (where contraction's O(log²) round
+    bound is the whole point), and an edgeless node set."""
+    import random
+
+    from tepsonic_database_sync_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    def union_find_components(n, pairs):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(n)}
+
+    rng = random.Random(42)
+    n = 60
+    cases = [
+        [(rng.randrange(n), rng.randrange(n)) for _ in range(40)],  # random
+        [(i, i + 1) for i in range(1, 40)],  # deep chain
+        [],  # edgeless
+    ]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        comp = union_find_components(n, pairs)
+        want = {(i, comp[i]) for i in range(n)}
+        edges = spark.createDataFrame(
+            pairs or [(0, 0)], "a_id long, b_id long"
+        ).filter("a_id <> b_id")
+        got = {
+            (r["node"], r["comp"])
+            for r in connected_components_star(edges, nodes).collect()
+        }
+        assert got == want, f"pairs={pairs[:5]}..."
+
+
 def test_sketch_error_bounds(spark):
     """The sketches must actually land within the bounds the registry
     flags assert — measured directly against the exact aggregates, with

@@ -109,6 +109,41 @@ def test_aggregate_is_partial_then_final(spark):
     assert "partial_sum" in plan
 
 
+def test_bm25_is_single_shuffle_jvm_side(spark):
+    """BM25 must compile to: narrow per-doc projection → ONE aggregation
+    for corpus stats → broadcast back. No Python eval, no sort-merge join,
+    no second fact-side shuffle — the one-pass scoring plan that runs at
+    scan speed on a 100 TB corpus."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import bm25_tfidf
+    from tepsonic_database_sync_spark.registry import BM25_TERMS
+
+    docs = load_table(spark, SF_UNIT, "documents")
+    plan = plan_of(bm25_tfidf(docs, BM25_TERMS))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan or (
+        "CartesianProduct" not in plan
+    )
+    # the single-row stats side must broadcast, never shuffle the corpus
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # stats aggregation map-side combines
+
+
+def test_sketch_aggregates_do_partial_aggregation(spark):
+    """HLL++/t-digest sketches must partial-aggregate (their whole point:
+    mergeable fixed-size state moves through the shuffle, not values)."""
+    from tepsonic_database_sync_spark.registry import (
+        q_sketch_distinct,
+        q_sketch_percentile,
+    )
+
+    plan_d = plan_of(q_sketch_distinct(spark, SF_UNIT))
+    assert "partial_approx_count_distinct" in plan_d
+    plan_p = plan_of(q_sketch_percentile(spark, SF_UNIT))
+    assert "partial_percentile_approx" in plan_p
+    assert "BatchEvalPython" not in plan_d + plan_p
+
+
 def test_topk_uses_take_ordered(spark):
     """orderBy+limit must compile to TakeOrderedAndProject (per-partition
     top-k then merge), never a global sort of the full table."""
