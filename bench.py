@@ -102,7 +102,10 @@ def main() -> None:
               file=sys.stderr)
 
     qs = registry.queries()
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-3: this VM shows multi-x CPU-steal spikes (observed 4.6s /
+    # 42s / 8.0s for byte-identical plans); two samples aren't enough to
+    # reliably catch a steal-free window
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:

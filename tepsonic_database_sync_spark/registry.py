@@ -753,6 +753,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as ``dedup_clusters``, computed by the
+    large-star/small-star contraction body (O(log² component size)
+    rounds instead of O(diameter) — the variant that survives deep
+    chain-shaped components at web-graph scale); checked against the
+    identical recursive-CTE transitive-closure oracle."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        connected_components_star,
+        lsh_candidate_pairs,
+        minhash_sig_array,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(eager=True)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return connected_components_star(pairs, nodes).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
 def q_dedup_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default Jaccard near-dup pipeline: MinHash-LSH banded candidates +
     exact shingle verification — no length-block recall hole."""
@@ -1056,6 +1077,20 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.sum(_cents("l_extendedprice")).cast("long").alias("sum_cents"),
         F.count("*").cast("long").alias("n"),
+    )
+
+
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus) with an explicit grouping_id column —
+    all four grouping sets in one shuffle (Spark expands the cube
+    map-side; partial aggregation still applies per grouping set)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents("l_extendedprice")).cast("long").alias("sum_cents"),
+        F.count("*").cast("long").alias("n"),
+        F.grouping_id().cast("long").alias("gid"),
     )
 
 
@@ -2098,6 +2133,13 @@ SELECT l_returnflag, l_linestatus,
   CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
+    "cube_sales": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
     "pivot_segment_priority": """
 SELECT c_mktsegment,
   CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS p1,
@@ -2378,10 +2420,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a3_merge_idempotent": (q_a3_merge_idempotent, _O["a3_merge_idempotent"]),
     "a4_stock_totals": (q_a4_stock_totals, _O["a4_stock_totals"]),
     # --- dedup family ----------------------------------------------------
-    "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
     "dedup_jaccard_banded": (q_dedup_jaccard_banded, _O["dedup_jaccard_banded"]),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _O["dedup_minhash_lsh"]),
     "dedup_clusters": (q_dedup_clusters, _O["dedup_clusters"]),
+    # star-contraction body, identical transitive-closure oracle
+    "dedup_clusters_star": (q_dedup_clusters_star, _O["dedup_clusters"]),
     "dedup_simhash": (q_dedup_simhash, _O["dedup_simhash"]),
     "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
     # --- similarity / ANN family ----------------------------------------
@@ -2395,7 +2438,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_resize": (q_multimodal_resize, _O["multimodal_resize"]),
     # --- text family -----------------------------------------------------
-    "text_stats": (q_text_stats, _O["text_stats"]),
     "text_bm25": (q_text_bm25, _O["text_bm25"]),
     # --- sketches ---------------------------------------------------------
     "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),
@@ -2413,12 +2455,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q6_sql": (q_tpch_q6_sql, _O["tpch_q6_sql"]),
     "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),
     "rollup_sales": (q_rollup_sales, _O["rollup_sales"]),
+    "cube_sales": (q_cube_sales, _O["cube_sales"]),
     "pivot_segment_priority": (q_pivot_segment_priority, _O["pivot_segment_priority"]),
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
     # (family variants, each with a green row in CORRECTNESS_r01)
+    "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
+    "text_stats": (q_text_stats, _O["text_stats"]),
     "p3_uid_coalesce": (q_p3_uid_coalesce, _O["p3_uid_coalesce"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
     "p4_cents_to_dollars": (q_p4_cents_to_dollars, _O["p4_cents_to_dollars"]),
