@@ -77,3 +77,102 @@ def test_streaming_enrich_matches_batch(spark):
         q.stop()
         out = spark.sql("SELECT * FROM t_enrich").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+
+
+def test_streaming_sessions_ttl_event_time(spark):
+    """TTL sessionization via applyInPandasWithState + EventTimeTimeout:
+    sessions must close on BOTH paths — 'gap' (a late event for the same
+    key opens a new session in the same batch) and 'timeout' (the
+    watermark passes session_end + gap with no new event for the key) —
+    and the emitted aggregates must match a pure-Python sessionization of
+    the same events. Deterministic: timeouts are event-time (watermark-
+    driven by a sentinel event on an unrelated key), never wall-clock."""
+    import pandas as pd
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+        streaming_sessions_ttl,
+    )
+
+    events = load_table(spark, SF_UNIT, "events").filter("user_id < 15")
+    rows = events.select("user_id", "ts", "value").collect()
+    max_ms = max(int(r["ts"].timestamp() * 1000) for r in rows)
+
+    # pure-Python oracle: per-user gap sessionization over ALL events
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (int(r["ts"].timestamp() * 1000), int(round(float(r["value"]) * 100)))
+        )
+    expected = set()
+    for uid, evs in by_user.items():
+        evs.sort()
+        start = end = None
+        n = cents = 0
+        for t, c in evs:
+            if start is None:
+                start, end, n, cents = t, t, 1, c
+            elif t - end > SESSION_GAP_MS:
+                expected.add((uid, start, end, n, cents))
+                start, end, n, cents = t, t, 1, c
+            else:
+                end, n, cents = max(end, t), n + 1, cents + c
+        expected.add((uid, start, end, n, cents))
+
+    with tempfile.TemporaryDirectory() as d:
+        events.write.mode("overwrite").parquet(d)
+        stream = streaming_sessions_ttl(spark, d, events.schema)
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_sessions_ttl")
+            .start()
+        )
+        q.processAllAvailable()
+        # batch 2: one sentinel event on an unrelated key far in the
+        # future — advances the watermark past every open session's
+        # timeout timestamp
+        sent = pd.DataFrame(
+            {
+                "event_id": [10**9],
+                "ts": [pd.Timestamp(max_ms + 100 * SESSION_GAP_MS, unit="ms")],
+                "user_id": [10**6],
+                "event_type": ["sentinel"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        )
+        spark.createDataFrame(sent, schema=events.schema).write.mode(
+            "append"
+        ).parquet(d)
+        q.processAllAvailable()
+        # batch 3: empty-ish trigger so timeouts scheduled against the
+        # batch-2 watermark actually fire
+        spark.createDataFrame(
+            sent.assign(event_id=10**9 + 1), schema=events.schema
+        ).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql(
+            "SELECT user_id, session_start_ms, session_end_ms, n_events,"
+            " value_cents, closed_by FROM t_sessions_ttl WHERE user_id < 15"
+        ).collect()
+
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"],
+         r["n_events"], r["value_cents"]): r["closed_by"]
+        for r in out
+    }
+    assert set(got) == expected
+    # both close paths must actually occur in this data
+    assert "timeout" in got.values()
+    if len(expected) > len(by_user):  # some user has >1 session
+        assert "gap" in got.values()
+    # every user's LAST session (no later event) closes by timeout
+    last = {}
+    for uid, start, end, n, cents in expected:
+        if uid not in last or end > last[uid][2]:
+            last[uid] = (uid, start, end, n, cents)
+    for key in last.values():
+        assert got[key] == "timeout", key
