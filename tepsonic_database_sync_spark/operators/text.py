@@ -121,6 +121,80 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return stats.select("doc_id", score.cast("long").alias("quality"))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher/C4-style repetition signals — the quality rules
+    ``quality_score`` doesn't cover: repeated n-gram share and duplicate
+    line share, per document, integer permille.
+
+    - ``top_bigram_permille``: occurrences of the MOST frequent bigram /
+      total bigrams (Gopher's "fraction of characters in most common
+      2-gram", token-count form);
+    - ``dup_trigram_permille``: occurrences of trigrams appearing more
+      than once / total trigrams ("fraction in duplicated 3-grams");
+    - ``dup_line_permille``: occurrences of normalized lines appearing
+      more than once / total non-empty lines (C4's repeated-line rule).
+
+    Plan: one codegen'd projection fans out (kind, gram) rows, ONE
+    shuffle on (doc_id, kind, gram) with map-side partial counts, a
+    per-doc conditional rollup, then a broadcast-size join back to the
+    doc list — linear in tokens, the same shape MinHash uses; no Python,
+    no per-doc quadratic work."""
+    t = tokens(F.col("text"))
+
+    def grams(arr: Column, n: int) -> Column:
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, i + k) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.lower(F.trim(l))),
+        lambda l: l != "",
+    )
+    tagged = lambda arr, kind: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram"))
+    )
+    long = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    tagged(grams(t, 2), "2"),
+                    tagged(grams(t, 3), "3"),
+                    tagged(lines, "L"),
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.kind").alias("kind"), F.col("x.gram").alias("gram"))
+    )
+    counts = long.groupBy("doc_id", "kind", "gram").agg(F.count("*").alias("c"))
+    k = lambda kind: F.col("kind") == kind  # noqa: E731
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max(F.when(k("2"), F.col("c"))).alias("top2"),
+        F.sum(F.when(k("2"), F.col("c"))).alias("n2"),
+        F.sum(F.when(k("3") & (F.col("c") > 1), F.col("c"))).alias("dup3"),
+        F.sum(F.when(k("3"), F.col("c"))).alias("n3"),
+        F.sum(F.when(k("L") & (F.col("c") > 1), F.col("c"))).alias("dupl"),
+        F.sum(F.when(k("L"), F.col("c"))).alias("nl"),
+    )
+    z = lambda c: F.coalesce(c, F.lit(0)).cast("long")  # noqa: E731
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            _permille(z(F.col("top2")), z(F.col("n2"))).alias("top_bigram_permille"),
+            _permille(z(F.col("dup3")), z(F.col("n3"))).alias("dup_trigram_permille"),
+            _permille(z(F.col("dupl")), z(F.col("nl"))).alias("dup_line_permille"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
 ) -> DataFrame:

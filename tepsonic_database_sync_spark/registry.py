@@ -670,6 +670,15 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_TERMS = ["dup", "vector", "spark"]
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition quality rules: top-bigram share, duplicated-
+    trigram share, duplicate-line share (integer permille) per document."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 + TF-IDF relevance scores for a fixed 3-term query —
     milli-fixed-point integers via the portable iln_milli log, so the
@@ -1846,6 +1855,51 @@ SELECT doc_id, CAST(
   + (CASE WHEN uniq_permille > 300 THEN 25 ELSE 0 END) AS BIGINT) AS quality
 FROM s
 """,
+    "text_repetition": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t, text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+         i -> t[i] || ' ' || t[i+1]) ELSE [] END AS g2,
+    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3,
+    list_filter(list_transform(string_split(text, chr(10)),
+                l -> lower(trim(l))), l -> l <> '') AS gl
+  FROM toks
+),
+longf AS (
+  SELECT doc_id, '2' AS kind, unnest(g2) AS gram FROM base
+  UNION ALL SELECT doc_id, '3' AS kind, unnest(g3) AS gram FROM base
+  UNION ALL SELECT doc_id, 'L' AS kind, unnest(gl) AS gram FROM base
+),
+counts AS (
+  SELECT doc_id, kind, gram, count(*) AS c FROM longf GROUP BY doc_id, kind, gram
+),
+per_doc AS (
+  SELECT doc_id,
+    max(CASE WHEN kind = '2' THEN c END) AS top2,
+    sum(CASE WHEN kind = '2' THEN c END) AS n2,
+    sum(CASE WHEN kind = '3' AND c > 1 THEN c END) AS dup3,
+    sum(CASE WHEN kind = '3' THEN c END) AS n3,
+    sum(CASE WHEN kind = 'L' AND c > 1 THEN c END) AS dupl,
+    sum(CASE WHEN kind = 'L' THEN c END) AS nl
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN coalesce(n2, 0) > 0
+       THEN (coalesce(top2, 0) * 1000) // n2 ELSE 0 END AS BIGINT)
+    AS top_bigram_permille,
+  CAST(CASE WHEN coalesce(n3, 0) > 0
+       THEN (coalesce(dup3, 0) * 1000) // n3 ELSE 0 END AS BIGINT)
+    AS dup_trigram_permille,
+  CAST(CASE WHEN coalesce(nl, 0) > 0
+       THEN (coalesce(dupl, 0) * 1000) // nl ELSE 0 END AS BIGINT)
+    AS dup_line_permille
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
     "text_scrub": r"""
 WITH injected AS (
   SELECT doc_id,
@@ -2439,12 +2493,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_resize": (q_multimodal_resize, _O["multimodal_resize"]),
     # --- text family -----------------------------------------------------
     "text_bm25": (q_text_bm25, _O["text_bm25"]),
+    "text_repetition": (q_text_repetition, _O["text_repetition"]),
     # --- sketches ---------------------------------------------------------
     "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),
     "sketch_percentile": (q_sketch_percentile, _O["sketch_percentile"]),
     # --- streaming / events representatives ------------------------------
     "stream_tumbling": (q_stream_tumbling, _O["stream_tumbling"]),
-    "funnel": (q_funnel, _O["funnel"]),
     # --- temporal joins ---------------------------------------------------
     "asof_join": (q_asof_join, _O["asof_join"]),
     "range_join": (q_range_join, _O["range_join"]),
@@ -2464,6 +2518,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (family variants, each with a green row in CORRECTNESS_r01)
     "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
     "text_stats": (q_text_stats, _O["text_stats"]),
+    "funnel": (q_funnel, _O["funnel"]),
     "p3_uid_coalesce": (q_p3_uid_coalesce, _O["p3_uid_coalesce"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
     "p4_cents_to_dollars": (q_p4_cents_to_dollars, _O["p4_cents_to_dollars"]),

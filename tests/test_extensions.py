@@ -463,3 +463,35 @@ def test_sampling_invariant_under_repartition(spark):
         map(tuple, stratified_sample(e.repartition(11), "event_type", "event_id", 5).collect())
     )
     assert s1 == s2
+
+
+def test_repetition_stats_lines_and_grams(spark):
+    """The duplicate-line rule can't be exercised by the corpus (no
+    newlines in the test documents) — drive it with synthetic docs, and
+    hand-check the gram shares."""
+    from tepsonic_database_sync_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 'dup line' twice -> dupl=2, nl=4 -> 500.
+            # whitespace split treats \n as a separator, so the token
+            # stream is [a b a b a dup line dup line]: 8 bigrams with
+            # 'a b'/'b a'/'dup line' each twice -> top2 2/8 -> 250;
+            # 7 trigrams with 'a b a' twice -> dup3 2/7 -> 285
+            (1, "a b\na b a\ndup line\ndup line"),
+            (2, "x y z"),  # no repeats: top bigram 1/2 -> 500, dup3 0, 1 line
+            (3, ""),  # empty: all zero
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = got[1]
+    assert r1["dup_line_permille"] == 500
+    assert r1["dup_trigram_permille"] == 285
+    assert r1["top_bigram_permille"] == 250
+    r2 = got[2]
+    assert (r2["top_bigram_permille"], r2["dup_trigram_permille"],
+            r2["dup_line_permille"]) == (500, 0, 0)
+    r3 = got[3]
+    assert (r3["top_bigram_permille"], r3["dup_trigram_permille"],
+            r3["dup_line_permille"]) == (0, 0, 0)

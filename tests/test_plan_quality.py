@@ -152,3 +152,15 @@ def test_topk_uses_take_ordered(spark):
     o = load_table(spark, SF_UNIT, "orders")
     q = o.orderBy(F.col("o_totalprice").desc()).limit(5)
     assert "TakeOrderedAndProject" in plan_of(q)
+
+
+def test_repetition_stats_jvm_side_partial_agg(spark):
+    """Repetition rules must stay whole-stage-codegen'd: gram fan-out is
+    an array generator (no Python), gram counts partial-aggregate before
+    the (doc_id, kind, gram) shuffle."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import repetition_stats
+
+    plan = plan_of(repetition_stats(load_table(spark, SF_UNIT, "documents")))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan
