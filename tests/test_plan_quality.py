@@ -164,3 +164,29 @@ def test_repetition_stats_jvm_side_partial_agg(spark):
     plan = plan_of(repetition_stats(load_table(spark, SF_UNIT, "documents")))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan
+
+
+def test_decontaminate_gram_join_is_broadcast(spark):
+    """The benchmark gram set must broadcast: the training side streams
+    through a map-side hash probe, never a shuffle join on gram text."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import contamination_flags
+
+    plan = contamination_flags(
+        load_table(spark, SF_UNIT, "documents")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """The packing cumsum must partition on the shard key — a global
+    (single-partition) running sum would serialize the whole corpus
+    through one task."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.packing import pack_sequences
+
+    plan = pack_sequences(
+        load_table(spark, SF_UNIT, "documents")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
