@@ -8,7 +8,7 @@ windows over the full event table, no self-joins over raw events.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WEEK_SECS = 7 * 24 * 3600
@@ -73,4 +73,39 @@ def cohort_retention(events: DataFrame) -> DataFrame:
             ),
         )
         .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build from a change
+    stream: per user, collapse consecutive repeats of the tracked
+    attribute (event_type here) into versioned rows with
+    [valid_from, valid_to) ranges and an is_current flag — the standard
+    warehouse modeling of "what was this entity's state at time T".
+
+    Three window passes over ONE partitioning (user_id): change
+    detection (lag), then validity ranges (lead); Spark plans them in a
+    single shuffle + sort. Ordering is (ts, event_id) so simultaneous
+    events resolve deterministically in any engine. Timestamps surface
+    as epoch seconds (BIGINT) for engine-portable comparison.
+
+    At 100 TB the shuffle key is user_id (uniform); no global ordering
+    anywhere. Returns (user_id, state, valid_from, valid_to NULL for
+    open versions, is_current).
+    """
+    es = F.unix_timestamp("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    changes = (
+        events.select("user_id", "event_id", "event_type", es.alias("es"))
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("es", "event_id")
+    versions = changes.withColumn("valid_to", F.lead("es").over(w2))
+    return versions.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("es").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
     )

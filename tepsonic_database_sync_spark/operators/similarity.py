@@ -263,3 +263,97 @@ def embedding_neardup_pairs(
         ).alias("sim_e6"),
     )
     return scored.filter(F.col("sim_e6") >= threshold_e6)
+
+
+def sim_e6_sep(dot: Column, na2: Column, nb2: Column) -> Column:
+    """Cosine in micro-units with SEPARATE norm divisions:
+    round(dot/sqrt(na2)/sqrt(nb2)·1e6). Same value as ``sim_e6`` but
+    never forms na2*nb2 — required when one side is a milli-unit
+    centroid whose squared norm pushes the product past 2^63. Every op
+    is IEEE-correctly-rounded on exactly-representable integers, and
+    both engines evaluate the identical expression tree, so the bits
+    match."""
+    return F.round(
+        dot.cast("double")
+        / F.sqrt(na2.cast("double"))
+        / F.sqrt(nb2.cast("double"))
+        * 1e6,
+        0,
+    ).cast("long")
+
+
+def kmeans_train(emb: DataFrame, n_cells: int = N_CELLS, iters: int = 3) -> DataFrame:
+    """Exact-integer spherical k-means — the IVF coarse-quantizer TRAINER
+    (``ivf_topk``'s docstring defers training here). Lloyd's algorithm
+    with every step engine-exact:
+
+    - init: the ``n_cells`` lowest vec_ids (deterministic seed),
+      centroids in milli-units (iv × 1000);
+    - assign: nearest centroid by cosine (ties → min cent_id) — cosine
+      is scale-invariant, so milli-unit centroids need no rescaling;
+    - update: per-component fixed-point mean ``(1000·sum) DIV count`` —
+      exact integer arithmetic, truncation-division semantics identical
+      in Spark (DIV) and DuckDB (//). Cells that lose all members drop
+      (both engines: groupBy emits no row).
+
+    A fixed ``iters`` rounds (k-means convergence detection is a
+    fixpoint count like connected_components; fixed rounds keep the
+    oracle expressible as an unrolled CTE chain). Per round: one
+    broadcast of the k×d codebook (driver-tiny at any corpus size), one
+    corpus scan for assignment, one groupBy on (cent_id, dim) — k·d
+    groups. The corpus never shuffles on anything wider than the
+    exploded component rows; at 100 TB the dominant cost is the d×
+    component explosion, traded for staying in exact integers (a
+    Pandas-UDF matmul variant would cut constants for d ≥ 1k).
+
+    Returns long-format centroids: (cent_id, dim, c_mil, n_members).
+    """
+    v = _quantized(emb)
+    cents = v.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.transform(F.col("iv"), lambda x: x * 1000).alias("c_mil"),
+        F.lit(1).cast("long").alias("n_members"),
+    )
+    for _ in range(iters):
+        c = cents.withColumn("c_n2", int_dot(F.col("c_mil"), F.col("c_mil")))
+        scored = v.join(F.broadcast(c)).select(
+            "vec_id",
+            "iv",
+            "cent_id",
+            sim_e6_sep(
+                int_dot(F.col("iv"), F.col("c_mil")), F.col("n2"), F.col("c_n2")
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
+        assign = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "iv", "cent_id")
+        )
+        comps = assign.select("cent_id", F.posexplode("iv").alias("dim", "val"))
+        newc = (
+            comps.groupBy("cent_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .select("cent_id", "dim", F.expr("(1000 * s) DIV n").alias("cv"), "n")
+        )
+        # rebuild the centroid arrays; k×d rows — checkpoint keeps the
+        # per-iteration plan shallow and leaves no cache residue
+        cents = (
+            newc.groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c_mil"),
+                F.first("n").cast("long").alias("n_members"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents.select(
+        "cent_id", "n_members", F.posexplode("c_mil").alias("dim", "c_mil")
+    ).select(
+        F.col("cent_id").cast("long").alias("cent_id"),
+        F.col("dim").cast("long").alias("dim"),
+        F.col("c_mil").cast("long").alias("c_mil"),
+        "n_members",
+    )

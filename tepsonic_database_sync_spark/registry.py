@@ -783,6 +783,26 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: per-user versioned state rows with
+    [valid_from, valid_to) ranges and is_current — change detection +
+    validity windows in one user_id shuffle."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import scd2_history
+
+    return scd2_history(load_table(spark, sf_dir, "events"))
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training: 3 rounds of exact-integer
+    spherical k-means over the embeddings (milli-unit fixed-point
+    centroids, truncation-division means) — long-format codebook."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import kmeans_train
+
+    return kmeans_train(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal: LSH pairs → star-contraction clusters
     → one canonical survivor (min doc_id) per cluster with its cluster
@@ -1413,6 +1433,60 @@ iv0 AS (
 v AS (
   SELECT vec_id, label, iv, {n2} AS n2 FROM iv0
 )""".format(n2=_D_IDOT.format(a="iv", b="iv"))
+
+# separate-norm cosine (milli-unit centroids: na2*nb2 would pass 2^63)
+_D_SIM_SEP = (
+    "CAST(ROUND(CAST({dot} AS DOUBLE) / sqrt(CAST({na2} AS DOUBLE))"
+    " / sqrt(CAST({nb2} AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+)
+
+
+def _kmeans_oracle(n_cells: int = 16, iters: int = 3) -> str:
+    """DuckDB twin of ``similarity.kmeans_train``: the same fixed number
+    of Lloyd rounds unrolled as a CTE chain — init c0, then per round
+    (norms → argmax assignment → fixed-point component means)."""
+    parts = [
+        f"""c0 AS (
+  SELECT vec_id AS cent_id, list_transform(iv, x -> x * 1000) AS c_mil,
+         CAST(1 AS BIGINT) AS n_members
+  FROM v WHERE vec_id < {n_cells}
+)"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sim = _D_SIM_SEP.format(
+            dot=_D_IDOT.format(a="v.iv", b="c.c_mil"), na2="v.n2", nb2="c.c_n2"
+        )
+        parts += [
+            f"""cn{t} AS (
+  SELECT cent_id, c_mil, {_D_IDOT.format(a="c_mil", b="c_mil")} AS c_n2
+  FROM {prev}
+)""",
+            f"""a{t} AS (
+  SELECT vec_id, iv, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS rn
+  FROM (SELECT v.vec_id, v.iv, c.cent_id, {sim} AS sim
+        FROM v CROSS JOIN cn{t} c)
+)""",
+            f"""g{t} AS (
+  SELECT cent_id, t.i - 1 AS dim, sum(iv[t.i]) AS s, count(*) AS n
+  FROM a{t}, unnest(range(1, len(iv) + 1)) AS t(i)
+  WHERE rn = 1 GROUP BY cent_id, t.i
+)""",
+            f"""c{t} AS (
+  SELECT cent_id, list((1000 * s) // n ORDER BY dim) AS c_mil,
+         CAST(any_value(n) AS BIGINT) AS n_members
+  FROM g{t} GROUP BY cent_id
+)""",
+        ]
+        prev = f"c{t}"
+    body = ",\n".join([_D_QUANT] + parts)
+    return f"""WITH {body}
+SELECT CAST(cent_id AS BIGINT) AS cent_id, CAST(t.i - 1 AS BIGINT) AS dim,
+       CAST(c_mil[t.i] AS BIGINT) AS c_mil, n_members
+FROM {prev}, unnest(range(1, len(c_mil) + 1)) AS t(i)
+"""
 
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — composed from oracle.py CTEs
@@ -2086,6 +2160,31 @@ SELECT CAST(a.blk AS BIGINT) AS blk,
 FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.shingles, b.shingles)) >= 2
 """,
+    "kmeans_train": _kmeans_oracle(),
+    "scd2_history": """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+c AS (
+  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY es, event_id) AS prev
+  FROM e
+),
+ch AS (
+  SELECT user_id, event_id, event_type, es
+  FROM c WHERE prev IS NULL OR prev <> event_type
+),
+v AS (
+  SELECT *, lead(es) OVER (PARTITION BY user_id
+                           ORDER BY es, event_id) AS valid_to
+  FROM ch
+)
+SELECT user_id, event_type AS state, CAST(es AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to, valid_to IS NULL AS is_current
+FROM v
+""",
     "dedup_canonicalize": f"""
 WITH RECURSIVE {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS},
 banded AS (
@@ -2638,7 +2737,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "s8_upsert": (q_s8_upsert, _O["s8_upsert"]),
     "j2_match_partial": (q_j2_match_partial, _O["j2_match_partial"]),
     "j3_item_lookup": (q_j3_item_lookup, _O["j3_item_lookup"]),
-    "j5_valid_skip_split": (q_j5_valid_skip_split, _O["j5_valid_skip_split"]),
     # distributed REST ingestion with injected transport — rows-only
     "s1_rest_ingest": (q_s1_rest_ingest, None),
     "s2_full_scan": (q_s2_full_scan, _O["s2_full_scan"]),
@@ -2660,10 +2758,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "decontaminate": (q_decontaminate, _O["decontaminate"]),
     "pack_sequences": (q_pack_sequences, _O["pack_sequences"]),
     "mixture_sample": (q_mixture_sample, _O["mixture_sample"]),
+    "scd2_history": (q_scd2_history, _O["scd2_history"]),
     # --- similarity / ANN family ----------------------------------------
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
     "ann_ivf_topk": (q_ann_ivf_topk, _O["ann_ivf_topk"]),
+    # IVF coarse-quantizer training (exact-integer Lloyd rounds)
+    "kmeans_train": (q_kmeans_train, _O["kmeans_train"]),
     # --- multimodal family ----------------------------------------------
     "multimodal_stats": (q_multimodal_stats, _O["multimodal_stats"]),
     "multimodal_frames": (q_multimodal_frames, _O["multimodal_frames"]),
@@ -2676,8 +2777,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- sketches ---------------------------------------------------------
     "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),
     "sketch_percentile": (q_sketch_percentile, _O["sketch_percentile"]),
-    # --- streaming / events representatives ------------------------------
-    "stream_tumbling": (q_stream_tumbling, _O["stream_tumbling"]),
     # --- temporal joins ---------------------------------------------------
     "asof_join": (q_asof_join, _O["asof_join"]),
     "range_join": (q_range_join, _O["range_join"]),
@@ -2697,6 +2796,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
     # (each has a green row in CORRECTNESS_r01)
+    "j5_valid_skip_split": (q_j5_valid_skip_split, _O["j5_valid_skip_split"]),
+    "stream_tumbling": (q_stream_tumbling, _O["stream_tumbling"]),
     "p1_norm_name": (q_p1_norm_name, _O["p1_norm_name"]),
     "f1_status_filter": (q_f1_status_filter, _O["f1_status_filter"]),
     "j1_match_exact": (q_j1_match_exact, _O["j1_match_exact"]),

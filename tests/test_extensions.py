@@ -609,3 +609,54 @@ def test_canonicalize_keeps_one_per_cluster(spark):
     assert all(r["cluster_size"] >= 2 for r in surv)  # every doc has its twin
     assert sum(r["cluster_size"] for r in surv) == n_docs  # exact partition
     assert len(set(ids)) == len(ids)
+
+
+def test_scd2_history_versions(spark):
+    """Known change stream → exact version ranges: consecutive repeats
+    collapse, ranges tile the timeline, open version flagged current."""
+    from tepsonic_database_sync_spark.operators.events import scd2_history
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "A"),
+        (2, "2024-01-01 00:10:00", 7, "A"),   # repeat — collapses
+        (3, "2024-01-01 00:20:00", 7, "B"),
+        (4, "2024-01-01 00:30:00", 7, "A"),   # back to A — NEW version
+        (5, "2024-01-01 00:05:00", 8, "X"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        scd2_history(ev).collect(), key=lambda r: (r["user_id"], r["valid_from"])
+    )
+    u7 = [r for r in got if r["user_id"] == 7]
+    assert [r["state"] for r in u7] == ["A", "B", "A"]
+    # ranges tile: each valid_to == next valid_from; only last is open
+    assert u7[0]["valid_to"] == u7[1]["valid_from"]
+    assert u7[1]["valid_to"] == u7[2]["valid_from"]
+    assert u7[2]["valid_to"] is None and u7[2]["is_current"]
+    assert not u7[0]["is_current"] and not u7[1]["is_current"]
+    u8 = [r for r in got if r["user_id"] == 8]
+    assert len(u8) == 1 and u8[0]["is_current"]
+
+
+def test_kmeans_train_invariants(spark):
+    """Codebook shape, full-corpus membership accounting, and
+    repartition-determinism of the exact-integer trainer."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import kmeans_train
+
+    emb = load_table(spark, SF_UNIT, "embeddings")
+    n_vecs = emb.count()
+    out = kmeans_train(emb, n_cells=8, iters=2).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cent_id"], []).append(r)
+    assert 0 < len(by_cell) <= 8
+    dims = {len(v) for v in by_cell.values()}
+    assert len(dims) == 1  # every centroid has every dimension
+    # members partition the corpus exactly
+    assert sum(v[0]["n_members"] for v in by_cell.values()) == n_vecs
+
+    again = kmeans_train(emb.repartition(7), n_cells=8, iters=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
