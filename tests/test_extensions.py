@@ -660,3 +660,50 @@ def test_kmeans_train_invariants(spark):
 
     again = kmeans_train(emb.repartition(7), n_cells=8, iters=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_ivf_trained_recall_and_balance(spark):
+    """The trained-quantizer IVF path: recall vs exact brute force stays
+    ≥ 0.7 for both quantizers at equal probe budget, and the trained
+    codebook's most-loaded cell is no heavier than the seed quantizer's
+    (the balance property that buys tail-latency headroom at scale)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import (
+        _nearest_cells,
+        _quantized,
+        brute_force_topk,
+        codebook_from_kmeans,
+        ivf_topk,
+        ivf_topk_trained,
+        kmeans_train,
+        sim_e6_sep,
+    )
+
+    emb = load_table(spark, SF_UNIT, "embeddings")
+
+    def pairs(df):
+        return {(r["q_id"], r["neighbor_id"]) for r in df.collect()}
+
+    bf = pairs(brute_force_topk(emb))
+    recall_seed = len(pairs(ivf_topk(emb)) & bf) / len(bf)
+    recall_tr = len(pairs(ivf_topk_trained(emb)) & bf) / len(bf)
+    assert recall_seed >= 0.7 and recall_tr >= 0.7
+
+    v = _quantized(emb)
+    seed_cb = v.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("iv").alias("c_iv"),
+        F.col("n2").alias("c_n2"),
+    )
+    tr_cb = codebook_from_kmeans(kmeans_train(emb, 16, 3))
+
+    def max_cell(cb, fn):
+        sizes = (
+            _nearest_cells(v, cb, 1, sim_fn=fn)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        return max(r["n"] for r in sizes)
+
+    assert max_cell(tr_cb, sim_e6_sep) <= max_cell(seed_cb, None)

@@ -110,3 +110,87 @@ def test_blocked_partial_match_equals_theta_join(spark, misses, admin):
     got = sorted(map(tuple, match_partial(m, a, blocked=True).collect()))
     want = sorted(map(tuple, match_partial(m, a, blocked=False).collect()))
     assert got == want
+
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),      # user_id
+        st.integers(min_value=0, max_value=20),     # ts offset (secs)
+        st.sampled_from(["A", "B", "C"]),           # state
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=event_rows)
+def test_scd2_matches_sequential_reference(spark, rows):
+    """scd2_history ≡ the obvious sequential per-user fold: sort by
+    (ts, event_id), collapse consecutive repeats, version ranges tile."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.events import scd2_history
+
+    data = [
+        (i, f"2024-01-01 00:00:{ts:02d}", u, s)
+        for i, (u, ts, s) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(ev).collect()
+    )
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    by_user: dict[int, list] = {}
+    for i, (u, ts, s) in enumerate(rows):
+        by_user.setdefault(u, []).append((base + ts, i, s))
+    want = []
+    for u, evs in by_user.items():
+        evs.sort()
+        versions = []
+        for es, _i, s in evs:
+            if not versions or versions[-1][1] != s:
+                versions.append((es, s))
+        for j, (es, s) in enumerate(versions):
+            vt = versions[j + 1][0] if j + 1 < len(versions) else None
+            want.append((u, s, es, vt, vt is None))
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=10),
+    ctx=st.sampled_from([8, 16, 64]),
+)
+def test_pack_sequences_tiling_property(spark, toks, ctx):
+    """Packing coordinates tile the shard's token stream exactly: doc N's
+    start is the sum of earlier docs' tokens, spans cover [start, end),
+    and chunk indices are consistent with integer division."""
+    from tepsonic_database_sync_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(toks)],
+        "doc_id long, source string, text string",
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(docs, ctx_len=ctx).collect()}
+    start = 0
+    for i, n in enumerate(toks):
+        r = got[i]
+        assert r["n_toks"] == n
+        assert r["start_tok"] == start
+        assert r["chunk_first"] == start // ctx
+        assert r["chunk_last"] == (start + n - 1) // ctx
+        assert r["n_chunks"] == r["chunk_last"] - r["chunk_first"] + 1
+        start += n
