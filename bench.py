@@ -49,6 +49,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    # training-pipeline + warehouse additions (r2): cheap per-query, keeps
+    # every extension family visible in the headline
+    "pack_sequences",
+    "mixture_sample",
+    "scd2_history",
     "match_cascade",
     "s8_upsert",
     "sync_summary",
