@@ -66,22 +66,28 @@ def load_table(
 ) -> DataFrame:
     """Read one test table. Plain parquet scan → full pushdown support.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark 4
-    refuses by default; read it as long nanos (session-settable legacy
-    conf) and surface a real TimestampType column truncated to micros —
-    Spark's native timestamp precision.
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: TIMESTAMP(NANOS) (which Spark 4 refuses by default —
+    read as long nanos via the legacy conf, truncate to micros) and plain
+    timestamp[us] (arrives as TIMESTAMP_NTZ — cast to session-local
+    TimestampType so downstream epoch math is identical either way; the
+    session timezone is pinned to UTC).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if fan_out:
             df = _fan_out(spark, df, path)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")),
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     df = spark.read.parquet(path)
     if fan_out:
         df = _fan_out(spark, df, path)

@@ -1393,10 +1393,24 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature plumbing via mapInPandas (stubbed
-    codec — rows-only check: not SQL-expressible)."""
-    from tepsonic_database_sync_spark.operators.multimodal import extract_features
+    codec). The feature vector is projected to scalar f0..f7 columns so
+    the driver can canonicalize rows; the stub decode is deterministic
+    byte math, so the oracle reproduces it exactly in SQL."""
+    from tepsonic_database_sync_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
 
-    return extract_features(_assets(spark, sf_dir))
+    out = extract_features(_assets(spark, sf_dir))
+    return out.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.col("feature")[i].cast("long").alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2571,6 +2585,27 @@ SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
        CAST(max(width) AS INT) AS max_width
 FROM assets GROUP BY kind
 """,
+    # the stub decode is f_i = sum(payload[i::8]) % 997 over utf-8 bytes;
+    # documents.text is ASCII in the fixtures, so byte p == ord(char p)
+    "multimodal_features": (
+        """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         text, octet_length(encode(text)) AS n FROM documents
+)
+SELECT asset_id, kind, CAST(n AS BIGINT) AS n_bytes,
+"""
+        + ",\n".join(
+            "       CAST(coalesce(list_aggregate(list_transform("
+            f"range({i + 1}, n + 1, 8),"
+            " p -> ord(substr(text, CAST(p AS INT), 1))), 'sum'), 0)"
+            f" % 997 AS BIGINT) AS f{i}"
+            for i in range(8)
+        )
+        + "\nFROM assets\n"
+    ),
     "multimodal_resize": """
 SELECT doc_id AS asset_id,
        CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 16 * 8 END
@@ -2769,7 +2804,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_stats": (q_multimodal_stats, _O["multimodal_stats"]),
     "multimodal_frames": (q_multimodal_frames, _O["multimodal_frames"]),
     # mapInPandas decode plumbing — rows-only (not SQL-expressible)
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, _O["multimodal_features"]),
     "multimodal_resize": (q_multimodal_resize, _O["multimodal_resize"]),
     # --- text family -----------------------------------------------------
     "text_bm25": (q_text_bm25, _O["text_bm25"]),
