@@ -45,6 +45,11 @@ HEADLINE = [
     "text_top_terms",
     "events_json",
     "tpch_q1_pricing",
+    # r5 TPC-H completions: q9 (widest broadcast-join profit rollup) and
+    # q21 (the EXISTS/NOT-EXISTS pair collapsed to one fact shuffle)
+    "tpch_q9_profit",
+    "tpch_q21_waiting",
+    "sessionize_batch",
     "dedup_simhash",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",

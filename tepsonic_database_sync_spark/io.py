@@ -79,13 +79,19 @@ def load_table(
         from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The TIMESTAMP_NTZ→timestamp cast below is only epoch-preserving
+        # under a UTC session zone (which session.py pins); enforce it here
+        # too so a caller with a foreign session can't silently shift every
+        # epoch relative to the DuckDB oracle.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if fan_out:
             df = _fan_out(spark, df, path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
+            # Integer division, not `/`: long nanos (~1.7e18) exceed 2^53,
+            # so a double intermediate could shift the truncated micros.
             return df.withColumn(
-                "ts",
-                F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")),
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     df = spark.read.parquet(path)

@@ -52,6 +52,9 @@ ASSET_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 8
+# Modulus for the stubbed feature hash; the registry oracle derives its SQL
+# from this same constant so the two can never silently desynchronize.
+FEATURE_MOD = 997
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -94,7 +97,8 @@ def _fake_decode(payload: bytes) -> list[float]:
     if payload is None:
         return [0.0] * FEATURE_DIM
     return [
-        float(sum(payload[i::FEATURE_DIM]) % 997) for i in range(FEATURE_DIM)
+        float(sum(payload[i::FEATURE_DIM]) % FEATURE_MOD)
+        for i in range(FEATURE_DIM)
     ]
 
 

@@ -1191,6 +1191,415 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _disc_cents() -> F.Column:
+    """Discounted revenue in integer cents — the shared money convention."""
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+
+
+def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each STANDARD small part,
+    the European supplier(s) offering the lowest observed price. The
+    testdata has no partsupp table, so supply cost is derived from
+    lineitem history (min observed extendedprice per part+supplier — one
+    fact shuffle). The correlated-min is a window over the already-small
+    filtered candidate set, not a second fact pass."""
+    from tepsonic_database_sync_spark.io import load_table
+    from pyspark.sql import Window
+
+    supply = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", _cents("l_extendedprice").alias("c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("c").alias("cost_cents"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), supply.l_suppkey == eu.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "cost_cents")
+        .withColumn("min_cost", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+        .drop("min_cost")
+    )
+
+
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority checking: orders in a quarter with at
+    least one line shipped >30 days after the order date (EXISTS → left-semi
+    join with a non-equi residual; no l_commitdate in the testdata, so
+    lateness is relative to o_orderdate)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, late, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping: bilateral revenue between two
+    nations per ship year. Both nation lookups ride the broadcast dims;
+    the fact side shuffles once per join key, with the date filter pushed
+    to the scan."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_disc_cents()).cast("long").alias("revenue_cents"))
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_5 suppliers' permille share of
+    ECONOMY-part revenue sold to ASIA customers, per order year. The ratio
+    is exact integer permille (1000*x div total) so both engines divide
+    identical integers."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        c.join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                    "n_nationkey"
+                )
+            ),
+            c.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(asia_cust, o.o_custkey == F.col("c_custkey"), "leftsemi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _disc_cents().alias("cents"),
+            "supp_nation",
+        )
+    )
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("cents")).otherwise(F.lit(0)))
+            .alias("nation_cents"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            F.expr("CAST((1000 * nation_cents) div total_cents AS LONG)").alias(
+                "share_permille"
+            ),
+        )
+    )
+
+
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: per supplier nation and ship
+    year over red parts. No partsupp in the testdata, so unit cost is
+    proxied at 10% of p_retailprice (in cents); profit stays exact
+    integer arithmetic."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    profit = _disc_cents() - F.round(F.col("p_retailprice") * 10, 0).cast(
+        "long"
+    ) * F.round(F.col("l_quantity"), 0).cast("long")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).cast("long").alias("profit_cents"))
+    )
+
+
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: permille of one month's revenue
+    from PROMO parts (conditional aggregation over a broadcast join; date
+    filter pushed to the fact scan)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", _disc_cents()).otherwise(F.lit(0))
+            ).alias("promo_cents"),
+            F.sum(_disc_cents()).alias("total_cents"),
+        )
+        .select(
+            F.expr("CAST((1000 * promo_cents) div total_cents AS LONG)").alias(
+                "promo_permille"
+            )
+        )
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier counting: distinct suppliers per
+    brand/type/size over observed supply pairs, excluding one brand and
+    suppliers in arrears (NOT IN → broadcast anti-join on a 6-row set).
+    Supply pairs come from lineitem (no partsupp table)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "leftanti")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate revenue: OR-of-ANDs across
+    both join sides. The union of the part-side bounds (brand ∈ {12,23,3},
+    size ≤ 15) pre-filters the broadcast side so the fact join only sees
+    candidate parts; the exact disjunction applies as the join residual."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_disc_cents()).cast("long").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-share suppliers: suppliers holding an
+    outsized (>1/8) share of any red part's total shipped quantity. One
+    fact shuffle builds per-(part, supplier) quantities; the per-part
+    total is a window over that small aggregate, never a second fact
+    pass."""
+    from tepsonic_database_sync_spark.io import load_table
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name", "n_name"
+    )
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        shipped.withColumn("total_qty", F.sum("qty").over(w))
+        .filter(F.lit(8) * F.col("qty") > F.col("total_qty"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_name")
+        .distinct()
+    )
+
+
+def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for finished
+    orders with multiple suppliers, blame the supplier who was the ONLY
+    late one (shipped >60 days after order date). The classic
+    EXISTS/NOT-EXISTS pair collapses into one per-order aggregate
+    (distinct suppliers vs distinct late suppliers), so the fact table
+    shuffles once on orderkey instead of three self-joins."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    blame = lo.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blame.join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(F.broadcast(s), blame.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (the batch twin of stream_sessions):
+    a new session starts after >1 day of inactivity. One shuffle on
+    user_id serves both windows (lag then running sum share the same
+    partitioning); ties are broken by event_id so the session assignment
+    is deterministic in any engine."""
+    from tepsonic_database_sync_spark.io import load_table
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.withColumn("prev_es", F.lag("es").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > 86400),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        marked.withColumn("session_idx", F.sum("is_new").over(run))
+        .groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(
+            F.min("es").cast("long").alias("session_start"),
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("es") - F.min("es")).cast("long").alias("duration_sec"),
+        )
+    )
+
+
 def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(returnflag, linestatus) with subtotal rows (SURVEY §2.5
     noted grouping sets absent in the reference — free in Spark)."""
@@ -1611,6 +2020,47 @@ SELECT doc_id, dl AS n_tokens,
        CAST({" + ".join(tfidf_terms)} AS BIGINT) AS tfidf_milli
 FROM base, stats
 """
+
+
+def _multimodal_features_oracle() -> str:
+    """Byte-based oracle for the stubbed multimodal feature decode.
+
+    DuckDB 1.0 has no direct blob byte indexing, so bytes are recovered
+    from hex(encode(text)) two characters at a time. Stride and modulus
+    come from operators/multimodal.py's FEATURE_DIM / FEATURE_MOD — the
+    same constants ``_fake_decode`` uses — so editing either constant
+    updates both sides of the correctness gate together.
+    """
+    from tepsonic_database_sync_spark.operators.multimodal import (
+        FEATURE_DIM,
+        FEATURE_MOD,
+    )
+
+    byte_at = (
+        "16*(strpos('0123456789ABCDEF', substr(h, 2*p-1, 1))-1)"
+        " + (strpos('0123456789ABCDEF', substr(h, 2*p, 1))-1)"
+    )
+    cols = ",\n".join(
+        "       CAST(coalesce(list_aggregate(list_transform("
+        f"range({i + 1}, n + 1, {FEATURE_DIM}),"
+        f" p -> {byte_at}), 'sum'), 0)"
+        f" % {FEATURE_MOD} AS BIGINT) AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+    return (
+        """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT asset_id, kind, CAST(n AS BIGINT) AS n_bytes,
+"""
+        + cols
+        + "\nFROM assets\n"
+    )
 
 
 _O = {
@@ -2585,27 +3035,12 @@ SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
        CAST(max(width) AS INT) AS max_width
 FROM assets GROUP BY kind
 """,
-    # the stub decode is f_i = sum(payload[i::8]) % 997 over utf-8 bytes;
-    # documents.text is ASCII in the fixtures, so byte p == ord(char p)
-    "multimodal_features": (
-        """
-WITH assets AS (
-  SELECT doc_id AS asset_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image'
-              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-         text, octet_length(encode(text)) AS n FROM documents
-)
-SELECT asset_id, kind, CAST(n AS BIGINT) AS n_bytes,
-"""
-        + ",\n".join(
-            "       CAST(coalesce(list_aggregate(list_transform("
-            f"range({i + 1}, n + 1, 8),"
-            " p -> ord(substr(text, CAST(p AS INT), 1))), 'sum'), 0)"
-            f" % 997 AS BIGINT) AS f{i}"
-            for i in range(8)
-        )
-        + "\nFROM assets\n"
-    ),
+    # the stub decode is f_i = sum(payload[i::FEATURE_DIM]) % FEATURE_MOD over
+    # utf-8 bytes. The oracle is byte-based (hex(encode(text)) pairs), not
+    # char-based, so multi-byte text cannot silently diverge from the Spark
+    # side; the stride/modulus are derived from the SAME constants the stub
+    # decode uses (operators/multimodal.py) so they cannot desynchronize.
+    "multimodal_features": _multimodal_features_oracle(),
     "multimodal_resize": """
 SELECT doc_id AS asset_id,
        CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 16 * 8 END
@@ -2750,6 +3185,195 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(max(es) - min(es) AS BIGINT) AS duration_secs
 FROM n GROUP BY user_id, session_seq
 """,
+    "tpch_q2_min_cost": """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE'
+),
+ranked AS (
+  SELECT p.p_partkey, p.p_name, eu.s_name, eu.n_name, sp.cost_cents,
+         min(sp.cost_cents) OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM supply sp
+  JOIN part p ON sp.l_partkey = p.p_partkey
+  JOIN eu ON sp.l_suppkey = eu.s_suppkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+)
+SELECT p_partkey, p_name, s_name, n_name,
+       CAST(cost_cents AS BIGINT) AS cost_cents
+FROM ranked WHERE cost_cents = min_cost
+""",
+    "tpch_q4_order_priority": """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority
+""",
+    "tpch_q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+    "tpch_q8_market_share": """
+WITH all_rev AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+           AS cents,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+)
+SELECT o_year,
+       CAST((1000 * sum(CASE WHEN supp_nation = 'NATION_5'
+                             THEN cents ELSE 0 END))
+            // sum(cents) AS BIGINT) AS share_permille
+FROM all_rev GROUP BY o_year
+""",
+    "tpch_q9_profit": """
+SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)
+              - CAST(round(p.p_retailprice * 10, 0) AS BIGINT)
+                * CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+         AS profit_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(l.l_shipdate)
+""",
+    "tpch_q14_promo_share": """
+SELECT CAST((1000 * sum(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                 AS BIGINT) ELSE 0 END))
+         // sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+              AS BIGINT))
+         AS BIGINT) AS promo_permille
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01'
+""",
+    "tpch_q16_supplier_cnt": """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+       CAST(count(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs pr JOIN part p ON pr.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#9' AND p.p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+  AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    "tpch_q19_disjunctive": """
+SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+            AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    "tpch_q20_excess_suppliers": """
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%red%'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+tot AS (
+  SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_name, n.n_name
+FROM shipped sh
+JOIN tot ON sh.l_partkey = tot.l_partkey
+JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE 8 * sh.qty > tot.total_qty
+""",
+    "tpch_q21_waiting": """
+WITH o_late AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l.l_shipdate >
+                                  o.o_orderdate + INTERVAL 60 DAY
+                             THEN l.l_suppkey END) AS n_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey
+),
+blame AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM blame b
+JOIN o_late ol ON b.l_orderkey = ol.l_orderkey
+JOIN supplier s ON b.l_suppkey = s.s_suppkey
+WHERE ol.n_supp > 1 AND ol.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    "sessionize_batch": """
+WITH seq AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id)
+           AS prev_es
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN prev_es IS NULL OR es - prev_es > 86400
+              THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+sess AS (
+  SELECT user_id, es,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(min(es) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(es) - min(es) AS BIGINT) AS duration_sec
+FROM sess GROUP BY user_id, session_idx
+""",
 }
 
 # name → (spark callable, oracle sql | None)
@@ -2815,22 +3439,45 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- temporal joins ---------------------------------------------------
     "asof_join": (q_asof_join, _O["asof_join"]),
     "range_join": (q_range_join, _O["range_join"]),
-    # --- OLAP / SQL-API (previously outside the r01 window) --------------
+    # --- OLAP / SQL-API: round-5 TPC-H completions (new → in-window) -----
+    "tpch_q2_min_cost": (q_tpch_q2_min_cost, _O["tpch_q2_min_cost"]),
+    "tpch_q4_order_priority": (
+        q_tpch_q4_order_priority,
+        _O["tpch_q4_order_priority"],
+    ),
+    "tpch_q7_volume_shipping": (
+        q_tpch_q7_volume_shipping,
+        _O["tpch_q7_volume_shipping"],
+    ),
+    "tpch_q8_market_share": (q_tpch_q8_market_share, _O["tpch_q8_market_share"]),
+    "tpch_q9_profit": (q_tpch_q9_profit, _O["tpch_q9_profit"]),
+    "tpch_q14_promo_share": (q_tpch_q14_promo_share, _O["tpch_q14_promo_share"]),
+    "tpch_q16_supplier_cnt": (
+        q_tpch_q16_supplier_cnt,
+        _O["tpch_q16_supplier_cnt"],
+    ),
+    "tpch_q19_disjunctive": (q_tpch_q19_disjunctive, _O["tpch_q19_disjunctive"]),
+    "tpch_q20_excess_suppliers": (
+        q_tpch_q20_excess_suppliers,
+        _O["tpch_q20_excess_suppliers"],
+    ),
+    "tpch_q21_waiting": (q_tpch_q21_waiting, _O["tpch_q21_waiting"]),
+    "sessionize_batch": (q_sessionize_batch, _O["sessionize_batch"]),
+    "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),
+    "cube_sales": (q_cube_sales, _O["cube_sales"]),
+    # ==== entries below are OUTSIDE the 50-entry driver window ==========
+    # (each has a green row in CORRECTNESS_r01 ∪ r03 ∪ r04)
     "tpch_q1_pricing": (q_tpch_q1_pricing, _O["tpch_q1_pricing"]),
     "tpch_q3_topk": (q_tpch_q3_topk, _O["tpch_q3_topk"]),
     "tpch_q10_returns": (q_tpch_q10_returns, _O["tpch_q10_returns"]),
     "tpch_q6_sql": (q_tpch_q6_sql, _O["tpch_q6_sql"]),
     "tpch_q17_small_qty": (q_tpch_q17_small_qty, _O["tpch_q17_small_qty"]),
     "tpch_q22_idle_custs": (q_tpch_q22_idle_custs, _O["tpch_q22_idle_custs"]),
-    "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),
     "rollup_sales": (q_rollup_sales, _O["rollup_sales"]),
-    "cube_sales": (q_cube_sales, _O["cube_sales"]),
     "pivot_segment_priority": (q_pivot_segment_priority, _O["pivot_segment_priority"]),
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # (each has a green row in CORRECTNESS_r01)
     "j5_valid_skip_split": (q_j5_valid_skip_split, _O["j5_valid_skip_split"]),
     "stream_tumbling": (q_stream_tumbling, _O["stream_tumbling"]),
     "p1_norm_name": (q_p1_norm_name, _O["p1_norm_name"]),

@@ -158,6 +158,83 @@ def test_multimodal_features_shape(spark):
     assert all(r["n_bytes"] > 0 for r in feats)
 
 
+def test_nanos_events_truncate_exact(spark, tmp_path):
+    """Legacy TIMESTAMP(NANOS) events must truncate to micros with INTEGER
+    division. ns-epoch longs (~1.7e18, and anything past 2^53) are not
+    representable as doubles, so the old `(ts / 1000).cast('long')` path
+    could round the truncated micros up by 1 — pin a value where that
+    rounding actually flips (ADVICE r4's io.py item)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tepsonic_database_sync_spark.io import load_table
+
+    # 2**53 * 1000 + 1999 ns: exact micros floor = 2**53 + 1, but the
+    # nearest-double of ns/1000 is 2**53 + 2.
+    tricky = 2**53 * 1000 + 1999
+    plain = 1_700_000_000_123_456_789  # ordinary 2023-era ns timestamp
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([tricky, plain], type=pa.timestamp("ns")),
+        }
+    )
+    d = str(tmp_path / "sfnanos")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+    rows = {
+        r["event_id"]: r["ts"]
+        for r in load_table(spark, d, "events", fan_out=False).collect()
+    }
+    import calendar
+
+    def micros(dt):
+        return (
+            calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
+        )
+
+    assert micros(rows[1]) == tricky // 1000 == 2**53 + 1
+    assert micros(rows[2]) == plain // 1000
+
+
+def test_multimodal_oracle_is_byte_based(spark):
+    """The multimodal_features oracle must agree with the Spark-side stub
+    decode on MULTI-BYTE text, not just ASCII — the decode indexes utf-8
+    bytes, and the oracle recovers bytes from hex(encode(text)), so a
+    future testdata generation with non-ASCII documents cannot silently
+    diverge (this was ADVICE r4's multimodal item)."""
+    import duckdb
+
+    from tepsonic_database_sync_spark.operators.multimodal import (
+        FEATURE_DIM,
+        FEATURE_MOD,
+        _fake_decode,
+    )
+    from tepsonic_database_sync_spark.registry import (
+        _multimodal_features_oracle,
+    )
+
+    texts = ["héllo wörld", "naïve café — ß", "日本語テキスト", "plain ascii"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', {len(t)})" for i, t in enumerate(texts)
+        )
+        + ") AS v(doc_id, text, n_chars)"
+    )
+    rows = con.execute(_multimodal_features_oracle()).fetchall()
+    by_id = {r[0]: r for r in sorted(rows)}
+    for i, t in enumerate(texts):
+        want = _fake_decode(t.encode("utf-8"))
+        got = list(by_id[i][3 : 3 + FEATURE_DIM])
+        assert got == [int(w) % FEATURE_MOD for w in want], (t, got, want)
+        assert by_id[i][2] == len(t.encode("utf-8"))
+
+
 def test_rest_datasource_partition_per_page(spark, tmp_path):
     """PySpark 4 Python DataSource: one InputPartition per page, error rows
     (not job aborts) for failed pages."""

@@ -190,3 +190,39 @@ def test_pack_sequences_window_is_sharded(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_new_tpch_queries_have_no_scale_killers(spark):
+    """Round-5 TPC-H completions: none may compile to a Cartesian product
+    or nested-loop join, and every one must reach the parquet scan with
+    pushed filters (the date/brand/type predicates)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    for fn in (
+        R.q_tpch_q2_min_cost,
+        R.q_tpch_q4_order_priority,
+        R.q_tpch_q7_volume_shipping,
+        R.q_tpch_q8_market_share,
+        R.q_tpch_q9_profit,
+        R.q_tpch_q14_promo_share,
+        R.q_tpch_q16_supplier_cnt,
+        R.q_tpch_q19_disjunctive,
+        R.q_tpch_q20_excess_suppliers,
+        R.q_tpch_q21_waiting,
+    ):
+        plan = plan_of(fn(spark, SF_UNIT))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "PushedFilters: [" in plan, fn.__name__
+
+
+def test_sessionize_batch_single_shuffle(spark):
+    """Batch sessionization must run on ONE user_id exchange: the lag
+    window, the running-sum window, and the per-session aggregate all
+    share the same hash partitioning (a second exchange here would double
+    the shuffle volume of every 100 TB sessionization run)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_sessionize_batch(spark, SF_UNIT))
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
