@@ -1,0 +1,119 @@
+"""Model-scoring exemplar — the batch-inference path of a training-data
+pipeline (quality/toxicity/importance models over documents), expressed as
+the two Pandas stages every real deployment has:
+
+1. ``score_documents`` — ``mapInPandas`` stateless inference: Arrow
+   batches in, vectorized feature extraction + model forward pass in
+   pandas/numpy, scores out. The "model" here is a deterministic integer
+   linear scorer (milli-weights over text features) so the DuckDB oracle
+   can replicate it bit-exactly; a real deployment swaps ``_forward`` for
+   an ONNX/XGBoost/transformer call — the Spark-side plumbing (schema,
+   batching, column pruning before the Python exchange) is what this
+   module makes real and tested.
+2. ``rank_normalize`` — ``groupBy(domain).applyInPandas`` grouped
+   post-processing: per-domain integer permille rank of the score
+   (cross-domain score calibration, the standard fix for per-source model
+   drift). One shuffle on the domain key; SQL ``rank()`` tie semantics so
+   the result is engine-exact.
+
+Scale notes (100 TB): the scorer is embarrassingly parallel — no shuffle,
+Arrow-batched, and the input projection is pruned to (doc_id, source,
+lang, text) BEFORE the Python exchange so payload columns never cross the
+JVM/Python boundary. The rank stage shuffles once on ``source``; at
+billions of rows per domain, swap exact rank for a two-pass histogram
+(same output contract), or bound domains via stratified sampling first.
+
+Feature regexes reuse operators/text.py's portable Java/RE2-identical
+subset (reference: the engine's text-quality conventions, SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Integer milli-weights of the stub linear model. The registry oracle is
+# GENERATED from these constants (registry._model_score_oracle), so model
+# and oracle cannot silently desynchronize.
+MODEL_BIAS_MILLI = 100
+W_CHARS_MILLI = 3
+W_PUNCT_MILLI = -20
+W_DIGIT_RUNS_MILLI = -15
+W_EN_MILLI = 500
+
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+DIGIT_RUN_RE = r"[0-9]+"
+
+SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("score_milli", T.LongType(), False),
+    ]
+)
+
+RANKED_SCHEMA = T.StructType(
+    SCORE_SCHEMA.fields
+    + [T.StructField("rank_permille", T.LongType(), False)]
+)
+
+
+def _forward(pdf: pd.DataFrame) -> pd.Series:
+    """Vectorized model forward pass over one Arrow batch. STUB — a real
+    model replaces this body (e.g. ``onnx_session.run`` on a tokenized
+    batch); deterministic integer math keeps the oracle exact."""
+    text = pdf["text"].fillna("")
+    n_chars = text.str.len().astype("int64")
+    n_punct = text.str.count(PUNCT_RE).astype("int64")
+    n_digit_runs = text.str.count(DIGIT_RUN_RE).astype("int64")
+    is_en = (pdf["lang"] == "en").astype("int64")
+    return (
+        MODEL_BIAS_MILLI
+        + W_CHARS_MILLI * n_chars
+        + W_PUNCT_MILLI * n_punct
+        + W_DIGIT_RUNS_MILLI * n_digit_runs
+        + W_EN_MILLI * is_en
+    )
+
+
+def score_documents(docs: DataFrame) -> DataFrame:
+    """Arrow-batched stateless inference over documents. The projection
+    is pruned BEFORE mapInPandas so only the columns the model needs
+    cross into Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "score_milli": _forward(pdf).astype("int64"),
+                }
+            )
+
+    return docs.select("doc_id", "source", "lang", "text").mapInPandas(
+        run, SCORE_SCHEMA
+    )
+
+
+def rank_normalize(scored: DataFrame, domain_col: str = "source") -> DataFrame:
+    """Per-domain integer permille rank: (1000 * (rank-1)) // (n-1), SQL
+    ``rank()`` tie semantics (ties share the min rank), 0 for singleton
+    domains. Grouped applyInPandas — one shuffle on the domain key."""
+
+    def per_domain(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        r = pdf["score_milli"].rank(method="min").astype("int64")
+        pdf = pdf.copy()
+        pdf["rank_permille"] = (
+            (1000 * (r - 1)) // (n - 1) if n > 1 else 0
+        )
+        pdf["rank_permille"] = pdf["rank_permille"].astype("int64")
+        return pdf
+
+    return scored.groupBy(domain_col).applyInPandas(per_domain, RANKED_SCHEMA)

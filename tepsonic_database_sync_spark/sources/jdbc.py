@@ -1,12 +1,13 @@
 """JDBC source/sink + parquet state store — SURVEY.md §2.1 S2/S3/S8.
 
 The reference's MongoDB collections map to JDBC tables (BASELINE.json
-"spark_approach": DataFrame read/write with JDBC connectors). No JDBC
-driver jar nor database exists in this container, so the JDBC helpers are
-thin, documented wrappers (predicate pushdown comes free from Catalyst —
-S3's ``find({database:'wholecell'})`` is just ``.filter`` after ``.load``);
-the *testable* persistence surface is ``ParquetStateStore``, the engine's
-stand-in for the ``tep_vendor_products`` state collection:
+"spark_approach": DataFrame read/write with JDBC connectors). Spark ships
+an embedded Derby jar, so the JDBC path is exercised END-TO-END in tests
+(partitioned read, parallel staged write, one set-based ``MERGE INTO`` —
+see ``merge_jdbc_upsert``); predicate pushdown comes free from Catalyst —
+S3's ``find({database:'wholecell'})`` is just ``.filter`` after ``.load``.
+``ParquetStateStore`` remains the lake-side persistence surface, the
+engine's stand-in for the ``tep_vendor_products`` state collection:
 
 - read state → merge with the new batch (operators.options.merge_options
   semantics = the reference's bulkWrite upsert, products.js:300-341)
@@ -64,6 +65,97 @@ def write_jdbc_append(df: DataFrame, url: str, table: str, batchsize: int = 1000
         .mode("append")
         .save()
     )
+
+
+def _varchar_types(df: DataFrame, width: int) -> str | None:
+    """createTableColumnTypes fragment mapping every StringType column to
+    VARCHAR(width). Without it Spark's Derby dialect creates CLOBs, which
+    MERGE cannot compare on."""
+    from pyspark.sql import types as T
+
+    frags = [
+        f"{f.name} VARCHAR({width})"
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+    return ", ".join(frags) if frags else None
+
+
+def merge_jdbc_upsert(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    batch: DataFrame,
+    keys: list[str],
+    staging_table: str | None = None,
+    varchar_width: int = 1024,
+) -> int:
+    """S8 — true DB-side upsert through JDBC: stage the batch with one
+    parallel append, then a single set-based ``MERGE INTO``. This is the
+    reference's ``bulkWrite`` upsert (products.js:309-341) done the way a
+    warehouse does it at scale — never per-row statements. The merge
+    PAYLOAD is computed in Spark (``operators.options.merge_options``,
+    exactly as the reference merges in JS before ``$set``); the database
+    applies replace-on-match. Returns the number of affected rows.
+
+    Works against any MERGE-capable JDBC database; exercised end-to-end in
+    tests against embedded Derby (the jar ships with Spark). Identifier
+    quirk: Spark's JDBC writer quotes COLUMN names (so they stay
+    lower-case and must be double-quoted in the MERGE) but not table
+    names. At 100 TB the staging write is the only data movement —
+    ``numPartitions`` JDBC connections append in parallel — and the MERGE
+    is one statement the warehouse optimizes with its own indexes.
+    """
+    jvm = spark._jvm
+    # Derby writes derby.log into user.dir unless told otherwise — keep the
+    # engine's cwd clean (must be set before the Derby engine first boots,
+    # which the staging write below would otherwise trigger)
+    if jvm.java.lang.System.getProperty("derby.stream.error.file") is None:
+        import tempfile
+
+        jvm.java.lang.System.setProperty(
+            "derby.stream.error.file",
+            os.path.join(tempfile.gettempdir(), "derby.log"),
+        )
+    staging = staging_table or f"{table}__stage"
+    cols = batch.columns
+    non_keys = [c for c in cols if c not in keys]
+    types = _varchar_types(batch, varchar_width)
+
+    def _write(df: DataFrame, dbtable: str, mode: str) -> None:
+        w = df.write.format("jdbc").option("url", url).option("dbtable", dbtable)
+        if types:
+            w = w.option("createTableColumnTypes", types)
+        w.mode(mode).save()
+
+    # create the target if absent (empty write, Ignore = no-op when it exists)
+    _write(batch.limit(0), table, "ignore")
+    _write(batch, staging, "overwrite")
+
+    q = lambda c: f'"{c}"'  # noqa: E731 — Spark-created columns are quoted
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    insert_cols = ", ".join(q(c) for c in cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+        + " "
+        if non_keys
+        else ""
+    )
+    sql = (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        + matched
+        + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        n = st.executeUpdate(sql)
+        st.executeUpdate(f"DROP TABLE {staging}")
+        return n
+    finally:
+        conn.close()
 
 
 class ParquetStateStore:

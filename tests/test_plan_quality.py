@@ -226,3 +226,23 @@ def test_sessionize_batch_single_shuffle(spark):
     plan = plan_of(R.q_sessionize_batch(spark, SF_UNIT))
     assert plan.count("Exchange") == 1
     assert "SinglePartition" not in plan
+
+
+def test_model_score_prunes_before_python_exchange(spark):
+    """The scorer's input projection must be pruned to the model's columns
+    BEFORE the Python exchange (payload columns never cross the JVM/Python
+    boundary), and the rank stage must shuffle exactly once (on the domain
+    key)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_model_score(spark, SF_UNIT))
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1
+    # the parquet scan reads only the model's input columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"doc_id", "source", "lang", "text"}, read_cols
