@@ -1547,11 +1547,20 @@ def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    # ONE pass over the fact join: collapse to per-(order, supplier) rows
+    # first (late = any late line), then both the per-order stats and the
+    # blame set derive from this small eager-checkpointed aggregate —
+    # without it the li⋈o join would compute twice (once per consumer).
+    pair = (
+        lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+        .localCheckpoint(eager=True)
     )
-    blame = lo.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count_if(F.col("late")).alias("n_late"),
+    )
+    blame = pair.filter("late").select("l_orderkey", "l_suppkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         blame.join(
