@@ -147,6 +147,35 @@ def write_clustered(
     out.sortWithinPartitions(*cluster_cols).write.mode("overwrite").parquet(path)
 
 
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+) -> DataFrame:
+    """Format-agnostic ingest: parquet/orc (self-describing, full predicate
+    pushdown), csv/json (schema REQUIRED — runtime inference would scan the
+    data twice and silently widen types; at 100 TB schema-on-read must be
+    explicit). CSV/JSON remain row-oriented — use them as landing formats
+    and compact to parquet (``compact_parquet``) before analytics; every
+    downstream operator is format-independent once loaded."""
+    reader = spark.read
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(f"{fmt} ingest requires an explicit schema")
+        reader = reader.schema(schema)
+        if fmt == "csv":
+            reader = reader.option("header", "true").option(
+                "timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
+            )
+    elif schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

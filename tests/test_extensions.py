@@ -858,3 +858,27 @@ def test_rank_normalize_tie_and_singleton_semantics(spark):
     }
     # domain a: n=3 → ranks {100:1, 100:1, 300:3} → permille {0, 0, 1000}
     assert got == {1: 0, 2: 0, 3: 1000, 4: 0}
+
+
+def test_read_any_formats_agree_with_parquet(spark, tmp_path):
+    """Landing-format equivalence: the same orders table written as CSV,
+    JSONL and ORC must read back row-identical to the parquet source
+    (schema-on-read explicit for the text formats — inference is banned at
+    scale). Downstream operators are format-independent once loaded."""
+    from tepsonic_database_sync_spark.io import load_table, read_any
+
+    o = load_table(spark, SF_UNIT, "orders", fan_out=False)
+    want = sorted(map(tuple, o.collect()))
+    for fmt in ("csv", "json", "orc"):
+        path = str(tmp_path / fmt)
+        w = o.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true").option(
+                "timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
+            )
+        w.format(fmt).save(path)
+        got = read_any(
+            spark, path, fmt, schema=None if fmt == "orc" else o.schema
+        )
+        assert got.schema == o.schema, fmt
+        assert sorted(map(tuple, got.collect())) == want, fmt
