@@ -54,6 +54,57 @@ def distinct_with_sketch_check(
     )
 
 
+def topk_with_cms_check(
+    terms: DataFrame,
+    term_col: str = "term",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Heavy hitters via a count-min sketch, PAIRED with the exact top-k
+    (same contract as the other sketches: exact values oracle-hashed, the
+    sketch keeps itself honest through a hard ``within_bound`` flag).
+
+    ``terms`` carries one row per token occurrence. The CMS is linear, so
+    its counters are built from the per-term aggregate (identical result,
+    one shuffle over distinct terms instead of hashing every occurrence —
+    at 100 TB the d×width counter grid is a few KB regardless of corpus
+    size, which is the whole point: heavy-hitter queries without keeping
+    the term dictionary). Estimates are biased UP only; the classic bound
+    est − true ≤ e·N/width (N = total occurrences) is loosened to 3N/width
+    in exact integer math. A sketch outside it flips the flag and fails
+    the correctness gate.
+    """
+    counts = terms.groupBy(term_col).agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__row")
+    bucket = F.pmod(F.xxhash64(F.col(term_col), F.col("__row")), F.lit(width)).cast(
+        "int"
+    )
+    cms = (
+        counts.select(term_col, "exact_count", rows)
+        .withColumn("__bucket", bucket)
+        .groupBy("__row", "__bucket")
+        .agg(F.sum("exact_count").alias("__counter"))
+    )
+    total = counts.agg(F.sum("exact_count").cast("long").alias("__n_total"))
+    top = counts.orderBy(F.col("exact_count").desc(), F.col(term_col)).limit(k)
+    est = (
+        top.select(term_col, "exact_count", rows)
+        .withColumn("__bucket", bucket)
+        .join(F.broadcast(cms), ["__row", "__bucket"])
+        .groupBy(term_col, "exact_count")
+        .agg(F.min("__counter").cast("long").alias("__est"))
+    )
+    within = (F.col("__est") >= F.col("exact_count")) & (
+        (F.col("__est") - F.col("exact_count")) * width <= 3 * F.col("__n_total")
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        term_col, "exact_count", within.alias("within_bound")
+    )
+
+
 def percentile_with_sketch_check(
     df: DataFrame,
     group_cols: list[str],

