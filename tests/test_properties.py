@@ -194,3 +194,68 @@ def test_pack_sequences_tiling_property(spark, toks, ctx):
         assert r["chunk_last"] == (start + n - 1) // ctx
         assert r["n_chunks"] == r["chunk_last"] - r["chunk_first"] + 1
         start += n
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gaps=st.lists(
+        st.integers(min_value=0, max_value=200_000), min_size=1, max_size=12
+    ),
+    n_users=st.integers(min_value=1, max_value=3),
+)
+def test_sessionize_partition_property(spark, gaps, n_users):
+    """Gap sessionization is a PARTITION of each user's events: every
+    event lands in exactly one session, sessions split exactly where a
+    gap exceeds the threshold (the strategy straddles 86400 so both
+    branches are exercised), and session stats (start, n_events,
+    duration) are exactly the min/count/span of the member events — for
+    arbitrary gap sequences shared across users."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.registry import q_sessionize_batch
+
+    GAP = 86400  # the operator's threshold
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        ts = 1_000_000 + u  # stagger users so their streams differ
+        rows.append((u, eid, ts)); eid += 1
+        for g in gaps:
+            ts += g
+            rows.append((u, eid, ts)); eid += 1
+
+    events = spark.createDataFrame(rows, "user_id long, event_id long, es long")
+    events = events.withColumn("ts", F.timestamp_seconds("es"))
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        events.select("user_id", "event_id", "ts").write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        got = q_sessionize_batch(spark, d).collect()
+
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["n_events"], r["duration_sec"], r["session_idx"])
+        )
+    for u in range(n_users):
+        ts = 1_000_000 + u
+        sessions = [[ts]]
+        for g in gaps:
+            ts += g
+            if g > GAP:
+                sessions.append([])
+            sessions[-1].append(ts)
+        want = sorted((min(s), len(s), max(s) - min(s)) for s in sessions)
+        got_u = sorted((a, b, c) for a, b, c, _ in by_user[u])
+        assert got_u == want, (u, got_u, want)
+        # session indices are 1..n in start order
+        idxs = sorted(i for *_, i in by_user[u])
+        assert idxs == list(range(1, len(sessions) + 1))
