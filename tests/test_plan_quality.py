@@ -246,3 +246,16 @@ def test_model_score_prunes_before_python_exchange(spark):
     assert m, plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert read_cols == {"doc_id", "source", "lang", "text"}, read_cols
+
+
+def test_sketch_topk_probes_broadcast_counters(spark):
+    """The CMS probe must be a broadcast join against the KB-sized counter
+    grid (never a shuffle of the term dictionary), and the exact top-k must
+    compile to TakeOrderedAndProject, not a global sort."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_sketch_topk(spark, SF_UNIT))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
