@@ -1216,6 +1216,45 @@ def _disc_cents() -> F.Column:
     ).cast("long")
 
 
+# Shared query parameters — read by BOTH the DataFrame implementations and
+# the generated oracle SQL below, so the two sides of the correctness gate
+# cannot silently desynchronize (the FEATURE_DIM/FEATURE_MOD pattern,
+# applied to every parameterized TPC-H completion).
+TPCH_P = {
+    "q2_type": "STANDARD",
+    "q2_max_size": 10,
+    "q2_region": "EUROPE",
+    "q4_lo": "1996-01-01",
+    "q4_hi": "1996-04-01",
+    "q4_late_days": 30,
+    "q7_nation_a": "NATION_1",
+    "q7_nation_b": "NATION_2",
+    "q7_lo": "1996-01-01",
+    "q7_hi": "1998-01-01",
+    "q8_region": "ASIA",
+    "q8_type": "ECONOMY",
+    "q8_nation": "NATION_5",
+    "q9_pattern": "red",
+    # unit cost proxy = 10% of retail, in cents: round(p_retailprice * 10)
+    "q9_cost_decicents": 10,
+    "q14_lo": "1997-09-01",
+    "q14_hi": "1997-10-01",
+    "q14_type": "PROMO",
+    "q16_excl_brand": "Brand#9",
+    "q16_sizes": (1, 14, 23, 45, 19, 3, 36, 9),
+    # (brand, size_lo, size_hi, qty_lo, qty_hi) conjunctions, OR-ed
+    "q19_arms": (
+        ("Brand#12", 1, 5, 1, 11),
+        ("Brand#23", 1, 10, 10, 20),
+        ("Brand#3", 1, 15, 20, 30),
+    ),
+    "q20_pattern": "red",
+    "q20_share_div": 8,  # excess = supplier holds > 1/8 of a part's qty
+    "q21_late_days": 60,
+    "session_gap_s": 86400,
+}
+
+
 def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped minimum-cost supplier: for each STANDARD small part,
     the European supplier(s) offering the lowest observed price. The
@@ -1233,11 +1272,14 @@ def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cost_cents"))
     )
     p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+        (F.col("p_type") == TPCH_P["q2_type"])
+        & (F.col("p_size") <= TPCH_P["q2_max_size"])
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == TPCH_P["q2_region"]
+    )
     eu = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -1262,12 +1304,14 @@ def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tepsonic_database_sync_spark.io import load_table
 
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
-        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(TPCH_P["q4_lo"])))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(TPCH_P["q4_hi"])))
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        F.col("l_shipdate")
+        > F.col("o_orderdate")
+        + F.expr(f"INTERVAL {TPCH_P['q4_late_days']} DAYS")
     )
     return (
         o.join(li, late, "leftsemi")
@@ -1284,8 +1328,8 @@ def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tepsonic_database_sync_spark.io import load_table
 
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
-        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(TPCH_P["q7_lo"])))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(TPCH_P["q7_hi"])))
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1297,9 +1341,10 @@ def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(
         F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
     )
+    na, nb = TPCH_P["q7_nation_a"], TPCH_P["q7_nation_b"]
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == na) & (F.col("cust_nation") == nb)
+    ) | ((F.col("supp_nation") == nb) & (F.col("cust_nation") == na))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -1328,10 +1373,14 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == TPCH_P["q8_type"]
+    )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == TPCH_P["q8_region"]
+    )
     asia_cust = (
         c.join(
             F.broadcast(
@@ -1359,8 +1408,11 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.groupBy("o_year")
         .agg(
-            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("cents")).otherwise(F.lit(0)))
-            .alias("nation_cents"),
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == TPCH_P["q8_nation"], F.col("cents")
+                ).otherwise(F.lit(0))
+            ).alias("nation_cents"),
             F.sum("cents").alias("total_cents"),
         )
         .select(
@@ -1380,15 +1432,17 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tepsonic_database_sync_spark.io import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"%{TPCH_P['q9_pattern']}%")
+    )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", F.col("n_name").alias("nation")
     )
-    profit = _disc_cents() - F.round(F.col("p_retailprice") * 10, 0).cast(
-        "long"
-    ) * F.round(F.col("l_quantity"), 0).cast("long")
+    profit = _disc_cents() - F.round(
+        F.col("p_retailprice") * TPCH_P["q9_cost_decicents"], 0
+    ).cast("long") * F.round(F.col("l_quantity"), 0).cast("long")
     return (
         li.join(
             F.broadcast(p.select("p_partkey", "p_retailprice")),
@@ -1407,15 +1461,17 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tepsonic_database_sync_spark.io import load_table
 
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
-        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(TPCH_P["q14_lo"])))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(TPCH_P["q14_hi"])))
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.sum(
-                F.when(F.col("p_type") == "PROMO", _disc_cents()).otherwise(F.lit(0))
+                F.when(
+                    F.col("p_type") == TPCH_P["q14_type"], _disc_cents()
+                ).otherwise(F.lit(0))
             ).alias("promo_cents"),
             F.sum(_disc_cents()).alias("total_cents"),
         )
@@ -1440,8 +1496,8 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#9")
-        & F.col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9)
+        (F.col("p_brand") != TPCH_P["q16_excl_brand"])
+        & F.col("p_size").isin(*TPCH_P["q16_sizes"])
     )
     bad = (
         load_table(spark, sf_dir, "supplier")
@@ -1469,33 +1525,25 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
+    arms = TPCH_P["q19_arms"]
     p = (
         load_table(spark, sf_dir, "part")
         .filter(
-            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
-            & (F.col("p_size") >= 1)
-            & (F.col("p_size") <= 15)
+            F.col("p_brand").isin(*[a[0] for a in arms])
+            & (F.col("p_size") >= min(a[1] for a in arms))
+            & (F.col("p_size") <= max(a[2] for a in arms))
         )
         .select("p_partkey", "p_brand", "p_size")
     )
     qty = F.col("l_quantity")
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 5)
-            & qty.between(1, 11)
+    cond = None
+    for brand, slo, shi, qlo, qhi in arms:
+        arm = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & qty.between(qlo, qhi)
         )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 10)
-            & qty.between(10, 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#3")
-            & F.col("p_size").between(1, 15)
-            & qty.between(20, 30)
-        )
-    )
+        cond = arm if cond is None else (cond | arm)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
@@ -1520,7 +1568,7 @@ def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     red = (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%red%"))
+        .filter(F.col("p_name").like(f"%{TPCH_P['q20_pattern']}%"))
         .select("p_partkey")
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
@@ -1536,7 +1584,9 @@ def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey")
     return (
         shipped.withColumn("total_qty", F.sum("qty").over(w))
-        .filter(F.lit(8) * F.col("qty") > F.col("total_qty"))
+        .filter(
+            F.lit(TPCH_P["q20_share_div"]) * F.col("qty") > F.col("total_qty")
+        )
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "n_name")
         .distinct()
@@ -1562,7 +1612,9 @@ def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_suppkey",
         (
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {TPCH_P['q21_late_days']} DAYS")
         ).alias("late"),
     )
     # ONE pass over the fact join: collapse to per-(order, supplier) rows
@@ -1612,7 +1664,8 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = e.withColumn("prev_es", F.lag("es").over(w)).withColumn(
         "is_new",
         F.when(
-            F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > 86400),
+            F.col("prev_es").isNull()
+            | (F.col("es") - F.col("prev_es") > TPCH_P["session_gap_s"]),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -3278,7 +3331,7 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(max(es) - min(es) AS BIGINT) AS duration_secs
 FROM n GROUP BY user_id, session_seq
 """,
-    "tpch_q2_min_cost": """
+    "tpch_q2_min_cost": f"""
 WITH supply AS (
   SELECT l_partkey, l_suppkey,
          min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cost_cents
@@ -3287,7 +3340,8 @@ WITH supply AS (
 eu AS (
   SELECT s.s_suppkey, s.s_name, n.n_name
   FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
-  JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE'
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{TPCH_P["q2_region"]}'
 ),
 ranked AS (
   SELECT p.p_partkey, p.p_name, eu.s_name, eu.n_name, sp.cost_cents,
@@ -3295,22 +3349,24 @@ ranked AS (
   FROM supply sp
   JOIN part p ON sp.l_partkey = p.p_partkey
   JOIN eu ON sp.l_suppkey = eu.s_suppkey
-  WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+  WHERE p.p_type = '{TPCH_P["q2_type"]}'
+    AND p.p_size <= {TPCH_P["q2_max_size"]}
 )
 SELECT p_partkey, p_name, s_name, n_name,
        CAST(cost_cents AS BIGINT) AS cost_cents
 FROM ranked WHERE cost_cents = min_cost
 """,
-    "tpch_q4_order_priority": """
+    "tpch_q4_order_priority": f"""
 SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+WHERE o.o_orderdate >= TIMESTAMP '{TPCH_P["q4_lo"]}'
+  AND o.o_orderdate < TIMESTAMP '{TPCH_P["q4_hi"]}'
   AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
-              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+              AND l.l_shipdate > o.o_orderdate
+                                 + INTERVAL {TPCH_P["q4_late_days"]} DAY)
 GROUP BY o.o_orderpriority
 """,
-    "tpch_q7_volume_shipping": """
+    "tpch_q7_volume_shipping": f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS INT) AS l_year,
        CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
@@ -3321,13 +3377,15 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+WHERE ((n1.n_name = '{TPCH_P["q7_nation_a"]}'
+         AND n2.n_name = '{TPCH_P["q7_nation_b"]}')
+    OR (n1.n_name = '{TPCH_P["q7_nation_b"]}'
+         AND n2.n_name = '{TPCH_P["q7_nation_a"]}'))
+  AND l.l_shipdate >= TIMESTAMP '{TPCH_P["q7_lo"]}'
+  AND l.l_shipdate < TIMESTAMP '{TPCH_P["q7_hi"]}'
 GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
 """,
-    "tpch_q8_market_share": """
+    "tpch_q8_market_share": f"""
 WITH all_rev AS (
   SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
          CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
@@ -3341,47 +3399,50 @@ WITH all_rev AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
   JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+  WHERE r.r_name = '{TPCH_P["q8_region"]}'
+    AND p.p_type = '{TPCH_P["q8_type"]}'
 )
 SELECT o_year,
-       CAST((1000 * sum(CASE WHEN supp_nation = 'NATION_5'
+       CAST((1000 * sum(CASE WHEN supp_nation = '{TPCH_P["q8_nation"]}'
                              THEN cents ELSE 0 END))
             // sum(cents) AS BIGINT) AS share_permille
 FROM all_rev GROUP BY o_year
 """,
-    "tpch_q9_profit": """
+    "tpch_q9_profit": f"""
 SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
        CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
                      AS BIGINT)
-              - CAST(round(p.p_retailprice * 10, 0) AS BIGINT)
+              - CAST(round(p.p_retailprice
+                           * {TPCH_P["q9_cost_decicents"]}, 0) AS BIGINT)
                 * CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
          AS profit_cents
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
-WHERE p.p_name LIKE '%red%'
+WHERE p.p_name LIKE '%{TPCH_P["q9_pattern"]}%'
 GROUP BY n.n_name, year(l.l_shipdate)
 """,
-    "tpch_q14_promo_share": """
-SELECT CAST((1000 * sum(CASE WHEN p.p_type = 'PROMO'
+    "tpch_q14_promo_share": f"""
+SELECT CAST((1000 * sum(CASE WHEN p.p_type = '{TPCH_P["q14_type"]}'
             THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
                  AS BIGINT) ELSE 0 END))
          // sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
               AS BIGINT))
          AS BIGINT) AS promo_permille
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
-  AND l.l_shipdate < TIMESTAMP '1997-10-01'
+WHERE l.l_shipdate >= TIMESTAMP '{TPCH_P["q14_lo"]}'
+  AND l.l_shipdate < TIMESTAMP '{TPCH_P["q14_hi"]}'
 """,
-    "tpch_q16_supplier_cnt": """
+    "tpch_q16_supplier_cnt": f"""
 WITH pairs AS (
   SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
 )
 SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
        CAST(count(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
 FROM pairs pr JOIN part p ON pr.l_partkey = p.p_partkey
-WHERE p.p_brand <> 'Brand#9' AND p.p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+WHERE p.p_brand <> '{TPCH_P["q16_excl_brand"]}'
+  AND p.p_size IN ({", ".join(map(str, TPCH_P["q16_sizes"]))})
   AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size
 """,
@@ -3390,19 +3451,19 @@ SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
             AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
-       AND l.l_quantity BETWEEN 1 AND 11)
-   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
-       AND l.l_quantity BETWEEN 10 AND 20)
-   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
-       AND l.l_quantity BETWEEN 20 AND 30)
-""",
-    "tpch_q20_excess_suppliers": """
+WHERE """
+    + "\n   OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}\n"
+        f"       AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in TPCH_P["q19_arms"]
+    )
+    + "\n",
+    "tpch_q20_excess_suppliers": f"""
 WITH shipped AS (
   SELECT l.l_partkey, l.l_suppkey,
          CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE p.p_name LIKE '%red%'
+  WHERE p.p_name LIKE '%{TPCH_P["q20_pattern"]}%'
   GROUP BY l.l_partkey, l.l_suppkey
 ),
 tot AS (
@@ -3413,14 +3474,14 @@ FROM shipped sh
 JOIN tot ON sh.l_partkey = tot.l_partkey
 JOIN supplier s ON sh.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
-WHERE 8 * sh.qty > tot.total_qty
+WHERE {TPCH_P["q20_share_div"]} * sh.qty > tot.total_qty
 """,
-    "tpch_q21_waiting": """
+    "tpch_q21_waiting": f"""
 WITH o_late AS (
   SELECT l.l_orderkey,
          count(DISTINCT l.l_suppkey) AS n_supp,
-         count(DISTINCT CASE WHEN l.l_shipdate >
-                                  o.o_orderdate + INTERVAL 60 DAY
+         count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate
+                                  + INTERVAL {TPCH_P["q21_late_days"]} DAY
                              THEN l.l_suppkey END) AS n_late
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE o.o_orderstatus = 'F'
@@ -3430,7 +3491,8 @@ blame AS (
   SELECT DISTINCT l.l_orderkey, l.l_suppkey
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE o.o_orderstatus = 'F'
-    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    AND l.l_shipdate > o.o_orderdate
+                       + INTERVAL {TPCH_P["q21_late_days"]} DAY
 )
 SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
 FROM blame b
@@ -3441,7 +3503,7 @@ GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name
 LIMIT 20
 """,
-    "sessionize_batch": """
+    "sessionize_batch": f"""
 WITH seq AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
          lag(CAST(floor(epoch(ts)) AS BIGINT))
@@ -3451,7 +3513,8 @@ WITH seq AS (
 ),
 marked AS (
   SELECT user_id, event_id, es,
-         CASE WHEN prev_es IS NULL OR es - prev_es > 86400
+         CASE WHEN prev_es IS NULL
+                OR es - prev_es > {TPCH_P["session_gap_s"]}
               THEN 1 ELSE 0 END AS is_new
   FROM seq
 ),
