@@ -228,3 +228,64 @@ def test_streaming_cdc_merge_into_state_store(spark, tmp_path):
     got = {(r["user_id"], r["n"]) for r in store.read().collect()}
     want = {(r["user_id"], r["n"]) for r in agg(events).collect()}
     assert got == want
+
+
+def test_watermark_drops_late_events_in_append_mode(spark):
+    """Late-data contract made explicit: in append mode a watermarked
+    tumbling aggregate finalizes a window once the watermark passes its
+    end, and an event arriving AFTER that (inside the already-finalized
+    window) is dropped — the emitted count must exclude it, and no
+    duplicate/corrected row for that window may appear later."""
+    import pandas as pd
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.windows import (
+        streaming_tumbling_counts,
+    )
+
+    schema = load_table(spark, SF_UNIT, "events").schema
+
+    def mk(eid, ts_ms, etype):
+        return {
+            "event_id": eid,
+            "ts": pd.Timestamp(ts_ms, unit="ms"),
+            "user_id": 1,
+            "event_type": etype,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    t0 = 3_600_000 * 1000  # an exact hour boundary
+    batch1 = [mk(1, t0 + 60_000, "click"), mk(2, t0 + 120_000, "click")]
+    # sentinel 10 hours later: watermark (2h lag) passes t0's window end
+    batch2 = [mk(100, t0 + 36_000_000, "sentinel")]
+    # a LATE click back inside t0's window — behind the watermark now
+    batch3 = [mk(3, t0 + 180_000, "click"), mk(101, t0 + 36_060_000, "sentinel")]
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pd.DataFrame(batch1), schema=schema).write.mode(
+            "append"
+        ).parquet(d)
+        q = (
+            streaming_tumbling_counts(spark, d, schema)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_late_drop")
+            .start()
+        )
+        q.processAllAvailable()
+        for b in (batch2, batch3):
+            spark.createDataFrame(pd.DataFrame(b), schema=schema).write.mode(
+                "append"
+            ).parquet(d)
+            q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(
+            "SELECT ws, n FROM t_late_drop WHERE event_type = 'click'"
+        ).collect()
+
+    # exactly one finalized row for the t0 window, counting ONLY the two
+    # on-time clicks — the late third click was dropped, not appended
+    assert len(rows) == 1
+    assert rows[0]["ws"] == t0 // 1000
+    assert rows[0]["n"] == 2
