@@ -274,6 +274,17 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(o)
 
 
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT — customers who placed at least one order
+    (compiles to a left-semi aggregate, completing the §2.6 set-op
+    trio with union/except)."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.intersect(o)
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-field escape hatch (SURVEY §1.4): parse the JSON props
     column on demand — the engine's version of Mongo's schemaless fields."""
@@ -2355,6 +2366,11 @@ SELECT c_custkey AS k FROM customer
 EXCEPT
 SELECT o_custkey AS k FROM orders
 """,
+    "set_intersect": """
+SELECT c_custkey AS k FROM customer
+INTERSECT
+SELECT o_custkey AS k FROM orders
+""",
     "events_json": """
 SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -3576,7 +3592,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "scd2_history": (q_scd2_history, _O["scd2_history"]),
     # --- similarity / ANN family ----------------------------------------
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
-    "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
     "ann_ivf_topk": (q_ann_ivf_topk, _O["ann_ivf_topk"]),
     # IVF coarse-quantizer training (exact-integer Lloyd rounds)
     "kmeans_train": (q_kmeans_train, _O["kmeans_train"]),
@@ -3621,8 +3636,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sessionize_batch": (q_sessionize_batch, _O["sessionize_batch"]),
     "model_score": (q_model_score, _O["model_score"]),
     "sketch_topk": (q_sketch_topk, _O["sketch_topk"]),
+    "set_intersect": (q_set_intersect, _O["set_intersect"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
     # (each has a green row in CORRECTNESS_r01 ∪ r03 ∪ r04)
+    "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
     "cube_sales": (q_cube_sales, _O["cube_sales"]),
     "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),
     "tpch_q1_pricing": (q_tpch_q1_pricing, _O["tpch_q1_pricing"]),
