@@ -89,9 +89,94 @@ def _doc_ops(docs):
     return {"text_repetition": run_repetition, "lsh+star_clusters": run_lsh_clusters}
 
 
+def write_amplified_olap(spark, factor: int, dest: str) -> None:
+    """Materialize an amplified sf-dir in /tmp: lineitem+orders × factor
+    with consistently shifted order keys (joins stay 1:1 with the
+    original distribution), events × factor with shifted user/event ids
+    (user count scales, per-user stream shape preserved), dims copied
+    as-is. Registry queries then run unmodified against the directory."""
+    import os
+
+    shift_o, shift_e, shift_u = 10_000_000, 10_000_000, 1_000_000
+
+    def amplify(df, cols_shifts):
+        copies = []
+        for i in range(factor):
+            c = df
+            for col, s in cols_shifts:
+                c = c.withColumn(col, F.col(col) + F.lit(i * s))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    li = load_table(spark, SF, "lineitem", fan_out=False)
+    o = load_table(spark, SF, "orders", fan_out=False)
+    ev = load_table(spark, SF, "events", fan_out=False)
+    # file count scales with the factor (as on a real deployment, where
+    # data volume brings input splits with it) so scan parallelism is an
+    # honest function of data size, not an artifact of the 1-file source
+    n_files = 8 * factor
+    amplify(li, [("l_orderkey", shift_o)]).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest, "lineitem.parquet"))
+    amplify(o, [("o_orderkey", shift_o)]).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest, "orders.parquet"))
+    amplify(ev, [("event_id", shift_e), ("user_id", shift_u)]).repartition(
+        n_files
+    ).write.mode("overwrite").parquet(os.path.join(dest, "events.parquet"))
+    for t in ("part", "supplier", "nation", "region", "customer"):
+        load_table(spark, SF, t, fan_out=False).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{t}.parquet")
+        )
+
+
+def _olap_ops():
+    from tepsonic_database_sync_spark.registry import (
+        q_sessionize_batch,
+        q_tpch_q9_profit,
+        q_tpch_q21_waiting,
+    )
+
+    return {
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
+        "sessionize_batch": q_sessionize_batch,
+    }
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--docs"]
+    args = [a for a in sys.argv[1:] if a not in ("--docs", "--olap")]
     docs_mode = "--docs" in sys.argv[1:]
+    olap_mode = "--olap" in sys.argv[1:]
+    if olap_mode:
+        import tempfile
+
+        factors = [int(a) for a in args] or [1, 2, 4]
+        spark = build_session(app_name="scale_smoke")
+        spark.range(1).count()
+        results: dict[str, list] = {}
+        with tempfile.TemporaryDirectory() as root:
+            for f in factors:
+                dest = f"{root}/f{f}"
+                write_amplified_olap(spark, f, dest)
+                for name, q in _olap_ops().items():
+                    best = float("inf")
+                    for _ in range(2):  # min-of-2: first run absorbs JIT
+                        t0 = time.time()
+                        q(spark, dest).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        best = min(best, time.time() - t0)
+                    results.setdefault(name, []).append((f, best))
+                    base = results[name][0][1]
+                    print(
+                        f"{name:18s} factor {f:2d}: {best:6.2f}s  "
+                        f"vs linear×{f}: {best/(base*f):.2f}"
+                    )
+        return
     factors = [int(a) for a in args] or [1, 2, 4, 8]
     spark = build_session(app_name="scale_smoke")
     spark.range(1).count()
