@@ -171,10 +171,12 @@ def main() -> None:
                         ).save()
                         best = min(best, time.time() - t0)
                     results.setdefault(name, []).append((f, best))
-                    base = results[name][0][1]
+                    f0, base = results[name][0]
+                    # normalize by the FIRST MEASURED factor so the ratio is
+                    # right even when factors don't start at 1 (ADVICE r5)
                     print(
                         f"{name:18s} factor {f:2d}: {best:6.2f}s  "
-                        f"vs linear×{f}: {best/(base*f):.2f}"
+                        f"vs linear×{f}: {best/(base*f/f0):.2f}"
                     )
         return
     factors = [int(a) for a in args] or [1, 2, 4, 8]
@@ -189,10 +191,10 @@ def main() -> None:
                 run()
                 dt = time.time() - t0
                 results.setdefault(name, []).append((f, dt))
-                base = results[name][0][1]
+                f0, base = results[name][0]
                 print(
                     f"{name:18s} factor {f:2d}: {dt:6.2f}s  "
-                    f"vs linear×{f}: {dt/(base*f):.2f}"
+                    f"vs linear×{f}: {dt/(base*f/f0):.2f}"
                 )
         return
     results_l = []
@@ -202,10 +204,10 @@ def main() -> None:
         sync_options(vi, ap).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         results_l.append((f, dt))
-        base = results_l[0][1]
+        f0, base = results_l[0]
         print(
             f"factor {f:2d}: {dt:6.2f}s  rows≈{600_000*f:>9,}  "
-            f"vs linear×{f}: {dt/(base*f):.2f}"
+            f"vs linear×{f}: {dt/(base*f/f0):.2f}"
         )
 
 

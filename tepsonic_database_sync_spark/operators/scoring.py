@@ -46,7 +46,11 @@ W_PUNCT_MILLI = -20
 W_DIGIT_RUNS_MILLI = -15
 W_EN_MILLI = 500
 
-PUNCT_RE = r"[^A-Za-z0-9\s]"
+# Explicit ASCII whitespace set: Python re's \s is Unicode-aware while
+# DuckDB's RE2 \s is ASCII-only, so a NBSP would count as punctuation in
+# one engine and not the other (ADVICE r5). Both engines read this exact
+# class identically; the registry oracle interpolates these constants.
+PUNCT_RE = r"[^A-Za-z0-9 \t\n\r\f\v]"
 DIGIT_RUN_RE = r"[0-9]+"
 
 SCORE_SCHEMA = T.StructType(

@@ -2177,20 +2177,28 @@ def _model_score_oracle() -> str:
     generated from operators/scoring.py's weight constants so the two
     sides cannot silently desynchronize."""
     from tepsonic_database_sync_spark.operators.scoring import (
+        DIGIT_RUN_RE,
         MODEL_BIAS_MILLI,
+        PUNCT_RE,
         W_CHARS_MILLI,
         W_DIGIT_RUNS_MILLI,
         W_EN_MILLI,
         W_PUNCT_MILLI,
     )
 
+    # coalesce(text,'') mirrors the pandas scorer's fillna('') so NULL text
+    # scores like empty text instead of producing a NULL score; the regexes
+    # are the module's explicit-ASCII classes, identical under Python re
+    # and DuckDB RE2 (ADVICE r5).
     return f"""
 WITH scored AS (
   SELECT doc_id, source,
          CAST({MODEL_BIAS_MILLI}
-              + {W_CHARS_MILLI} * length(text)
-              + ({W_PUNCT_MILLI}) * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-              + ({W_DIGIT_RUNS_MILLI}) * len(regexp_extract_all(text, '[0-9]+'))
+              + {W_CHARS_MILLI} * length(coalesce(text, ''))
+              + ({W_PUNCT_MILLI})
+                * len(regexp_extract_all(coalesce(text, ''), '{PUNCT_RE}'))
+              + ({W_DIGIT_RUNS_MILLI})
+                * len(regexp_extract_all(coalesce(text, ''), '{DIGIT_RUN_RE}'))
               + CASE WHEN lang = 'en' THEN {W_EN_MILLI} ELSE 0 END AS BIGINT)
            AS score_milli
   FROM documents

@@ -105,6 +105,11 @@ def merge_jdbc_upsert(
     names. At 100 TB the staging write is the only data movement —
     ``numPartitions`` JDBC connections append in parallel — and the MERGE
     is one statement the warehouse optimizes with its own indexes.
+
+    Trust boundary: ``table``/``staging_table``/``keys``/column names are
+    interpolated into SQL unescaped — they must come from the engine's own
+    catalog (trusted callers), never from user input. The staging table is
+    dropped in a ``finally`` so a failed MERGE cannot leak it.
     """
     jvm = spark._jvm
     # Derby writes derby.log into user.dir unless told otherwise — keep the
@@ -151,9 +156,16 @@ def merge_jdbc_upsert(
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = conn.createStatement()
-        n = st.executeUpdate(sql)
-        st.executeUpdate(f"DROP TABLE {staging}")
-        return n
+        try:
+            return st.executeUpdate(sql)
+        finally:
+            # drop the staging table even when the MERGE fails (ADVICE r5:
+            # the success-path-only drop leaked it); a drop failure must
+            # not mask the MERGE's own exception
+            try:
+                st.executeUpdate(f"DROP TABLE {staging}")
+            except Exception:
+                pass
     finally:
         conn.close()
 

@@ -287,6 +287,48 @@ def test_multimodal_oracle_is_byte_based(spark):
         assert by_id[i][2] == len(t.encode("utf-8"))
 
 
+def test_model_score_oracle_null_and_unicode_parity(spark):
+    """The model_score oracle must agree with the pandas scorer on NULL
+    text (pandas fillna('') vs SQL length(NULL)->NULL) and on Unicode
+    whitespace (Python re \\s is Unicode-aware, DuckDB RE2 \\s is
+    ASCII-only) — ADVICE r5. Hardened by coalesce(text,'') in the
+    generated SQL and an explicit-ASCII punct class shared by both sides
+    (scoring.PUNCT_RE, interpolated into the oracle)."""
+    import duckdb
+    import pandas as pd
+
+    from tepsonic_database_sync_spark.operators.scoring import (
+        rank_normalize,
+        score_documents,
+    )
+    from tepsonic_database_sync_spark.registry import _model_score_oracle
+
+    rows = [
+        (0, "web", "en", None),  # NULL text: must score like ''
+        (1, "web", "en", "nbsp here"),  # U+00A0: punct in BOTH engines
+        (2, "web", "de", "häßlich — naïve café"),  # multibyte letters + punct
+        (3, "books", "en", "tab\tand\nnewline 42"),  # ASCII ws stays ws
+        (4, "books", None, "ideographic　space 日本語"),  # U+3000 + CJK
+        (5, "books", "en", "plain ascii text! 7 99"),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["score_milli"], r["rank_permille"])
+        for r in rank_normalize(score_documents(sdf)).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "source", "lang", "text"]),
+    )
+    want = {
+        r[0]: (r[2], r[3]) for r in con.execute(_model_score_oracle()).fetchall()
+    }
+    assert got == want
+
+
 def test_rest_datasource_partition_per_page(spark, tmp_path):
     """PySpark 4 Python DataSource: one InputPartition per page, error rows
     (not job aborts) for failed pages."""
