@@ -49,6 +49,8 @@ HEADLINE = [
     # q21 (the EXISTS/NOT-EXISTS pair collapsed to one fact shuffle)
     "tpch_q9_profit",
     "tpch_q21_waiting",
+    # r6: the last expressible classic — revenue view + broadcast max
+    "tpch_q15_top_supplier",
     "sessionize_batch",
     "dedup_simhash",
     "dedup_minhash_lsh",

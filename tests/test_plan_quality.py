@@ -209,11 +209,25 @@ def test_new_tpch_queries_have_no_scale_killers(spark):
         R.q_tpch_q19_disjunctive,
         R.q_tpch_q20_excess_suppliers,
         R.q_tpch_q21_waiting,
+        R.q_tpch_q15_top_supplier,
     ):
         plan = plan_of(fn(spark, SF_UNIT))
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
         assert "PushedFilters: [" in plan, fn.__name__
+
+
+def test_tpch_q15_max_is_broadcast_not_global_sort(spark):
+    """Q15's correlated MAX over the revenue view must come from a
+    single-row aggregate broadcast back onto the view — not a global sort
+    or a single-partition window over per-supplier rows (at 100 TB the
+    supplier dimension is still millions of rows)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_tpch_q15_top_supplier(spark, SF_UNIT))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Sort [total_revenue" not in plan
 
 
 def test_sessionize_batch_single_shuffle(spark):
