@@ -989,15 +989,26 @@ def q_a3_merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_options_idempotent(opts, opts)
 
 
+# Page geometry of the injected REST transport, shared with the oracle SQL
+# so the two sides cannot desynchronize (the FEATURE_DIM pattern). The
+# transport slices documents.parquet in file order, which the testdata
+# writes doc_id-ascending at every SF (asserted in tests), so the fetched
+# row set is exactly the first PAGES*PAGE_SIZE doc_ids.
+S1_PAGES = 10
+S1_PAGE_SIZE = 50
+
+
 def q_s1_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 — distributed paginated REST ingestion (products.js:233-240) with
     an injected local transport (no network in tests): pages slice the
-    documents table. Rows-only check: the fetch callback isn't SQL."""
+    documents table. Hash-checked since r6: the transport is deterministic
+    (fixed pages over a doc_id-ordered file), so the oracle states the same
+    row set relationally over the documents view."""
     from pyspark.sql import types as T
     from tepsonic_database_sync_spark.sources.rest import paginated_source
 
     path = f"{sf_dir}/documents.parquet"
-    page_size = 50
+    page_size = S1_PAGE_SIZE
 
     def fetch_page(page: int) -> list[dict]:
         import pyarrow.parquet as pq
@@ -1016,7 +1027,20 @@ def q_s1_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("lang", T.StringType()),
         ]
     )
-    return paginated_source(spark, 10, fetch_page, schema)
+    return paginated_source(spark, S1_PAGES, fetch_page, schema)
+
+
+def _s1_rest_ingest_oracle() -> str:
+    """Oracle for the paginated ingest: the transport reads the first
+    PAGES*PAGE_SIZE rows of a doc_id-ordered file, i.e. the PAGES*PAGE_SIZE
+    smallest doc_ids; every fetched row gets status='Available' and a NULL
+    _error (no failing pages in the deterministic transport)."""
+    return f"""
+SELECT doc_id AS id, 'Available' AS status, lang,
+       CAST(NULL AS VARCHAR) AS _error
+FROM (SELECT doc_id, lang FROM documents
+      ORDER BY doc_id LIMIT {S1_PAGES * S1_PAGE_SIZE})
+"""
 
 
 def q_s10_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3628,8 +3652,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "s8_upsert": (q_s8_upsert, _O["s8_upsert"]),
     "j2_match_partial": (q_j2_match_partial, _O["j2_match_partial"]),
     "j3_item_lookup": (q_j3_item_lookup, _O["j3_item_lookup"]),
-    # distributed REST ingestion with injected transport — rows-only
-    "s1_rest_ingest": (q_s1_rest_ingest, None),
+    # distributed REST ingestion with injected transport — hash-checked
+    # since r6 (deterministic pages over a doc_id-ordered file)
+    "s1_rest_ingest": (q_s1_rest_ingest, _s1_rest_ingest_oracle()),
     "s2_full_scan": (q_s2_full_scan, _O["s2_full_scan"]),
     "s10_report": (q_s10_report, _O["s10_report"]),
     "x2_quarantine": (q_x2_quarantine, _O["x2_quarantine"]),

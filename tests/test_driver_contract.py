@@ -38,3 +38,19 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert len(rows) > 0
     assert "selectedOptions" in df.columns
+
+
+def test_s1_ingest_oracle_file_order_assumption():
+    """The s1_rest_ingest oracle equates "first PAGES*PAGE_SIZE rows in
+    file order" with "the PAGES*PAGE_SIZE smallest doc_ids" — assert the
+    testdata actually ships documents.parquet doc_id-ascending, so a
+    regenerated fixture with a different row order fails here instead of
+    silently hash-mismatching in the driver."""
+    import pyarrow.parquet as pq
+
+    ids = (
+        pq.read_table(f"{SF_ORACLE}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    assert ids == sorted(ids)
