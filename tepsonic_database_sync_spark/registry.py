@@ -630,6 +630,38 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (batch analog): each purchase joined
+    to the same user's views within the attribution window. The streaming
+    form (watermarks both sides + event-time range condition → bounded
+    state) is proven equal to this analog over deterministic micro-batches
+    in tests/test_streaming_ops.py."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.ops import (
+        attribute_purchases_batch,
+    )
+
+    return attribute_purchases_batch(load_table(spark, sf_dir, "events"))
+
+
+def _stream_stream_join_oracle() -> str:
+    """Generated from ops.ATTRIBUTION_WINDOW_S so query and oracle share
+    the horizon constant."""
+    from tepsonic_database_sync_spark.streaming.ops import ATTRIBUTION_WINDOW_S
+
+    return f"""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(v.ts)) AS BIGINT)
+         AS lag_sec,
+       CAST(round(p.value * 100, 0) AS BIGINT) AS purchase_cents
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW_S} SECOND
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
 # --- text analysis & dedup extensions (documents table) --------------------
 
 
@@ -3766,6 +3798,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_sessions": (q_stream_sessions, _O["stream_sessions"]),
     "stream_dedup": (q_stream_dedup, _O["stream_dedup"]),
     "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
+    "stream_stream_join": (q_stream_stream_join, _stream_stream_join_oracle()),
     "rollup_multires": (q_rollup_multires, _O["rollup_multires"]),
     "tpch_q5_region_revenue": (q_tpch_q5_region_revenue, _O["tpch_q5_region_revenue"]),
     "tpch_q12_priority_counts": (

@@ -12,6 +12,12 @@ things every continuous ingest pipeline needs:
 - **Stream-static join**: enrich a fact stream against a slowly-changing
   dimension. The static side is re-read per micro-batch (picks up dim
   updates) and joined broadcast — no stream-side shuffle at all.
+- **Stream-stream join** (r6): watermarked inner self-join of the event
+  stream — purchases attributed to the same user's views within a bounded
+  look-back window. Watermarks on BOTH sides plus the event-time range
+  condition are what bound the join state: Spark retains a view row only
+  until ``watermark - ATTRIBUTION_WINDOW_S`` passes its timestamp, so
+  state is O(events within horizon), never O(stream length).
 
 Each has a deterministic batch analog (same columns) used for the DuckDB
 oracle check; the streaming forms are exercised in tests with the memory
@@ -86,3 +92,70 @@ def enrich_events_stream(
     dimension — zero stream-side shuffle."""
     stream = spark.readStream.schema(schema).parquet(events_dir)
     return _enrich(stream, customers)
+
+
+# Attribution horizon: a purchase joins the same user's views at most this
+# many seconds before it. Shared with the registry oracle SQL.
+ATTRIBUTION_WINDOW_S = 86400
+
+
+def _attribution(purchases: DataFrame, views: DataFrame) -> DataFrame:
+    """Shared core of the batch analog and the streaming form: inner join
+    each purchase to the same user's views within the look-back window.
+    Equi-join on user_id (one key shuffle per side) with the time range as
+    a residual predicate — never a cross join."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("purchase_cents"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    cond = (
+        (p.user_id == v.v_user_id)
+        & (v.v_ts <= p.p_ts)
+        & (v.v_ts >= p.p_ts - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS"))
+    )
+    return p.join(v, cond, "inner").select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+        .cast("long")
+        .alias("lag_sec"),
+        "purchase_cents",
+    )
+
+
+def attribute_purchases_batch(events: DataFrame) -> DataFrame:
+    """Batch analog of the stream-stream attribution join (what the DuckDB
+    oracle checks)."""
+    return _attribution(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "view"),
+    )
+
+
+def attribute_purchases_stream(
+    spark: SparkSession, events_dir: str, schema, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming form: watermarked stream-stream inner self-join. Both
+    sides carry an event-time watermark and the join condition bounds
+    ``v_ts`` to ``[p_ts - window, p_ts]``, which is exactly what lets
+    Spark evict state: a buffered view is dropped once the watermark
+    passes ``v_ts + window`` (no purchase can ever claim it again), and a
+    buffered purchase once the watermark passes ``p_ts``. State is
+    therefore bounded by the event rate × (watermark + window) horizon —
+    the property that lets this run forever at 100 TB/day."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", watermark
+    )
+    views = stream.filter(F.col("event_type") == "view").withWatermark(
+        "ts", watermark
+    )
+    return _attribution(purchases, views)

@@ -79,6 +79,101 @@ def test_streaming_enrich_matches_batch(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
 
 
+def test_stream_stream_join_matches_batch_and_bounds_state(spark):
+    """Watermarked stream-stream attribution join, two contracts in one
+    deterministic run:
+
+    1. EQUIVALENCE — over chronologically-fed micro-batches the streaming
+       inner join emits exactly the batch analog's pairs (inner joins emit
+       as soon as both sides meet; the range condition, not state luck,
+       decides membership).
+    2. BOUNDED STATE — once the watermark passes ``v_ts + window`` a view
+       is evicted and a too-late purchase is dropped at input, so a
+       purchase arriving behind the watermark produces NO pairs even
+       though the batch analog over all rows would match it. This is the
+       state bound that lets the join run forever (SCALE.md)."""
+    import pandas as pd
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.ops import (
+        attribute_purchases_batch,
+        attribute_purchases_stream,
+    )
+
+    schema = load_table(spark, SF_UNIT, "events").schema
+
+    def mk(eid, ts_ms, etype, uid, value=5.0):
+        return {
+            "event_id": eid,
+            "ts": pd.Timestamp(ts_ms, unit="ms"),
+            "user_id": uid,
+            "event_type": etype,
+            "value": value,
+            "props": "{}",
+        }
+
+    H = 3_600_000  # one hour in ms
+    t0 = 1000 * H  # an exact hour boundary
+    batch1 = [
+        mk(1, t0, "view", 1),
+        mk(2, t0 + H, "view", 1),
+        mk(3, t0, "view", 2),
+    ]
+    # p10 joins views 1+2 (both within 24h); different-user view 3 never
+    batch2 = [mk(10, t0 + 2 * H, "purchase", 1)]
+    # p11: user 2's only view is 26h back — outside the window, no pair;
+    # p12 joins ONLY view 4 (views 1/2 are beyond 24h by then)
+    batch3 = [
+        mk(11, t0 + 26 * H, "purchase", 2),
+        mk(4, t0 + 25 * H, "view", 1),
+        mk(12, t0 + 25 * H + 1800_000, "purchase", 1),
+    ]
+    # sentinel pushes the watermark ~98h ahead: views 1/2/4 all evicted
+    batch4 = [mk(100, t0 + 100 * H, "signup", 9)]
+    # a purchase far behind the watermark: dropped at input, NO pairs,
+    # although the batch analog over all rows would join it to views 1/2
+    batch5 = [mk(13, t0 + 3 * H, "purchase", 1)]
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pd.DataFrame(batch1), schema=schema).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        q = (
+            attribute_purchases_stream(spark, d, schema)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_ss_join")
+            .start()
+        )
+        q.processAllAvailable()
+        for b in (batch2, batch3, batch4, batch5):
+            spark.createDataFrame(pd.DataFrame(b), schema=schema).coalesce(
+                1
+            ).write.mode("append").parquet(d)
+            q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["purchase_id"], r["view_id"], r["user_id"], r["lag_sec"])
+            for r in spark.sql("SELECT * FROM t_ss_join").collect()
+        }
+
+    on_time = batch1 + batch2 + batch3 + batch4
+    want = {
+        (r["purchase_id"], r["view_id"], r["user_id"], r["lag_sec"])
+        for r in attribute_purchases_batch(
+            spark.createDataFrame(pd.DataFrame(on_time), schema=schema)
+        ).collect()
+    }
+    assert want == {
+        (10, 1, 1, 7200),
+        (10, 2, 1, 3600),
+        (12, 4, 1, 1800),
+    }
+    assert got == want  # equivalence on the on-time prefix...
+    # ...and the late purchase 13 contributed nothing (state was evicted)
+    assert not any(pid == 13 for (pid, *_rest) in got)
+
+
 def test_streaming_sessions_ttl_event_time(spark):
     """TTL sessionization via applyInPandasWithState + EventTimeTimeout:
     sessions must close on BOTH paths — 'gap' (a late event for the same
