@@ -20,8 +20,12 @@ Scale notes (100 TB): the scorer is embarrassingly parallel — no shuffle,
 Arrow-batched, and the input projection is pruned to (doc_id, source,
 lang, text) BEFORE the Python exchange so payload columns never cross the
 JVM/Python boundary. The rank stage shuffles once on ``source``; at
-billions of rows per domain, swap exact rank for a two-pass histogram
-(same output contract), or bound domains via stratified sampling first.
+billions of rows per domain, pass ``method="histogram"`` — the two-pass
+histogram rank (aggregate per (domain, score), cumulate over the
+histogram, join back) produces the SAME output contract with no
+per-domain sort of raw rows and no Python stage: the only ordered
+structure is the per-domain score histogram, whose size is the number of
+DISTINCT scores, not the number of documents.
 
 Feature regexes reuse operators/text.py's portable Java/RE2-identical
 subset (reference: the engine's text-quality conventions, SURVEY §2.8).
@@ -105,10 +109,28 @@ def score_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def rank_normalize(scored: DataFrame, domain_col: str = "source") -> DataFrame:
+def rank_normalize(
+    scored: DataFrame, domain_col: str = "source", method: str = "pandas"
+) -> DataFrame:
     """Per-domain integer permille rank: (1000 * (rank-1)) // (n-1), SQL
     ``rank()`` tie semantics (ties share the min rank), 0 for singleton
-    domains. Grouped applyInPandas — one shuffle on the domain key."""
+    domains.
+
+    ``method="pandas"``: grouped applyInPandas — one shuffle on the domain
+    key, every domain's rows ranked in one Python worker. The exemplar for
+    grouped post-model calibration, but a domain must fit one worker.
+
+    ``method="histogram"``: the billions-per-domain path (SCALE.md).
+    Two exact passes, pure Catalyst: (1) histogram = count per
+    (domain, score); (2) running count over the per-domain histogram gives
+    each score's min-rank; join back on (domain, score). Bit-identical to
+    the pandas mode (min-rank is a function of the score histogram alone),
+    with no per-domain sort of raw rows and no Python exchange — the only
+    Window runs over distinct scores."""
+    if method == "histogram":
+        return _rank_normalize_histogram(scored, domain_col)
+    if method != "pandas":
+        raise ValueError(f"unknown rank method: {method!r}")
 
     def per_domain(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -121,3 +143,37 @@ def rank_normalize(scored: DataFrame, domain_col: str = "source") -> DataFrame:
         return pdf
 
     return scored.groupBy(domain_col).applyInPandas(per_domain, RANKED_SCHEMA)
+
+
+def _rank_normalize_histogram(scored: DataFrame, domain_col: str) -> DataFrame:
+    """Exact histogram rank: rank(s) = 1 + count of rows with a smaller
+    score, computed as a running sum over the (domain, score) histogram."""
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(domain_col, "score_milli").agg(
+        F.count("*").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy(domain_col)
+        .orderBy("score_milli")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(domain_col)
+    ranked = hist.select(
+        domain_col,
+        "score_milli",
+        (F.sum("c").over(w_cum) - F.col("c") + F.lit(1)).alias("r"),
+        F.sum("c").over(w_all).alias("n"),
+    ).withColumn(
+        "rank_permille",
+        F.when(
+            F.col("n") > 1,
+            # integer div: ranks are non-negative so div == floor
+            F.expr("CAST((1000 * (r - 1)) div (n - 1) AS LONG)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return scored.join(ranked, [domain_col, "score_milli"]).select(
+        "doc_id", domain_col, "score_milli", "rank_permille"
+    )

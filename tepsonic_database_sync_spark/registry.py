@@ -1802,6 +1802,26 @@ def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_model_score_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billions-per-domain calibration path: same scorer, but the
+    permille rank computed via the exact two-pass histogram (pure
+    Catalyst — no per-domain sort of raw rows, no Python rank stage).
+    Shares q_model_score's oracle: the two modes are bit-identical.
+    Inference is eager-checkpointed first — the histogram AND the join
+    back both consume `scored`, and without materialization the forward
+    pass (the expensive model call at scale) would run twice."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.scoring import (
+        rank_normalize,
+        score_documents,
+    )
+
+    scored = score_documents(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    return rank_normalize(scored, method="histogram")
+
+
 def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(returnflag, linestatus) with subtotal rows (SURVEY §2.5
     noted grouping sets absent in the reference — free in Spark)."""
@@ -3756,6 +3776,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "sessionize_batch": (q_sessionize_batch, _O["sessionize_batch"]),
     "model_score": (q_model_score, _O["model_score"]),
+    # same oracle by construction: histogram rank ≡ pandas rank
+    "model_score_hist": (q_model_score_hist, _O["model_score"]),
     "sketch_topk": (q_sketch_topk, _O["sketch_topk"]),
     "set_intersect": (q_set_intersect, _O["set_intersect"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========

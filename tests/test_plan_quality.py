@@ -262,6 +262,41 @@ def test_model_score_prunes_before_python_exchange(spark):
     assert read_cols == {"doc_id", "source", "lang", "text"}, read_cols
 
 
+def test_model_score_histogram_rank_no_python_no_row_sort(spark):
+    """The histogram rank mode must be pure Catalyst — no Python rank
+    stage (the pandas mode's FlatMapGroupsInPandas) — and its only Window
+    must run over the (domain, score) HISTOGRAM, i.e. downstream of the
+    count aggregate, never a per-domain sort of raw document rows."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_model_score_hist(spark, SF_UNIT))
+    assert "FlatMapGroupsInPandas" not in plan  # the rank is JVM-side
+    assert "Window" in plan
+    # the window's sort operates on the aggregated histogram: in the
+    # top-down tree print the Sort node sits ABOVE (consumes) the
+    # HashAggregate — a raw-row sort would have no aggregate below it
+    assert "Sort " in plan and "HashAggregate" in plan
+    assert plan.index("Sort ") < plan.index("HashAggregate")
+
+
+def test_model_score_histogram_equals_pandas_rank(spark):
+    """Exact equivalence of the two rank modes (min-rank is a function of
+    the score histogram alone, so the histogram path is bit-identical,
+    not approximate)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.scoring import (
+        rank_normalize,
+        score_documents,
+    )
+
+    scored = score_documents(
+        load_table(spark, SF_UNIT, "documents")
+    ).localCheckpoint(eager=True)
+    a = {tuple(r) for r in rank_normalize(scored).collect()}
+    b = {tuple(r) for r in rank_normalize(scored, method="histogram").collect()}
+    assert a == b
+
+
 def test_sketch_topk_probes_broadcast_counters(spark):
     """The CMS probe must be a broadcast join against the KB-sized counter
     grid (never a shuffle of the term dictionary), and the exact top-k must
