@@ -71,7 +71,17 @@ def brute_force_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 10
 ) -> DataFrame:
     """Exact cosine top-k: query set = vec_id < n_queries, ranked by
-    (sim desc, neighbor id) — fully deterministic."""
+    (sim desc, neighbor id) — fully deterministic.
+
+    DELIBERATE BroadcastNestedLoopJoin: the `vec_id != q_id` condition is
+    non-equi, so this compiles to a BNL with the (small) query side
+    broadcast — the corpus is scanned exactly once and every (query,
+    vector) pair is scored, which is what exact KNN means (O(N·Q) is
+    inherent). This is the documented exact-recall BASELINE; `lsh_topk`
+    and `ivf_topk` are the 100 TB paths (candidate generation via
+    equi-join on bucket/cell keys). The BNL is plan-ASSERTED in
+    tests/test_plan_quality.py so the no-BNL invariant everywhere else
+    stays sharp — don't "fix" it."""
     v = _quantized(emb)
     q = v.select(
         F.col("vec_id").alias("q_id"),

@@ -297,6 +297,24 @@ def test_model_score_histogram_equals_pandas_rank(spark):
     assert a == b
 
 
+def test_brute_force_topk_is_deliberate_bnl_query_side_broadcast(spark):
+    """brute_force_topk is the ONE place a BroadcastNestedLoopJoin is
+    correct: exact KNN scores every (query, vector) pair (O(N·Q) is the
+    semantics), so the plan must be a BNL with the small QUERY side
+    broadcast and the corpus scanned once. Pinning it keeps the no-BNL
+    asserts on every other path sharp — if this ever stops being a BNL,
+    either Spark found something better (update the docstring) or someone
+    broke the exact baseline while 'fixing' plan warnings."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_ann_bruteforce_topk(spark, SF_UNIT))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan  # broadcast, not a shuffled product
+    assert "BroadcastExchange" in plan
+    # the top-k itself stays a per-query window, not a global sort+limit
+    assert "Window" in plan
+
+
 def test_sketch_topk_probes_broadcast_counters(spark):
     """The CMS probe must be a broadcast join against the KB-sized counter
     grid (never a shuffle of the term dictionary), and the exact top-k must
