@@ -9,7 +9,7 @@ silently diverge from the reference's sequential Map-merge.
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from tepsonic_database_sync_spark.operators.options import merge_options
@@ -123,11 +123,21 @@ event_rows = st.lists(
 )
 
 
+def _scd2_key(t):
+    # None-safe total order: a same-second state flip-flop (A→B→A) yields
+    # two versions of one state with IDENTICAL (user, state, valid_from),
+    # one closed (int valid_to) and one open (None) — plain tuple sort
+    # would compare None with int and raise
+    u, s, vf, vt, cur = t
+    return (u, s, vf, vt is None, vt if vt is not None else 0, cur)
+
+
 @settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@example(rows=[(1, 0, "B"), (1, 0, "A"), (1, 0, "B")])  # same-second flip-flop
 @given(rows=event_rows)
 def test_scd2_matches_sequential_reference(spark, rows):
     """scd2_history ≡ the obvious sequential per-user fold: sort by
@@ -144,8 +154,11 @@ def test_scd2_matches_sequential_reference(spark, rows):
         data, "event_id long, ts string, user_id long, event_type string"
     ).withColumn("ts", F.to_timestamp("ts"))
     got = sorted(
-        (r["user_id"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
-        for r in scd2_history(ev).collect()
+        (
+            (r["user_id"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_history(ev).collect()
+        ),
+        key=_scd2_key,
     )
 
     base = 1704067200  # 2024-01-01 00:00:00 UTC
@@ -162,7 +175,7 @@ def test_scd2_matches_sequential_reference(spark, rows):
         for j, (es, s) in enumerate(versions):
             vt = versions[j + 1][0] if j + 1 < len(versions) else None
             want.append((u, s, es, vt, vt is None))
-    assert got == sorted(want)
+    assert got == sorted(want, key=_scd2_key)
 
 
 @settings(
