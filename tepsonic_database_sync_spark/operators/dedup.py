@@ -512,3 +512,161 @@ def contamination_flags(
             ),
         )
     )
+
+
+# Bloom decontamination parameters: k probes, bits sized so the filter
+# stays ~2e-4 FP (32 bits/gram, k=4 → (1-e^-1/8)^4 ≈ 1.9e-4). m is a
+# power of two so position math is an exact modulus in both engines.
+BLOOM_K = 4
+BLOOM_BITS_PER_GRAM = 32
+
+
+def _bloom_pos(i: int, m_bits: int) -> F.Column:
+    """Position i of the double-hashing scheme: (h1 + i*h2) mod m, with
+    h2 forced odd so the k probes hit k distinct positions for any
+    power-of-two m. Expects materialized columns h1/h2."""
+    return (F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(m_bits)
+
+
+def _with_bloom_hashes(grams: DataFrame, m_bits: int) -> DataFrame:
+    return grams.withColumn(
+        "h1", h60(F.col("g")) % F.lit(m_bits)
+    ).withColumn(
+        "h2",
+        (h60_salted(F.col("g"), 1) % F.lit(m_bits)).bitwiseOR(F.lit(1)),
+    )
+
+
+def bloom_bitset(grams: DataFrame, m_bits: int) -> DataFrame:
+    """Build the Bloom bitset AS A DATAFRAME of (w, bits) 64-bit words —
+    a distributed bit_or aggregate, never a driver-side structure. At most
+    m_bits/64 rows (KBs), the broadcast side of every probe."""
+    g = _with_bloom_hashes(grams, m_bits)
+    pos = F.explode(
+        F.array(*[_bloom_pos(i, m_bits) for i in range(BLOOM_K)])
+    ).alias("pos")
+    return (
+        g.select(pos)
+        .select(
+            F.expr("CAST(pos div 64 AS INT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def contamination_flags_bloom(
+    docs: DataFrame,
+    bench_pct: int = 5,
+    n: int = 3,
+    min_hits: int = 1,
+    salt: str = "bench",
+    bits_per_gram: int = BLOOM_BITS_PER_GRAM,
+) -> DataFrame:
+    """``contamination_flags`` with the benchmark gram set ALSO carried as
+    a Bloom filter — the decontamination shape for when the gram set
+    outgrows an exact broadcast (a full eval-suite union at 100 TB can be
+    billions of grams = tens of GBs exact, but MBs as a bitset).
+
+    Emits per training doc: (doc_id, n_hit_grams, contaminated,
+    bloom_ok). The exact columns are oracle-hashed as in
+    ``contamination_flags``; ``bloom_ok`` is the hard flag of the sketch
+    family: TRUE iff NO exact-hit gram was missed by the bloom probe.
+    Bloom filters cannot produce false negatives, so any FALSE here is an
+    implementation bug and fails the correctness gate. False-positive
+    rate is bounded separately in tests (theory × slack).
+
+    Scale shape: the bitset is built by a distributed ``bit_or`` over the
+    (tiny) benchmark side and probed via ONE broadcast join on the word
+    index after exploding the k=4 positions per gram; the corpus side
+    still never shuffles on grams — the only shuffle remains the per-doc
+    groupBy, exactly like the exact path.
+    """
+    import math
+
+    from tepsonic_database_sync_spark.operators.sampling import split_bucket
+
+    sh = _with_shingles(docs, n).withColumn(
+        "is_bench", split_bucket(F.col("doc_id"), salt) < bench_pct
+    )
+    bench_grams = (
+        sh.filter(F.col("is_bench"))
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_bench = max(bench_grams.count(), 1)
+    m_bits = max(1024, 1 << math.ceil(math.log2(bits_per_gram * n_bench)))
+    words = bloom_bitset(bench_grams, m_bits)
+
+    train = sh.filter(~F.col("is_bench"))
+    tg = _with_bloom_hashes(
+        train.select("doc_id", F.explode("shingles").alias("g")), m_bits
+    )
+    # exact probe (broadcast of the gram set, as contamination_flags)
+    tg = tg.join(
+        F.broadcast(bench_grams.select(F.col("g"), F.lit(True).alias("in_bench"))),
+        "g",
+        "left",
+    )
+    # bloom probe: k broadcast joins on the word index (no posexplode →
+    # no extra (doc, gram) shuffle for the k-way AND; the corpus side
+    # stays map-side only, like the exact probe)
+    hit_terms = []
+    for i in range(BLOOM_K):
+        tg = tg.withColumn(f"pos{i}", _bloom_pos(i, m_bits)).withColumn(
+            f"w{i}", F.expr(f"CAST(pos{i} div 64 AS INT)")
+        )
+        wi = words.select(
+            F.col("w").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        tg = tg.join(F.broadcast(wi), f"w{i}", "left")
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 64 AS INT))"
+        )
+        hit_terms.append(
+            F.coalesce(F.col(f"bits{i}"), F.lit(0)).bitwiseAND(mask) != 0
+        )
+    bloom_hit = hit_terms[0]
+    for t in hit_terms[1:]:
+        bloom_hit = bloom_hit & t
+    per_doc = (
+        tg.select(
+            "doc_id",
+            F.coalesce(F.col("in_bench"), F.lit(False)).alias("exact"),
+            bloom_hit.alias("bloom_hit"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count_if(F.col("exact")).cast("long").alias("n_hit_grams"),
+            (F.count_if(F.col("exact")) >= min_hits).alias("contaminated"),
+            (F.count_if(F.col("exact") & ~F.col("bloom_hit")) == 0).alias(
+                "bloom_ok"
+            ),
+            F.count_if(F.col("bloom_hit") & ~F.col("exact"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+    )
+    # docs whose shingle array is empty never survive the explode — emit
+    # them with zero counts like the exact path does
+    return (
+        train.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias(
+                "n_hit_grams"
+            ),
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+            F.coalesce(F.col("bloom_ok"), F.lit(True)).alias("bloom_ok"),
+            F.coalesce(F.col("n_false_pos"), F.lit(0)).cast("long").alias(
+                "n_false_pos"
+            ),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        )
+    )

@@ -884,6 +884,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(load_table(spark, sf_dir, "documents"))
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the benchmark gram set carried as a Bloom
+    bitset (the exact-broadcast-outgrown shape: billions of grams = MBs
+    as a filter). Exact columns oracle-hashed as in `decontaminate`;
+    `bloom_ok` is the hard no-false-negative flag — bloom math guarantees
+    it TRUE, so any FALSE fails the hash gate. FP rate bounded in tests."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        contamination_flags_bloom,
+    )
+
+    return contamination_flags_bloom(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "n_hit_grams", "contaminated", "bloom_ok")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing coordinates: per-doc start offset and context-
     window span in the shard's concatenated token stream (512-token
@@ -1497,7 +1513,10 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-shaped product-type profit: per supplier nation and ship
     year over red parts. No partsupp in the testdata, so unit cost is
     proxied at 10% of p_retailprice (in cents); profit stays exact
-    integer arithmetic."""
+    integer arithmetic. DEVIATION: because of the cost proxy, this
+    query's results are NOT comparable to published TPC-H q9 numbers —
+    the plan shape (broadcast dims + one fact rollup) is the comparable
+    part."""
     from tepsonic_database_sync_spark.io import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2976,6 +2995,29 @@ SELECT f.doc_id,
 FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id
 WHERE NOT f.is_bench
 """,
+    # exact columns identical to decontaminate; bloom_ok is the hard
+    # no-false-negative flag (bloom math guarantees TRUE — a FALSE is an
+    # implementation bug and hash-mismatches here)
+    "decontaminate_bloom": f"""
+WITH {_D_TOKS}{_D_SHINGLES},
+f AS (
+  SELECT doc_id, shingles,
+         {_D_H60.format(e="'bench:' || CAST(doc_id AS VARCHAR)")} % 100 < 5
+           AS is_bench
+  FROM sh
+),
+bg AS (SELECT DISTINCT unnest(shingles) AS g FROM f WHERE is_bench),
+tr AS (SELECT doc_id, unnest(shingles) AS g FROM f WHERE NOT is_bench),
+hits AS (
+  SELECT tr.doc_id, count(*) AS nh FROM tr JOIN bg USING (g) GROUP BY tr.doc_id
+)
+SELECT f.doc_id,
+       CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(h.nh, 0) >= 1 AS contaminated,
+       TRUE AS bloom_ok
+FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id
+WHERE NOT f.is_bench
+""",
     "pack_sequences": r"""
 WITH t AS (
   SELECT doc_id, source,
@@ -3759,9 +3801,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_winnow": (q_text_winnow, _O["text_winnow"]),
     "text_chunks": (q_text_chunks, _O["text_chunks"]),
     "text_scrub": (q_text_scrub, _O["text_scrub"]),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
+    # NEW in r6 (late): bloom-carried decontamination — displaced
+    # dedup_ngram_jaccard (r01-green) to the top of the rotation queue
+    "decontaminate_bloom": (q_decontaminate_bloom, _O["decontaminate_bloom"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # --- r03/r04-green (stalest after this round; rotate in next) -------
+    # --- r03/r04-green + dedup_ngram_jaccard (r01): rotate in next ------
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
     "cube_sales": (q_cube_sales, _O["cube_sales"]),
     "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),

@@ -178,6 +178,54 @@ def test_decontaminate_gram_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decontaminate_bloom_probe_is_broadcast_and_fp_bounded(spark):
+    """The bloom probe must stay map-side on the corpus: every join
+    (exact gram set + k word-index probes) is broadcast — no shuffle on
+    gram text anywhere, no nested-loop fallback. And the measured
+    false-positive rate must sit within theory × slack for the sized
+    bitset ((1-e^(-k·n/m))^k with 32 bits/gram, k=4 → ~2e-4)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        BLOOM_BITS_PER_GRAM,
+        BLOOM_K,
+        contamination_flags_bloom,
+        _with_shingles,
+    )
+    from tepsonic_database_sync_spark.operators.sampling import split_bucket
+
+    docs = load_table(spark, SF_UNIT, "documents")
+    out = contamination_flags_bloom(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # no shuffle keyed on the corpus gram column
+    assert "hashpartitioning(g#" not in plan
+
+    row = out.agg(
+        F.sum("n_false_pos").alias("fp"), F.sum("n_grams").alias("n")
+    ).collect()[0]
+    n_bench = (
+        _with_shingles(docs)
+        .withColumn("is_bench", split_bucket(F.col("doc_id"), "bench") < 5)
+        .filter("is_bench")
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+        .count()
+    )
+    m_bits = max(1024, 1 << math.ceil(math.log2(BLOOM_BITS_PER_GRAM * n_bench)))
+    p_theory = (1 - math.exp(-BLOOM_K * n_bench / m_bits)) ** BLOOM_K
+    assert row["fp"] <= max(8, 8 * p_theory * row["n"]), (
+        row["fp"],
+        row["n"],
+        p_theory,
+    )
+
+
 def test_pack_sequences_window_is_sharded(spark):
     """The packing cumsum must partition on the shard key — a global
     (single-partition) running sum would serialize the whole corpus
