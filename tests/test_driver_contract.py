@@ -40,6 +40,31 @@ def test_entry_smoke(spark):
     assert "selectedOptions" in df.columns
 
 
+def test_registry_tail_entries_have_prior_green_rows():
+    """Machine-check of the window contract (SURVEY §9): the driver only
+    records the FIRST 50 registry entries, so every entry in the tail
+    (slot 51+) must already have a green hard-signal row in some past
+    CORRECTNESS_r*.json — new or changed entries belong INSIDE the
+    window. A rotation mistake fails here instead of silently leaving an
+    entry unverified forever."""
+    import glob
+    import json
+
+    green: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
+            ):
+                green.add(name)
+    tail = list(registry.REGISTRY)[50:]
+    unverified = [n for n in tail if n not in green]
+    assert not unverified, (
+        f"tail entries with no prior green hard-signal row: {unverified} — "
+        "move them inside the first 50 slots"
+    )
+
+
 def test_s1_ingest_oracle_file_order_assumption():
     """The s1_rest_ingest oracle equates "first PAGES*PAGE_SIZE rows in
     file order" with "the PAGES*PAGE_SIZE smallest doc_ids" — assert the
