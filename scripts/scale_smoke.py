@@ -136,6 +136,7 @@ def write_amplified_olap(spark, factor: int, dest: str) -> None:
 def _olap_ops():
     from tepsonic_database_sync_spark.registry import (
         q_sessionize_batch,
+        q_stream_stream_join,
         q_tpch_q9_profit,
         q_tpch_q21_waiting,
     )
@@ -144,6 +145,9 @@ def _olap_ops():
         "tpch_q9_profit": q_tpch_q9_profit,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "sessionize_batch": q_sessionize_batch,
+        # r6: the attribution join's batch analog — user_id equi-join with
+        # a time-range residual; scales with events × per-user view density
+        "stream_stream_join": q_stream_stream_join,
     }
 
 
