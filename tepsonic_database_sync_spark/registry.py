@@ -662,6 +662,33 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
 
+def q_stream_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join (batch analog): every view with the
+    same user's purchases in the forward window, or NULLs if unconverted.
+    The streaming form's null-extension-after-watermark contract is
+    proven in tests/test_streaming_ops.py."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.ops import conversion_batch
+
+    return conversion_batch(load_table(spark, sf_dir, "events"))
+
+
+def _stream_conversion_oracle() -> str:
+    from tepsonic_database_sync_spark.streaming.ops import ATTRIBUTION_WINDOW_S
+
+    return f"""
+SELECT v.event_id AS view_id, v.user_id, p.event_id AS purchase_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(v.ts)) AS BIGINT)
+         AS lag_sec,
+       p.event_id IS NOT NULL AS converted
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL {ATTRIBUTION_WINDOW_S} SECOND
+"""
+
+
 # --- text analysis & dedup extensions (documents table) --------------------
 
 
@@ -3753,6 +3780,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # NEW in r6: watermarked stream-stream join
     "stream_stream_join": (q_stream_stream_join, _stream_stream_join_oracle()),
+    # NEW in r6 (late): left-outer sibling — displaced p_nested_project
+    # (r01-green) to the rotation queue
+    "stream_conversion": (q_stream_conversion, _stream_conversion_oracle()),
     # --- stalest tail rotated back in: last driver-verified in r01 ------
     "j5_valid_skip_split": (q_j5_valid_skip_split, _O["j5_valid_skip_split"]),
     "stream_tumbling": (q_stream_tumbling, _O["stream_tumbling"]),
@@ -3766,7 +3796,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_stats": (q_text_stats, _O["text_stats"]),
     "funnel": (q_funnel, _O["funnel"]),
     "p3_uid_coalesce": (q_p3_uid_coalesce, _O["p3_uid_coalesce"]),
-    "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
     "p4_cents_to_dollars": (q_p4_cents_to_dollars, _O["p4_cents_to_dollars"]),
     "p6_resolve_variant": (q_p6_resolve_variant, _O["p6_resolve_variant"]),
     "topk_orders": (q_topk_orders, _O["topk_orders"]),
@@ -3805,8 +3834,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # dedup_ngram_jaccard (r01-green) to the top of the rotation queue
     "decontaminate_bloom": (q_decontaminate_bloom, _O["decontaminate_bloom"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # --- r03/r04-green + dedup_ngram_jaccard (r01): rotate in next ------
+    # --- r03/r04-green + two r01 displacees: rotate in next -------------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
+    "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
     "cube_sales": (q_cube_sales, _O["cube_sales"]),
     "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),

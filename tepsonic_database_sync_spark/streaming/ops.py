@@ -140,6 +140,74 @@ def attribute_purchases_batch(events: DataFrame) -> DataFrame:
     )
 
 
+def _conversion(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared core of the left-outer conversion join: every view, paired
+    with the same user's purchases in the FORWARD window — or NULLs if
+    none came (the unconverted-view row conversion funnels need). Same
+    equi-join-plus-range shape as ``_attribution``."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (v.user_id == p.p_user_id)
+        & (p.p_ts >= v.v_ts)
+        & (p.p_ts <= v.v_ts + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS"))
+    )
+    return v.join(p, cond, "left_outer").select(
+        "view_id",
+        "user_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+        .cast("long")
+        .alias("lag_sec"),
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
+def conversion_batch(events: DataFrame) -> DataFrame:
+    """Batch analog of the left-outer stream-stream conversion join."""
+    return _conversion(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def conversion_stream(
+    spark: SparkSession, events_dir: str, schema, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming form: LEFT-OUTER watermarked stream-stream join — the
+    semantics the inner join can't express: an unconverted view is emitted
+    with NULL purchase columns, but only once the watermark passes
+    ``v_ts + window`` (before that a matching purchase could still
+    arrive, so the row is provably incomplete). Same bounded-state story
+    as the inner join; the null-extended rows ride the state EVICTION
+    path, which is why tests must feed a trailing batch after the
+    watermark advances — eviction output materializes on the next
+    micro-batch.
+
+    Operational gotcha (pinned in tests): the GLOBAL watermark is the MIN
+    across both branches' watermark nodes, so a quiet purchase stream
+    stalls null-emission for the whole join — at scale, keep heartbeat
+    events flowing on BOTH sides (or set
+    ``spark.sql.streaming.multipleWatermarkPolicy=max`` and accept the
+    completeness trade-off)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    views = stream.filter(F.col("event_type") == "view").withWatermark(
+        "ts", watermark
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", watermark
+    )
+    return _conversion(views, purchases)
+
+
 def attribute_purchases_stream(
     spark: SparkSession, events_dir: str, schema, watermark: str = "2 hours"
 ) -> DataFrame:

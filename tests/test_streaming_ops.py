@@ -174,6 +174,87 @@ def test_stream_stream_join_matches_batch_and_bounds_state(spark):
     assert not any(pid == 13 for (pid, *_rest) in got)
 
 
+def test_stream_conversion_outer_join_null_extends_after_watermark(spark):
+    """LEFT-OUTER stream-stream join contract: a converted view emits its
+    pair as soon as both sides meet (inner path), but an UNCONVERTED view
+    emits its NULL-extended row only via state eviction — after the
+    watermark passes ``v_ts + window`` — because until then a matching
+    purchase could still arrive. Final output must equal the batch analog
+    over the on-time events."""
+    import pandas as pd
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.streaming.ops import (
+        conversion_batch,
+        conversion_stream,
+    )
+
+    schema = load_table(spark, SF_UNIT, "events").schema
+
+    def mk(eid, ts_ms, etype, uid):
+        return {
+            "event_id": eid,
+            "ts": pd.Timestamp(ts_ms, unit="ms"),
+            "user_id": uid,
+            "event_type": etype,
+            "value": 5.0,
+            "props": "{}",
+        }
+
+    H = 3_600_000
+    t0 = 2000 * H
+    batch1 = [mk(1, t0, "view", 1), mk(2, t0 + H, "view", 2)]
+    batch2 = [mk(10, t0 + 2 * H, "purchase", 1)]  # converts view 1
+    # two watermark subtleties the sentinels must respect: (a) only rows
+    # that SURVIVE the pre-watermark filters advance a branch's watermark,
+    # and (b) the GLOBAL watermark is the MIN across both branches
+    # (multipleWatermarkPolicy=min) — so each sentinel batch carries a
+    # view AND a purchase, for two different unrelated users so they can
+    # never join each other. Null-extension rides EVICTION, which
+    # materializes on the batch AFTER the watermark advances — hence two
+    # sentinel batches.
+    batch3 = [mk(100, t0 + 40 * H, "view", 9), mk(200, t0 + 40 * H, "purchase", 8)]
+    batch4 = [mk(101, t0 + 41 * H, "view", 9), mk(201, t0 + 41 * H, "purchase", 8)]
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pd.DataFrame(batch1), schema=schema).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        q = (
+            conversion_stream(spark, d, schema)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_conv")
+            .start()
+        )
+        q.processAllAvailable()
+        for b in (batch2, batch3, batch4):
+            spark.createDataFrame(pd.DataFrame(b), schema=schema).coalesce(
+                1
+            ).write.mode("append").parquet(d)
+            q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["view_id"], r["purchase_id"], r["lag_sec"], r["converted"])
+            for r in spark.sql("SELECT * FROM t_conv").collect()
+        }
+
+    # apples-to-apples: the analog runs over the CLOSED-window prefix —
+    # sentinel views 100/101 have open windows at stop (a purchase could
+    # still arrive), so the stream correctly holds them back
+    want = {
+        (r["view_id"], r["purchase_id"], r["lag_sec"], r["converted"])
+        for r in conversion_batch(
+            spark.createDataFrame(
+                pd.DataFrame(batch1 + batch2), schema=schema
+            )
+        ).collect()
+    }
+    assert want == {(1, 10, 7200, True), (2, None, None, False)}
+    assert got == want
+    assert not any(vid in (100, 101) for (vid, *_r) in got)
+
+
 def test_streaming_sessions_ttl_event_time(spark):
     """TTL sessionization via applyInPandasWithState + EventTimeTimeout:
     sessions must close on BOTH paths — 'gap' (a late event for the same
