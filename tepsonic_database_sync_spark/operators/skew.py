@@ -14,7 +14,7 @@ in tests against the unsalted plan).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -50,10 +50,34 @@ def salted_two_phase_agg(
     )
 
 
-def salted_join_keys(key_col: Column, n_salts: int) -> tuple[Column, Column]:
-    """Building blocks for a salted join: the skewed (large) side tags each
-    row with one random-ish salt; the small side explodes to all salts.
-    Returns (large_side_salt, small_side_salts_array)."""
-    large = F.pmod(F.xxhash64(key_col), F.lit(n_salts))
-    small = F.sequence(F.lit(0), F.lit(n_salts - 1))
-    return large, small
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-tolerant equi-join: spread a hot key across ``n_salts`` tasks.
+
+    The LARGE side tags each row with a salt that varies WITHIN a key —
+    a hash of the whole row, never of the key alone (a key-derived salt
+    would send every row of the hot key to the same task, spreading
+    nothing; the earlier ``salted_join_keys`` helper had exactly that
+    bug and was replaced by this operator). The SMALL side replicates
+    each row to all ``n_salts`` values; joining on ``(key, salt)`` then
+    yields exactly the plain join's rows (asserted in tests, broadcast
+    disabled, against the unsalted plan).
+
+    Cost model: n_salts× replication of the small side's shuffle volume
+    buys a 1/n_salts cap on any single key's share of a task — the right
+    trade when one key melts an executor and AQE's skew split can't
+    reach the join (e.g. a non-shuffle-join stage boundary). ``how``
+    supports left joins too: unmatched large rows survive with the salt
+    dropped."""
+    lg = large.withColumn(
+        "__salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts))
+    )
+    sm = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return lg.join(sm, [key, "__salt"], how).drop("__salt")

@@ -609,6 +609,26 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_two_phase_agg(li, "l_returnflag", sum_cols=("l_quantity",))
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (skew mitigation for joins AQE can't split): the
+    large side salts per ROW, the dim side replicates to all salts, and
+    the result must equal the plain join — the oracle IS the unsalted
+    form. The salt never reaches the output, so the hash gate holds."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return salted_join(ev, dim, "user_id", n_salts=8)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once delivery dedup (batch analog of the watermarked
     ``dropDuplicatesWithinWatermark`` stream — streaming form tested in
@@ -2730,6 +2750,12 @@ SELECT l_returnflag,
        CAST(sum(l_quantity) AS BIGINT) AS sum_l_quantity
 FROM lineitem GROUP BY 1
 """,
+    "skew_salted_join": """
+SELECT e.user_id, e.event_id,
+       CAST(round(e.value * 100, 0) AS BIGINT) AS value_cents,
+       c.c_mktsegment AS segment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
     "stream_dedup": """
 SELECT DISTINCT event_id, user_id, event_type,
        CAST(round(value * 100, 0) AS BIGINT) AS value_cents
@@ -3798,7 +3824,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p3_uid_coalesce": (q_p3_uid_coalesce, _O["p3_uid_coalesce"]),
     "p4_cents_to_dollars": (q_p4_cents_to_dollars, _O["p4_cents_to_dollars"]),
     "p6_resolve_variant": (q_p6_resolve_variant, _O["p6_resolve_variant"]),
-    "topk_orders": (q_topk_orders, _O["topk_orders"]),
     "window_topk_per_cust": (q_window_topk_per_cust, _O["window_topk_per_cust"]),
     "set_union": (q_set_union, _O["set_union"]),
     "set_except": (q_set_except, _O["set_except"]),
@@ -3816,6 +3841,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_q13_custdist": (q_tpch_q13_custdist, _O["tpch_q13_custdist"]),
     "tpch_q18_big_orders": (q_tpch_q18_big_orders, _O["tpch_q18_big_orders"]),
     "skew_salted_agg": (q_skew_salted_agg, _O["skew_salted_agg"]),
+    # NEW in r6 (late): salted-join sibling — displaced topk_orders
+    # (r01-green) to the rotation queue
+    "skew_salted_join": (q_skew_salted_join, _O["skew_salted_join"]),
     "dq_checks": (q_dq_checks, _O["dq_checks"]),
     "dataset_split": (q_dataset_split, _O["dataset_split"]),
     "outliers_p99": (q_outliers_p99, _O["outliers_p99"]),
@@ -3834,9 +3862,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # dedup_ngram_jaccard (r01-green) to the top of the rotation queue
     "decontaminate_bloom": (q_decontaminate_bloom, _O["decontaminate_bloom"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # --- r03/r04-green + two r01 displacees: rotate in next -------------
+    # --- r03/r04-green + three r01 displacees: rotate in next -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
+    "topk_orders": (q_topk_orders, _O["topk_orders"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
     "cube_sales": (q_cube_sales, _O["cube_sales"]),
     "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),

@@ -32,6 +32,46 @@ def test_salted_agg_matches_plain_agg(spark):
     pd.testing.assert_frame_equal(s[["l_returnflag", "n", "sum_q"]], p)
 
 
+def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
+    """The salted join must be row-identical to the plain equi-join even
+    with broadcast disabled (forcing the shuffle join salting exists
+    for), for inner AND left joins — and the hot key's rows must
+    actually LAND on multiple salts (a key-derived salt would collapse
+    them onto one task; the old salted_join_keys helper had that bug)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.skew import salted_join
+
+    ev = load_table(spark, SF_UNIT, "events").select(
+        "event_id", "user_id", F.col("event_type").alias("et")
+    )
+    dim = load_table(spark, SF_UNIT, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how in ("inner", "left"):
+            got = sorted(
+                map(tuple, salted_join(ev, dim, "user_id", 8, how).collect())
+            )
+            want = sorted(map(tuple, ev.join(dim, "user_id", how).collect()))
+            assert got == want, how
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # spread check: the hottest key's rows must cover several of 8 salts
+    hot = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    n_salts_hit = (
+        ev.filter(F.col("user_id") == hot["user_id"])
+        .select(F.pmod(F.xxhash64(*ev.columns), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts_hit >= 4, n_salts_hit
+
+
 def test_bucketed_join_avoids_shuffle(spark):
     from tepsonic_database_sync_spark.io import load_table
 
