@@ -65,6 +65,26 @@ def test_registry_tail_entries_have_prior_green_rows():
     )
 
 
+def test_text_fixtures_have_no_vertical_tab():
+    """The text-family regexes use \\s identically on the Spark (Java
+    regex) and DuckDB (RE2) sides. The two engines' \\s classes agree on
+    every code point EXCEPT U+000B vertical tab (Java includes it, RE2
+    does not), so the oracles are engine-identical iff the corpus
+    contains no vertical tab. Guard that single divergent code point —
+    if future testdata ships one, this failure names the fix (explicit
+    ASCII classes on both sides, as scoring.PUNCT_RE already does)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = con.execute(
+            "SELECT count(*) FROM read_parquet("
+            f"'/root/testdata/{sf}/documents.parquet')"
+            " WHERE contains(text, chr(11))"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} documents contain U+000B"
+
+
 def test_s1_ingest_oracle_file_order_assumption():
     """The s1_rest_ingest oracle equates "first PAGES*PAGE_SIZE rows in
     file order" with "the PAGES*PAGE_SIZE smallest doc_ids" — assert the
