@@ -609,6 +609,51 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_two_phase_agg(li, "l_returnflag", sum_cols=("l_quantity",))
 
 
+# RANGE-frame horizon shared between the window query and its oracle
+RANGE_FRAME_S = 30 * 86400
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the window mode `window_running_total`'s ROWS
+    frame can't express): per-customer 30-day rolling order value. The
+    frame is bounded by the ORDER-BY VALUE (epoch seconds), not a row
+    count — same-timestamp peers always aggregate together, which is
+    exactly what makes a value frame deterministic under parallelism
+    where a ROWS frame over ties would not be. One shuffle on o_custkey."""
+    from pyspark.sql import Window
+    from tepsonic_database_sync_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").cast("long").alias("es"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("es")
+        .rangeBetween(-RANGE_FRAME_S, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "es",
+        F.sum("cents").over(w).cast("long").alias("rolling_cents"),
+    )
+
+
+def _window_range_frame_oracle() -> str:
+    return f"""
+SELECT o_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS es,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+         RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_cents
+FROM orders
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted equi-join (skew mitigation for joins AQE can't split): the
     large side salts per ROW, the dim side replicates to all salts, and
@@ -3825,7 +3870,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p4_cents_to_dollars": (q_p4_cents_to_dollars, _O["p4_cents_to_dollars"]),
     "p6_resolve_variant": (q_p6_resolve_variant, _O["p6_resolve_variant"]),
     "window_topk_per_cust": (q_window_topk_per_cust, _O["window_topk_per_cust"]),
-    "set_union": (q_set_union, _O["set_union"]),
+    # NEW in r6 (late): RANGE-frame window — displaced set_union
+    # (r01-green) to the rotation queue
+    "window_range_frame": (q_window_range_frame, _window_range_frame_oracle()),
     "set_except": (q_set_except, _O["set_except"]),
     "events_json": (q_events_json, _O["events_json"]),
     "stream_sliding": (q_stream_sliding, _O["stream_sliding"]),
@@ -3862,10 +3909,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # dedup_ngram_jaccard (r01-green) to the top of the rotation queue
     "decontaminate_bloom": (q_decontaminate_bloom, _O["decontaminate_bloom"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # --- r03/r04-green + three r01 displacees: rotate in next -----------
+    # --- r03/r04-green + four r01 displacees: rotate in next ------------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
     "topk_orders": (q_topk_orders, _O["topk_orders"]),
+    "set_union": (q_set_union, _O["set_union"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
     "cube_sales": (q_cube_sales, _O["cube_sales"]),
     "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),
