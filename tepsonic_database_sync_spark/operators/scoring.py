@@ -174,6 +174,16 @@ def _rank_normalize_histogram(scored: DataFrame, domain_col: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long"),
     )
-    return scored.join(ranked, [domain_col, "score_milli"]).select(
-        "doc_id", domain_col, "score_milli", "rank_permille"
+    # null-safe on the domain: Spark's groupBy keeps a NULL domain as its
+    # own group (as the pandas mode does via Spark grouping), but a plain
+    # equi-join-back would drop those rows — eqNullSafe keeps the two
+    # modes bit-identical on NULL domains too
+    s = scored.alias("s")
+    r = ranked.alias("r")
+    return s.join(
+        r,
+        s[domain_col].eqNullSafe(r[domain_col])
+        & (s["score_milli"] == r["score_milli"]),
+    ).select(
+        s["doc_id"], s[domain_col], s["score_milli"], r["rank_permille"]
     )

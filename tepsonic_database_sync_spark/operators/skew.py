@@ -72,8 +72,28 @@ def salted_join(
     buys a 1/n_salts cap on any single key's share of a task — the right
     trade when one key melts an executor and AQE's skew split can't
     reach the join (e.g. a non-shuffle-join stage boundary). ``how``
-    supports left joins too: unmatched large rows survive with the salt
-    dropped."""
+    supports large-side-preserving joins only (inner/left/semi/anti):
+    a RIGHT or FULL join would preserve every unmatched (key, salt)
+    REPLICA of the small side — up to n_salts null-extended duplicates
+    per dim row — so those are rejected."""
+    allowed = {
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "semi",
+        "left_anti",
+        "leftanti",
+        "anti",
+    }
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins, not {how!r}: "
+            "right/full joins would emit one row per unmatched small-side "
+            "salt replica"
+        )
     lg = large.withColumn(
         "__salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts))
     )

@@ -330,7 +330,8 @@ def test_model_score_histogram_rank_no_python_no_row_sort(spark):
 def test_model_score_histogram_equals_pandas_rank(spark):
     """Exact equivalence of the two rank modes (min-rank is a function of
     the score histogram alone, so the histogram path is bit-identical,
-    not approximate)."""
+    not approximate) — including on a NULL domain, which Spark's groupBy
+    keeps as its own group but a non-null-safe join-back would drop."""
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.operators.scoring import (
         rank_normalize,
@@ -343,6 +344,17 @@ def test_model_score_histogram_equals_pandas_rank(spark):
     a = {tuple(r) for r in rank_normalize(scored).collect()}
     b = {tuple(r) for r in rank_normalize(scored, method="histogram").collect()}
     assert a == b
+
+    with_null = spark.createDataFrame(
+        [(1, None, 100), (2, None, 200), (3, "web", 150), (4, None, 200)],
+        "doc_id long, source string, score_milli long",
+    )
+    a2 = {tuple(r) for r in rank_normalize(with_null).collect()}
+    b2 = {
+        tuple(r) for r in rank_normalize(with_null, method="histogram").collect()
+    }
+    assert a2 == b2
+    assert len(a2) == 4  # the NULL-domain rows are ranked, not dropped
 
 
 def test_brute_force_topk_is_deliberate_bnl_query_side_broadcast(spark):

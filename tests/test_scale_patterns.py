@@ -71,6 +71,15 @@ def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
     )
     assert n_salts_hit >= 4, n_salts_hit
 
+    # right/full joins would emit one null-extended row per unmatched
+    # small-side salt replica — they must be rejected, not silently wrong
+    import pytest
+
+    with pytest.raises(ValueError, match="salt replica"):
+        salted_join(ev, dim, "user_id", 8, "right")
+    with pytest.raises(ValueError, match="salt replica"):
+        salted_join(ev, dim, "user_id", 8, "full")
+
 
 def test_bucketed_join_avoids_shuffle(spark):
     from tepsonic_database_sync_spark.io import load_table

@@ -128,10 +128,19 @@ def test_stream_stream_join_matches_batch_and_bounds_state(spark):
         mk(4, t0 + 25 * H, "view", 1),
         mk(12, t0 + 25 * H + 1800_000, "purchase", 1),
     ]
-    # sentinel pushes the watermark ~98h ahead: views 1/2/4 all evicted
-    batch4 = [mk(100, t0 + 100 * H, "signup", 9)]
-    # a purchase far behind the watermark: dropped at input, NO pairs,
-    # although the batch analog over all rows would join it to views 1/2
+    # sentinels push the watermark ~98h ahead so views 1/2/4 are truly
+    # evicted. They must be a view AND a purchase on two unrelated users:
+    # only rows surviving the pre-watermark filters advance a branch, and
+    # the GLOBAL watermark is the MIN across both branches — a lone
+    # filtered-out 'signup' sentinel would advance nothing (the conversion
+    # test documents the same pitfall)
+    batch4 = [
+        mk(100, t0 + 100 * H, "view", 9),
+        mk(200, t0 + 100 * H, "purchase", 8),
+    ]
+    # a purchase far behind the watermark: dropped at input (and its
+    # candidate views are evicted by now) — NO pairs, although the batch
+    # analog over all rows would join it to views 1/2
     batch5 = [mk(13, t0 + 3 * H, "purchase", 1)]
 
     with tempfile.TemporaryDirectory() as d:
