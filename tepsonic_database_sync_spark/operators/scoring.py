@@ -124,9 +124,11 @@ def rank_normalize(
     Two exact passes, pure Catalyst: (1) histogram = count per
     (domain, score); (2) running count over the per-domain histogram gives
     each score's min-rank; join back on (domain, score). Bit-identical to
-    the pandas mode (min-rank is a function of the score histogram alone),
-    with no per-domain sort of raw rows and no Python exchange — the only
-    Window runs over distinct scores."""
+    the pandas mode on non-null scores (min-rank is a function of the
+    score histogram alone), with no per-domain sort of raw rows and no
+    Python exchange — the only Window runs over distinct scores. NULL
+    scores are retained and rank lowest (SQL NULLS FIRST); the pandas
+    mode raises on them (pd.rank → NaN → int64 cast)."""
     if method == "histogram":
         return _rank_normalize_histogram(scored, domain_col)
     if method != "pandas":
@@ -174,16 +176,18 @@ def _rank_normalize_histogram(scored: DataFrame, domain_col: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long"),
     )
-    # null-safe on the domain: Spark's groupBy keeps a NULL domain as its
-    # own group (as the pandas mode does via Spark grouping), but a plain
-    # equi-join-back would drop those rows — eqNullSafe keeps the two
-    # modes bit-identical on NULL domains too
+    # null-safe on BOTH join-back columns: groupBy keeps NULL as its own
+    # group, but a plain equi-join-back would silently drop NULL-domain
+    # rows (fixed r6) and NULL-score rows (ADVICE r6). NULL scores rank
+    # below every non-null score (Spark window NULLS FIRST == SQL rank());
+    # note the pandas mode cannot accept them at all — pd.rank yields NaN
+    # and the int64 cast raises — so NULL-score support is histogram-only.
     s = scored.alias("s")
     r = ranked.alias("r")
     return s.join(
         r,
         s[domain_col].eqNullSafe(r[domain_col])
-        & (s["score_milli"] == r["score_milli"]),
+        & s["score_milli"].eqNullSafe(r["score_milli"]),
     ).select(
         s["doc_id"], s[domain_col], s["score_milli"], r["rank_permille"]
     )

@@ -14,8 +14,38 @@ in tests against the unsalted plan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def row_salt(n_salts: int) -> Column:
+    """Per-ROW salt in ``[0, n_salts)``: ``pmod(monotonically_increasing_id,
+    n_salts)``.
+
+    ``monotonically_increasing_id`` is (partition_id << 33) + row offset,
+    so consecutive rows of ANY key — including byte-identical duplicate
+    rows, which a content hash necessarily collapses onto one salt —
+    round-robin across all salts (ADVICE r6: the content-hash salt could
+    not spread the one skew shape salting exists for). The expression is
+    nondeterministic under recomputation, which is safe here twice over:
+    Spark marks the stage INDETERMINATE and rolls back whole stages on
+    fetch failure rather than mixing old and new shuffle output
+    (SPARK-25341), and every salt assignment yields the same join/agg
+    result — the salt never reaches the output."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+
+
+def _reject_salt_collision(*dfs: DataFrame) -> None:
+    """A pre-existing ``__salt`` column would be silently overwritten by
+    ``withColumn`` (ADVICE r6) — make the contract explicit instead."""
+    for df in dfs:
+        if _SALT in df.columns:
+            raise ValueError(
+                f"input already has a {_SALT!r} column; rename it before "
+                "salting (the operator would silently overwrite it)"
+            )
 
 
 def salted_two_phase_agg(
@@ -27,17 +57,14 @@ def salted_two_phase_agg(
 ) -> DataFrame:
     """Two-phase skew-tolerant aggregation: counts + sums per ``key``.
 
-    The salt is a deterministic spread (hash of a uniform row attribute
-    mod n_salts via ``spark_partition_id``-free math so results stay
-    engine-independent): here ``monotonically_increasing_id`` is avoided
-    too — we salt on ``pmod(hash(all grouping-independent cols)…)`` being
-    overkill, a simple modulo of an existing uniform column suffices and
-    keeps the plan pure-columnar. Callers pass data where ``__salt_src``
-    exists or rely on the default row-hash salt.
+    The salt is ``row_salt`` — a per-row round-robin that spreads even
+    byte-identical duplicate rows of a hot key (see its docstring for
+    why nondeterminism is safe: count/sum are commutative-associative,
+    so the result is identical for every salt assignment).
     """
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).alias("__salt")
+    _reject_salt_collision(df)
     phase1 = (
-        df.withColumn("__salt", salt)
+        df.withColumn(_SALT, row_salt(n_salts))
         .groupBy(key, "__salt")
         .agg(
             F.count("*").alias("__c"),
@@ -59,11 +86,13 @@ def salted_join(
 ) -> DataFrame:
     """Skew-tolerant equi-join: spread a hot key across ``n_salts`` tasks.
 
-    The LARGE side tags each row with a salt that varies WITHIN a key —
-    a hash of the whole row, never of the key alone (a key-derived salt
-    would send every row of the hot key to the same task, spreading
-    nothing; the earlier ``salted_join_keys`` helper had exactly that
-    bug and was replaced by this operator). The SMALL side replicates
+    The LARGE side tags each row with ``row_salt`` — a per-row
+    round-robin that varies WITHIN a key, never a function of the key
+    alone (a key-derived salt would send every row of the hot key to the
+    same task, spreading nothing; the earlier ``salted_join_keys`` helper
+    had exactly that bug and was replaced by this operator) and not a
+    content hash either (byte-identical duplicate rows would all land on
+    one salt — ADVICE r6). The SMALL side replicates
     each row to all ``n_salts`` values; joining on ``(key, salt)`` then
     yields exactly the plain join's rows (asserted in tests, broadcast
     disabled, against the unsalted plan).
@@ -94,10 +123,9 @@ def salted_join(
             "right/full joins would emit one row per unmatched small-side "
             "salt replica"
         )
-    lg = large.withColumn(
-        "__salt", F.pmod(F.xxhash64(*large.columns), F.lit(n_salts))
-    )
+    _reject_salt_collision(large, small)
+    lg = large.withColumn(_SALT, row_salt(n_salts))
     sm = small.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    return lg.join(sm, [key, "__salt"], how).drop("__salt")
+    return lg.join(sm, [key, _SALT], how).drop(_SALT)

@@ -109,7 +109,10 @@ def merge_jdbc_upsert(
     Trust boundary: ``table``/``staging_table``/``keys``/column names are
     interpolated into SQL unescaped — they must come from the engine's own
     catalog (trusted callers), never from user input. The staging table is
-    dropped in a ``finally`` so a failed MERGE cannot leak it.
+    dropped on both paths: after a failed MERGE the drop failure is
+    swallowed (never mask the MERGE's own exception — a warning names the
+    leaked table); after a successful MERGE a drop failure PROPAGATES, so
+    a persistent leak (e.g. a held lock) is never invisible (ADVICE r6).
     """
     jvm = spark._jvm
     # Derby writes derby.log into user.dir unless told otherwise — keep the
@@ -157,15 +160,25 @@ def merge_jdbc_upsert(
     try:
         st = conn.createStatement()
         try:
-            return st.executeUpdate(sql)
-        finally:
-            # drop the staging table even when the MERGE fails (ADVICE r5:
-            # the success-path-only drop leaked it); a drop failure must
-            # not mask the MERGE's own exception
+            n = st.executeUpdate(sql)
+        except Exception:
+            # MERGE failed: still try to drop (ADVICE r5: the
+            # success-path-only drop leaked it), but never mask the
+            # MERGE's own exception with a drop failure
             try:
                 st.executeUpdate(f"DROP TABLE {staging}")
             except Exception:
-                pass
+                import warnings
+
+                warnings.warn(
+                    f"staging table {staging} leaked after failed MERGE",
+                    stacklevel=2,
+                )
+            raise
+        # success path: a drop failure propagates — a persistent leak
+        # (e.g. a held lock) must be visible, not swallowed (ADVICE r6)
+        st.executeUpdate(f"DROP TABLE {staging}")
+        return n
     finally:
         conn.close()
 

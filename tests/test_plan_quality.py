@@ -357,6 +357,25 @@ def test_model_score_histogram_equals_pandas_rank(spark):
     assert len(a2) == 4  # the NULL-domain rows are ranked, not dropped
 
 
+def test_histogram_rank_retains_null_scores_ranked_lowest(spark):
+    """ADVICE r6: a non-null-safe score join-back silently dropped
+    NULL-score rows. They must be retained and rank below every non-null
+    score (SQL NULLS FIRST) — this mode is the only one that accepts
+    them (the pandas mode's int64 cast raises on pd.rank's NaN)."""
+    from tepsonic_database_sync_spark.operators.scoring import rank_normalize
+
+    with_null_scores = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "a", 100), (4, "a", 200)],
+        "doc_id long, source string, score_milli long",
+    )
+    got = {
+        r["doc_id"]: r["rank_permille"]
+        for r in rank_normalize(with_null_scores, method="histogram").collect()
+    }
+    # n=4: NULLs tie at rank 1 → 0; 100 → rank 3 → 666; 200 → rank 4 → 1000
+    assert got == {1: 0, 2: 0, 3: 666, 4: 1000}
+
+
 def test_brute_force_topk_is_deliberate_bnl_query_side_broadcast(spark):
     """brute_force_topk is the ONE place a BroadcastNestedLoopJoin is
     correct: exact KNN scores every (query, vector) pair (O(N·Q) is the

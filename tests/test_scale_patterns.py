@@ -62,10 +62,13 @@ def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
         with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
     # spread check: the hottest key's rows must cover several of 8 salts
+    # (uses the implementation's salt so the test can't drift from it)
+    from tepsonic_database_sync_spark.operators.skew import row_salt
+
     hot = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
     n_salts_hit = (
         ev.filter(F.col("user_id") == hot["user_id"])
-        .select(F.pmod(F.xxhash64(*ev.columns), F.lit(8)).alias("s"))
+        .select(row_salt(8).alias("s"))
         .distinct()
         .count()
     )
@@ -79,6 +82,58 @@ def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
         salted_join(ev, dim, "user_id", 8, "right")
     with pytest.raises(ValueError, match="salt replica"):
         salted_join(ev, dim, "user_id", 8, "full")
+
+
+def test_salted_join_spreads_byte_identical_duplicate_rows(spark):
+    """ADVICE r6: a content-hash salt collapses byte-identical duplicate
+    rows of a hot key onto ONE salt — the exact skew shape the operator
+    claims to fix. The per-row salt must spread them, and the join must
+    still return every duplicate (row multiplicity preserved)."""
+    from tepsonic_database_sync_spark.operators.skew import row_salt, salted_join
+
+    # 4000 byte-identical rows of one hot key + a handful of cold keys
+    dup = spark.range(4000).select(
+        F.lit(7).alias("k"), F.lit("same-payload").alias("v")
+    )
+    cold = spark.range(5).select(
+        (F.col("id") + 100).alias("k"), F.lit("cold").alias("v")
+    )
+    large = dup.unionAll(cold).repartition(8)
+    dim = spark.range(200).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+
+    n_salts_hit = (
+        large.filter(F.col("k") == 7).select(row_salt(8).alias("s")).distinct().count()
+    )
+    assert n_salts_hit == 8, n_salts_hit
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = salted_join(large, dim, "k", 8).groupBy("k").count().collect()
+        want = large.join(dim, "k").groupBy("k").count().collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salting_rejects_preexisting_salt_column(spark):
+    """ADVICE r6: withColumn would silently overwrite a user __salt
+    column — both salted operators must refuse instead."""
+    import pytest
+
+    from tepsonic_database_sync_spark.operators.skew import (
+        salted_join,
+        salted_two_phase_agg,
+    )
+
+    clean = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    tainted = clean.withColumn("__salt", F.lit(0))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_two_phase_agg(tainted, "k", sum_cols=("v",))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(tainted, clean, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(clean, tainted, "k")
 
 
 def test_bucketed_join_avoids_shuffle(spark):
