@@ -3827,89 +3827,18 @@ FROM sess GROUP BY user_id, session_idx
 # name → (spark callable, oracle sql | None)
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
-# FIRST 50 entries (the "window"). Round-6 allocation: the 5 entries that
-# are new or changed this round, then ALL 45 entries whose last
-# hard-signal row was CORRECTNESS_r01 (the stalest tail, rotated back in
-# per VERDICT r5 item 1). Everything in the tail below the marker has a
-# green row in CORRECTNESS_r04 ∨ r05 and still runs in
-# scripts/driver_sim.py every session. Net invariant after this round:
-# every registry entry has a hard-signal green row in r04 ∪ r05 ∪ r06.
-# NEXT ROTATION (r7): the 14 entries in the "r03/r04-green" tail block
-# are then the stalest — swap them in first.
+# FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
+# the 18 rotation-queue entries whose last hard-signal row was r01 or
+# r03/r04, then the first 32 of the r05-green block — so after this round
+# every entry's last green row is in r05 ∪ r06 ∪ r07. The tail below the
+# marker holds the 16 remaining r05-green entries (the head of the r8
+# rotation queue) and the 50 entries green in CORRECTNESS_r06; all of it
+# still runs in scripts/driver_sim.py every session. New or changed
+# entries must displace window slots (from the bottom of the r05-green
+# section), never ride the tail unverified — machine-checked by
+# tests/test_driver_contract.py::test_registry_tail_entries_have_prior_green_rows.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- new / changed this round ---------------------------------------
-    # hash oracle NEW in r6 (was the last rows-only entry)
-    "s1_rest_ingest": (q_s1_rest_ingest, _s1_rest_ingest_oracle()),
-    # oracle + punct class changed in r6 (ADVICE fix)
-    "model_score": (q_model_score, _O["model_score"]),
-    # NEW in r6: exact histogram rank mode
-    "model_score_hist": (q_model_score_hist, _O["model_score"]),
-    # NEW in r6: completes the classic surface
-    "tpch_q15_top_supplier": (
-        q_tpch_q15_top_supplier,
-        _O["tpch_q15_top_supplier"],
-    ),
-    # NEW in r6: watermarked stream-stream join
-    "stream_stream_join": (q_stream_stream_join, _stream_stream_join_oracle()),
-    # NEW in r6 (late): left-outer sibling — displaced p_nested_project
-    # (r01-green) to the rotation queue
-    "stream_conversion": (q_stream_conversion, _stream_conversion_oracle()),
-    # --- stalest tail rotated back in: last driver-verified in r01 ------
-    "j5_valid_skip_split": (q_j5_valid_skip_split, _O["j5_valid_skip_split"]),
-    "stream_tumbling": (q_stream_tumbling, _O["stream_tumbling"]),
-    "p1_norm_name": (q_p1_norm_name, _O["p1_norm_name"]),
-    "f1_status_filter": (q_f1_status_filter, _O["f1_status_filter"]),
-    "j1_match_exact": (q_j1_match_exact, _O["j1_match_exact"]),
-    "s3_filtered_scan": (q_s3_filtered_scan, _O["s3_filtered_scan"]),
-    "s9_backfill": (q_s9_backfill, _O["s9_backfill"]),
-    "x1_dispatch": (q_x1_dispatch, _O["x1_dispatch"]),
-    "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
-    "text_stats": (q_text_stats, _O["text_stats"]),
-    "funnel": (q_funnel, _O["funnel"]),
-    "p3_uid_coalesce": (q_p3_uid_coalesce, _O["p3_uid_coalesce"]),
-    "p4_cents_to_dollars": (q_p4_cents_to_dollars, _O["p4_cents_to_dollars"]),
-    "p6_resolve_variant": (q_p6_resolve_variant, _O["p6_resolve_variant"]),
-    "window_topk_per_cust": (q_window_topk_per_cust, _O["window_topk_per_cust"]),
-    # NEW in r6 (late): RANGE-frame window — displaced set_union
-    # (r01-green) to the rotation queue
-    "window_range_frame": (q_window_range_frame, _window_range_frame_oracle()),
-    "set_except": (q_set_except, _O["set_except"]),
-    "events_json": (q_events_json, _O["events_json"]),
-    "stream_sliding": (q_stream_sliding, _O["stream_sliding"]),
-    "stream_sessions": (q_stream_sessions, _O["stream_sessions"]),
-    "stream_dedup": (q_stream_dedup, _O["stream_dedup"]),
-    "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
-    "rollup_multires": (q_rollup_multires, _O["rollup_multires"]),
-    "tpch_q5_region_revenue": (q_tpch_q5_region_revenue, _O["tpch_q5_region_revenue"]),
-    "tpch_q12_priority_counts": (
-        q_tpch_q12_priority_counts,
-        _O["tpch_q12_priority_counts"],
-    ),
-    "tpch_q13_custdist": (q_tpch_q13_custdist, _O["tpch_q13_custdist"]),
-    "tpch_q18_big_orders": (q_tpch_q18_big_orders, _O["tpch_q18_big_orders"]),
-    "skew_salted_agg": (q_skew_salted_agg, _O["skew_salted_agg"]),
-    # NEW in r6 (late): salted-join sibling — displaced topk_orders
-    # (r01-green) to the rotation queue
-    "skew_salted_join": (q_skew_salted_join, _O["skew_salted_join"]),
-    "dq_checks": (q_dq_checks, _O["dq_checks"]),
-    "dataset_split": (q_dataset_split, _O["dataset_split"]),
-    "outliers_p99": (q_outliers_p99, _O["outliers_p99"]),
-    "mom_growth": (q_mom_growth, _O["mom_growth"]),
-    "cohort_retention": (q_cohort_retention, _O["cohort_retention"]),
-    "stratified_sample": (q_stratified_sample, _O["stratified_sample"]),
-    "percentiles": (q_percentiles, _O["percentiles"]),
-    "text_lang_id": (q_text_lang_id, _O["text_lang_id"]),
-    "text_quality": (q_text_quality, _O["text_quality"]),
-    "text_fingerprint": (q_text_fingerprint, _O["text_fingerprint"]),
-    "text_top_terms": (q_text_top_terms, _O["text_top_terms"]),
-    "text_winnow": (q_text_winnow, _O["text_winnow"]),
-    "text_chunks": (q_text_chunks, _O["text_chunks"]),
-    "text_scrub": (q_text_scrub, _O["text_scrub"]),
-    # NEW in r6 (late): bloom-carried decontamination — displaced
-    # dedup_ngram_jaccard (r01-green) to the top of the rotation queue
-    "decontaminate_bloom": (q_decontaminate_bloom, _O["decontaminate_bloom"]),
-    # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # --- r03/r04-green + four r01 displacees: rotate in next ------------
+    # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
     "topk_orders": (q_topk_orders, _O["topk_orders"]),
@@ -3928,7 +3857,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green (last round's window, incl. the reference spine) -----
+    # --- r05-green block, stalest first (32 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),
@@ -3961,6 +3890,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_bm25": (q_text_bm25, _O["text_bm25"]),
     "text_repetition": (q_text_repetition, _O["text_repetition"]),
     "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),
+    # ==== entries below are OUTSIDE the 50-entry driver window ==========
+    # --- r05-green leftovers: head of the r8 rotation queue -------------
     "sketch_percentile": (q_sketch_percentile, _O["sketch_percentile"]),
     "asof_join": (q_asof_join, _O["asof_join"]),
     "range_join": (q_range_join, _O["range_join"]),
@@ -3989,6 +3920,63 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sessionize_batch": (q_sessionize_batch, _O["sessionize_batch"]),
     "sketch_topk": (q_sketch_topk, _O["sketch_topk"]),
     "set_intersect": (q_set_intersect, _O["set_intersect"]),
+    # --- green in CORRECTNESS_r06 (last round's window) -----------------
+    "s1_rest_ingest": (q_s1_rest_ingest, _s1_rest_ingest_oracle()),
+    "model_score": (q_model_score, _O["model_score"]),
+    "model_score_hist": (q_model_score_hist, _O["model_score"]),
+    "tpch_q15_top_supplier": (
+        q_tpch_q15_top_supplier,
+        _O["tpch_q15_top_supplier"],
+    ),
+    "stream_stream_join": (q_stream_stream_join, _stream_stream_join_oracle()),
+    "stream_conversion": (q_stream_conversion, _stream_conversion_oracle()),
+    "j5_valid_skip_split": (q_j5_valid_skip_split, _O["j5_valid_skip_split"]),
+    "stream_tumbling": (q_stream_tumbling, _O["stream_tumbling"]),
+    "p1_norm_name": (q_p1_norm_name, _O["p1_norm_name"]),
+    "f1_status_filter": (q_f1_status_filter, _O["f1_status_filter"]),
+    "j1_match_exact": (q_j1_match_exact, _O["j1_match_exact"]),
+    "s3_filtered_scan": (q_s3_filtered_scan, _O["s3_filtered_scan"]),
+    "s9_backfill": (q_s9_backfill, _O["s9_backfill"]),
+    "x1_dispatch": (q_x1_dispatch, _O["x1_dispatch"]),
+    "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
+    "text_stats": (q_text_stats, _O["text_stats"]),
+    "funnel": (q_funnel, _O["funnel"]),
+    "p3_uid_coalesce": (q_p3_uid_coalesce, _O["p3_uid_coalesce"]),
+    "p4_cents_to_dollars": (q_p4_cents_to_dollars, _O["p4_cents_to_dollars"]),
+    "p6_resolve_variant": (q_p6_resolve_variant, _O["p6_resolve_variant"]),
+    "window_topk_per_cust": (q_window_topk_per_cust, _O["window_topk_per_cust"]),
+    "window_range_frame": (q_window_range_frame, _window_range_frame_oracle()),
+    "set_except": (q_set_except, _O["set_except"]),
+    "events_json": (q_events_json, _O["events_json"]),
+    "stream_sliding": (q_stream_sliding, _O["stream_sliding"]),
+    "stream_sessions": (q_stream_sessions, _O["stream_sessions"]),
+    "stream_dedup": (q_stream_dedup, _O["stream_dedup"]),
+    "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
+    "rollup_multires": (q_rollup_multires, _O["rollup_multires"]),
+    "tpch_q5_region_revenue": (q_tpch_q5_region_revenue, _O["tpch_q5_region_revenue"]),
+    "tpch_q12_priority_counts": (
+        q_tpch_q12_priority_counts,
+        _O["tpch_q12_priority_counts"],
+    ),
+    "tpch_q13_custdist": (q_tpch_q13_custdist, _O["tpch_q13_custdist"]),
+    "tpch_q18_big_orders": (q_tpch_q18_big_orders, _O["tpch_q18_big_orders"]),
+    "skew_salted_agg": (q_skew_salted_agg, _O["skew_salted_agg"]),
+    "skew_salted_join": (q_skew_salted_join, _O["skew_salted_join"]),
+    "dq_checks": (q_dq_checks, _O["dq_checks"]),
+    "dataset_split": (q_dataset_split, _O["dataset_split"]),
+    "outliers_p99": (q_outliers_p99, _O["outliers_p99"]),
+    "mom_growth": (q_mom_growth, _O["mom_growth"]),
+    "cohort_retention": (q_cohort_retention, _O["cohort_retention"]),
+    "stratified_sample": (q_stratified_sample, _O["stratified_sample"]),
+    "percentiles": (q_percentiles, _O["percentiles"]),
+    "text_lang_id": (q_text_lang_id, _O["text_lang_id"]),
+    "text_quality": (q_text_quality, _O["text_quality"]),
+    "text_fingerprint": (q_text_fingerprint, _O["text_fingerprint"]),
+    "text_top_terms": (q_text_top_terms, _O["text_top_terms"]),
+    "text_winnow": (q_text_winnow, _O["text_winnow"]),
+    "text_chunks": (q_text_chunks, _O["text_chunks"]),
+    "text_scrub": (q_text_scrub, _O["text_scrub"]),
+    "decontaminate_bloom": (q_decontaminate_bloom, _O["decontaminate_bloom"]),
 }
 
 
