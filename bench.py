@@ -48,6 +48,8 @@ HEADLINE = [
     "text_stats",
     "text_bm25",
     "text_top_terms",
+    # r7: bigram-LM scoring — new double-self-join shape, tracked from birth
+    "text_lm_score",
     "events_json",
     "tpch_q1_pricing",
     # r5 TPC-H completions: q9 (widest broadcast-join profit rollup) and

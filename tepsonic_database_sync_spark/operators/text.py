@@ -456,3 +456,99 @@ def winnow_fingerprints(
     ).otherwise(F.array().cast("array<bigint>"))
     fps = F.array_join(F.array_sort(F.array_distinct(minima)), "|")
     return hashed.select("doc_id", "n_grams", fps.alias("fps"))
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """Corpus bigram language-model scoring — the perplexity-style
+    quality signal of a training-data pipeline (docs whose text surprises
+    a LM trained on the corpus itself are outliers: boilerplate mashes,
+    wrong-language shards, gibberish), in engine-exact fixed point. The
+    reference has no LM surface (its scoring is exact field matching,
+    src/routes/products.js:23-63); this is an extension operator.
+
+    Model: add-one (Laplace) smoothed bigram LM over lower-cased
+    whitespace tokens, trained on the whole input corpus:
+    ``P(v|u) = (c(u,v) + 1) / (c(u) + V)`` with raw unigram context
+    counts and V = distinct token types. Per doc: count, sum and average
+    of the NEGATIVE log-probability of its bigrams in milli-nats
+    (integers; higher = more surprising); docs with < 2 tokens score 0
+    over 0 bigrams. Probabilities are micro-scaled before the shared
+    integer log (milli would floor rare-gram probabilities to zero):
+    ``ln P·1000 = iln_milli(P_micro) − 6908``, every step integer
+    arithmetic, so the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: two count aggregations (unigrams, bigram pairs) with
+    map-side partial combine; the lexicon (unigram counts) and the
+    single-row V are BROADCAST back — a vocabulary is MBs against a
+    100 TB corpus, and broadcasting it sidesteps the classic hot-token
+    skew (every "the" row shuffling to one reducer). The bigram-count
+    join must shuffle, but its key space (observed pairs) is far wider
+    than any single token, so the hash partitioning spreads. The only
+    other shuffle is the per-doc aggregate on uniform doc_id.
+    """
+    toked = docs.select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
+    )
+    # docs with < 2 tokens are left-joined back at the end; building the
+    # pair array through sequence(1, size-1) on them would yield a
+    # DESCENDING sequence (Spark sequence(1, 0) == [1, 0]), not an empty one
+    grams = (
+        toked.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS u, t[i] AS v))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.u", "g.v")
+    )
+    uni = (
+        toked.select(F.explode("t").alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("c_u"))
+    )
+    vocab = uni.agg(F.count("*").cast("long").alias("v_types"))
+    big = grams.groupBy("u", "v").agg(F.count("*").cast("long").alias("c_uv"))
+
+    j = (
+        grams.join(big, ["u", "v"])
+        .join(F.broadcast(uni), "u")
+        .crossJoin(F.broadcast(vocab))
+    )
+    # micro fixed-point smoothed probability; c(u,v) ≥ 1 by construction
+    # (the doc itself contains the pair), the clamp guards the floor at
+    # corpus sizes where c(u) + V outgrows (c(u,v) + 1)·1e6
+    x_micro = F.greatest(
+        F.floor(
+            ((F.col("c_uv") + 1) * 1000000) / (F.col("c_u") + F.col("v_types"))
+        ).cast("long"),
+        F.lit(1),
+    )
+    nll = (F.lit(6908) - iln_milli(x_micro)).cast("long")
+    per_doc = (
+        j.select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("nll").cast("long").alias("sum_nll_milli"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), zero).alias("n_bigrams"),
+            F.coalesce(F.col("sum_nll_milli"), zero).alias("sum_nll_milli"),
+            # both operands non-negative, so Spark's truncating div ==
+            # DuckDB's flooring // — the negative-division trap never opens
+            F.coalesce(
+                F.expr("sum_nll_milli div n_bigrams").cast("long"), zero
+            ).alias("avg_nll_milli"),
+        )
+    )

@@ -868,6 +868,16 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprise per document (avg negative log-prob,
+    milli-nats, Laplace smoothing) — the perplexity-style quality filter
+    of a training-data pipeline, in engine-exact integer fixed point."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import lm_score
+
+    return lm_score(load_table(spark, sf_dir, "documents"))
+
+
 def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ an id-shifted copy — a corpus with known exact dups
     (the raw table has none, so dedup demos synthesize them)."""
@@ -2355,6 +2365,55 @@ FROM base, stats
 """
 
 
+def _lm_score_oracle() -> str:
+    """DuckDB twin of operators.text.lm_score: Laplace bigram LM over
+    whitespace tokens, micro fixed-point probability through the shared
+    integer log (``_d_iln(x) - ...`` convention identical to Spark's
+    ``6908 - iln_milli``). DuckDB lists are 1-indexed and ``range(a, b)``
+    is empty when b ≤ a, so the pair walk needs no length guard beyond
+    the WHERE."""
+    x = "greatest(((b.c_uv + 1) * 1000000) // (n.c_u + vc.v_types), 1)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t[i] AS u, t[i + 1] AS v
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+uni AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS c_u
+  FROM (SELECT doc_id, unnest(t) AS u FROM toks)
+  GROUP BY u
+),
+vc AS (SELECT CAST(count(*) AS BIGINT) AS v_types FROM uni),
+big AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS c_uv FROM grams GROUP BY u, v
+),
+scored AS (
+  SELECT g.doc_id, 6908 - ({_d_iln(x)}) AS nll
+  FROM grams g
+  JOIN big b ON g.u = b.u AND g.v = b.v
+  JOIN uni n ON g.u = n.u, vc
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(nll) AS BIGINT) AS sum_nll_milli
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       coalesce(p.sum_nll_milli, 0) AS sum_nll_milli,
+       CAST(coalesce(p.sum_nll_milli // p.n_bigrams, 0) AS BIGINT)
+         AS avg_nll_milli
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def _multimodal_features_oracle() -> str:
     """Byte-based oracle for the stubbed multimodal feature decode.
 
@@ -3838,6 +3897,9 @@ FROM sess GROUP BY user_id, session_idx
 # section), never ride the tail unverified — machine-checked by
 # tests/test_driver_contract.py::test_registry_tail_entries_have_prior_green_rows.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- NEW in r7 (unverified — must be in-window): bigram-LM scoring;
+    # displaced sketch_distinct (r05-green) to the tail queue ------------
+    "text_lm_score": (q_text_lm_score, _lm_score_oracle()),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -3889,9 +3951,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_resize": (q_multimodal_resize, _O["multimodal_resize"]),
     "text_bm25": (q_text_bm25, _O["text_bm25"]),
     "text_repetition": (q_text_repetition, _O["text_repetition"]),
-    "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
     # --- r05-green leftovers: head of the r8 rotation queue -------------
+    # (sketch_distinct displaced from the window by r7's text_lm_score)
+    "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),
     "sketch_percentile": (q_sketch_percentile, _O["sketch_percentile"]),
     "asof_join": (q_asof_join, _O["asof_join"]),
     "range_join": (q_range_join, _O["range_join"]),

@@ -946,3 +946,67 @@ def test_cms_topk_estimate_properties(spark):
     # scales with N/width so the flag must still hold
     tiny = topk_with_cms_check(terms, "term", k=4, depth=2, width=2).collect()
     assert all(r["within_bound"] for r in tiny)
+
+
+def test_lm_score_matches_pure_python_model(spark):
+    """The bigram-LM scorer against an independent pure-Python
+    reimplementation of the same integer math (tokenize → Laplace
+    bigram probabilities → micro fixed-point → integer ln), on a corpus
+    with repeated docs, a rare-word doc, a one-token doc and an empty
+    doc. Repetition must score LOW surprise, rare words HIGH, and the
+    short docs exactly zero over zero bigrams."""
+    import math
+    import re as _re
+
+    from tepsonic_database_sync_spark.operators.text import lm_score
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the mat",
+        3: "the dog sat on the mat",
+        4: "zyzzyva quokka axolotl",
+        5: "single",
+        6: "",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_nll_milli"], r["avg_nll_milli"])
+        for r in lm_score(docs).collect()
+    }
+
+    def toks(s):
+        return [w for w in _re.split(r"\s+", s.strip().lower()) if w]
+
+    def iln_milli(x):
+        k = math.floor(math.log2(x))
+        p2k = 2**k
+        frac = ((x - p2k) * 1000) // p2k
+        return ((k * 1000 + frac) * 693147) // 1000000 - 6908
+
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for t in map(toks, texts.values()):
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    V = len(uni)
+
+    want = {}
+    for i, s in texts.items():
+        t = toks(s)
+        nlls = [
+            6908
+            - iln_milli(max((big[(a, b)] + 1) * 1000000 // (uni[a] + V), 1))
+            for a, b in zip(t, t[1:])
+        ]
+        n = len(nlls)
+        want[i] = (n, sum(nlls), sum(nlls) // n if n else 0)
+    assert got == want
+
+    # semantic sanity: the repeated sentence is the least surprising,
+    # the rare-word doc the most; degenerate docs are exactly zero
+    assert got[1][2] < got[3][2] < got[4][2]
+    assert got[5] == (0, 0, 0) and got[6] == (0, 0, 0)
