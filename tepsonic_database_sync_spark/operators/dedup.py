@@ -670,3 +670,53 @@ def contamination_flags_bloom(
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
         )
     )
+
+
+def _fp_index_merge(state: DataFrame, new: DataFrame) -> DataFrame:
+    return (
+        state.unionByName(new)
+        .groupBy("fp_md5")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def incremental_dedup(new_docs: DataFrame, store) -> DataFrame:
+    """Exact dedup of an INCREMENT against a persistent fingerprint
+    index — the operational dedup shape at 100 TB: a daily increment is
+    probed against the corpus index (anti-join on the fingerprint key,
+    with the index read partition-pruned to the buckets the increment
+    hashes to), never by re-deduplicating the whole corpus. Survivors
+    are admitted into the index in the same call (``store.merge``, which
+    itself rewrites only touched buckets).
+
+    Returns the admitted rows ``(doc_id, fp_md5)``: first-seen
+    fingerprints, intra-batch collisions resolved to the min doc_id
+    (deterministic under any partitioning). Replay-safe by construction:
+    re-delivering an already-admitted increment anti-joins to empty and
+    changes nothing — no batch-id bookkeeping needed, the index itself
+    is the idempotence ledger.
+
+    Cost: O(increment) + O(index buckets touched). The md5 key is
+    uniform, so a large increment touches at most ``n_buckets``
+    directories and a small one only the few its keys hash to; the
+    anti-join shuffles increment-sized data only (the pruned index side
+    is read once and hash-joined).
+    """
+    from tepsonic_database_sync_spark.operators.text import fingerprint
+
+    batch = (
+        fingerprint(new_docs)
+        .groupBy("fp_md5")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+    )
+    existing = store.read_touched(batch)
+    fresh = (
+        batch
+        if existing is None
+        else batch.join(existing.select("fp_md5"), "fp_md5", "left_anti")
+    )
+    # one materialization feeds BOTH the index merge and the returned
+    # DataFrame (eager localCheckpoint: no CacheManager entry to leak)
+    fresh = fresh.localCheckpoint(eager=True)
+    store.merge(fresh, _fp_index_merge)
+    return fresh.select("doc_id", "fp_md5")

@@ -868,6 +868,40 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup through a REAL bucketed fingerprint
+    index: the 'historical' corpus slice (doc_id % 5 < 3) seeds the
+    store, the increment (the rest) is probed and admitted via
+    ``incremental_dedup``. A fresh temp store per call keeps bench
+    min-of-N and driver re-runs deterministic (the library op is
+    replay-idempotent, but a shared store would survive across scale
+    factors)."""
+    import tempfile
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import incremental_dedup
+    from tepsonic_database_sync_spark.operators.text import fingerprint
+    from tepsonic_database_sync_spark.sources.jdbc import (
+        BucketedParquetStateStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 < 3)
+    inc = docs.filter(F.col("doc_id") % 5 >= 3)
+    store = BucketedParquetStateStore(
+        spark,
+        tempfile.mkdtemp(prefix="fp_index_"),
+        keys=["fp_md5"],
+        n_buckets=8,
+    )
+    store.write_full(
+        fingerprint(hist)
+        .groupBy("fp_md5")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+    )
+    return incremental_dedup(inc, store)
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM surprise per document (avg negative log-prob,
     milli-nats, Laplace smoothing) — the perplexity-style quality filter
@@ -2362,6 +2396,24 @@ SELECT doc_id, dl AS n_tokens,
        CAST({" + ".join(bm25_terms)} AS BIGINT) AS bm25_milli,
        CAST({" + ".join(tfidf_terms)} AS BIGINT) AS tfidf_milli
 FROM base, stats
+"""
+
+
+_DEDUP_INCREMENTAL_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+         doc_id % 5 < 3 AS is_hist
+  FROM documents
+),
+hist AS (SELECT DISTINCT fp_md5 FROM norm WHERE is_hist),
+inc AS (
+  SELECT fp_md5, CAST(min(doc_id) AS BIGINT) AS doc_id
+  FROM norm WHERE NOT is_hist GROUP BY fp_md5
+)
+SELECT i.doc_id, i.fp_md5
+FROM inc i LEFT JOIN hist h ON i.fp_md5 = h.fp_md5
+WHERE h.fp_md5 IS NULL
 """
 
 
@@ -3897,9 +3949,11 @@ FROM sess GROUP BY user_id, session_idx
 # section), never ride the tail unverified — machine-checked by
 # tests/test_driver_contract.py::test_registry_tail_entries_have_prior_green_rows.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- NEW in r7 (unverified — must be in-window): bigram-LM scoring;
-    # displaced sketch_distinct (r05-green) to the tail queue ------------
+    # --- NEW in r7 (unverified — must be in-window): bigram-LM scoring
+    # and store-backed incremental dedup; displaced sketch_distinct and
+    # text_repetition (both r05-green) to the tail queue -----------------
     "text_lm_score": (q_text_lm_score, _lm_score_oracle()),
+    "dedup_incremental": (q_dedup_incremental, _DEDUP_INCREMENTAL_ORACLE),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -3950,10 +4004,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_features": (q_multimodal_features, _O["multimodal_features"]),
     "multimodal_resize": (q_multimodal_resize, _O["multimodal_resize"]),
     "text_bm25": (q_text_bm25, _O["text_bm25"]),
-    "text_repetition": (q_text_repetition, _O["text_repetition"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
     # --- r05-green leftovers: head of the r8 rotation queue -------------
-    # (sketch_distinct displaced from the window by r7's text_lm_score)
+    # (sketch_distinct / text_repetition displaced from the window by
+    # r7's text_lm_score and dedup_incremental)
+    "text_repetition": (q_text_repetition, _O["text_repetition"]),
     "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),
     "sketch_percentile": (q_sketch_percentile, _O["sketch_percentile"]),
     "asof_join": (q_asof_join, _O["asof_join"]),

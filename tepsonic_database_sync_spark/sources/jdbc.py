@@ -291,6 +291,27 @@ class BucketedParquetStateStore:
             .parquet(self._data)
         )
 
+    def read_touched(self, new: DataFrame) -> DataFrame | None:
+        """State pruned to the buckets ``new``'s keys hash to — the
+        partition-pruned probe read (same scan ``merge`` does): an
+        increment-vs-index lookup costs O(touched buckets), never a full
+        index scan. Returns None when the store is empty."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        if not self.exists():
+            return None
+        if not glob.glob(os.path.join(self._data, "__bucket=*")):
+            return None
+        newb = self._bucketed(new)
+        touched = {int(r[0]) for r in newb.select("__bucket").distinct().collect()}
+        return (
+            self.spark.read.parquet(self._data)
+            .filter(F.col("__bucket").isin(list(touched)))
+            .drop("__bucket")
+        )
+
     def merge(self, new: DataFrame, merge_fn) -> DataFrame:
         """MERGE: read only the touched buckets, apply ``merge_fn``, write
         back only those buckets. Supports deleting/retracting merges: a

@@ -1010,3 +1010,56 @@ def test_lm_score_matches_pure_python_model(spark):
     # the rare-word doc the most; degenerate docs are exactly zero
     assert got[1][2] < got[3][2] < got[4][2]
     assert got[5] == (0, 0, 0) and got[6] == (0, 0, 0)
+
+
+def test_incremental_dedup_store_semantics_and_replay(spark, tmp_path):
+    """Incremental dedup against the fingerprint index: intra-batch
+    collisions resolve to the min doc_id, already-indexed text is
+    rejected, the index grows by exactly the admitted rows, and
+    replaying an admitted increment is a no-op (the index IS the
+    idempotence ledger). Text differing only in whitespace/case is the
+    SAME fingerprint (normalize-then-hash)."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.dedup import incremental_dedup
+    from tepsonic_database_sync_spark.operators.text import fingerprint
+    from tepsonic_database_sync_spark.sources.jdbc import BucketedParquetStateStore
+
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "fp"), keys=["fp_md5"], n_buckets=4
+    )
+    hist = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    store.write_full(
+        fingerprint(hist)
+        .groupBy("fp_md5")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+    )
+
+    inc = spark.createDataFrame(
+        [
+            (10, "  Alpha   BETA "),  # normalizes to an indexed fingerprint
+            (11, "epsilon zeta"),     # new
+            (12, "epsilon zeta"),     # intra-batch dup of 11
+            (13, "eta theta"),        # new
+        ],
+        "doc_id long, text string",
+    )
+    admitted = {
+        (r["doc_id"], r["fp_md5"])
+        for r in incremental_dedup(inc, store).collect()
+    }
+    assert {d for d, _ in admitted} == {11, 13}
+    index_after = {
+        (r["doc_id"], r["fp_md5"]) for r in store.read().collect()
+    }
+    assert len(index_after) == 4  # 2 seeded + 2 admitted
+    assert admitted <= index_after
+
+    # replay the same increment: nothing admitted, index unchanged
+    replay = incremental_dedup(inc, store).collect()
+    assert replay == []
+    assert {
+        (r["doc_id"], r["fp_md5"]) for r in store.read().collect()
+    } == index_after
