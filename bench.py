@@ -77,6 +77,10 @@ HEADLINE = [
     "stream_stream_join",
     "decontaminate_bloom",
     "model_score_hist",
+    # r7: the end-to-end corpus-prepare pipeline and the store-backed
+    # incremental dedup — the two flagship training-data paths
+    "prepare_corpus",
+    "dedup_incremental",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

@@ -80,14 +80,17 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Heuristic language ID: CJK codepoints ⇒ zh; else argmax of
-    per-language stopword occurrences (deterministic tie order
-    en > es > de > fr; no signal ⇒ 'und')."""
-    t = tokens(F.col("text"))
-    cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\x{4e00}-\x{9fff}]"), 0))
+def lang_guess_expr(text_col: Column) -> Column:
+    """lang_id's guess rule as a single reusable column expression, so
+    pipeline plans (plans/corpus.py) can evaluate it in the same
+    projection as the other row-local signals — never via a per-signal
+    self-join. CJK codepoints ⇒ zh; else argmax of per-language stopword
+    occurrences (deterministic tie order en > es > de > fr; no signal ⇒
+    'und')."""
+    t = tokens(text_col)
+    cjk = F.size(F.regexp_extract_all(text_col, F.lit(r"[\x{4e00}-\x{9fff}]"), 0))
     s = {lang: _occurrences(t, words) for lang, words in STOPWORDS.items()}
-    guess = (
+    return (
         F.when(cjk > 0, F.lit("zh"))
         .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] > 0), F.lit("en"))
         .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), F.lit("es"))
@@ -95,9 +98,16 @@ def lang_id(docs: DataFrame) -> DataFrame:
         .when(s["fr"] > 0, F.lit("fr"))
         .otherwise(F.lit("und"))
     )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: see ``lang_guess_expr`` for the rule; also
+    emits the per-language stopword counts for audit."""
+    t = tokens(F.col("text"))
+    s = {lang: _occurrences(t, words) for lang, words in STOPWORDS.items()}
     return docs.select(
         "doc_id",
-        guess.alias("lang_guess"),
+        lang_guess_expr(F.col("text")).alias("lang_guess"),
         s["en"].alias("sw_en"),
         s["es"].alias("sw_es"),
         s["de"].alias("sw_de"),
@@ -105,20 +115,34 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_expr(text_col: Column) -> Column:
+    """quality_score's 0-100 composite as a single reusable column
+    expression (the stats it needs are inlined — identical formulas to
+    ``text_stats``), so pipeline plans can evaluate the gate in the same
+    projection as the other row-local signals."""
+    t = tokens(text_col)
+    n_tokens = F.size(t).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    n_punct = F.size(F.regexp_extract_all(text_col, F.lit(PUNCT_RE), 0)).cast("long")
+    n_uniq = F.size(F.array_distinct(t)).cast("long")
+    sw = _occurrences(t, STOPWORDS["en"])
+    flag = lambda c: F.when(c, 25).otherwise(0)  # noqa: E731
+    return (
+        flag(n_tokens.between(10, 1000))
+        + flag(_permille(sw, n_tokens).between(20, 600))
+        + flag(n_punct * 1000 < n_chars * 300)
+        + flag(_permille(n_uniq, n_tokens) > 300)
+    ).cast("long")
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Composite 0-100 quality score from integer signals: reasonable
     length, healthy stopword density, low punctuation, lexical diversity.
     (The standard pre-training quality gate shape — each signal is a flag
     so the score is engine-exact.)"""
-    stats = text_stats(docs)
-    flag = lambda c: F.when(c, 25).otherwise(0)  # noqa: E731
-    score = (
-        flag(F.col("n_tokens").between(10, 1000))
-        + flag(F.col("stopword_permille").between(20, 600))
-        + flag(F.col("n_punct") * 1000 < F.col("n_chars") * 300)
-        + flag(F.col("uniq_permille") > 300)
+    return docs.select(
+        "doc_id", quality_expr(F.col("text")).alias("quality")
     )
-    return stats.select("doc_id", score.cast("long").alias("quality"))
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:

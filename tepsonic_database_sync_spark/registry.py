@@ -868,6 +868,16 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_terms(load_table(spark, sf_dir, "documents"))
 
 
+def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-preparation pipeline as one lazy plan:
+    single-projection row-local gate (quality + lang + PII audit +
+    fingerprint) → exact dedup → decontamination screen."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.plans.corpus import prepare_corpus
+
+    return prepare_corpus(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup through a REAL bucketed fingerprint
     index: the 'historical' corpus slice (doc_id % 5 < 3) seeds the
@@ -2417,6 +2427,83 @@ WHERE h.fp_md5 IS NULL
 """
 
 
+def _prepare_corpus_oracle() -> str:
+    """DuckDB twin of plans.corpus.prepare_corpus: one signal CTE
+    (quality/lang/audit/fingerprint formulas identical to the text-family
+    oracles), gate, min-doc_id dedup, then the decontaminate oracle's
+    bench-split gram probe over the deduped survivors. Thresholds come
+    from plans/corpus.py so the two sides move together."""
+    from tepsonic_database_sync_spark.plans.corpus import (
+        PREP_LANGS,
+        PREP_MIN_QUALITY,
+    )
+
+    langs = ", ".join(f"'{lg}'" for lg in PREP_LANGS)
+    swp = f"CASE WHEN len(t) > 0 THEN ({_sw(_SW['en'])} * 1000) // len(t) ELSE 0 END"
+    uniqp = (
+        "CASE WHEN len(t) > 0 THEN (len(list_distinct(t)) * 1000) // len(t)"
+        " ELSE 0 END"
+    )
+    quality = f"""CAST(
+    (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 25 ELSE 0 END)
+  + (CASE WHEN ({swp}) BETWEEN 20 AND 600 THEN 25 ELSE 0 END)
+  + (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1000
+               < length(text) * 300 THEN 25 ELSE 0 END)
+  + (CASE WHEN ({uniqp}) > 300 THEN 25 ELSE 0 END) AS BIGINT)"""
+    lang = f"""CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+       WHEN {_sw(_SW["en"])} >= {_sw(_SW["es"])} AND {_sw(_SW["en"])} >= {_sw(_SW["de"])}
+            AND {_sw(_SW["en"])} >= {_sw(_SW["fr"])} AND {_sw(_SW["en"])} > 0 THEN 'en'
+       WHEN {_sw(_SW["es"])} >= {_sw(_SW["de"])} AND {_sw(_SW["es"])} >= {_sw(_SW["fr"])}
+            AND {_sw(_SW["es"])} > 0 THEN 'es'
+       WHEN {_sw(_SW["de"])} >= {_sw(_SW["fr"])} AND {_sw(_SW["de"])} > 0 THEN 'de'
+       WHEN {_sw(_SW["fr"])} > 0 THEN 'fr'
+       ELSE 'und' END"""
+    is_bench = (
+        _D_H60.format(e="'bench:' || CAST(doc_id AS VARCHAR)") + " % 100 < 5"
+    )
+    return f"""
+WITH {_D_TOKS},
+sig AS (
+  SELECT doc_id, text, t,
+         {quality} AS quality,
+         {lang} AS lang,
+         CAST(len(regexp_extract_all(text,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text, 'https?://[a-zA-Z0-9./_-]+')) AS BIGINT)
+           AS n_urls,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5
+  FROM toks
+),
+gated AS (
+  SELECT * FROM sig WHERE quality >= {PREP_MIN_QUALITY} AND lang IN ({langs})
+),
+ded AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+f AS (
+  SELECT doc_id, lang, quality, n_emails, n_urls, fp_md5,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+           list_transform(range(0, len(t) - 2),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [] END AS shingles,
+         {is_bench} AS is_bench
+  FROM ded
+),
+bg AS (SELECT DISTINCT unnest(shingles) AS g FROM f WHERE is_bench),
+tr AS (SELECT doc_id, unnest(shingles) AS g FROM f WHERE NOT is_bench),
+hits AS (
+  SELECT tr.doc_id, count(*) AS nh FROM tr JOIN bg USING (g) GROUP BY tr.doc_id
+)
+SELECT f.doc_id, f.lang, f.quality, f.n_emails, f.n_urls, f.fp_md5
+FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id
+WHERE NOT f.is_bench AND h.doc_id IS NULL
+"""
+
+
 def _lm_score_oracle() -> str:
     """DuckDB twin of operators.text.lm_score: Laplace bigram LM over
     whitespace tokens, micro fixed-point probability through the shared
@@ -3954,6 +4041,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # text_repetition (both r05-green) to the tail queue -----------------
     "text_lm_score": (q_text_lm_score, _lm_score_oracle()),
     "dedup_incremental": (q_dedup_incremental, _DEDUP_INCREMENTAL_ORACLE),
+    "prepare_corpus": (q_prepare_corpus, _prepare_corpus_oracle()),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4003,11 +4091,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_frames": (q_multimodal_frames, _O["multimodal_frames"]),
     "multimodal_features": (q_multimodal_features, _O["multimodal_features"]),
     "multimodal_resize": (q_multimodal_resize, _O["multimodal_resize"]),
-    "text_bm25": (q_text_bm25, _O["text_bm25"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
     # --- r05-green leftovers: head of the r8 rotation queue -------------
-    # (sketch_distinct / text_repetition displaced from the window by
-    # r7's text_lm_score and dedup_incremental)
+    # (text_bm25 / text_repetition / sketch_distinct displaced from the
+    # window by r7's text_lm_score, dedup_incremental, prepare_corpus)
+    "text_bm25": (q_text_bm25, _O["text_bm25"]),
     "text_repetition": (q_text_repetition, _O["text_repetition"]),
     "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),
     "sketch_percentile": (q_sketch_percentile, _O["sketch_percentile"]),

@@ -439,3 +439,40 @@ def test_lm_score_lexicon_broadcast_and_scan_pruned(spark):
     for rs in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in rs.group(1).split(",") if c}
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_enrich_corpus_is_single_pass_no_exchange(spark):
+    """Stage A of the corpus-prepare pipeline must compute EVERY
+    row-local signal (quality, lang, PII audit, fingerprint) in one
+    projection over one scan — zero Exchange, zero join, zero Python.
+    The naive per-signal self-join composition would shuffle the full
+    corpus once per signal at 100 TB."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.plans.corpus import enrich_corpus
+
+    docs = load_table(spark, SF_UNIT, "documents", fan_out=False)
+    plan = plan_of(enrich_corpus(docs))
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prepare_corpus_gram_probe_broadcast_no_bnl(spark):
+    """The full pipeline's only joins are the broadcast gram probe and
+    the doc_id join-back — never a nested loop or Cartesian. The one
+    gram-keyed exchange allowed is the BENCH slice's distinct (a few
+    percent of the corpus, pre-broadcast); the train-side gram stream
+    must reach the probe join without its own gram shuffle."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.plans.corpus import prepare_corpus
+
+    out = prepare_corpus(load_table(spark, SF_UNIT, "documents"))
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # bench-side distinct only: exactly one gram exchange, and no
+    # SortMergeJoin anywhere (a shuffled train-side probe would need one)
+    assert plan.count("hashpartitioning(g#") <= 1, plan
+    assert "SortMergeJoin [g#" not in plan

@@ -135,3 +135,48 @@ def test_lsh_array_banding_matches_long_format(spark):
     slow = lsh_candidate_pairs(minhash_signatures(docs))
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
     assert _plan(fast).count("Exchange") <= _plan(slow).count("Exchange")
+
+
+def test_prepare_corpus_gate_dedup_and_screen_semantics(spark):
+    """The corpus-prepare pipeline end to end on a hand-built corpus:
+    low-quality and unknown-language docs are gated out, exact
+    duplicates collapse to the min doc_id, the benchmark slice is held
+    out, and a training doc sharing a shingle with a bench doc is
+    screened. (Quality gating is checked against quality_score itself so
+    the single-projection expression can't drift from the operator.)"""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import split_bucket
+    from tepsonic_database_sync_spark.operators.text import quality_score
+    from tepsonic_database_sync_spark.plans.corpus import prepare_corpus
+
+    docs = load_table(spark, SF_UNIT, "documents")
+    out = prepare_corpus(docs)
+    rows = out.collect()
+    assert rows, "pipeline admitted nothing — gate too strict for testdata"
+    by_id = {r["doc_id"]: r for r in rows}
+
+    # admitted docs pass the quality gate, with the REAL operator's score
+    q = {
+        r["doc_id"]: r["quality"]
+        for r in quality_score(docs).collect()
+    }
+    assert all(q[d] >= 50 for d in by_id)
+    assert all(r["quality"] == q[r["doc_id"]] for r in rows)
+    assert all(r["lang"] in ("en", "es", "de", "fr", "zh") for r in rows)
+
+    # fingerprints are unique (dedup) and each admitted doc_id is the
+    # minimum among the gate-passing docs sharing its fingerprint
+    fps = [r["fp_md5"] for r in rows]
+    assert len(fps) == len(set(fps))
+
+    # the benchmark slice is held out entirely
+    bench = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", (split_bucket(F.col("doc_id"), "bench") < 5).alias("b")
+        ).collect()
+        if r["b"]
+    }
+    assert not bench & set(by_id)
