@@ -21,7 +21,9 @@ Timing protocol (BENCH_r02 onward):
   swallowed.
 - BENCH_r07 onward the headline set includes the round-6 additions
   (window_range_frame, skew_salted_join, stream_stream_join,
-  decontaminate_bloom, model_score_hist), so r7 totals are comparable to
+  decontaminate_bloom, model_score_hist) and the round-7 operators
+  (text_lm_score, prepare_corpus, dedup_incremental, snapshot_diff,
+  grouped_quantiles, event_anomaly), so r7 totals are comparable to
   earlier rounds only on the common-query subset, as with every prior
   headline extension.
 """
@@ -81,6 +83,12 @@ HEADLINE = [
     # incremental dedup — the two flagship training-data paths
     "prepare_corpus",
     "dedup_incremental",
+    # r7: CDC snapshot diff (full-outer join over orders — the heaviest
+    # new join shape) and the exact-histogram grouped quantiles + hourly
+    # spike detection (window-over-aggregate shapes)
+    "snapshot_diff",
+    "grouped_quantiles",
+    "event_anomaly",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

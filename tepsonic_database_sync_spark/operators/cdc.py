@@ -1,0 +1,95 @@
+"""Change-data-capture: diff two snapshots of a keyed table into a
+changeset.
+
+The reference's whole sync loop is an implicit snapshot diff — it pulls
+the vendor's current inventory, compares it with the previously-synced
+state, and writes inserts/updates (products.js:285-341, the
+`existingProduct ? update : insert` split).  ``snapshot_diff`` makes that
+comparison a first-class relational operator: given OLD and NEW snapshots
+of the same keyed table, emit one row per changed key tagged
+``insert`` / ``delete`` / ``update``.
+
+Scale design (100 TB):
+- ONE co-partitioned full-outer shuffle join on the key — both sides
+  shuffle once on the same key, so at warehouse scale bucketing both
+  snapshots by the key makes the diff shuffle-free.
+- The value comparison is null-safe column equality compiled by Catalyst
+  into whole-stage codegen — no Python, no row serialization.
+- Output is changes-only: for typical daily drift (<1% of rows) the
+  result is tiny relative to the inputs, so downstream MERGE work scales
+  with the CHANGE volume, not the table volume.
+- Unchanged rows are dropped by a filter directly above the join, before
+  any further exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Diff two snapshots into a changeset.
+
+    Returns one row per key whose presence or tracked values changed:
+    ``(keys..., change_type, old_<c>, new_<c> for each compare col)``
+    with ``change_type`` ∈ {'insert', 'delete', 'update'}.  Keys present
+    in both snapshots with all compare columns null-safely equal are
+    omitted (a CDC feed carries changes only).
+
+    ``insert`` = key only in NEW; ``delete`` = key only in OLD;
+    ``update`` = key in both with at least one tracked column differing
+    (NULL-safe: NULL → value and value → NULL both count as changes).
+    """
+    if not keys:
+        raise ValueError("snapshot_diff requires at least one key column")
+    if not compare_cols:
+        raise ValueError("snapshot_diff requires at least one compare column")
+    overlap = set(keys) & set(compare_cols)
+    if overlap:
+        raise ValueError(f"columns cannot be both key and compared: {sorted(overlap)}")
+
+    for df, side in ((old, "old"), (new, "new")):
+        if "__present" in df.columns:
+            raise ValueError(f"{side} snapshot already has a __present column")
+    # explicit presence markers: never-null within a side, so after the
+    # full-outer join a NULL marker means "this side had no row" even if
+    # the key columns themselves are nullable
+    o = old.select(*keys, *compare_cols, F.lit(True).alias("__present")).alias("o")
+    n = new.select(*keys, *compare_cols, F.lit(True).alias("__present")).alias("n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+
+    in_old = F.col("o.__present").isNotNull()
+    in_new = F.col("n.__present").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else same & eq
+
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )  # NULL ⇒ unchanged ⇒ filtered out
+    out_keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys
+    ]
+    out_vals = []
+    for c in compare_cols:
+        out_vals.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out_vals.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return (
+        joined.select(*out_keys, change.alias("change_type"), *out_vals)
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -720,3 +720,77 @@ def incremental_dedup(new_docs: DataFrame, store) -> DataFrame:
     fresh = fresh.localCheckpoint(eager=True)
     store.merge(fresh, _fp_index_merge)
     return fresh.select("doc_id", "fp_md5")
+
+
+def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Pairwise content overlap between corpus SOURCES — the corpus-
+    curation view of dedup: before mixing sources into a training set,
+    measure how much of each source's distinct content already exists in
+    every other source (the reference's vendor-vs-catalog reconciliation
+    at products.js:285-307, lifted from per-item to per-corpus).
+
+    Per source, the distinct word n-gram shingle set; per unordered
+    source pair (a < b) that shares at least one shingle:
+    ``(source_a, source_b, n_a, n_b, n_common, jaccard_permille,
+    containment_a_permille, containment_b_permille)`` — containment is
+    the direction-aware signal ("90% of B is inside A" matters even when
+    Jaccard is small because A is huge). Integer permille throughout.
+    Pairs with zero shared shingles are omitted (inner join on the
+    shingle key — emitting the zero rows would force a |sources|²
+    cross product for no signal).
+
+    Scale shape: one distinct shuffle on (source, shingle) — map-side
+    combined — then an equi self-join on the shingle hash whose
+    amplification is bounded by the per-shingle source fan-out
+    (≤ |sources|, typically ≪ 100), aggregated map-side down to the
+    |sources|² overlap matrix; the per-source totals broadcast back onto
+    it. The wide text column never enters any shuffle.
+    """
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    toked = docs.select("source", tokens(F.col("text")).alias("t"))
+    grams = (
+        toked.select("source", F.explode(word_shingles(F.col("t"), n)).alias("g"))
+        .distinct()
+    )
+    per_src = grams.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    na = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("n_a")
+    )
+    nb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("n_b")
+    )
+    return (
+        common.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.floor(
+                F.lit(1000)
+                * F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jaccard_permille"),
+            F.floor(F.lit(1000) * F.col("n_common") / F.col("n_a"))
+            .cast("long")
+            .alias("containment_a_permille"),
+            F.floor(F.lit(1000) * F.col("n_common") / F.col("n_b"))
+            .cast("long")
+            .alias("containment_b_permille"),
+        )
+    )

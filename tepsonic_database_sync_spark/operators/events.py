@@ -76,6 +76,101 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     )
 
 
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (previous event_type → event_type) pairs and their
+    within-source probability in permille (integer math, engine-portable).
+
+    Scale shape: ONE window shuffle on user_id (high-cardinality,
+    uniform) to pair each event with its predecessor, then a groupBy on
+    (prev, next) whose result is at most |event_types|² rows — the
+    probability normalization window runs over THAT tiny frame, never
+    over raw events.  Ordering is (ts, event_id) so simultaneous events
+    resolve deterministically in any engine.
+
+    Returns (prev_type, event_type, n, p_permille) where p_permille =
+    floor(1000·n / Σn over the same prev_type).
+    """
+    es = F.unix_timestamp("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    pairs = (
+        events.select("user_id", "event_id", "event_type", es.alias("es"))
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.floor(F.lit(1000) * F.col("n") / F.sum("n").over(tot))
+        .cast("long")
+        .alias("p_permille"),
+    )
+
+
+# anomaly-detection geometry, shared with the DuckDB oracle (registry)
+ANOMALY_BUCKET_S = 3600  # 1-hour count buckets
+ANOMALY_TRAIL_BUCKETS = 24  # trailing baseline window (previous 24 h)
+ANOMALY_SPIKE_FACTOR = 2  # spike ⇔ count > factor × trailing average
+
+
+def event_anomaly(events: DataFrame) -> DataFrame:
+    """Trailing-window spike detection over per-type event volume: bucket
+    events into hourly counts per event_type, compare each bucket with
+    the average of the PREVIOUS 24 buckets (RANGE frame on the bucket
+    epoch, excluding the current bucket), and flag buckets that exceed
+    ``ANOMALY_SPIKE_FACTOR`` × the trailing average.
+
+    Integer math throughout — the flag is
+    ``cnt · trailing_n > factor · trailing_sum`` (no float division), so
+    Spark and any SQL oracle agree bit-for-bit.
+
+    Scale shape: one groupBy shuffle on (event_type, bucket) — map-side
+    combined, so the shuffle carries one row per non-empty bucket — then
+    the RANGE window runs over the tiny per-type bucket series, never
+    over raw events.  The same two-pass "aggregate first, window over
+    aggregates" shape as scoring.rank_normalize(histogram).
+
+    Returns (event_type, bucket_es, cnt, trailing_sum, trailing_n,
+    is_spike); is_spike is False while fewer than one trailing bucket
+    exists (cold start).
+    """
+    bucket = (
+        (F.floor(F.unix_timestamp("ts") / ANOMALY_BUCKET_S) * ANOMALY_BUCKET_S)
+        .cast("long")
+        .alias("bucket_es")
+    )
+    counts = events.select("event_type", bucket).groupBy(
+        "event_type", "bucket_es"
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_es")
+        .rangeBetween(-ANOMALY_TRAIL_BUCKETS * ANOMALY_BUCKET_S, -ANOMALY_BUCKET_S)
+    )
+    trailing_sum = F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    trailing_n = F.count("cnt").over(w).cast("long")
+    with_trail = counts.select(
+        "event_type",
+        "bucket_es",
+        "cnt",
+        trailing_sum.alias("trailing_sum"),
+        trailing_n.alias("trailing_n"),
+    )
+    return with_trail.withColumn(
+        "is_spike",
+        (F.col("trailing_n") > 0)
+        & (
+            F.col("cnt") * F.col("trailing_n")
+            > ANOMALY_SPIKE_FACTOR * F.col("trailing_sum")
+        ),
+    )
+
+
 def scd2_history(events: DataFrame) -> DataFrame:
     """Slowly-Changing-Dimension Type 2 history build from a change
     stream: per user, collapse consecutive repeats of the tracked

@@ -1,0 +1,77 @@
+"""Exact grouped quantiles via the distinct-value histogram.
+
+``approx_percentile`` (operators/sketches.py, t-digest) is the sketch
+path; this is the EXACT path that still scales: instead of sorting raw
+rows per group (the naive ``percentile``/window approach — a per-group
+sort of the full table), aggregate to one row per (group, value) first,
+then run the cumulative window over that histogram.  With quantized
+values (cents → whole dollars, permille scores, bucketed lengths) the
+histogram is orders of magnitude smaller than the raw table, so the only
+Sort runs over distinct values — the same "window over aggregates, never
+over raw rows" shape as scoring.rank_normalize(method="histogram").
+
+Quantile definition: inverse CDF (lower / "disc" quantile) — the value
+at rank ceil(q·n) in ascending order, i.e. the smallest v whose
+cumulative count satisfies 1000·cum ≥ q_permille·n.  Pure integer
+comparisons; any SQL engine reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_quantiles_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs_permille: Sequence[int] = (250, 500, 750),
+) -> DataFrame:
+    """Exact per-group quantiles of an integral column.
+
+    Returns (group_col, q_permille, n, value): for each group of size n
+    and each requested q, the smallest value v with
+    1000 · |{rows ≤ v}| ≥ q · n.  NULL values are excluded (they have no
+    rank); empty groups therefore don't appear.
+
+    Plan shape: groupBy (group, value) — map-side combined, one shuffle —
+    then a cumulative-count window over the per-group distinct-value
+    series, a broadcast-size join with the per-group totals, and a
+    min-per-(group, q) rollup.  No per-group sort of raw rows anywhere.
+    """
+    if not qs_permille:
+        raise ValueError("qs_permille must be non-empty")
+    if any(q <= 0 or q > 1000 for q in qs_permille):
+        raise ValueError(f"q_permille values must be in (0, 1000]: {qs_permille}")
+
+    hist = (
+        df.select(group_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    tot = hist.groupBy(group_col).agg(F.sum("cnt").cast("long").alias("n"))
+    qarr = F.array(*[F.lit(int(q)).cast("long") for q in qs_permille])
+    return (
+        cum.join(tot, group_col)
+        .select(
+            group_col,
+            "n",
+            F.col(value_col).alias("value"),
+            "cum",
+            F.explode(qarr).alias("q_permille"),
+        )
+        .filter(F.lit(1000) * F.col("cum") >= F.col("q_permille") * F.col("n"))
+        .groupBy(group_col, "q_permille", "n")
+        .agg(F.min("value").cast("long").alias("value"))
+        .select(group_col, "q_permille", "n", "value")
+    )

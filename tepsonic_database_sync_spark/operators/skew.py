@@ -129,3 +129,51 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return lg.join(sm, [key, _SALT], how).drop(_SALT)
+
+
+def skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:
+    """Key-distribution diagnostic — run BEFORE a big join/agg to decide
+    whether it needs salting/AQE skew handling at all: the top-k hottest
+    key values with their share of rows and their heat relative to a
+    perfectly uniform distribution.
+
+    Returns ``(key_value string, cnt, total_rows, n_keys,
+    share_permille, skew_permille)`` for the ``top_k`` most frequent
+    keys (ties broken by key value for determinism);
+    ``skew_permille = 1000·cnt·n_keys / total`` — 1000 means exactly
+    uniform, 50000 means this key is 50× hotter than uniform (the
+    threshold where a 1000-executor shuffle starts melting one task).
+
+    Plan shape: one map-side-combined groupBy on the key; the global
+    (total, n_keys) pair is a single-row aggregate of THOSE counts,
+    broadcast back; top-k compiles to TakeOrderedAndProject (no global
+    sort). NULL keys profile like any other value (rendered as the
+    string 'NULL') — a null-heavy join column is the most common skew
+    bug in the wild.
+    """
+    counts = df.groupBy(F.col(key)).agg(F.count("*").cast("long").alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    key_str = F.coalesce(F.col(key).cast("string"), F.lit("NULL"))
+    return (
+        counts.select(key_str.alias("key_value"), "cnt")
+        .crossJoin(F.broadcast(stats))  # single-row stats fan-in
+        .select(
+            "key_value",
+            "cnt",
+            "total_rows",
+            "n_keys",
+            F.floor(F.lit(1000) * F.col("cnt") / F.col("total_rows"))
+            .cast("long")
+            .alias("share_permille"),
+            F.floor(
+                F.lit(1000) * F.col("cnt") * F.col("n_keys") / F.col("total_rows")
+            )
+            .cast("long")
+            .alias("skew_permille"),
+        )
+        .orderBy(F.col("cnt").desc(), "key_value")
+        .limit(top_k)
+    )

@@ -25,6 +25,11 @@ from tepsonic_database_sync_spark.functions.normalize import (
     uid_coalesce,
 )
 from tepsonic_database_sync_spark.operators import matching, options
+from tepsonic_database_sync_spark.operators.events import (
+    ANOMALY_BUCKET_S,
+    ANOMALY_SPIKE_FACTOR,
+    ANOMALY_TRAIL_BUCKETS,
+)
 from tepsonic_database_sync_spark.plans import sync
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -438,6 +443,133 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tepsonic_database_sync_spark.operators.events import cohort_retention
 
     return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences, with within-source probability in permille — the
+    behavioral-analytics staple next to funnel/cohort. One user_id
+    window shuffle over raw events; the normalization window runs over
+    the |types|² count frame only."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window spike detection on per-type hourly event volume:
+    flag buckets above ANOMALY_SPIKE_FACTOR × the previous-24h average.
+    Pure integer comparison (cnt·trailing_n > factor·trailing_sum), and
+    the RANGE window runs over hourly aggregates, never raw events."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import event_anomaly
+
+    return event_anomaly(load_table(spark, sf_dir, "events"))
+
+
+# CDC snapshot derivation, shared with the oracle: OLD lacks keys
+# divisible by old_excl (→ inserts), NEW lacks keys divisible by new_excl
+# (→ deletes), NEW bumps price by upd_delta_cents on keys divisible by
+# upd_mod (→ updates); everything else is unchanged and must NOT appear.
+CDC_P = {"old_excl": 97, "new_excl": 89, "upd_mod": 7, "upd_delta_cents": 12345}
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset between two snapshots of a keyed table — the
+    relational form of the reference's existing-vs-fetched split
+    (products.js:285-341: `existingProduct ? update : insert`). One
+    co-partitioned full-outer join on the key; null-safe codegen'd value
+    compare; changes-only output."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.cdc import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents"), "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % CDC_P["old_excl"] != 0)
+    new = o.filter(F.col("o_orderkey") % CDC_P["new_excl"] != 0).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % CDC_P["upd_mod"] == 0,
+            F.col("cents") + CDC_P["upd_delta_cents"],
+        ).otherwise(F.col("cents")),
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["cents", "o_orderstatus"]
+    )
+
+
+# exact grouped-quantile grid, shared with the oracle (permille)
+QUANTILE_QS = (250, 500, 750)
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles via the distinct-value histogram (the
+    scale-exact complement of sketch_percentile's t-digest): the only
+    Sort runs over distinct whole-dollar values, never raw orders."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.quantiles import (
+        grouped_quantiles_exact,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(_cents("o_totalprice") / 100).cast("long").alias("dollars"),
+    )
+    return grouped_quantiles_exact(
+        o, "o_orderpriority", "dollars", qs_permille=QUANTILE_QS
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (shingle Jaccard + directional
+    containment, integer permille) — the corpus-curation signal before
+    mixing sources into a training set. Wide text never shuffles; the
+    self-join amplification is bounded by the per-shingle source count."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import source_overlap
+
+    return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic for shuffle planning: the 20 hottest
+    events.user_id values with share and heat-vs-uniform in permille.
+    One map-side-combined groupBy; top-k via TakeOrderedAndProject."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.skew import skew_profile
+
+    return skew_profile(load_table(spark, sf_dir, "events"), "user_id", top_k=20)
+
+
+def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs
+    (label-blocked integer cosine, the `embed_neardup` generator) fed
+    into large-star/small-star contraction → (vec_id, cluster_id) with
+    cluster_id = min member id. The embedding-space twin of
+    `dedup_canonicalize`'s text pipeline; oracle = recursive CTE over
+    the same integer-exact pair predicate."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from tepsonic_database_sync_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb).select("a_id", "b_id")
+    # corpus nodes = original + the id-shifted copy the pair generator
+    # unions in (so isolated vectors still get singleton clusters)
+    nodes = emb.select(F.col("vec_id").alias("node")).unionByName(
+        emb.select((F.col("vec_id") + 10000000).alias("node"))
+    )
+    comp = connected_components_star(pairs, nodes)
+    return comp.select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("comp").cast("long").alias("cluster_id"),
+    )
 
 
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2904,6 +3036,160 @@ SELECT f.cohort_ws,
 FROM uw JOIN first f ON uw.user_id = f.user_id
 GROUP BY 1, 2
 """,
+    "event_transitions": """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       CAST((1000 * n) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS p_permille
+FROM counts
+""",
+    "event_anomaly": f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // {ANOMALY_BUCKET_S})
+              * {ANOMALY_BUCKET_S} AS BIGINT) AS bucket_es,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+trail AS (
+  SELECT event_type, bucket_es, cnt,
+         CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS trailing_sum,
+         CAST(count(cnt) OVER w AS BIGINT) AS trailing_n
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_es
+               RANGE BETWEEN {ANOMALY_TRAIL_BUCKETS * ANOMALY_BUCKET_S} PRECEDING
+                         AND {ANOMALY_BUCKET_S} PRECEDING)
+)
+SELECT event_type, bucket_es, cnt, trailing_sum, trailing_n,
+       (trailing_n > 0 AND cnt * trailing_n
+          > {ANOMALY_SPIKE_FACTOR} * trailing_sum) AS is_spike
+FROM trail
+""",
+    "snapshot_diff": f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderstatus
+  FROM orders
+),
+old AS (
+  SELECT * FROM base WHERE o_orderkey % {CDC_P["old_excl"]} != 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {CDC_P["upd_mod"]} = 0
+              THEN cents + {CDC_P["upd_delta_cents"]} ELSE cents END AS cents,
+         o_orderstatus
+  FROM base WHERE o_orderkey % {CDC_P["new_excl"]} != 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.cents AS old_cents, n.cents AS new_cents,
+       o.o_orderstatus AS old_o_orderstatus,
+       n.o_orderstatus AS new_o_orderstatus
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR NOT (o.cents IS NOT DISTINCT FROM n.cents
+           AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+""",
+    "grouped_quantiles": f"""
+WITH vals AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100 AS dollars
+  FROM orders
+),
+hist AS (
+  SELECT o_orderpriority, dollars, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, dollars, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY dollars) AS cum
+  FROM hist
+),
+tot AS (
+  SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n
+  FROM hist GROUP BY 1
+),
+qs AS (
+  SELECT CAST(q AS BIGINT) AS q_permille
+  FROM (VALUES {", ".join(f"({q})" for q in QUANTILE_QS)}) t(q)
+)
+SELECT c.o_orderpriority, q.q_permille, t.n,
+       CAST(min(c.dollars) AS BIGINT) AS value
+FROM cum c
+JOIN tot t USING (o_orderpriority)
+CROSS JOIN qs q
+WHERE 1000 * c.cum >= q.q_permille * t.n
+GROUP BY 1, 2, 3
+""",
+    "source_overlap": r"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT source,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+           list_transform(range(0, len(t) - 2),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [] END AS shingles
+  FROM t
+),
+g AS (
+  SELECT DISTINCT source, g
+  FROM (SELECT source, unnest(shingles) AS g FROM sh)
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1
+),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b,
+       pa.n_grams AS n_a, pb.n_grams AS n_b, c.n_common,
+       CAST((1000 * c.n_common)
+            // (pa.n_grams + pb.n_grams - c.n_common) AS BIGINT)
+         AS jaccard_permille,
+       CAST((1000 * c.n_common) // pa.n_grams AS BIGINT)
+         AS containment_a_permille,
+       CAST((1000 * c.n_common) // pb.n_grams AS BIGINT)
+         AS containment_b_permille
+FROM common c
+JOIN per_src pa ON c.source_a = pa.source
+JOIN per_src pb ON c.source_b = pb.source
+""",
+    "skew_profile": """
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM counts
+)
+SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') AS key_value, cnt,
+       s.total_rows, s.n_keys,
+       CAST((1000 * cnt) // s.total_rows AS BIGINT) AS share_permille,
+       CAST((1000 * cnt * s.n_keys) // s.total_rows AS BIGINT) AS skew_permille
+FROM counts CROSS JOIN stats s
+ORDER BY cnt DESC, key_value
+LIMIT 20
+""",
     "dataset_split": f"""
 SELECT doc_id,
        CASE WHEN {_D_H60.format(e="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
@@ -3785,6 +4071,35 @@ SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
 FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_D_SIM.format(dot=_D_IDOT.format(a="a.iv", b="b.iv"), na2="a.n2", nb2="b.n2")} >= 990000
 """,
+    "embed_dedup_clusters": f"""
+WITH RECURSIVE {_D_QUANT},
+corpus AS (
+  SELECT vec_id, label, iv, n2 FROM v
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, label, iv, n2 FROM v
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_D_SIM.format(dot=_D_IDOT.format(a="a.iv", b="b.iv"),
+                       na2="a.n2", nb2="b.n2")} >= 990000
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT c.vec_id,
+       CAST(least(c.vec_id, coalesce(m.mn, c.vec_id)) AS BIGINT) AS cluster_id
+FROM corpus c
+LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+  ON c.vec_id = m.src
+""",
     "stream_sessions": """
 WITH e AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
@@ -4026,22 +4341,33 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 18 rotation-queue entries whose last hard-signal row was r01 or
-# r03/r04, then the first 32 of the r05-green block — so after this round
-# every entry's last green row is in r05 ∪ r06 ∪ r07. The tail below the
-# marker holds the 16 remaining r05-green entries (the head of the r8
-# rotation queue) and the 50 entries green in CORRECTNESS_r06; all of it
+# the 10 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 22 of the r05-green
+# block — so after this round every entry's last green row is in
+# r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
+# r05-green entries (the head of the r8 rotation queue) and the 50
+# entries green in CORRECTNESS_r06; all of it
 # still runs in scripts/driver_sim.py every session. New or changed
 # entries must displace window slots (from the bottom of the r05-green
 # section), never ride the tail unverified — machine-checked by
 # tests/test_driver_contract.py::test_registry_tail_entries_have_prior_green_rows.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- NEW in r7 (unverified — must be in-window): bigram-LM scoring
-    # and store-backed incremental dedup; displaced sketch_distinct and
-    # text_repetition (both r05-green) to the tail queue -----------------
+    # --- NEW in r7 (unverified — must be in-window): bigram-LM scoring,
+    # store-backed incremental dedup, the corpus-prepare pipeline, CDC
+    # snapshot diff, Markov transitions, volume-spike detection, and
+    # exact grouped quantiles; displaced sketch_distinct, text_repetition,
+    # text_bm25 and the four multimodal entries (all r05-green) to the
+    # tail queue ---------------------------------------------------------
     "text_lm_score": (q_text_lm_score, _lm_score_oracle()),
     "dedup_incremental": (q_dedup_incremental, _DEDUP_INCREMENTAL_ORACLE),
     "prepare_corpus": (q_prepare_corpus, _prepare_corpus_oracle()),
+    "snapshot_diff": (q_snapshot_diff, _O["snapshot_diff"]),
+    "event_transitions": (q_event_transitions, _O["event_transitions"]),
+    "event_anomaly": (q_event_anomaly, _O["event_anomaly"]),
+    "grouped_quantiles": (q_grouped_quantiles, _O["grouped_quantiles"]),
+    "source_overlap": (q_source_overlap, _O["source_overlap"]),
+    "skew_profile": (q_skew_profile, _O["skew_profile"]),
+    "embed_dedup_clusters": (q_embed_dedup_clusters, _O["embed_dedup_clusters"]),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4061,7 +4387,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (32 of 48) ----------------------
+    # --- r05-green block, stalest first (22 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),
@@ -4084,17 +4410,23 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (q_pack_sequences, _O["pack_sequences"]),
     "mixture_sample": (q_mixture_sample, _O["mixture_sample"]),
     "scd2_history": (q_scd2_history, _O["scd2_history"]),
+    # ==== entries below are OUTSIDE the 50-entry driver window ==========
+    # (ann_bruteforce_topk / ann_ivf_topk / kmeans_train, all r05-green,
+    # displaced by r7's source_overlap / skew_profile /
+    # embed_dedup_clusters)
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
     "ann_ivf_topk": (q_ann_ivf_topk, _O["ann_ivf_topk"]),
     "kmeans_train": (q_kmeans_train, _O["kmeans_train"]),
+    # --- r05-green leftovers: head of the r8 rotation queue -------------
+    # (text_bm25 / text_repetition / sketch_distinct / multimodal_* /
+    # ann_* / kmeans_train displaced from the window by r7's ten new
+    # entries: text_lm_score, dedup_incremental, prepare_corpus,
+    # snapshot_diff, event_transitions, event_anomaly, grouped_quantiles,
+    # source_overlap, skew_profile, embed_dedup_clusters)
     "multimodal_stats": (q_multimodal_stats, _O["multimodal_stats"]),
     "multimodal_frames": (q_multimodal_frames, _O["multimodal_frames"]),
     "multimodal_features": (q_multimodal_features, _O["multimodal_features"]),
     "multimodal_resize": (q_multimodal_resize, _O["multimodal_resize"]),
-    # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # --- r05-green leftovers: head of the r8 rotation queue -------------
-    # (text_bm25 / text_repetition / sketch_distinct displaced from the
-    # window by r7's text_lm_score, dedup_incremental, prepare_corpus)
     "text_bm25": (q_text_bm25, _O["text_bm25"]),
     "text_repetition": (q_text_repetition, _O["text_repetition"]),
     "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),

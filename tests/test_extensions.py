@@ -1063,3 +1063,203 @@ def test_incremental_dedup_store_semantics_and_replay(spark, tmp_path):
     assert {
         (r["doc_id"], r["fp_md5"]) for r in store.read().collect()
     } == index_after
+
+
+def test_snapshot_diff_changeset_semantics(spark):
+    from tepsonic_database_sync_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, 100, "ok"),    # unchanged — must not appear
+            (2, 200, "ok"),    # value change → update
+            (3, 300, None),    # NULL → value → update
+            (4, 400, "ok"),    # only in old → delete
+            (5, None, "ok"),   # value → NULL on the other col → update
+        ],
+        "k long, cents long, status string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 100, "ok"),
+            (2, 250, "ok"),
+            (3, 300, "late"),
+            (5, None, None),
+            (6, 600, "ok"),    # only in new → insert
+        ],
+        "k long, cents long, status string",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["old_cents"], r["new_cents"])
+        for r in snapshot_diff(old, new, ["k"], ["cents", "status"]).collect()
+    }
+    assert got == {
+        2: ("update", 200, 250),
+        3: ("update", 300, 300),
+        4: ("delete", 400, None),
+        5: ("update", None, None),
+        6: ("insert", None, 600),
+    }
+
+
+def test_snapshot_diff_guards(spark):
+    import pytest
+
+    from tepsonic_database_sync_spark.operators.cdc import snapshot_diff
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="at least one key"):
+        snapshot_diff(df, df, [], ["v"])
+    with pytest.raises(ValueError, match="at least one compare"):
+        snapshot_diff(df, df, ["k"], [])
+    with pytest.raises(ValueError, match="both key and compared"):
+        snapshot_diff(df, df, ["k"], ["k", "v"])
+    marked = df.withColumn("__present", F.lit(True))
+    with pytest.raises(ValueError, match="__present"):
+        snapshot_diff(marked, df, ["k"], ["v"])
+
+
+def test_event_transitions_counts_and_permille(spark):
+    from tepsonic_database_sync_spark.operators.events import event_transitions
+
+    # user 1: a→b→b ; user 2: a→c — transitions from 'a': b (1), c (1);
+    # from 'b': b (1). Ties inside one second break on event_id.
+    rows = [
+        (1, 1, "a", "2024-01-01 00:00:00"),
+        (2, 1, "b", "2024-01-01 00:00:01"),
+        (3, 1, "b", "2024-01-01 00:00:02"),
+        (4, 2, "a", "2024-01-01 00:00:00"),
+        (5, 2, "c", "2024-01-01 00:00:05"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["prev_type"], r["event_type"]): (r["n"], r["p_permille"])
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 500),
+        ("a", "c"): (1, 500),
+        ("b", "b"): (1, 1000),
+    }
+
+
+def test_event_anomaly_flags_spike_over_trailing_average(spark):
+    from tepsonic_database_sync_spark.operators.events import (
+        ANOMALY_BUCKET_S,
+        event_anomaly,
+    )
+
+    # type 'x': 2 events/hour for 3 hours, then 10 in hour 4 → spike
+    # (10 · 3 > 2 · 6); hour 1 has no trailing buckets → never a spike.
+    rows = []
+    eid = 0
+    for h in range(3):
+        for i in range(2):
+            eid += 1
+            rows.append((eid, 1, "x", h * ANOMALY_BUCKET_S + i))
+    for i in range(10):
+        eid += 1
+        rows.append((eid, 1, "x", 3 * ANOMALY_BUCKET_S + i))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, es long"
+    ).withColumn("ts", F.timestamp_seconds("es"))
+    got = {
+        r["bucket_es"]: (r["cnt"], r["trailing_sum"], r["trailing_n"], r["is_spike"])
+        for r in event_anomaly(ev).collect()
+    }
+    assert got[0] == (2, 0, 0, False)
+    assert got[ANOMALY_BUCKET_S] == (2, 2, 1, False)
+    assert got[2 * ANOMALY_BUCKET_S] == (2, 4, 2, False)
+    assert got[3 * ANOMALY_BUCKET_S] == (10, 6, 3, True)
+
+
+def test_grouped_quantiles_exact_lower_quantile_definition(spark):
+    from tepsonic_database_sync_spark.operators.quantiles import (
+        grouped_quantiles_exact,
+    )
+
+    # group g: values 10,20,30,40 (n=4): q250→rank ceil(1)=10,
+    # q500→rank 2=20, q750→rank 3=30, q1000→rank 4=40.
+    # group h: 5,5,7 (n=3, with ties): q500→rank ceil(1.5)=2 → 5.
+    df = spark.createDataFrame(
+        [("g", 10), ("g", 20), ("g", 30), ("g", 40), ("h", 5), ("h", 5), ("h", 7),
+         ("h", None)],
+        "grp string, v long",
+    )
+    got = {
+        (r["grp"], r["q_permille"]): (r["n"], r["value"])
+        for r in grouped_quantiles_exact(
+            df, "grp", "v", qs_permille=(250, 500, 750, 1000)
+        ).collect()
+    }
+    assert got == {
+        ("g", 250): (4, 10),
+        ("g", 500): (4, 20),
+        ("g", 750): (4, 30),
+        ("g", 1000): (4, 40),
+        ("h", 250): (3, 5),
+        ("h", 500): (3, 5),
+        ("h", 750): (3, 7),
+        ("h", 1000): (3, 7),
+    }
+
+
+def test_grouped_quantiles_guards(spark):
+    import pytest
+
+    from tepsonic_database_sync_spark.operators.quantiles import (
+        grouped_quantiles_exact,
+    )
+
+    df = spark.createDataFrame([("g", 1)], "grp string, v long")
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_quantiles_exact(df, "grp", "v", qs_permille=())
+    with pytest.raises(ValueError, match="in \\(0, 1000\\]"):
+        grouped_quantiles_exact(df, "grp", "v", qs_permille=(0, 500))
+    with pytest.raises(ValueError, match="in \\(0, 1000\\]"):
+        grouped_quantiles_exact(df, "grp", "v", qs_permille=(1001,))
+
+
+def test_source_overlap_jaccard_and_containment(spark):
+    from tepsonic_database_sync_spark.operators.dedup import source_overlap
+
+    # A: two docs → shingles {a b c, b c d} ∪ {x y z} = 3 distinct grams
+    # B: {a b c} (1 gram, fully contained in A); C: {q r s} (disjoint)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "A"),
+            (2, "x y z", "A"),
+            (3, "a b c", "B"),
+            (4, "q r s", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs).collect()
+    }
+    # disjoint pairs (A,C) and (B,C) are omitted entirely
+    assert set(rows) == {("A", "B")}
+    r = rows[("A", "B")]
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 1, 1)
+    assert r["jaccard_permille"] == 333  # 1000·1 // 3
+    assert r["containment_a_permille"] == 333  # 1/3 of A is shared
+    assert r["containment_b_permille"] == 1000  # ALL of B is inside A
+
+
+def test_skew_profile_heat_and_null_keys(spark):
+    from tepsonic_database_sync_spark.operators.skew import skew_profile
+
+    # 3 keys over 8 rows: hot=5, NULL=2, cold=1 → n_keys=3
+    rows = [(1, "hot")] * 5 + [(2, None)] * 2 + [(3, "cold")]
+    df = spark.createDataFrame(rows, "v long, k string")
+    got = [
+        (r["key_value"], r["cnt"], r["share_permille"], r["skew_permille"])
+        for r in skew_profile(df, "k", top_k=2).collect()
+    ]
+    # top-2 by count desc: hot (5/8 = 625‰, heat 5·3/8 = 1875‰), NULL
+    assert got == [("hot", 5, 625, 1875), ("NULL", 2, 250, 750)]
+    full = skew_profile(df, "k", top_k=10).collect()
+    assert len(full) == 3
+    assert all(r["total_rows"] == 8 and r["n_keys"] == 3 for r in full)

@@ -476,3 +476,84 @@ def test_prepare_corpus_gram_probe_broadcast_no_bnl(spark):
     # SortMergeJoin anywhere (a shuffled train-side probe would need one)
     assert plan.count("hashpartitioning(g#") <= 1, plan
     assert "SortMergeJoin [g#" not in plan
+
+
+def test_snapshot_diff_single_copartitioned_join_no_bnl(spark):
+    """The CDC diff must be ONE full-outer equi-join on the key (both
+    sides shuffle once on o_orderkey — bucketing both snapshots makes it
+    shuffle-free at warehouse scale), with the changes-only filter and
+    null-safe compare staying JVM-side. A nested-loop or Cartesian here
+    would scan |old|·|new| pairs."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_snapshot_diff(spark, SF_UNIT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+    # the scan reads only the key + tracked columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"o_orderkey", "o_totalprice", "o_orderstatus"}, read_cols
+
+
+def test_grouped_quantiles_window_runs_over_histogram_not_raw_rows(spark):
+    """Exact grouped quantiles must follow the histogram shape: the only
+    Sort feeds the cumulative window over the per-(group, value)
+    aggregate — never a per-group sort of raw orders (the naive
+    percentile plan that dies at 100 TB)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_grouped_quantiles(spark, SF_UNIT))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert "Sort " in plan
+    # top-down print: BELOW the Sort, the histogram aggregate appears
+    # before any file scan — the window's input is (group, value) counts,
+    # not raw order rows
+    below_sort = plan[plan.index("Sort ") :]
+    assert "HashAggregate" in below_sort
+    assert below_sort.index("HashAggregate") < below_sort.index("FileScan")
+    assert "SinglePartition" not in plan  # per-group, never global
+
+
+def test_event_anomaly_window_runs_over_hourly_aggregate(spark):
+    """Spike detection windows over the per-type HOURLY bucket series —
+    the RANGE frame's sort must sit above the count aggregate, so its
+    input is one row per non-empty bucket, not one per event."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_event_anomaly(spark, SF_UNIT))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Sort ") < plan.index("HashAggregate")
+    assert "SinglePartition" not in plan
+
+
+def test_source_overlap_text_pruned_and_no_cartesian(spark):
+    """The overlap matrix must read only (source, text) from the corpus,
+    keep the wide text column out of every join (shingles explode before
+    any shuffle), and never degenerate into a Cartesian source×source
+    product — the shingle equi-join IS the candidate generator."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_source_overlap(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"source", "text"}, read_cols
+
+
+def test_skew_profile_topk_compiles_to_take_ordered(spark):
+    """The diagnostic's top-k must be TakeOrderedAndProject over the
+    per-key counts — a global Sort of the count table would serialize
+    the very shuffle the tool exists to protect."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_skew_profile(spark, SF_UNIT))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # the stats fan-in is broadcast
