@@ -23,7 +23,8 @@ Timing protocol (BENCH_r02 onward):
   (window_range_frame, skew_salted_join, stream_stream_join,
   decontaminate_bloom, model_score_hist) and the round-7 operators
   (text_lm_score, prepare_corpus, dedup_incremental, snapshot_diff,
-  grouped_quantiles, event_anomaly), so r7 totals are comparable to
+  grouped_quantiles, event_anomaly, cdc_roundtrip, embed_dedup_clusters,
+  text_hash_embed), so r7 totals are comparable to
   earlier rounds only on the common-query subset, as with every prior
   headline extension.
 """
@@ -89,6 +90,12 @@ HEADLINE = [
     "snapshot_diff",
     "grouped_quantiles",
     "event_anomaly",
+    # r7: CDC round-trip (diff + apply), semantic dedup end-to-end
+    # (near-dup pairs → star contraction), and the hashing-trick
+    # embedder (token-explode shuffle shape)
+    "cdc_roundtrip",
+    "embed_dedup_clusters",
+    "text_hash_embed",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

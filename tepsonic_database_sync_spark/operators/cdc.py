@@ -93,3 +93,49 @@ def snapshot_diff(
         joined.select(*out_keys, change.alias("change_type"), *out_vals)
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def apply_changeset(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Apply a ``snapshot_diff`` changeset to a state snapshot — the
+    consumer half of CDC (the reference's bulk upsert applied
+    relationally, products.js:309-341): deletes drop, updates replace,
+    inserts append.
+
+    ``changes`` must have the diff layout: ``(keys..., change_type,
+    new_<c> …)`` — only ``change_type`` and the ``new_`` columns are
+    read. Round-trip law (tested):
+    ``apply_changeset(old, snapshot_diff(old, new)) ≡ new``.
+
+    Scale shape: ONE left join of state onto the changeset key side plus
+    a union with the inserts. The changeset is drift-sized (≪ state), so
+    Catalyst broadcasts it and state never shuffles; at warehouse scale
+    this is the same plan ``MERGE INTO`` compiles to with a small source.
+    """
+    keys = list(keys)
+    sel_state = state.select(*keys, *value_cols)
+    ch = changes.select(
+        *keys,
+        "change_type",
+        *[F.col(f"new_{c}").alias(f"__new_{c}") for c in value_cols],
+    )
+    merged = sel_state.join(ch, on=keys, how="left")
+    kept = merged.filter(
+        F.col("change_type").isNull() | (F.col("change_type") != "delete")
+    ).select(
+        *keys,
+        *[
+            F.when(F.col("change_type") == "update", F.col(f"__new_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    inserts = changes.filter(F.col("change_type") == "insert").select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in value_cols]
+    )
+    return kept.unionByName(inserts)

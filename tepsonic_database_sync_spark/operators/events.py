@@ -118,6 +118,23 @@ ANOMALY_TRAIL_BUCKETS = 24  # trailing baseline window (previous 24 h)
 ANOMALY_SPIKE_FACTOR = 2  # spike ⇔ count > factor × trailing average
 
 
+def hourly_type_counts(events: DataFrame) -> DataFrame:
+    """(event_type, bucket_es, cnt) hourly volume buckets — the shared
+    input of the batch spike detector and its streaming twin
+    (streaming/ops.anomaly_stream builds the same rows incrementally via
+    a watermarked window aggregate)."""
+    bucket = (
+        (F.floor(F.unix_timestamp("ts") / ANOMALY_BUCKET_S) * ANOMALY_BUCKET_S)
+        .cast("long")
+        .alias("bucket_es")
+    )
+    return (
+        events.select("event_type", bucket)
+        .groupBy("event_type", "bucket_es")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
 def event_anomaly(events: DataFrame) -> DataFrame:
     """Trailing-window spike detection over per-type event volume: bucket
     events into hourly counts per event_type, compare each bucket with
@@ -139,14 +156,13 @@ def event_anomaly(events: DataFrame) -> DataFrame:
     is_spike); is_spike is False while fewer than one trailing bucket
     exists (cold start).
     """
-    bucket = (
-        (F.floor(F.unix_timestamp("ts") / ANOMALY_BUCKET_S) * ANOMALY_BUCKET_S)
-        .cast("long")
-        .alias("bucket_es")
-    )
-    counts = events.select("event_type", bucket).groupBy(
-        "event_type", "bucket_es"
-    ).agg(F.count("*").cast("long").alias("cnt"))
+    return trailing_spike_flags(hourly_type_counts(events))
+
+
+def trailing_spike_flags(counts: DataFrame) -> DataFrame:
+    """The windowing core of ``event_anomaly`` over pre-bucketed counts
+    (event_type, bucket_es, cnt) — factored out so the streaming
+    detector can run it over (history ∪ current micro-batch)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_es")

@@ -576,3 +576,99 @@ def lm_score(docs: DataFrame) -> DataFrame:
             ).alias("avg_nll_milli"),
         )
     )
+
+
+HASH_EMBED_DIM = 16
+
+
+def hash_embed(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Feature-hashing text embedder (the "hashing trick", Weinberger et
+    al. 2009): each token is hashed into one of ``dim`` buckets with a
+    ±1 sign from an independent salt, and a document's vector is the
+    signed bag-of-words sum per bucket — the deterministic, vocabulary-
+    free bridge from the ``documents`` table into the engine's
+    embedding-side operators (ANN / near-dup / clustering) when no
+    learned encoder is available.
+
+    Returns the SPARSE long form ``(doc_id, bucket, weight)`` with
+    zero-weight buckets dropped — at 100 TB the dense form is reshaped
+    downstream only where needed, and the sparse rows stay tiny.
+
+    Scale shape: token explode (array generator, no Python) → ONE
+    map-side-combined groupBy on (doc_id, bucket). All hashing is the
+    portable md5-derived ``h60`` so the oracle reproduces every value;
+    a pure-Spark deployment would swap ``xxhash64`` for ~3× cheaper
+    hashing with the identical plan.
+    """
+    from tepsonic_database_sync_spark.functions.hashing import h60
+
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    h = toks.select(
+        "doc_id",
+        (h60(F.concat(F.lit("b:"), F.col("t"))) % dim).cast("long").alias("bucket"),
+        F.when(h60(F.concat(F.lit("s:"), F.col("t"))) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame, min_shared: int = WINNOW_MIN_SHARED
+) -> DataFrame:
+    """MOSS-style partial-overlap detection: pairs of documents sharing
+    ≥ ``min_shared`` winnowing fingerprints, with directional containment
+    in permille — the detector for copied PASSAGES inside otherwise
+    different documents, where whole-document shingle Jaccard
+    (operators/dedup) scores near zero.
+
+    Scale shape: fingerprints explode to (doc_id, fp) — already distinct
+    per doc — then an equi self-join on the fp hash (candidates bounded
+    by per-fingerprint doc fan-out, the winnowing analog of an LSH band)
+    aggregated map-side to per-pair shared counts; per-doc totals rejoin
+    on the pair keys. The text column never survives past the
+    fingerprint step.
+
+    Returns (a_id, b_id, n_shared, n_a, n_b, contain_a_permille,
+    contain_b_permille) for a_id < b_id.
+    """
+    w = winnow_fingerprints(docs)
+    fps = w.select(
+        "doc_id", F.explode(F.split("fps", "\\|")).alias("fp")
+    ).filter(F.col("fp") != "")
+    per = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fps"))
+    a = fps.select(F.col("doc_id").alias("a_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("b_id"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    pa = per.select(F.col("doc_id").alias("a_id"), F.col("n_fps").alias("n_a"))
+    pb = per.select(F.col("doc_id").alias("b_id"), F.col("n_fps").alias("n_b"))
+    return (
+        shared.join(pa, "a_id")
+        .join(pb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.floor(F.lit(1000) * F.col("n_shared") / F.col("n_a"))
+            .cast("long")
+            .alias("contain_a_permille"),
+            F.floor(F.lit(1000) * F.col("n_shared") / F.col("n_b"))
+            .cast("long")
+            .alias("contain_b_permille"),
+        )
+    )

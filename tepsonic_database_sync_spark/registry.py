@@ -475,14 +475,12 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_P = {"old_excl": 97, "new_excl": 89, "upd_mod": 7, "upd_delta_cents": 12345}
 
 
-def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC changeset between two snapshots of a keyed table — the
-    relational form of the reference's existing-vs-fetched split
-    (products.js:285-341: `existingProduct ? update : insert`). One
-    co-partitioned full-outer join on the key; null-safe codegen'd value
-    compare; changes-only output."""
+def _cdc_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The deterministic OLD/NEW snapshot pair both CDC queries derive
+    from orders with the shared ``CDC_P`` parameters."""
     from tepsonic_database_sync_spark.io import load_table
-    from tepsonic_database_sync_spark.operators.cdc import snapshot_diff
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", _cents("o_totalprice").alias("cents"), "o_orderstatus"
@@ -495,8 +493,41 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents") + CDC_P["upd_delta_cents"],
         ).otherwise(F.col("cents")),
     )
+    return old, new
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset between two snapshots of a keyed table — the
+    relational form of the reference's existing-vs-fetched split
+    (products.js:285-341: `existingProduct ? update : insert`). One
+    co-partitioned full-outer join on the key; null-safe codegen'd value
+    compare; changes-only output."""
+    from tepsonic_database_sync_spark.operators.cdc import snapshot_diff
+
+    old, new = _cdc_snapshots(spark, sf_dir)
     return snapshot_diff(
         old, new, keys=["o_orderkey"], compare_cols=["cents", "o_orderstatus"]
+    )
+
+
+def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip law as a hash-checked query: applying the diff to
+    the OLD snapshot must reproduce the NEW snapshot exactly — the
+    oracle IS the new-snapshot derivation, so any asymmetry between
+    producer (`snapshot_diff`) and consumer (`apply_changeset`) breaks
+    the hash. The changeset side is drift-sized and broadcasts; the
+    state side never shuffles."""
+    from tepsonic_database_sync_spark.operators.cdc import (
+        apply_changeset,
+        snapshot_diff,
+    )
+
+    old, new = _cdc_snapshots(spark, sf_dir)
+    diff = snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["cents", "o_orderstatus"]
+    )
+    return apply_changeset(
+        old, diff, keys=["o_orderkey"], value_cols=["cents", "o_orderstatus"]
     )
 
 
@@ -570,6 +601,17 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("vec_id"),
         F.col("comp").cast("long").alias("cluster_id"),
     )
+
+
+def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embedder (hashing trick): sparse signed
+    bag-of-words vectors (doc_id, bucket, weight) — the vocabulary-free
+    documents→embedding bridge. Token explode + one map-side-combined
+    groupBy; portable h60 hashing both engines reproduce."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import hash_embed
+
+    return hash_embed(load_table(spark, sf_dir, "documents"))
 
 
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3103,6 +3145,34 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR NOT (o.cents IS NOT DISTINCT FROM n.cents
            AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
 """,
+    "text_hash_embed": rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ({_D_H60.format(e="'b:' || t")} % 16) AS bucket,
+         CASE WHEN {_D_H60.format(e="'s:' || t")} % 2 = 0 THEN 1 ELSE -1 END
+           AS sgn
+  FROM toks
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(sgn) AS BIGINT) AS weight
+FROM h GROUP BY 1, 2 HAVING sum(sgn) != 0
+""",
+    "cdc_roundtrip": f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderstatus
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % {CDC_P["upd_mod"]} = 0
+            THEN cents + {CDC_P["upd_delta_cents"]} ELSE cents END AS cents,
+       o_orderstatus
+FROM base WHERE o_orderkey % {CDC_P["new_excl"]} != 0
+""",
     "grouped_quantiles": f"""
 WITH vals AS (
   SELECT o_orderpriority,
@@ -4341,8 +4411,8 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 10 r7-new entries, the 18 rotation-queue entries whose last
-# hard-signal row was r01 or r03/r04, then the first 22 of the r05-green
+# the 12 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 20 of the r05-green
 # block — so after this round every entry's last green row is in
 # r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
 # r05-green entries (the head of the r8 rotation queue) and the 50
@@ -4368,6 +4438,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "source_overlap": (q_source_overlap, _O["source_overlap"]),
     "skew_profile": (q_skew_profile, _O["skew_profile"]),
     "embed_dedup_clusters": (q_embed_dedup_clusters, _O["embed_dedup_clusters"]),
+    "cdc_roundtrip": (q_cdc_roundtrip, _O["cdc_roundtrip"]),
+    "text_hash_embed": (q_text_hash_embed, _O["text_hash_embed"]),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4387,7 +4459,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (22 of 48) ----------------------
+    # --- r05-green block, stalest first (20 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),
@@ -4408,12 +4480,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
     "decontaminate": (q_decontaminate, _O["decontaminate"]),
     "pack_sequences": (q_pack_sequences, _O["pack_sequences"]),
+    # ==== entries below are OUTSIDE the 50-entry driver window ==========
+    # (mixture_sample / scd2_history / ann_* / kmeans_train, all
+    # r05-green, displaced by r7's source_overlap / skew_profile /
+    # embed_dedup_clusters / cdc_roundtrip / text_hash_embed)
     "mixture_sample": (q_mixture_sample, _O["mixture_sample"]),
     "scd2_history": (q_scd2_history, _O["scd2_history"]),
-    # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # (ann_bruteforce_topk / ann_ivf_topk / kmeans_train, all r05-green,
-    # displaced by r7's source_overlap / skew_profile /
-    # embed_dedup_clusters)
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
     "ann_ivf_topk": (q_ann_ivf_topk, _O["ann_ivf_topk"]),
     "kmeans_train": (q_kmeans_train, _O["kmeans_train"]),

@@ -302,3 +302,117 @@ def stream_upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def anomaly_batch_applier(store, flags_dir: str):
+    """foreachBatch callable behind ``anomaly_stream``: for each
+    micro-batch of FINALIZED hourly buckets, flag spikes against the
+    persisted bucket history, append the flags, and admit the new
+    buckets into the history — exactly once per batch_id (same marker
+    protocol as ``upsert_batch_applier``; a replayed micro-batch neither
+    re-flags nor double-counts). Same residual window as the upsert
+    applier, stated honestly: a crash between the flags append and the
+    marker write re-emits that one batch's flag rows on restart — on a
+    transactional sink the flags and the marker ride one commit.
+
+    Flags are computed over (history ∪ batch) restricted to the batch's
+    buckets, so multiple buckets finalizing in one trigger still see
+    each other as trailing context — bit-identical to the batch detector
+    when buckets finalize in event-time order (which append-mode
+    watermarking guarantees)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.events import (
+        trailing_spike_flags,
+    )
+
+    marker = os.path.join(store.root, "_LAST_BATCH")
+
+    def _last_committed() -> int:
+        try:
+            with open(marker) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # ONE collect processes the stateful batch plan exactly once —
+        # BEFORE the replay check, because Spark 4's commit validation
+        # requires every micro-batch of a STATEFUL query to be fully
+        # processed even when the sink then skips it (persist/
+        # localCheckpoint re-wrappings break its commit tracking). The
+        # rows are bounded metadata, not data: one row per (event_type,
+        # hourly bucket) that FINALIZED this trigger, i.e. ≤ |types| ×
+        # hours-elapsed-since-last-trigger.
+        rows = batch_df.collect()
+        if batch_id <= _last_committed():
+            return  # replayed micro-batch: processed, not re-applied
+        if not rows:
+            return
+        batch = batch_df.sparkSession.createDataFrame(rows, batch_df.schema)
+        hist = store.read()
+        combined = batch if hist is None else batch.unionByName(hist)
+        flags = trailing_spike_flags(combined).join(
+            batch.select("event_type", "bucket_es"),
+            ["event_type", "bucket_es"],
+            "left_semi",
+        )
+        flags.write.mode("append").parquet(flags_dir)
+        store.merge(
+            batch,
+            lambda state, new: state.unionByName(new)
+            .groupBy("event_type", "bucket_es")
+            .agg(F.sum("cnt").cast("long").alias("cnt")),
+        )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    return apply_batch
+
+
+def anomaly_stream(
+    events_stream: DataFrame,
+    store,
+    flags_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming spike detection — the incremental twin of
+    ``operators.events.event_anomaly``: a watermarked hourly window
+    aggregate finalizes (event_type, bucket_es, cnt) rows in append mode,
+    and ``anomaly_batch_applier`` flags each finalized bucket against the
+    trailing 24 h of history (persisted in a bucketed state store — the
+    stream's ONLY state beyond the one in-flight window, so a detector
+    that runs forever holds 24 rows per event type, not the event log).
+
+    Emits to ``flags_dir`` the same schema as the batch detector; the
+    equivalence is pinned in tests/test_streaming_ops.py. Returns the
+    started StreamingQuery."""
+    from tepsonic_database_sync_spark.operators.events import ANOMALY_BUCKET_S
+
+    counts = (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window(F.col("ts"), f"{ANOMALY_BUCKET_S} seconds").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("bucket_es"),
+            "cnt",
+        )
+    )
+    writer = (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(anomaly_batch_applier(store, flags_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1263,3 +1263,46 @@ def test_skew_profile_heat_and_null_keys(spark):
     full = skew_profile(df, "k", top_k=10).collect()
     assert len(full) == 3
     assert all(r["total_rows"] == 8 and r["n_keys"] == 3 for r in full)
+
+
+def test_apply_changeset_roundtrip_small(spark):
+    from tepsonic_database_sync_spark.operators.cdc import (
+        apply_changeset,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 100, "a"), (2, 200, "b"), (4, 400, None)],
+        "k long, cents long, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 100, "a"), (2, 250, None), (6, 600, "c")],
+        "k long, cents long, status string",
+    )
+    diff = snapshot_diff(old, new, ["k"], ["cents", "status"])
+    applied = apply_changeset(old, diff, ["k"], ["cents", "status"])
+    assert {tuple(r) for r in applied.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+
+
+def test_hash_embed_accumulates_and_drops_zero_buckets(spark):
+    from tepsonic_database_sync_spark.operators.text import hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "word word other"), (2, "word"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = hash_embed(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["weight"]
+    # the same token always lands in the same bucket with the same sign:
+    # doc 1 has 'word' twice → |weight| = 2 in word's bucket
+    w2 = by_doc[2]
+    assert len(w2) == 1
+    ((bucket, sign_w),) = w2.items()
+    assert abs(sign_w) == 1
+    assert by_doc[1][bucket] == 2 * sign_w
+    assert all(w != 0 for ws in by_doc.values() for w in ws.values())
+    assert 3 not in by_doc or by_doc[3]  # NULL text yields no vector rows

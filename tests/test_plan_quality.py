@@ -557,3 +557,27 @@ def test_skew_profile_topk_compiles_to_take_ordered(spark):
     plan = plan_of(R.q_skew_profile(spark, SF_UNIT))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan  # the stats fan-in is broadcast
+
+
+def test_hash_embed_single_partial_aggregated_shuffle_no_python(spark):
+    """The hashing-trick embedder must stay whole-stage-codegen'd (md5 +
+    string ops, no Python eval) and partial-aggregate the (doc, bucket)
+    weights before its one shuffle — at 100 TB the exchange carries
+    sparse per-doc buckets, never raw tokens."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_text_hash_embed(spark, SF_UNIT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_apply_changeset_broadcasts_drift_sized_changes(spark):
+    """The CDC consumer: the drift-sized changeset must broadcast onto
+    the state side (state never shuffles), and nothing degenerates into
+    a nested loop."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_cdc_roundtrip(spark, SF_UNIT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

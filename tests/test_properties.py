@@ -367,3 +367,40 @@ def test_contamination_bloom_ok_across_geometries(spark, bits_per_gram, bench_pc
     assert {
         (r["doc_id"], r["n_hit_grams"], r["contaminated"]) for r in got
     } == exact
+
+
+snapshot_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # key
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # value
+        st.sampled_from([None, "a", "b"]),  # status
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old_rows=snapshot_rows, new_rows=snapshot_rows)
+def test_cdc_apply_diff_roundtrip(spark, old_rows, new_rows):
+    """The CDC pair law: apply_changeset(old, snapshot_diff(old, new))
+    must reproduce NEW exactly, for any snapshots — including NULL
+    values, NULL→value and value→NULL flips, disjoint key sets, and
+    empty sides. Keys are deduplicated (snapshots are keyed tables)."""
+    from tepsonic_database_sync_spark.operators.cdc import (
+        apply_changeset,
+        snapshot_diff,
+    )
+
+    dedup_old = {k: (k, v, s) for k, v, s in old_rows}
+    dedup_new = {k: (k, v, s) for k, v, s in new_rows}
+    schema = "k long, v long, s string"
+    old = spark.createDataFrame(list(dedup_old.values()) or [], schema)
+    new = spark.createDataFrame(list(dedup_new.values()) or [], schema)
+    diff = snapshot_diff(old, new, ["k"], ["v", "s"])
+    applied = apply_changeset(old, diff, ["k"], ["v", "s"])
+    assert {tuple(r) for r in applied.collect()} == set(dedup_new.values())

@@ -526,3 +526,105 @@ def test_watermark_drops_late_events_in_append_mode(spark):
     assert len(rows) == 1
     assert rows[0]["ws"] == t0 // 1000
     assert rows[0]["n"] == 2
+
+
+def test_anomaly_stream_matches_batch_detector(spark, tmp_path):
+    """The streaming spike detector must emit EXACTLY the batch
+    detector's rows when buckets finalize chronologically: hourly
+    windows close in event-time order under append-mode watermarking,
+    each closes once, and the trailing context comes from the persisted
+    history — including trailing buckets that finalized earlier in the
+    SAME micro-batch. Sentinel events advance the watermark past the
+    last real hour so every real bucket finalizes; the sentinel's own
+    bucket never finalizes (nothing follows it), which is exactly the
+    filter-free equivalence: emitted rows = batch rows over REAL events."""
+    import pandas as pd
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import (
+        ANOMALY_BUCKET_S,
+        event_anomaly,
+    )
+    from tepsonic_database_sync_spark.sources.jdbc import BucketedParquetStateStore
+    from tepsonic_database_sync_spark.streaming.ops import anomaly_stream
+
+    schema = load_table(spark, SF_UNIT, "events").schema
+
+    def mk(eid, hour, etype, n=1):
+        return [
+            {
+                "event_id": eid * 1000 + i,
+                "ts": pd.Timestamp((hour * ANOMALY_BUCKET_S + i) * 1000, unit="ms"),
+                "user_id": 1,
+                "event_type": etype,
+                "value": 1.0,
+                "props": "{}",
+            }
+            for i in range(n)
+        ]
+
+    # type 'x': quiet hours 0-3 (2/hour), spike at hour 4 (10 > 2×avg);
+    # type 'y': ramps 1,2,4 — hour 2's 4 > 2×(1+2)/2 avg → spike
+    files = [
+        mk(1, 0, "x", 2) + mk(2, 0, "y", 1),
+        mk(3, 1, "x", 2) + mk(4, 1, "y", 2),
+        mk(5, 2, "x", 2) + mk(6, 2, "y", 4),
+        mk(7, 3, "x", 2),
+        mk(8, 4, "x", 10),
+        mk(99, 30, "sentinel", 1),  # watermark push past hour 4 + delay
+    ]
+    src = str(tmp_path / "src")
+    real_rows = []
+    for i, rows in enumerate(files):
+        spark.createDataFrame(pd.DataFrame(rows), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        if rows[0]["event_type"] != "sentinel":
+            real_rows.extend(rows)
+
+    store = BucketedParquetStateStore(
+        spark,
+        str(tmp_path / "hist"),
+        keys=["event_type", "bucket_es"],
+        n_buckets=4,
+    )
+    flags_dir = str(tmp_path / "flags")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = anomaly_stream(stream, store, flags_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(flags_dir)
+        .select(
+            "event_type", "bucket_es", "cnt", "trailing_sum", "trailing_n",
+            "is_spike",
+        )
+        .collect()
+    }
+    batch = spark.createDataFrame(pd.DataFrame(real_rows), schema)
+    want = {tuple(r) for r in event_anomaly(batch).collect()}
+    assert got == want
+    spikes = {(t, b) for (t, b, _, _, _, s) in got if s}
+    assert spikes == {("x", 4 * ANOMALY_BUCKET_S), ("y", 2 * ANOMALY_BUCKET_S)}
+
+    # full redelivery (fresh checkpoint, same store marker): no new flag
+    # rows, history unchanged — the replay contract
+    n_hist = store.read().count()
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = anomaly_stream(stream2, store, flags_dir, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(flags_dir)
+        .select(
+            "event_type", "bucket_es", "cnt", "trailing_sum", "trailing_n",
+            "is_spike",
+        )
+        .collect()
+    } == want
+    assert store.read().count() == n_hist
