@@ -127,6 +127,12 @@ def write_amplified_olap(spark, factor: int, dest: str) -> None:
     amplify(ev, [("event_id", shift_e), ("user_id", shift_u)]).repartition(
         n_files
     ).write.mode("overwrite").parquet(os.path.join(dest, "events.parquet"))
+    # documents × factor with per-copy token suffixes (see amplified_docs:
+    # copies must NOT be near-dups of each other or pair counts grow
+    # quadratically by construction) — feeds the text/fingerprint ops
+    amplified_docs(spark, factor).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest, "documents.parquet"))
     for t in ("part", "supplier", "nation", "region", "customer"):
         load_table(spark, SF, t, fan_out=False).write.mode("overwrite").parquet(
             os.path.join(dest, f"{t}.parquet")
@@ -135,10 +141,14 @@ def write_amplified_olap(spark, factor: int, dest: str) -> None:
 
 def _olap_ops():
     from tepsonic_database_sync_spark.registry import (
+        q_event_anomaly,
+        q_grouped_quantiles,
         q_sessionize_batch,
+        q_snapshot_diff,
         q_stream_stream_join,
         q_tpch_q9_profit,
         q_tpch_q21_waiting,
+        q_winnow_overlap,
     )
 
     return {
@@ -148,6 +158,14 @@ def _olap_ops():
         # r6: the attribution join's batch analog — user_id equi-join with
         # a time-range residual; scales with events × per-user view density
         "stream_stream_join": q_stream_stream_join,
+        # r7: the full-outer CDC diff (orders-sized both sides), the
+        # histogram quantiles (distinct-value window), hourly spike
+        # detection (window over buckets), and the capped fingerprint
+        # self-join — the four new shapes whose scale curve matters
+        "snapshot_diff": q_snapshot_diff,
+        "grouped_quantiles": q_grouped_quantiles,
+        "event_anomaly": q_event_anomaly,
+        "winnow_overlap": q_winnow_overlap,
     }
 
 

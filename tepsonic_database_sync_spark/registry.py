@@ -603,6 +603,34 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column census of events (nulls / distincts / min-max)
+    over an engine-portable projection (longs + strings). Exact distinct
+    here for the oracle; profile_table(exact=False) is the HLL++ form
+    for 100 TB (same schema, flag flip)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.profile import profile_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts_es"),
+    )
+    return profile_table(e)
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style partial-overlap pairs: documents sharing ≥ 2 winnowing
+    fingerprints, with directional containment — the copied-passage
+    detector whole-doc Jaccard misses. Candidates via equi self-join on
+    the fingerprint hash (the winnowing analog of an LSH band)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embedder (hashing trick): sparse signed
     bag-of-words vectors (doc_id, bucket, weight) — the vocabulary-free
@@ -2476,11 +2504,13 @@ FROM {prev}, unnest(range(1, len(c_mil) + 1)) AS t(i)
 # Oracle SQL (DuckDB) — composed from oracle.py CTEs
 # ---------------------------------------------------------------------------
 
-def _text_winnow_sql() -> str:
-    """DuckDB mirror of operators.text.winnow_fingerprints — the k-gram
-    polynomial (per-term powers pre-reduced mod M, products cast BIGINT so
-    nothing overflows) and the w-window minima, generated from the same
-    constants."""
+def _winnow_cte_prefix() -> str:
+    """The shared winnowing CTE chain (norm → coded → h → m) — DuckDB
+    mirror of operators.text.winnow_fingerprints' hashing: the k-gram
+    polynomial (per-term powers pre-reduced mod M, products cast BIGINT
+    so nothing overflows) and the w-window minima, generated from the
+    same constants. Used by BOTH the per-doc fingerprint oracle and the
+    overlap-pairs oracle."""
     from tepsonic_database_sync_spark.operators.text import (
         WINNOW_B,
         WINNOW_K,
@@ -2521,11 +2551,60 @@ m AS (
                           i -> list_aggregate(hashes[CAST(i AS INT):CAST(i AS INT) + {w - 1}], 'min'))
          ELSE [] END AS minima
   FROM h
-)
+)"""
+
+
+def _text_winnow_sql() -> str:
+    return (
+        _winnow_cte_prefix()
+        + """
 SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        array_to_string(list_sort(list_distinct(minima)), '|') AS fps
 FROM m
 """
+    )
+
+
+def _winnow_overlap_sql() -> str:
+    from tepsonic_database_sync_spark.operators.text import (
+        WINNOW_MAX_FANOUT,
+        WINNOW_MIN_CONTAIN,
+        WINNOW_MIN_SHARED,
+    )
+
+    return (
+        _winnow_cte_prefix()
+        + f""",
+fps0 AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(minima)) AS fp FROM m
+),
+fan AS (
+  SELECT fp, count(*) AS c FROM fps0 GROUP BY 1
+),
+fps AS (
+  SELECT f.doc_id, f.fp
+  FROM fps0 f JOIN fan ON f.fp = fan.fp AND fan.c <= {WINNOW_MAX_FANOUT}
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM fps GROUP BY 1
+),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.a_id, s.b_id, s.n_shared, pa.n_fps AS n_a, pb.n_fps AS n_b,
+       CAST((1000 * s.n_shared) // pa.n_fps AS BIGINT) AS contain_a_permille,
+       CAST((1000 * s.n_shared) // pb.n_fps AS BIGINT) AS contain_b_permille
+FROM shared s
+JOIN per pa ON s.a_id = pa.doc_id
+JOIN per pb ON s.b_id = pb.doc_id
+WHERE s.n_shared >= {WINNOW_MIN_SHARED}
+  AND greatest((1000 * s.n_shared) // pa.n_fps,
+               (1000 * s.n_shared) // pb.n_fps) >= {WINNOW_MIN_CONTAIN}
+"""
+    )
 
 
 def _d_iln(x: str) -> str:
@@ -3242,6 +3321,38 @@ SELECT c.source_a, c.source_b,
 FROM common c
 JOIN per_src pa ON c.source_a = pa.source
 JOIN per_src pb ON c.source_b = pb.source
+""",
+    "profile_table": """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_es
+  FROM events
+)
+SELECT 'event_id' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (event_id IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_value,
+       CAST(max(event_id) AS VARCHAR) AS max_value
+FROM e
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (user_id IS NULL) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM e
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (event_type IS NULL) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+FROM e
+UNION ALL
+SELECT 'ts_es', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (ts_es IS NULL) AS BIGINT),
+       CAST(count(DISTINCT ts_es) AS BIGINT),
+       CAST(min(ts_es) AS VARCHAR), CAST(max(ts_es) AS VARCHAR)
+FROM e
 """,
     "skew_profile": """
 WITH counts AS (
@@ -4411,8 +4522,8 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 12 r7-new entries, the 18 rotation-queue entries whose last
-# hard-signal row was r01 or r03/r04, then the first 20 of the r05-green
+# the 14 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 18 of the r05-green
 # block — so after this round every entry's last green row is in
 # r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
 # r05-green entries (the head of the r8 rotation queue) and the 50
@@ -4440,6 +4551,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embed_dedup_clusters": (q_embed_dedup_clusters, _O["embed_dedup_clusters"]),
     "cdc_roundtrip": (q_cdc_roundtrip, _O["cdc_roundtrip"]),
     "text_hash_embed": (q_text_hash_embed, _O["text_hash_embed"]),
+    "winnow_overlap": (q_winnow_overlap, _winnow_overlap_sql()),
+    "profile_table": (q_profile_table, _O["profile_table"]),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4459,7 +4572,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (20 of 48) ----------------------
+    # --- r05-green block, stalest first (18 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),
@@ -4478,12 +4591,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, _O["dedup_simhash"]),
     "dedup_canonicalize": (q_dedup_canonicalize, _O["dedup_canonicalize"]),
     "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
+    # ==== entries below are OUTSIDE the 50-entry driver window ==========
+    # (decontaminate / pack_sequences / mixture_sample / scd2_history /
+    # ann_* / kmeans_train, all r05-green, displaced by r7's
+    # source_overlap / skew_profile / embed_dedup_clusters /
+    # cdc_roundtrip / text_hash_embed / winnow_overlap / profile_table)
     "decontaminate": (q_decontaminate, _O["decontaminate"]),
     "pack_sequences": (q_pack_sequences, _O["pack_sequences"]),
-    # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # (mixture_sample / scd2_history / ann_* / kmeans_train, all
-    # r05-green, displaced by r7's source_overlap / skew_profile /
-    # embed_dedup_clusters / cdc_roundtrip / text_hash_embed)
     "mixture_sample": (q_mixture_sample, _O["mixture_sample"]),
     "scd2_history": (q_scd2_history, _O["scd2_history"]),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),

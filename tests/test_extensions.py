@@ -1306,3 +1306,55 @@ def test_hash_embed_accumulates_and_drops_zero_buckets(spark):
     assert by_doc[1][bucket] == 2 * sign_w
     assert all(w != 0 for ws in by_doc.values() for w in ws.values())
     assert 3 not in by_doc or by_doc[3]  # NULL text yields no vector rows
+
+
+def test_winnow_overlap_detects_copied_passage(spark):
+    from tepsonic_database_sync_spark.operators.text import winnow_overlap_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " plus a long unique tail that nobody else shares"),
+            (2, passage),  # fully contained in doc 1
+            (3, "completely different words with zero common substrings"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["a_id"], r["b_id"]): r
+        for r in winnow_overlap_pairs(docs, min_contain_permille=500).collect()
+    }
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    # every fingerprint of the contained doc is shared
+    assert r["contain_b_permille"] == 1000
+    assert r["n_shared"] == r["n_b"]
+    assert r["contain_a_permille"] < 1000  # the tail is doc 1's own
+    assert not any(3 in k for k in rows)  # unrelated doc pairs with nobody
+
+
+def test_profile_table_census_and_guards(spark):
+    import pytest
+
+    from tepsonic_database_sync_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string",
+    )
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"k", "s"}
+    k = got["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (4, 1, 2)
+    assert (k["min_value"], k["max_value"]) == ("1", "2")
+    s = got["s"]
+    assert (s["n_null"], s["n_distinct"], s["min_value"], s["max_value"]) == (
+        1, 2, "a", "b",
+    )
+    # the approx form is a flag flip with the identical schema
+    approx = profile_table(df, exact=False)
+    assert approx.columns == profile_table(df).columns
+    with pytest.raises(ValueError, match="at least one column"):
+        profile_table(df, cols=[])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        profile_table(df, cols=["nope"])

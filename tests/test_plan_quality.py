@@ -581,3 +581,37 @@ def test_apply_changeset_broadcasts_drift_sized_changes(spark):
     plan = plan_of(R.q_cdc_roundtrip(spark, SF_UNIT))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_profile_table_is_one_pass(spark):
+    """The column census must be ONE aggregation pass: a single scan of
+    the table feeding one (Expand + partial-aggregate) pipeline — never
+    a per-column job fan-out from the driver."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_profile_table(spark, SF_UNIT))
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan  # the N-distinct rewrite, not N scans
+    assert "partial" in plan
+
+
+def test_winnow_overlap_no_nested_loop_text_pruned(spark):
+    """Overlap candidates come from the fingerprint equi self-join (the
+    winnowing analog of an LSH band) — no nested loop, no Cartesian. The
+    pair plan reads from the checkpointed posting table (the operator
+    materializes it once — it feeds four branches), so column pruning is
+    asserted on the fingerprint stage, where the corpus scan lives."""
+    from tepsonic_database_sync_spark import registry as R
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import winnow_fingerprints
+
+    plan = plan_of(R.q_winnow_overlap(spark, SF_UNIT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    fp_plan = plan_of(winnow_fingerprints(load_table(spark, SF_UNIT, "documents")))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", fp_plan)
+    assert m, fp_plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"doc_id", "text"}, read_cols
