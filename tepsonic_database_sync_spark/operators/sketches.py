@@ -141,3 +141,86 @@ def percentile_with_sketch_check(
         out_cols.append(exact)
         out_cols.append((F.abs(approx - exact) <= tol).alias(f"p{tag}_within"))
     return agg.select(*out_cols)
+
+
+def join_size_with_cms_check(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Join-cardinality estimation via the count-min INNER PRODUCT —
+    the planning primitive behind "should this join be salted /
+    broadcast / pre-aggregated?", next to ``skew.skew_profile``:
+    |A ⋈ B| on ``key`` equals the dot product of the two per-key count
+    vectors, and the CMS estimates it as min_d Σ_j A_d[j]·B_d[j] —
+    d×width counters per side instead of a key dictionary, mergeable
+    across partitions and time (CMS linearity), so at 100 TB each side's
+    sketch is maintained incrementally and the estimate costs KBs.
+
+    Same honesty contract as every sketch here: the EXACT cardinality is
+    the hash-checked value (computed from the per-key count vectors —
+    one groupBy per side + one key join of the count tables, never a
+    materialized row join), and the sketch keeps itself honest through a
+    hard ``within_bound`` flag: the inner-product estimate never
+    underestimates, and the classic overestimate bound e·Na·Nb/width is
+    loosened to integer ``3·Na·Nb/width``. A sketch outside it flips the
+    flag and fails the correctness gate.
+
+    Returns ONE row: (exact_n, n_a, n_b, within_bound).
+    """
+    ca = a.groupBy(F.col(key).alias("k")).agg(
+        F.count("*").cast("long").alias("ca")
+    )
+    cb = b.groupBy(F.col(key).alias("k")).agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    exact = (
+        ca.join(cb, "k")
+        .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).cast("long"))
+        .toDF("exact_n")
+    )
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__row")
+    bucket = F.pmod(F.xxhash64(F.col("k"), F.col("__row")), F.lit(width)).cast(
+        "int"
+    )
+    grid_a = (
+        ca.select("k", "ca", rows)
+        .withColumn("__bucket", bucket)
+        .groupBy("__row", "__bucket")
+        .agg(F.sum("ca").alias("wa"))
+    )
+    grid_b = (
+        cb.select("k", "cb", rows)
+        .withColumn("__bucket", bucket)
+        .groupBy("__row", "__bucket")
+        .agg(F.sum("cb").alias("wb"))
+    )
+    # a (row, bucket) pair absent from either grid contributes 0 to that
+    # row's inner product — so a row with NO overlapping buckets has
+    # ip = 0 and must drive the min to 0, even though the inner join
+    # emits nothing for it
+    est = (
+        grid_a.join(grid_b, ["__row", "__bucket"])
+        .groupBy("__row")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("ip"))
+        .agg(
+            F.when(F.count("*") < depth, F.lit(0))
+            .otherwise(F.min("ip"))
+            .cast("long")
+        )
+        .toDF("est_n")
+    )
+    na = a.agg(F.count("*").cast("long")).toDF("n_a")
+    nb = b.agg(F.count("*").cast("long")).toDF("n_b")
+    one = (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    within = (F.col("est_n") >= F.col("exact_n")) & (
+        (F.col("est_n") - F.col("exact_n")) * width
+        <= 3 * F.col("n_a") * F.col("n_b")
+    )
+    return one.select("exact_n", "n_a", "n_b", within.alias("within_bound"))

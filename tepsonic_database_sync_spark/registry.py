@@ -603,6 +603,22 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-cardinality estimate (orders ⋈ events on
+    the customer key), exact count hash-checked + the hard within_bound
+    flag — the shuffle-planning primitive next to skew_profile."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sketches import (
+        join_size_with_cms_check,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uk")
+    )
+    e = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("uk"))
+    return join_size_with_cms_check(o, e, "uk")
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column census of events (nulls / distincts / min-max)
     over an engine-portable projection (longs + strings). Exact distinct
@@ -3322,6 +3338,19 @@ FROM common c
 JOIN per_src pa ON c.source_a = pa.source
 JOIN per_src pb ON c.source_b = pb.source
 """,
+    "join_size_estimate": """
+WITH ca AS (
+  SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+),
+cb AS (
+  SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1
+)
+SELECT CAST((SELECT coalesce(sum(a.c * b.c), 0)
+             FROM ca a JOIN cb b ON a.k = b.k) AS BIGINT) AS exact_n,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_b,
+       TRUE AS within_bound
+""",
     "profile_table": """
 WITH e AS (
   SELECT event_id, user_id, event_type,
@@ -4522,8 +4551,8 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 14 r7-new entries, the 18 rotation-queue entries whose last
-# hard-signal row was r01 or r03/r04, then the first 18 of the r05-green
+# the 15 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 17 of the r05-green
 # block — so after this round every entry's last green row is in
 # r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
 # r05-green entries (the head of the r8 rotation queue) and the 50
@@ -4553,6 +4582,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_hash_embed": (q_text_hash_embed, _O["text_hash_embed"]),
     "winnow_overlap": (q_winnow_overlap, _winnow_overlap_sql()),
     "profile_table": (q_profile_table, _O["profile_table"]),
+    "join_size_estimate": (q_join_size_estimate, _O["join_size_estimate"]),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4572,7 +4602,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (18 of 48) ----------------------
+    # --- r05-green block, stalest first (17 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),
@@ -4592,10 +4622,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_canonicalize": (q_dedup_canonicalize, _O["dedup_canonicalize"]),
     "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # (decontaminate / pack_sequences / mixture_sample / scd2_history /
-    # ann_* / kmeans_train, all r05-green, displaced by r7's
-    # source_overlap / skew_profile / embed_dedup_clusters /
-    # cdc_roundtrip / text_hash_embed / winnow_overlap / profile_table)
+    # (embed_neardup / decontaminate / pack_sequences / mixture_sample /
+    # scd2_history / ann_* / kmeans_train, all r05-green, displaced by
+    # r7's source_overlap / skew_profile / embed_dedup_clusters /
+    # cdc_roundtrip / text_hash_embed / winnow_overlap / profile_table /
+    # join_size_estimate)
+    "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
     "decontaminate": (q_decontaminate, _O["decontaminate"]),
     "pack_sequences": (q_pack_sequences, _O["pack_sequences"]),
     "mixture_sample": (q_mixture_sample, _O["mixture_sample"]),

@@ -1358,3 +1358,27 @@ def test_profile_table_census_and_guards(spark):
         profile_table(df, cols=[])
     with pytest.raises(ValueError, match="not in DataFrame"):
         profile_table(df, cols=["nope"])
+
+
+def test_join_size_cms_exact_and_bound(spark):
+    from tepsonic_database_sync_spark.operators.sketches import (
+        join_size_with_cms_check,
+    )
+
+    # exact |A ⋈ B| = Σ_k ca_k·cb_k: keys 1 (2×3=6) and 2 (1×1=1) → 7;
+    # key 3/4 one-sided → 0
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(1,), (1,), (1,), (2,), (4,)], "k long")
+    (r,) = join_size_with_cms_check(a, b, "k").collect()
+    assert (r["exact_n"], r["n_a"], r["n_b"]) == (7, 4, 5)
+    assert r["within_bound"]
+
+    # a deliberately tiny sketch (width 2, heavy collisions) still never
+    # under-estimates, and the 3·Na·Nb/width slack absorbs the collisions
+    (r2,) = join_size_with_cms_check(a, b, "k", depth=2, width=2).collect()
+    assert r2["within_bound"]
+
+    # disjoint key sets → exact 0
+    c = spark.createDataFrame([(9,), (10,)], "k long")
+    (r3,) = join_size_with_cms_check(a, c, "k").collect()
+    assert r3["exact_n"] == 0 and r3["within_bound"]
