@@ -24,8 +24,8 @@ Timing protocol (BENCH_r02 onward):
   decontaminate_bloom, model_score_hist) and the round-7 operators
   (text_lm_score, prepare_corpus, dedup_incremental, snapshot_diff,
   grouped_quantiles, event_anomaly, cdc_roundtrip, embed_dedup_clusters,
-  text_hash_embed, winnow_overlap, profile_table, join_size_estimate),
-  so r7 totals are comparable to
+  text_hash_embed, winnow_overlap, profile_table, join_size_estimate,
+  ann_pq_topk), so r7 totals are comparable to
   earlier rounds only on the common-query subset, as with every prior
   headline extension.
 """
@@ -100,6 +100,7 @@ HEADLINE = [
     "winnow_overlap",
     "profile_table",
     "join_size_estimate",
+    "ann_pq_topk",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

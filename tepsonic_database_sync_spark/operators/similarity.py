@@ -438,3 +438,180 @@ def ivf_topk_trained(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "neighbor_id", "sim_e6")
     )
+
+
+PQ_DIM = 64  # the embeddings table's vector dimension
+PQ_M = 8  # subspaces (dsub = 8)
+PQ_K = 16  # codewords per subspace
+
+
+def _int_l2_milli(siv: Column, c: Column) -> Column:
+    """Exact integer squared L2 between a milli-quantized subvector
+    (scaled ×1000 on the fly) and a milli-unit codeword. Components stay
+    ≪ 2^63: (4e6)² × dsub ≈ 6e13."""
+    return F.aggregate(
+        F.zip_with(
+            siv, c, lambda x, cc: (x * 1000 - cc) * (x * 1000 - cc)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+
+
+PQ_SHORTLIST = 50  # ADC candidates per query before the exact re-rank
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    dim: int = PQ_DIM,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011) — the
+    COMPRESSED-domain tier of the ANN ladder (brute force = exact
+    recall, LSH/IVF = candidate pruning, PQ = distance computation
+    without the vectors): split each vector into ``m_sub`` subspaces,
+    train a ``k_codes``-word codebook per subspace (ONE exact-integer
+    Lloyd round from the deterministic low-id seeds — same fixed-point
+    arithmetic as ``kmeans_train``), encode the corpus as m_sub byte
+    codes, and answer queries by Asymmetric Distance Computation: a
+    per-query (m_sub × k_codes) table of exact integer squared-L2
+    distances to the codewords, summed via code lookups.
+
+    Everything is engine-exact integer math, so the DuckDB oracle
+    replays training, encoding, and ADC bit-for-bit. Subspace is a DATA
+    dimension (one long-format (vec_id, m, subvector) frame), so one
+    Lloyd chain trains ALL subspaces at once — no per-subspace plan
+    unrolling.
+
+    Scale shape: the codebook is m_sub·k_codes·(dim/m_sub) integers —
+    driver-tiny, broadcast everywhere; encoding is one broadcast join +
+    per-(vec, m) argmin; the corpus's ADC representation is m_sub SMALL
+    ints per vector (16 bytes here vs 64+ for the raw vector — the
+    memory-bandwidth win that makes billion-scale ANN fit in RAM). ADC
+    scans all codes per query here; the production composition gates it
+    behind IVF inverted lists (``ivf_topk``'s cells) so each query
+    touches n_probe cells' codes only.
+
+    The final stage is the standard production composition: the ADC
+    scan keeps a ``shortlist`` of candidates per query (compressed-
+    domain, cheap), then EXACT integer squared-L2 re-ranks the
+    shortlist to top-k — ADC alone on near-uniform vectors recalls
+    ~0.36@10 here, the re-ranked form ~0.8+ (measured; asserted in
+    tests). Set ``shortlist=k`` for the pure-ADC ranking.
+
+    Returns (q_id, rank, neighbor_id, l2_d2) — k rows per query, ranked
+    by ascending exact squared L2 over the shortlist, ties on id.
+    """
+    dsub = dim // m_sub
+    v = _quantized(emb)
+    sub = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m"),
+                        F.slice(F.col("iv"), m * dsub + 1, dsub).alias("siv"),
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.siv")
+
+    cents = sub.filter(F.col("vec_id") < k_codes).select(
+        "m",
+        F.col("vec_id").alias("cent_id"),
+        F.transform(F.col("siv"), lambda x: x * 1000).alias("c"),
+    )
+    # one Lloyd round: argmin-L2 assignment, fixed-point component means
+    scored = sub.join(F.broadcast(cents), "m").withColumn(
+        "d2", _int_l2_milli(F.col("siv"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    assign = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "m", "siv", "cent_id")
+    )
+    comps = assign.select("m", "cent_id", F.posexplode("siv").alias("dim", "val"))
+    cents = (
+        comps.groupBy("m", "cent_id", "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .select("m", "cent_id", "dim", F.expr("(1000 * s) DIV n").alias("cv"))
+        .groupBy("m", "cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda st: st["cv"],
+            ).alias("c")
+        )
+        .localCheckpoint(eager=True)  # train once: encode + query tables reuse
+    )
+
+    enc_scored = sub.join(F.broadcast(cents), "m").withColumn(
+        "d2", _int_l2_milli(F.col("siv"), F.col("c"))
+    )
+    w2 = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    codes = (
+        enc_scored.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "m", F.col("cent_id").alias("code"))
+    )
+    qtab = (
+        sub.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cents), "m")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "m",
+            "cent_id",
+            _int_l2_milli(F.col("siv"), F.col("c")).alias("qd2"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (codes.m == qtab.m) & (codes.code == qtab.cent_id),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd2").cast("long").alias("adc_d2"))
+    )
+    w3 = Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
+    short = (
+        adc.withColumn("__arn", F.row_number().over(w3))
+        .filter(F.col("__arn") <= shortlist)
+        .select("q_id", "vec_id")
+    )
+    # exact re-rank of the shortlist: raw iv-unit integer squared L2
+    qv = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("iv").alias("q_iv")
+    )
+    exact = (
+        short.join(v.select("vec_id", "iv"), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("q_iv"), F.col("iv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, y: acc + y,
+            ).alias("l2_d2"),
+        )
+    )
+    w4 = Window.partitionBy("q_id").orderBy("l2_d2", "vec_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w4).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            "rank",
+            F.col("vec_id").cast("long").alias("neighbor_id"),
+            "l2_d2",
+        )
+    )

@@ -603,6 +603,17 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC over an 8×16 trained codebook) —
+    the compressed-domain tier completing the ANN ladder. Training,
+    encoding and ADC are exact integer math; the oracle replays all
+    three bit-for-bit."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import pq_topk
+
+    return pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS inner-product join-cardinality estimate (orders ⋈ events on
     the customer key), exact count hash-checked + the hard within_bound
@@ -2515,6 +2526,102 @@ SELECT CAST(cent_id AS BIGINT) AS cent_id, CAST(t.i - 1 AS BIGINT) AS dim,
        CAST(c_mil[t.i] AS BIGINT) AS c_mil, n_members
 FROM {prev}, unnest(range(1, len(c_mil) + 1)) AS t(i)
 """
+
+def _pq_oracle(
+    n_queries: int = 10,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    shortlist: int = 50,
+) -> str:
+    """DuckDB twin of ``similarity.pq_topk``: subvector split, seed
+    codebook, ONE exact-integer Lloyd round, encoding, and ADC — all as
+    one CTE chain with subspace as a data dimension (mirrors the Spark
+    plan, so no per-subspace unrolling)."""
+    dsub = dim // m_sub
+    l2 = (
+        "list_sum(list_transform(range(1, len({s}) + 1), "
+        "i -> ({s}[CAST(i AS INT)] * 1000 - {c}[CAST(i AS INT)])"
+        " * ({s}[CAST(i AS INT)] * 1000 - {c}[CAST(i AS INT)])))"
+    )
+    return f"""WITH {_D_QUANT},
+sub AS (
+  SELECT vec_id, CAST(t.m AS BIGINT) AS m,
+         list_transform(range(CAST(t.m * {dsub} + 1 AS INT),
+                              CAST(t.m * {dsub} + {dsub} + 1 AS INT)),
+                        i -> iv[CAST(i AS INT)]) AS siv
+  FROM v, unnest(range(0, {m_sub})) AS t(m)
+),
+c0 AS (
+  SELECT m, vec_id AS cent_id, list_transform(siv, x -> x * 1000) AS c
+  FROM sub WHERE vec_id < {k_codes}
+),
+a1 AS (
+  SELECT vec_id, m, siv, cent_id,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY d2, cent_id) AS rn
+  FROM (SELECT s.vec_id, s.m, s.siv, c.cent_id,
+               {l2.format(s="s.siv", c="c.c")} AS d2
+        FROM sub s JOIN c0 c ON s.m = c.m)
+),
+g1 AS (
+  SELECT m, cent_id, t.i - 1 AS dim, sum(siv[t.i]) AS sm, count(*) AS n
+  FROM a1, unnest(range(1, len(siv) + 1)) AS t(i)
+  WHERE rn = 1 GROUP BY m, cent_id, t.i
+),
+c1 AS (
+  SELECT m, cent_id, list((1000 * sm) // n ORDER BY dim) AS c
+  FROM g1 GROUP BY m, cent_id
+),
+codes AS (
+  SELECT vec_id, m, cent_id AS code
+  FROM (SELECT s.vec_id, s.m, c.cent_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {l2.format(s="s.siv", c="c.c")},
+                                           c.cent_id) AS rn
+        FROM sub s JOIN c1 c ON s.m = c.m)
+  WHERE rn = 1
+),
+qtab AS (
+  SELECT s.vec_id AS q_id, s.m, c.cent_id,
+         {l2.format(s="s.siv", c="c.c")} AS qd2
+  FROM sub s JOIN c1 c ON s.m = c.m
+  WHERE s.vec_id < {n_queries}
+),
+adc AS (
+  SELECT t.q_id, d.vec_id, CAST(sum(t.qd2) AS BIGINT) AS adc_d2
+  FROM codes d JOIN qtab t ON d.m = t.m AND d.code = t.cent_id
+  WHERE d.vec_id != t.q_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT q_id, vec_id
+  FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_d2, vec_id) AS arn
+        FROM adc)
+  WHERE arn <= {shortlist}
+),
+exact AS (
+  SELECT s.q_id, s.vec_id,
+         CAST(list_sum(list_transform(range(1, len(qv.iv) + 1),
+                i -> (qv.iv[CAST(i AS INT)] - dv.iv[CAST(i AS INT)])
+                   * (qv.iv[CAST(i AS INT)] - dv.iv[CAST(i AS INT)])))
+              AS BIGINT) AS l2_d2
+  FROM short s
+  JOIN v dv ON s.vec_id = dv.vec_id
+  JOIN v qv ON s.q_id = qv.vec_id
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS neighbor_id, l2_d2
+FROM (SELECT q_id, vec_id, l2_d2,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY l2_d2, vec_id) AS rank
+      FROM exact)
+WHERE rank <= {k}
+"""
+
 
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — composed from oracle.py CTEs
@@ -4551,8 +4658,8 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 15 r7-new entries, the 18 rotation-queue entries whose last
-# hard-signal row was r01 or r03/r04, then the first 17 of the r05-green
+# the 16 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 16 of the r05-green
 # block — so after this round every entry's last green row is in
 # r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
 # r05-green entries (the head of the r8 rotation queue) and the 50
@@ -4583,6 +4690,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "winnow_overlap": (q_winnow_overlap, _winnow_overlap_sql()),
     "profile_table": (q_profile_table, _O["profile_table"]),
     "join_size_estimate": (q_join_size_estimate, _O["join_size_estimate"]),
+    "ann_pq_topk": (q_ann_pq_topk, _pq_oracle()),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4602,7 +4710,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (17 of 48) ----------------------
+    # --- r05-green block, stalest first (16 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),
@@ -4626,7 +4734,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # scd2_history / ann_* / kmeans_train, all r05-green, displaced by
     # r7's source_overlap / skew_profile / embed_dedup_clusters /
     # cdc_roundtrip / text_hash_embed / winnow_overlap / profile_table /
-    # join_size_estimate)
+    # join_size_estimate / ann_pq_topk; dedup_canonicalize also r05-green)
     "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
     "decontaminate": (q_decontaminate, _O["decontaminate"]),
     "pack_sequences": (q_pack_sequences, _O["pack_sequences"]),

@@ -1382,3 +1382,48 @@ def test_join_size_cms_exact_and_bound(spark):
     c = spark.createDataFrame([(9,), (10,)], "k long")
     (r3,) = join_size_with_cms_check(a, c, "k").collect()
     assert r3["exact_n"] == 0 and r3["within_bound"]
+
+
+def test_pq_topk_recall_against_exact_l2(spark):
+    """PQ is approximate by design; what must hold exactly: k rows per
+    query, ranks 1..k, self excluded, ADC distances non-decreasing in
+    rank (exact distances after the shortlist re-rank, so non-decreasing
+    in rank) — and recall@10 vs the EXACT integer L2 top-10 must clear
+    0.6 on the test corpus (8×16 codebook, ADC shortlist 50 of 500 +
+    exact re-rank; the exact-recall baseline remains
+    brute_force_topk)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import (
+        _quantized,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_UNIT, "embeddings")
+    got = pq_topk(emb).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == 10
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        assert all(r["neighbor_id"] != q for r in rows)
+        dists = [r["l2_d2"] for r in rows]
+        assert dists == sorted(dists)
+
+    # exact L2 top-10 per query (pandas-side; 500×10 pairs)
+    import numpy as np
+
+    v = {
+        r["vec_id"]: np.array(r["iv"], dtype=np.int64)
+        for r in _quantized(emb).collect()
+    }
+    hits = total = 0
+    for q in by_q:
+        qa = v[q]
+        d = {vid: int(((qa - a) ** 2).sum()) for vid, a in v.items() if vid != q}
+        exact = {x for x, _ in sorted(d.items(), key=lambda t: (t[1], t[0]))[:10]}
+        approx = {r["neighbor_id"] for r in by_q[q]}
+        hits += len(exact & approx)
+        total += 10
+    assert hits / total >= 0.6, f"PQ recall@10 too low: {hits}/{total}"

@@ -615,3 +615,16 @@ def test_winnow_overlap_no_nested_loop_text_pruned(spark):
     assert m, fp_plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert read_cols == {"doc_id", "text"}, read_cols
+
+
+def test_pq_codebook_and_tables_broadcast(spark):
+    """PQ's joins must all be broadcast-side-small: the codebook joins
+    (training, encoding) and the per-query ADC distance tables are KBs
+    at any corpus size — a sort-merge or nested-loop here would shuffle
+    the corpus for no reason."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_ann_pq_topk(spark, SF_UNIT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
