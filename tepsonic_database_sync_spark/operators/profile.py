@@ -68,3 +68,44 @@ def profile_table(
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def group_entropy(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group Shannon entropy of a categorical column, in milli-nats
+    of exact integer arithmetic — the distribution-shape census next to
+    ``profile_table``'s counts: 0 = every row the same value (a bot
+    user, a collapsed upstream feed), ln(k)·1000 = uniform over k
+    values. The identity H = ln n − (Σ nᵢ·ln nᵢ)/n needs only the
+    portable integer log (``text.iln_milli``), so Spark and the oracle
+    agree bit-for-bit.
+
+    Scale shape: the histogram shuffle on (group, value) — map-side
+    combined — then one per-group rollup; identical cost profile to
+    ``grouped_quantiles_exact``. NULL categories count as a value.
+
+    Returns (group_col, n, n_distinct, entropy_milli).
+    """
+    from tepsonic_database_sync_spark.operators.text import iln_milli
+
+    hist = df.groupBy(group_col, value_col).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    per = hist.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("cnt") * iln_milli(F.lit(1000) * F.col("cnt")))
+        .cast("long")
+        .alias("__s"),
+    )
+    # integer DIV (not floor of a double quotient): bit-identical to the
+    # oracle's `//` at any magnitude
+    return per.select(
+        group_col,
+        "n",
+        "n_distinct",
+        (iln_milli(F.lit(1000) * F.col("n")) - F.expr("__s DIV n"))
+        .cast("long")
+        .alias("entropy_milli"),
+    )

@@ -630,6 +630,18 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_with_cms_check(o, e, "uk")
 
 
+def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event_type distribution in exact
+    milli-nats (portable integer log) — behavioral-diversity census:
+    0 = single-action bots, ln(k)·1000 = uniform over k actions."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.profile import group_entropy
+
+    return group_entropy(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
 def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column census of events (nulls / distincts / min-max)
     over an engine-portable projection (longs + strings). Exact distinct
@@ -3458,6 +3470,21 @@ SELECT CAST((SELECT coalesce(sum(a.c * b.c), 0)
        (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_b,
        TRUE AS within_bound
 """,
+    "group_entropy": f"""
+WITH hist AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(cnt * ({_d_iln("1000 * cnt")})) AS BIGINT) AS s
+  FROM hist GROUP BY 1
+)
+SELECT user_id, n, n_distinct,
+       CAST(({_d_iln("1000 * n")}) - (s // n) AS BIGINT) AS entropy_milli
+FROM per
+""",
     "profile_table": """
 WITH e AS (
   SELECT event_id, user_id, event_type,
@@ -4658,8 +4685,8 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 16 r7-new entries, the 18 rotation-queue entries whose last
-# hard-signal row was r01 or r03/r04, then the first 16 of the r05-green
+# the 17 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 15 of the r05-green
 # block — so after this round every entry's last green row is in
 # r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
 # r05-green entries (the head of the r8 rotation queue) and the 50
@@ -4691,6 +4718,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "profile_table": (q_profile_table, _O["profile_table"]),
     "join_size_estimate": (q_join_size_estimate, _O["join_size_estimate"]),
     "ann_pq_topk": (q_ann_pq_topk, _pq_oracle()),
+    "group_entropy": (q_group_entropy, _O["group_entropy"]),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4710,7 +4738,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (16 of 48) ----------------------
+    # --- r05-green block, stalest first (15 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),

@@ -1427,3 +1427,22 @@ def test_pq_topk_recall_against_exact_l2(spark):
         hits += len(exact & approx)
         total += 10
     assert hits / total >= 0.6, f"PQ recall@10 too low: {hits}/{total}"
+
+
+def test_group_entropy_bounds_and_extremes(spark):
+    from math import log
+
+    from tepsonic_database_sync_spark.operators.profile import group_entropy
+
+    rows = (
+        [(1, "a")] * 8  # constant → H = 0
+        + [(2, "a"), (2, "b"), (2, "c"), (2, "d")]  # uniform over 4 → ln 4
+        + [(3, "a")] * 9 + [(3, "b")]  # skewed → strictly between
+    )
+    df = spark.createDataFrame(rows, "g long, v string")
+    got = {r["g"]: r for r in group_entropy(df, "g", "v").collect()}
+    assert got[1]["entropy_milli"] == 0 and got[1]["n_distinct"] == 1
+    # integer-log approximation error is bounded (~61 milli-nats/log call)
+    assert abs(got[2]["entropy_milli"] - 1000 * log(4)) <= 125
+    assert 0 < got[3]["entropy_milli"] < got[2]["entropy_milli"]
+    assert got[3]["n"] == 10 and got[3]["n_distinct"] == 2

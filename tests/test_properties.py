@@ -404,3 +404,49 @@ def test_cdc_apply_diff_roundtrip(spark, old_rows, new_rows):
     diff = snapshot_diff(old, new, ["k"], ["v", "s"])
     applied = apply_changeset(old, diff, ["k"], ["v", "s"])
     assert {tuple(r) for r in applied.collect()} == set(dedup_new.values())
+
+
+quantile_groups = st.lists(
+    st.tuples(
+        st.sampled_from(["g", "h"]),
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=quantile_groups, qs=st.lists(st.integers(1, 1000), min_size=1,
+                                         max_size=4, unique=True))
+def test_grouped_quantiles_match_rank_definition(spark, rows, qs):
+    """grouped_quantiles_exact must return, for every group and q, the
+    value at rank ceil(q·n/1000) of the ascending sorted non-null values
+    — checked against a direct Python sort for random groups, NULLs,
+    ties, and arbitrary q grids (hypothesis)."""
+    import math
+
+    from tepsonic_database_sync_spark.operators.quantiles import (
+        grouped_quantiles_exact,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["q_permille"]): (r["n"], r["value"])
+        for r in grouped_quantiles_exact(df, "g", "v", qs_permille=qs).collect()
+    }
+    want = {}
+    by_g = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        for q in qs:
+            rank = max(1, math.ceil(q * len(vals) / 1000))
+            want[(g, q)] = (len(vals), vals[rank - 1])
+    assert got == want
