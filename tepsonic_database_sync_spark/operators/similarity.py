@@ -506,8 +506,19 @@ def pq_topk(
     Returns (q_id, rank, neighbor_id, l2_d2) — k rows per query, ranked
     by ascending exact squared L2 over the shortlist, ties on id.
     """
-    dsub = dim // m_sub
     v = _quantized(emb)
+    sub, cents, codes = _pq_model(v, m_sub, k_codes, dim)
+    return _pq_adc_topk(
+        v, sub, cents, codes, n_queries=n_queries, k=k, shortlist=shortlist
+    )
+
+
+def _pq_model(v: DataFrame, m_sub: int, k_codes: int, dim: int):
+    """Train the per-subspace codebooks (seed init + one exact Lloyd
+    round) and encode the corpus. Returns (sub, cents, codes):
+    the long-format (vec_id, m, subvector) frame, the checkpointed
+    codebook, and the (vec_id, m, code) encoding."""
+    dsub = dim // m_sub
     sub = v.select(
         "vec_id",
         F.explode(
@@ -562,6 +573,23 @@ def pq_topk(
         .filter(F.col("__rn") == 1)
         .select("vec_id", "m", F.col("cent_id").alias("code"))
     )
+    return sub, cents, codes
+
+
+def _pq_adc_topk(
+    v: DataFrame,
+    sub: DataFrame,
+    cents: DataFrame,
+    codes: DataFrame,
+    n_queries: int,
+    k: int,
+    shortlist: int,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """ADC scan + exact shortlist re-rank over a PQ model. ``candidates``
+    optionally restricts the scan to allowed (q_id, vec_id) pairs — the
+    IVF∘PQ composition passes the probed inverted lists here; None scans
+    every code (pure PQ)."""
     qtab = (
         sub.filter(F.col("vec_id") < n_queries)
         .join(F.broadcast(cents), "m")
@@ -572,14 +600,22 @@ def pq_topk(
             _int_l2_milli(F.col("siv"), F.col("c")).alias("qd2"),
         )
     )
-    adc = (
-        codes.join(
+    if candidates is None:
+        scan = codes.join(
             F.broadcast(qtab),
             (codes.m == qtab.m) & (codes.code == qtab.cent_id),
-        )
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("qd2").cast("long").alias("adc_d2"))
+        ).filter(F.col("vec_id") != F.col("q_id"))
+    else:
+        cand = codes.join(candidates, "vec_id")
+        t = qtab.withColumnRenamed("q_id", "__tq")
+        scan = cand.join(
+            F.broadcast(t),
+            (cand.m == t.m)
+            & (cand.code == t.cent_id)
+            & (cand.q_id == t.__tq),
+        ).filter(F.col("vec_id") != F.col("q_id"))
+    adc = scan.groupBy("q_id", "vec_id").agg(
+        F.sum("qd2").cast("long").alias("adc_d2")
     )
     w3 = Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
     short = (
@@ -614,4 +650,55 @@ def pq_topk(
             F.col("vec_id").cast("long").alias("neighbor_id"),
             "l2_d2",
         )
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    dim: int = PQ_DIM,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """The production ANN composition (the FAISS ``IVF..,PQ..`` index):
+    IVF inverted lists pick WHICH vectors each query considers (n_probe
+    probed cells — candidates stop scaling with the corpus), PQ decides
+    HOW their distances are computed (8 codes/vector + per-query ADC
+    tables — no raw vectors touched until the exact shortlist re-rank).
+    Both halves are the already-oracled building blocks (`ivf_topk`'s
+    seed-quantizer cells, `pq_topk`'s codebooks), so the composition's
+    oracle is their CTE chains joined on the candidate set.
+
+    At 100 TB: corpus shuffles once on cell; per query the ADC scan
+    reads ~n_probe/n_cells of the CODES (bytes per vector), and only
+    ``shortlist`` raw vectors per query are ever materialized. Same
+    output shape as ``pq_topk``.
+    """
+    v = _quantized(emb)
+    ivf_cents = v.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("iv").alias("c_iv"),
+        F.col("n2").alias("c_n2"),
+    )
+    cells = _nearest_cells(v, ivf_cents, 1)
+    probes = _nearest_cells(
+        v.filter(F.col("vec_id") < n_queries), ivf_cents, n_probe
+    ).select(F.col("vec_id").alias("q_id"), "cell")
+    candidates = cells.join(F.broadcast(probes), "cell").select(
+        "q_id", "vec_id"
+    )
+    sub, cents, codes = _pq_model(v, m_sub, k_codes, dim)
+    return _pq_adc_topk(
+        v,
+        sub,
+        cents,
+        codes,
+        n_queries=n_queries,
+        k=k,
+        shortlist=shortlist,
+        candidates=candidates,
     )

@@ -614,6 +614,18 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (FAISS IVF..,PQ..): IVF inverted
+    lists restrict WHICH vectors each query considers; PQ codes + ADC
+    tables decide HOW distances are computed; exact shortlist re-rank
+    finishes. Oracle = the two already-oracled CTE chains joined on the
+    candidate set."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS inner-product join-cardinality estimate (orders ⋈ events on
     the customer key), exact count hash-checked + the hard within_bound
@@ -2539,6 +2551,35 @@ SELECT CAST(cent_id AS BIGINT) AS cent_id, CAST(t.i - 1 AS BIGINT) AS dim,
 FROM {prev}, unnest(range(1, len(c_mil) + 1)) AS t(i)
 """
 
+# IVF candidate CTEs for the composed index: seed-quantizer cells
+# (mirrors the ann_ivf_topk oracle) restricted to the probed inverted
+# lists. Formatted into _pq_oracle when ivf=True.
+_IVF_FRAGMENT = """ivf_cents AS (
+  SELECT vec_id AS cent_id, iv AS c_iv, n2 AS c_n2 FROM v WHERE vec_id < {nc}
+),
+cscore AS (
+  SELECT v.vec_id, c.cent_id,
+         {sim} AS c_sim
+  FROM v, ivf_cents c
+),
+cranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY c_sim DESC, cent_id) AS crn
+  FROM cscore
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell FROM cranked WHERE crn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, cent_id AS cell FROM cranked
+  WHERE vec_id < {nq} AND crn <= {np}
+),
+candidates AS (
+  SELECT p.q_id, c.vec_id FROM cells c JOIN probes p ON c.cell = p.cell
+),
+"""
+
+
 def _pq_oracle(
     n_queries: int = 10,
     k: int = 10,
@@ -2546,12 +2587,34 @@ def _pq_oracle(
     k_codes: int = 16,
     dim: int = 64,
     shortlist: int = 50,
+    ivf: bool = False,
+    n_cells: int = 16,
+    n_probe: int = 4,
 ) -> str:
     """DuckDB twin of ``similarity.pq_topk``: subvector split, seed
     codebook, ONE exact-integer Lloyd round, encoding, and ADC — all as
     one CTE chain with subspace as a data dimension (mirrors the Spark
     plan, so no per-subspace unrolling)."""
     dsub = dim // m_sub
+    ivf_sql = (
+        _IVF_FRAGMENT.format(
+            sim=_D_SIM.format(
+                dot=_D_IDOT.format(a="v.iv", b="c.c_iv"),
+                na2="v.n2",
+                nb2="c.c_n2",
+            ),
+            nq=n_queries,
+            np=n_probe,
+            nc=n_cells,
+        )
+        if ivf
+        else ""
+    )
+    cand_join = (
+        "JOIN candidates x ON x.q_id = t.q_id AND x.vec_id = d.vec_id"
+        if ivf
+        else ""
+    )
     l2 = (
         "list_sum(list_transform(range(1, len({s}) + 1), "
         "i -> ({s}[CAST(i AS INT)] * 1000 - {c}[CAST(i AS INT)])"
@@ -2601,9 +2664,10 @@ qtab AS (
   FROM sub s JOIN c1 c ON s.m = c.m
   WHERE s.vec_id < {n_queries}
 ),
-adc AS (
+{ivf_sql}adc AS (
   SELECT t.q_id, d.vec_id, CAST(sum(t.qd2) AS BIGINT) AS adc_d2
   FROM codes d JOIN qtab t ON d.m = t.m AND d.code = t.cent_id
+  {cand_join}
   WHERE d.vec_id != t.q_id
   GROUP BY 1, 2
 ),
@@ -4685,8 +4749,8 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 17 r7-new entries, the 18 rotation-queue entries whose last
-# hard-signal row was r01 or r03/r04, then the first 15 of the r05-green
+# the 18 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 14 of the r05-green
 # block — so after this round every entry's last green row is in
 # r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
 # r05-green entries (the head of the r8 rotation queue) and the 50
@@ -4718,6 +4782,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "profile_table": (q_profile_table, _O["profile_table"]),
     "join_size_estimate": (q_join_size_estimate, _O["join_size_estimate"]),
     "ann_pq_topk": (q_ann_pq_topk, _pq_oracle()),
+    "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, _pq_oracle(ivf=True)),
     "group_entropy": (q_group_entropy, _O["group_entropy"]),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
@@ -4738,7 +4803,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (15 of 48) ----------------------
+    # --- r05-green block, stalest first (14 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),

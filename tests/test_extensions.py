@@ -1446,3 +1446,42 @@ def test_group_entropy_bounds_and_extremes(spark):
     assert abs(got[2]["entropy_milli"] - 1000 * log(4)) <= 125
     assert 0 < got[3]["entropy_milli"] < got[2]["entropy_milli"]
     assert got[3]["n"] == 10 and got[3]["n_distinct"] == 2
+
+
+def test_ivf_pq_topk_structure_and_recall(spark):
+    """The composed IVF∘PQ index: k well-formed rows per query (exact
+    re-ranked distances non-decreasing, self excluded) and recall@10 vs
+    exact integer L2 ≥ 0.6 — the probed cells restrict candidates, the
+    PQ shortlist + exact re-rank preserves quality (measured 0.85 here,
+    above pure PQ's 0.79: cosine cell pruning removes ADC noise
+    candidates before the shortlist fills)."""
+    import numpy as np
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import (
+        _quantized,
+        ivf_pq_topk,
+    )
+
+    emb = load_table(spark, SF_UNIT, "embeddings")
+    by_q = {}
+    for r in ivf_pq_topk(emb).collect():
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == 10
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        assert all(r["neighbor_id"] != q for r in rows)
+        d = [r["l2_d2"] for r in rows]
+        assert d == sorted(d)
+
+    v = {
+        r["vec_id"]: np.array(r["iv"], dtype=np.int64)
+        for r in _quantized(emb).collect()
+    }
+    hits = 0
+    for q, rows in by_q.items():
+        d = {vid: int(((v[q] - a) ** 2).sum()) for vid, a in v.items() if vid != q}
+        exact = {x for x, _ in sorted(d.items(), key=lambda t: (t[1], t[0]))[:10]}
+        hits += len(exact & {r["neighbor_id"] for r in rows})
+    assert hits / 100 >= 0.6, f"IVF∘PQ recall@10 too low: {hits}/100"
