@@ -75,3 +75,37 @@ def grouped_quantiles_exact(
         .agg(F.min("value").cast("long").alias("value"))
         .select(group_col, "q_permille", "n", "value")
     )
+
+
+def grouped_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact per-group mode (most frequent value, ties → smallest value)
+    — the categorical companion of ``grouped_quantiles_exact``, same
+    histogram shape: one map-side-combined shuffle to (group, value)
+    counts, then a row_number window over the tiny per-group histogram.
+    NULL values are excluded (a mode of "missing" is a data-quality
+    signal better read from profile_table's null counts).
+
+    Returns (group_col, n, mode_value, mode_cnt).
+    """
+    hist = (
+        df.select(group_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = hist.groupBy(group_col).agg(F.sum("cnt").cast("long").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cnt").desc(), F.col(value_col)
+    )
+    top = (
+        hist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            group_col,
+            F.col(value_col).alias("mode_value"),
+            F.col("cnt").alias("mode_cnt"),
+        )
+    )
+    return top.join(tot, group_col).select(
+        group_col, "n", "mode_value", "mode_cnt"
+    )

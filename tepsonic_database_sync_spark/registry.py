@@ -642,6 +642,17 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_with_cms_check(o, e, "uk")
 
 
+def q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user modal event_type (ties → lexicographically first)
+    — the categorical census companion of grouped_quantiles/entropy."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.quantiles import grouped_mode
+
+    return grouped_mode(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
 def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Shannon entropy of the event_type distribution in exact
     milli-nats (portable integer log) — behavioral-diversity census:
@@ -3534,6 +3545,22 @@ SELECT CAST((SELECT coalesce(sum(a.c * b.c), 0)
        (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_b,
        TRUE AS within_bound
 """,
+    "grouped_mode": """
+WITH hist AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+top AS (
+  SELECT user_id, event_type AS mode_value, cnt AS mode_cnt
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, event_type) AS rn
+        FROM hist)
+  WHERE rn = 1
+)
+SELECT t.user_id, o.n, t.mode_value, t.mode_cnt
+FROM top t JOIN tot o ON t.user_id = o.user_id
+""",
     "group_entropy": f"""
 WITH hist AS (
   SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
@@ -4749,8 +4776,8 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 18 r7-new entries, the 18 rotation-queue entries whose last
-# hard-signal row was r01 or r03/r04, then the first 14 of the r05-green
+# the 19 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 13 of the r05-green
 # block — so after this round every entry's last green row is in
 # r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
 # r05-green entries (the head of the r8 rotation queue) and the 50
@@ -4784,6 +4811,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_pq_topk": (q_ann_pq_topk, _pq_oracle()),
     "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, _pq_oracle(ivf=True)),
     "group_entropy": (q_group_entropy, _O["group_entropy"]),
+    "grouped_mode": (q_grouped_mode, _O["grouped_mode"]),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4803,7 +4831,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (14 of 48) ----------------------
+    # --- r05-green block, stalest first (13 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),

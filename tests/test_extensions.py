@@ -1485,3 +1485,17 @@ def test_ivf_pq_topk_structure_and_recall(spark):
         exact = {x for x, _ in sorted(d.items(), key=lambda t: (t[1], t[0]))[:10]}
         hits += len(exact & {r["neighbor_id"] for r in rows})
     assert hits / 100 >= 0.6, f"IVF∘PQ recall@10 too low: {hits}/100"
+
+
+def test_grouped_mode_ties_and_nulls(spark):
+    from tepsonic_database_sync_spark.operators.quantiles import grouped_mode
+
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (2, "z"), (2, "y"), (2, None)],
+        "g long, v string",
+    )
+    got = {r["g"]: (r["n"], r["mode_value"], r["mode_cnt"])
+           for r in grouped_mode(df, "g", "v").collect()}
+    assert got[1] == (3, "b", 2)
+    # tie at cnt=1 → smallest value wins; NULL excluded from n
+    assert got[2] == (2, "y", 1)
