@@ -25,8 +25,8 @@ Timing protocol (BENCH_r02 onward):
   (text_lm_score, prepare_corpus, dedup_incremental, snapshot_diff,
   grouped_quantiles, event_anomaly, cdc_roundtrip, embed_dedup_clusters,
   text_hash_embed, winnow_overlap, profile_table, join_size_estimate,
-  ann_pq_topk, ann_ivf_pq_topk, group_entropy, grouped_mode), so r7
-  totals are comparable to
+  ann_pq_topk, ann_ivf_pq_topk, group_entropy, grouped_mode,
+  active_users), so r7 totals are comparable to
   earlier rounds only on the common-query subset, as with every prior
   headline extension.
 """
@@ -105,6 +105,7 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "group_entropy",
     "grouped_mode",
+    "active_users",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

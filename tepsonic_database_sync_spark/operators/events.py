@@ -220,3 +220,46 @@ def scd2_history(events: DataFrame) -> DataFrame:
         F.col("valid_to").cast("long").alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+ACTIVE_WINDOW_DAYS = 7
+
+
+def active_users(events: DataFrame) -> DataFrame:
+    """DAU / rolling-WAU — the canonical engagement metric pair: per
+    calendar day, distinct active users that day and over the trailing
+    ``ACTIVE_WINDOW_DAYS`` window.
+
+    Rolling DISTINCT does not decompose like a rolling sum (a user
+    active on 3 of the 7 days still counts once), so the standard scale
+    shape is CONTRIBUTION EXPLODE, not a window: the distinct
+    (user, day) frame — one shuffle, tiny — emits one row per window day
+    it contributes to (an array generator, ×7, no join), and one
+    count-distinct per window day finishes. Days with no events emit no
+    row, and partial leading windows count only observed days — both
+    stated, both matched by the oracle.
+
+    Returns (day_es, dau, wau_7d) with day_es = UTC midnight epoch.
+    """
+    day = (F.floor(F.unix_timestamp("ts") / 86400)).cast("long")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (ACTIVE_WINDOW_DAYS - 1))
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("wau_7d")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            (F.col("day") * 86400).cast("long").alias("day_es"),
+            "dau",
+            "wau_7d",
+        )
+    )

@@ -642,6 +642,16 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_with_cms_check(o, e, "uk")
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling 7-day WAU — rolling DISTINCT via contribution
+    explode (an array generator, ×7, no join), never a window: a user
+    active 3 of 7 days still counts once."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import active_users
+
+    return active_users(load_table(spark, sf_dir, "events"))
+
+
 def q_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-user modal event_type (ties → lexicographically first)
     — the categorical census companion of grouped_quantiles/entropy."""
@@ -3545,6 +3555,26 @@ SELECT CAST((SELECT coalesce(sum(a.c * b.c), 0)
        (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_b,
        TRUE AS within_bound
 """,
+    "active_users": """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY 1
+),
+contrib AS (
+  SELECT user_id, day + t.i AS day FROM ud, unnest(range(0, 7)) AS t(i)
+),
+wau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau_7d
+  FROM contrib GROUP BY 1
+)
+SELECT CAST(d.day * 86400 AS BIGINT) AS day_es, d.dau, w.wau_7d
+FROM dau d JOIN wau w ON d.day = w.day
+""",
     "grouped_mode": """
 WITH hist AS (
   SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
@@ -4776,8 +4806,8 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 19 r7-new entries, the 18 rotation-queue entries whose last
-# hard-signal row was r01 or r03/r04, then the first 13 of the r05-green
+# the 20 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 12 of the r05-green
 # block — so after this round every entry's last green row is in
 # r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
 # r05-green entries (the head of the r8 rotation queue) and the 50
@@ -4787,12 +4817,14 @@ FROM sess GROUP BY user_id, session_idx
 # section), never ride the tail unverified — machine-checked by
 # tests/test_driver_contract.py::test_registry_tail_entries_have_prior_green_rows.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- NEW in r7 (unverified — must be in-window): bigram-LM scoring,
-    # store-backed incremental dedup, the corpus-prepare pipeline, CDC
-    # snapshot diff, Markov transitions, volume-spike detection, and
-    # exact grouped quantiles; displaced sketch_distinct, text_repetition,
-    # text_bm25 and the four multimodal entries (all r05-green) to the
-    # tail queue ---------------------------------------------------------
+    # --- NEW in r7 (unverified — must be in-window), 19 entries:
+    # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
+    # the CDC pair (diff + roundtrip), Markov transitions, volume-spike
+    # detection, exact grouped quantiles/mode/entropy, source overlap,
+    # the skew profiler, semantic dedup clusters, the hashing-trick
+    # embedder, winnowing passage-overlap pairs, the table profiler, the
+    # CMS join-size estimate, and the PQ + IVF∘PQ ANN tiers. Displacees
+    # (all r05-green, named per block below) moved to the tail queue. ----
     "text_lm_score": (q_text_lm_score, _lm_score_oracle()),
     "dedup_incremental": (q_dedup_incremental, _DEDUP_INCREMENTAL_ORACLE),
     "prepare_corpus": (q_prepare_corpus, _prepare_corpus_oracle()),
@@ -4812,6 +4844,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, _pq_oracle(ivf=True)),
     "group_entropy": (q_group_entropy, _O["group_entropy"]),
     "grouped_mode": (q_grouped_mode, _O["grouped_mode"]),
+    "active_users": (q_active_users, _O["active_users"]),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4831,7 +4864,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (13 of 48) ----------------------
+    # --- r05-green block, stalest first (12 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),

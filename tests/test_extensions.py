@@ -1499,3 +1499,34 @@ def test_grouped_mode_ties_and_nulls(spark):
     assert got[1] == (3, "b", 2)
     # tie at cnt=1 → smallest value wins; NULL excluded from n
     assert got[2] == (2, "y", 1)
+
+
+def test_active_users_rolling_distinct_counts_once(spark):
+    import pandas as pd
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import active_users
+
+    schema = load_table(spark, SF_UNIT, "events").schema
+    D = 86400
+    rows = [
+        # user 1 active on days 0,1,2 — must count ONCE in each window
+        {"event_id": i, "ts": pd.Timestamp(d * D * 1000, unit="ms"),
+         "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"}
+        for i, d in enumerate([0, 0, 1, 2])
+    ] + [
+        # user 2 active on day 9 only
+        {"event_id": 99, "ts": pd.Timestamp(9 * D * 1000, unit="ms"),
+         "user_id": 2, "event_type": "view", "value": 1.0, "props": "{}"}
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(rows), schema)
+    got = {r["day_es"] // D: (r["dau"], r["wau_7d"])
+           for r in active_users(ev).collect()}
+    # only observed days emit rows
+    assert set(got) == {0, 1, 2, 9}
+    assert got[0] == (1, 1)
+    assert got[1] == (1, 1)  # user 1 twice in window → once
+    assert got[2] == (1, 1)
+    # day 9: user 2 active; user 1's last activity (day 2) is outside
+    # the trailing 7-day window (days 3..9)
+    assert got[9] == (1, 1)
