@@ -794,3 +794,54 @@ def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
             .alias("containment_b_permille"),
         )
     )
+
+
+def keep_best_dedup(docs: DataFrame, fingerprint: Column | None = None) -> DataFrame:
+    """Quality-aware exact dedup: one survivor per identical-content
+    cluster, chosen by HIGHEST quality score (ties → min doc_id) instead
+    of min id — the curation-correct survivor policy when duplicates
+    differ in formatting (casing, whitespace damage) but not content:
+    keep the cleanest copy, not the first-crawled one.
+
+    ``fingerprint`` overrides the cluster key (default: md5 of the
+    normalized text — exact content identity). Pass a looser key (e.g.
+    the bag-of-words SET fingerprint the registry query uses) to cluster
+    copies whose damage altered the byte content but not the vocabulary.
+
+    Scale shape: the (doc_id, fp, quality) projection is computed in ONE
+    pass (fingerprint + quality are row-local expressions), then a
+    window over per-fingerprint groups — group sizes are duplicate
+    counts, and only the narrow projection shuffles; text never does.
+
+    Returns (fp, keeper_doc_id, quality, n_copies).
+    """
+    from pyspark.sql import Window
+
+    from tepsonic_database_sync_spark.operators.text import (
+        normalize_text,
+        quality_expr,
+    )
+
+    fp = (
+        fingerprint
+        if fingerprint is not None
+        else F.md5(normalize_text(F.col("text")))
+    )
+    scored = docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        quality_expr(F.col("text")).alias("quality"),
+    )
+    wc = Window.partitionBy("fp")
+    w = Window.partitionBy("fp").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        scored.withColumn("n_copies", F.count("*").over(wc).cast("long"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "fp",
+            F.col("doc_id").alias("keeper_doc_id"),
+            "quality",
+            "n_copies",
+        )
+    )

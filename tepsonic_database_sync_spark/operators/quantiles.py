@@ -109,3 +109,45 @@ def grouped_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     return top.join(tot, group_col).select(
         group_col, "n", "mode_value", "mode_cnt"
     )
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    qs_permille: Sequence[int] = (250, 500, 750),
+) -> DataFrame:
+    """Assign every row its per-group quantile bucket — the featurization
+    loop closed: ``grouped_quantiles_exact`` computes the boundaries,
+    this joins them back and bins each row (difficulty binning,
+    length-stratified packing, score-tier routing).
+
+    ``bucket`` = number of group boundaries strictly below the row's
+    value, so with the default q grid rows land in buckets 0..3 and a
+    row EQUAL to a boundary stays in that quantile's bucket (the
+    boundary is the smallest value whose cumulative count reaches the
+    quantile, so equals belong below it). NULL values are dropped — they
+    have no rank (profile_table counts them).
+
+    Scale shape: boundaries are |groups|·|qs| rows — broadcast onto the
+    fact side; the bin assignment is one conditional count per row, no
+    extra shuffle beyond the boundary computation itself.
+
+    Returns (key_col, group_col, value_col, bucket).
+    """
+    bounds = grouped_quantiles_exact(df, group_col, value_col, qs_permille).select(
+        group_col, F.col("value").alias("__b")
+    )
+    rows = df.select(key_col, group_col, value_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    return (
+        rows.join(F.broadcast(bounds), group_col)
+        .groupBy(key_col, group_col, value_col)
+        .agg(
+            F.count_if(F.col("__b") < F.col(value_col))
+            .cast("long")
+            .alias("bucket")
+        )
+    )

@@ -642,6 +642,54 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_with_cms_check(o, e, "uk")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup with the curation-correct survivor policy:
+    the LOW-id copies are repetition-damaged (first token repeated 30× —
+    same vocabulary, collapsed lexical diversity), the HIGH-id copies
+    are clean, clustering is by the bag-of-words SET fingerprint. Where
+    damage dropped a quality flag the clean HIGH-id copy must win — the
+    opposite of dedup_exact's min-id policy; ties still break to min."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import keep_best_dedup
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    damaged = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.concat(F.lit(" "), F.element_at(tokens(F.col("text")), 1)), 30
+            ),
+        ).alias("text"),
+    )
+    clean = d.select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    corpus = damaged.unionByName(clean)
+    set_fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " ")
+    )
+    return keep_best_dedup(corpus, fingerprint=set_fp)
+
+
+def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every order binned into its priority-group spend quartile — the
+    exact quantile boundaries broadcast back onto the fact side, one
+    conditional count per row."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.quantiles import (
+        quantile_bucketize,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(_cents("o_totalprice") / 100).cast("long").alias("dollars"),
+    )
+    return quantile_bucketize(
+        o, "o_orderpriority", "dollars", "o_orderkey", qs_permille=QUANTILE_QS
+    )
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / rolling 7-day WAU — rolling DISTINCT via contribution
     explode (an array generator, ×7, no join), never a window: a user
@@ -3555,6 +3603,88 @@ SELECT CAST((SELECT coalesce(sum(a.c * b.c), 0)
        (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_b,
        TRUE AS within_bound
 """,
+    "dedup_keep_best": f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || repeat(' ' || regexp_split_to_array(lower(trim(text)),
+                                                     '\s+')[1], 30) AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+),
+toks AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM corpus
+),
+s AS (
+  SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         CASE WHEN len(t) > 0 THEN (len(list_distinct(t)) * 1000) // len(t)
+              ELSE 0 END AS uniq_permille,
+         CASE WHEN len(t) > 0 THEN ({_sw(_SW["en"])} * 1000) // len(t)
+              ELSE 0 END AS stopword_permille
+  FROM toks
+),
+q AS (
+  SELECT doc_id, CAST(
+      (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 25 ELSE 0 END)
+    + (CASE WHEN stopword_permille BETWEEN 20 AND 600 THEN 25 ELSE 0 END)
+    + (CASE WHEN n_punct * 1000 < n_chars * 300 THEN 25 ELSE 0 END)
+    + (CASE WHEN uniq_permille > 300 THEN 25 ELSE 0 END) AS BIGINT) AS quality
+  FROM s
+),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+  FROM toks
+),
+j AS (
+  SELECT f.fp, f.doc_id, q.quality FROM fp f JOIN q ON f.doc_id = q.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY fp
+                               ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY fp) AS n_copies
+  FROM j
+)
+SELECT fp, CAST(doc_id AS BIGINT) AS keeper_doc_id, quality,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+""",
+    "quantile_bucketize": f"""
+WITH vals AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100 AS dollars
+  FROM orders
+),
+hist AS (
+  SELECT o_orderpriority, dollars, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, dollars, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY dollars) AS cum
+  FROM hist
+),
+tot AS (
+  SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n
+  FROM hist GROUP BY 1
+),
+qs AS (
+  SELECT CAST(q AS BIGINT) AS q_permille
+  FROM (VALUES {", ".join(f"({q})" for q in QUANTILE_QS)}) t(q)
+),
+bounds AS (
+  SELECT c.o_orderpriority, q.q_permille, min(c.dollars) AS b
+  FROM cum c JOIN tot t USING (o_orderpriority) CROSS JOIN qs q
+  WHERE 1000 * c.cum >= q.q_permille * t.n
+  GROUP BY 1, 2
+)
+SELECT v.o_orderkey, v.o_orderpriority, v.dollars,
+       CAST(count(CASE WHEN b.b < v.dollars THEN 1 END) AS BIGINT) AS bucket
+FROM vals v JOIN bounds b ON v.o_orderpriority = b.o_orderpriority
+GROUP BY 1, 2, 3
+""",
     "active_users": """
 WITH ud AS (
   SELECT DISTINCT user_id,
@@ -4806,8 +4936,8 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 20 r7-new entries, the 18 rotation-queue entries whose last
-# hard-signal row was r01 or r03/r04, then the first 12 of the r05-green
+# the 22 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 10 of the r05-green
 # block — so after this round every entry's last green row is in
 # r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
 # r05-green entries (the head of the r8 rotation queue) and the 50
@@ -4845,6 +4975,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "group_entropy": (q_group_entropy, _O["group_entropy"]),
     "grouped_mode": (q_grouped_mode, _O["grouped_mode"]),
     "active_users": (q_active_users, _O["active_users"]),
+    "quantile_bucketize": (q_quantile_bucketize, _O["quantile_bucketize"]),
+    "dedup_keep_best": (q_dedup_keep_best, _O["dedup_keep_best"]),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4864,7 +4996,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (12 of 48) ----------------------
+    # --- r05-green block, stalest first (10 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),

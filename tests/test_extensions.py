@@ -1530,3 +1530,46 @@ def test_active_users_rolling_distinct_counts_once(spark):
     # day 9: user 2 active; user 1's last activity (day 2) is outside
     # the trailing 7-day window (days 3..9)
     assert got[9] == (1, 1)
+
+
+def test_quantile_bucketize_bins_and_boundary_membership(spark):
+    from tepsonic_database_sync_spark.operators.quantiles import (
+        quantile_bucketize,
+    )
+
+    # group g: values 10,20,30,40 → boundaries q250=10, q500=20, q750=30
+    df = spark.createDataFrame(
+        [(1, "g", 10), (2, "g", 20), (3, "g", 30), (4, "g", 40), (5, "g", None)],
+        "k long, grp string, v long",
+    )
+    got = {r["k"]: r["bucket"]
+           for r in quantile_bucketize(df, "grp", "v", "k").collect()}
+    # a value EQUAL to a boundary stays in that quantile's bucket
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # NULL row dropped
+    # bucket sizes are balanced by construction on distinct values
+
+
+def test_keep_best_dedup_prefers_quality_over_min_id(spark):
+    from pyspark.sql import functions as FF
+
+    from tepsonic_database_sync_spark.operators.dedup import keep_best_dedup
+
+    good = ("the quick brown fox jumps over a lazy dog and then walks away "
+            "to find some food in the nearby forest with its friends")
+    damaged = good + " the" * 40  # same vocabulary, diversity collapsed
+    docs = spark.createDataFrame(
+        [(1, damaged), (2, good), (3, "unrelated text entirely different")],
+        "doc_id long, text string",
+    )
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    set_fp = FF.md5(
+        FF.array_join(FF.array_sort(FF.array_distinct(tokens(FF.col("text")))), " ")
+    )
+    got = {r["keeper_doc_id"]: r for r in keep_best_dedup(docs, set_fp).collect()}
+    # doc 2 (higher id, higher quality) beats doc 1 (min id, damaged)
+    assert 2 in got and 1 not in got
+    assert got[2]["n_copies"] == 2
+    assert 3 in got  # singleton survives untouched
+    # default fingerprint (exact content): all three are distinct
+    assert keep_best_dedup(docs).count() == 3
