@@ -47,6 +47,11 @@ def snapshot_diff(
     ``insert`` = key only in NEW; ``delete`` = key only in OLD;
     ``update`` = key in both with at least one tracked column differing
     (NULL-safe: NULL → value and value → NULL both count as changes).
+
+    Key columns are expected non-null (snapshots of a KEYED table).
+    NULL keys do not crash — the null-safe join treats them as one key
+    value — but multiple NULL-keyed rows per side cross-match like any
+    other duplicated key, so deduplicate keys upstream.
     """
     if not keys:
         raise ValueError("snapshot_diff requires at least one key column")

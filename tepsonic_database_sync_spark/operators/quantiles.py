@@ -123,12 +123,16 @@ def quantile_bucketize(
     this joins them back and bins each row (difficulty binning,
     length-stratified packing, score-tier routing).
 
-    ``bucket`` = number of group boundaries strictly below the row's
-    value, so with the default q grid rows land in buckets 0..3 and a
+    ``bucket`` = number of DISTINCT boundary values strictly below the
+    row's value, so with the default q grid rows land in buckets 0..3, a
     row EQUAL to a boundary stays in that quantile's bucket (the
     boundary is the smallest value whose cumulative count reaches the
-    quantile, so equals belong below it). NULL values are dropped — they
-    have no rank (profile_table counts them).
+    quantile, so equals belong below it), and two quantiles collapsing
+    onto the same value collapse their segments (skewed groups). The
+    distinct-count form also makes the assignment immune to duplicate
+    ``key_col`` rows — each (key, group, value) row sees each threshold
+    once no matter how often the join fans out. NULL values are
+    dropped — they have no rank (profile_table counts them).
 
     Scale shape: boundaries are |groups|·|qs| rows — broadcast onto the
     fact side; the bin assignment is one conditional count per row, no
@@ -146,7 +150,9 @@ def quantile_bucketize(
         rows.join(F.broadcast(bounds), group_col)
         .groupBy(key_col, group_col, value_col)
         .agg(
-            F.count_if(F.col("__b") < F.col(value_col))
+            F.count_distinct(
+                F.when(F.col("__b") < F.col(value_col), F.col("__b"))
+            )
             .cast("long")
             .alias("bucket")
         )

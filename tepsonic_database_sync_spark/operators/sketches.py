@@ -168,6 +168,11 @@ def join_size_with_cms_check(
     loosened to integer ``3·Na·Nb/width``. A sketch outside it flips the
     flag and fails the correctness gate.
 
+    Integer bound, stated: exact_n and the estimate are BIGINT sums of
+    per-key count products — if the true join cardinality approaches
+    2^63 the arithmetic overflows, but a join that size is precisely
+    what this check exists to veto long before anyone runs it.
+
     Returns ONE row: (exact_n, n_a, n_b, within_bound).
     """
     ca = a.groupBy(F.col(key).alias("k")).agg(

@@ -3681,7 +3681,8 @@ bounds AS (
   GROUP BY 1, 2
 )
 SELECT v.o_orderkey, v.o_orderpriority, v.dollars,
-       CAST(count(CASE WHEN b.b < v.dollars THEN 1 END) AS BIGINT) AS bucket
+       CAST(count(DISTINCT CASE WHEN b.b < v.dollars THEN b.b END) AS BIGINT)
+         AS bucket
 FROM vals v JOIN bounds b ON v.o_orderpriority = b.o_orderpriority
 GROUP BY 1, 2, 3
 """,

@@ -1573,3 +1573,29 @@ def test_keep_best_dedup_prefers_quality_over_min_id(spark):
     assert 3 in got  # singleton survives untouched
     # default fingerprint (exact content): all three are distinct
     assert keep_best_dedup(docs).count() == 3
+
+
+def test_quantile_bucketize_immune_to_duplicate_keys_and_boundaries(spark):
+    from tepsonic_database_sync_spark.operators.quantiles import (
+        quantile_bucketize,
+    )
+
+    # duplicate (key, group, value) rows must NOT inflate the bucket
+    # (self-review r7: the plain count_if counted each joined copy)
+    df = spark.createDataFrame(
+        [(1, "g", 10), (1, "g", 10), (2, "g", 20), (3, "g", 30), (4, "g", 40)],
+        "k long, grp string, v long",
+    )
+    got = {r["k"]: r["bucket"]
+           for r in quantile_bucketize(df, "grp", "v", "k").collect()}
+    assert got[4] == 3 and got[1] == 0
+    # collapsed boundaries collapse segments: values 5,5,7 → q250=q500=5,
+    # q750=7 → v=7 sees TWO distinct thresholds below? no — {5, 5, 7}
+    # has distinct values {5}, so bucket(7) counts only 5 → 1... plus 7
+    # itself is a boundary but not strictly below. Verify:
+    df2 = spark.createDataFrame(
+        [(1, "h", 5), (2, "h", 5), (3, "h", 7)], "k long, grp string, v long"
+    )
+    got2 = {r["k"]: r["bucket"]
+            for r in quantile_bucketize(df2, "grp", "v", "k").collect()}
+    assert got2 == {1: 0, 2: 0, 3: 1}
