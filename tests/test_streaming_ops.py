@@ -628,3 +628,64 @@ def test_anomaly_stream_matches_batch_detector(spark, tmp_path):
         .collect()
     } == want
     assert store.read().count() == n_hist
+
+
+def test_snapshot_cdc_stream_emits_pairwise_diffs_and_replays_safely(
+    spark, tmp_path
+):
+    """Snapshot-drop CDC: a stream of FULL snapshot versions must emit
+    exactly the pairwise batch diffs (v0→v1, v1→v2 — first version all
+    inserts), leave the store pointing at the latest version, and
+    redeliver nothing on a full replay (fresh checkpoint, same store
+    marker)."""
+    from tepsonic_database_sync_spark.operators.cdc import snapshot_diff
+    from tepsonic_database_sync_spark.sources.jdbc import ParquetStateStore
+    from tepsonic_database_sync_spark.streaming.ops import snapshot_cdc_stream
+
+    schema = "k long, cents long, status string"
+    v1 = [(1, 100, "a"), (2, 200, "b"), (3, 300, "c")]
+    v2 = [(1, 100, "a"), (2, 250, "b"), (4, 400, "d")]  # upd 2, del 3, ins 4
+    v3 = [(1, 100, "z"), (2, 250, "b"), (4, 400, "d")]  # upd 1
+    src = str(tmp_path / "src")
+    for snap in (v1, v2, v3):
+        spark.createDataFrame(snap, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    changes_dir = str(tmp_path / "changes")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = snapshot_cdc_stream(
+        stream, store, changes_dir, str(tmp_path / "ckpt"),
+        keys=["k"], compare_cols=["cents", "status"],
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(changes_dir).collect()}
+    dfs = [spark.createDataFrame(s, schema) for s in (v1, v2, v3)]
+    want = set()
+    prev = dfs[0].limit(0)
+    for cur in dfs:
+        want |= {
+            tuple(r)
+            for r in snapshot_diff(
+                prev, cur, ["k"], ["cents", "status"]
+            ).collect()
+        }
+        prev = cur
+    assert got == want
+    assert {tuple(r) for r in store.read().collect()} == set(v3)
+
+    # full redelivery: no new change rows, store unchanged
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = snapshot_cdc_stream(
+        stream2, store, changes_dir, str(tmp_path / "ckpt2"),
+        keys=["k"], compare_cols=["cents", "status"],
+    )
+    q2.awaitTermination(180)
+    assert {tuple(r) for r in spark.read.parquet(changes_dir).collect()} == want
+    assert {tuple(r) for r in store.read().collect()} == set(v3)
