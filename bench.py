@@ -26,8 +26,8 @@ Timing protocol (BENCH_r02 onward):
   grouped_quantiles, event_anomaly, cdc_roundtrip, embed_dedup_clusters,
   text_hash_embed, winnow_overlap, profile_table, join_size_estimate,
   ann_pq_topk, ann_ivf_pq_topk, group_entropy, grouped_mode,
-  active_users, quantile_bucketize, dedup_keep_best), so r7 totals are
-  comparable to
+  active_users, quantile_bucketize, dedup_keep_best,
+  growth_accounting), so r7 totals are comparable to
   earlier rounds only on the common-query subset, as with every prior
   headline extension.
 """
@@ -109,6 +109,7 @@ HEADLINE = [
     "active_users",
     "quantile_bucketize",
     "dedup_keep_best",
+    "growth_accounting",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

@@ -263,3 +263,69 @@ def active_users(events: DataFrame) -> DataFrame:
             "wau_7d",
         )
     )
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Weekly growth accounting — the engagement ledger behind every
+    "where did our users go" review: each (user, active-week) is NEW
+    (first week ever), RETAINED (also active the immediately previous
+    week) or RESURRECTED (returning after a gap), and each week is
+    charged the users it CHURNED (active the previous week, absent this
+    week). The identity new + retained + resurrected = weekly actives
+    holds by construction.
+
+    One shuffle: the distinct (user, week) frame, with lag/lead windows
+    per user over their week series (rows = active weeks per user, tiny)
+    — never over raw events. Churn for week w is counted from week w−1's
+    rows via lead (absent-next-week), so quiet trailing weeks need no
+    calendar scaffold; the LAST observed week in the data reports its
+    own churn as 0 by definition (nothing after it to be absent from —
+    stated, mirrored by the oracle).
+
+    Returns (ws, n_new, n_retained, n_resurrected, n_churned).
+    """
+    es = F.unix_timestamp("ts").cast("long")
+    week = (F.floor(es / WEEK_SECS) * WEEK_SECS).cast("long")
+    uw = events.select("user_id", week.alias("ws")).distinct()
+    w = Window.partitionBy("user_id").orderBy("ws")
+    seq = uw.select(
+        "user_id",
+        "ws",
+        F.lag("ws").over(w).alias("prev_ws"),
+        F.lead("ws").over(w).alias("next_ws"),
+    )
+    status = (
+        F.when(F.col("prev_ws").isNull(), F.lit("new"))
+        .when(F.col("prev_ws") == F.col("ws") - WEEK_SECS, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    per_week = seq.groupBy("ws").agg(
+        F.count_if(status == "new").cast("long").alias("n_new"),
+        F.count_if(status == "retained").cast("long").alias("n_retained"),
+        F.count_if(status == "resurrected").cast("long").alias("n_resurrected"),
+    )
+    max_ws = uw.agg(F.max("ws").alias("__max_ws"))
+    churn = (
+        seq.crossJoin(F.broadcast(max_ws))
+        .filter(
+            (F.col("ws") < F.col("__max_ws"))
+            & (
+                F.col("next_ws").isNull()
+                | (F.col("next_ws") > F.col("ws") + WEEK_SECS)
+            )
+        )
+        .groupBy((F.col("ws") + WEEK_SECS).alias("ws"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    # FULL outer: a week can have churn but zero actives (total collapse)
+    # — dropping that row would hide exactly the signal this exists for
+    return (
+        per_week.join(churn, "ws", "full_outer")
+        .select(
+            "ws",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ("n_new", "n_retained", "n_resurrected", "n_churned")
+            ],
+        )
+    )

@@ -690,6 +690,16 @@ def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: new / retained / resurrected actives
+    per week plus the users churned INTO that week — lag/lead windows
+    over each user's distinct week series, never over raw events."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import growth_accounting
+
+    return growth_accounting(load_table(spark, sf_dir, "events"))
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / rolling 7-day WAU — rolling DISTINCT via contribution
     explode (an array generator, ×7, no join), never a window: a user
@@ -3686,6 +3696,44 @@ SELECT v.o_orderkey, v.o_orderpriority, v.dollars,
 FROM vals v JOIN bounds b ON v.o_orderpriority = b.o_orderpriority
 GROUP BY 1, 2, 3
 """,
+    "growth_accounting": f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // {604800}) * {604800}
+              AS BIGINT) AS ws
+  FROM events
+),
+seq AS (
+  SELECT user_id, ws,
+         lag(ws) OVER (PARTITION BY user_id ORDER BY ws) AS prev_ws,
+         lead(ws) OVER (PARTITION BY user_id ORDER BY ws) AS next_ws
+  FROM uw
+),
+per_week AS (
+  SELECT ws,
+         CAST(count(*) FILTER (prev_ws IS NULL) AS BIGINT) AS n_new,
+         CAST(count(*) FILTER (prev_ws = ws - {604800}) AS BIGINT)
+           AS n_retained,
+         CAST(count(*) FILTER (prev_ws IS NOT NULL
+                               AND prev_ws < ws - {604800}) AS BIGINT)
+           AS n_resurrected
+  FROM seq GROUP BY 1
+),
+mx AS (SELECT max(ws) AS max_ws FROM uw),
+churn AS (
+  SELECT s.ws + {604800} AS ws, CAST(count(*) AS BIGINT) AS n_churned
+  FROM seq s CROSS JOIN mx
+  WHERE s.ws < mx.max_ws
+    AND (s.next_ws IS NULL OR s.next_ws > s.ws + {604800})
+  GROUP BY 1
+)
+SELECT coalesce(p.ws, c.ws) AS ws,
+       CAST(coalesce(p.n_new, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(p.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(coalesce(p.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+FROM per_week p FULL OUTER JOIN churn c ON p.ws = c.ws
+""",
     "active_users": """
 WITH ud AS (
   SELECT DISTINCT user_id,
@@ -4937,8 +4985,8 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1):
-# the 22 r7-new entries, the 18 rotation-queue entries whose last
-# hard-signal row was r01 or r03/r04, then the first 10 of the r05-green
+# the 23 r7-new entries, the 18 rotation-queue entries whose last
+# hard-signal row was r01 or r03/r04, then the first 9 of the r05-green
 # block — so after this round every entry's last green row is in
 # r05 ∪ r06 ∪ r07. The tail below the marker holds the remaining
 # r05-green entries (the head of the r8 rotation queue) and the 50
@@ -4978,6 +5026,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "active_users": (q_active_users, _O["active_users"]),
     "quantile_bucketize": (q_quantile_bucketize, _O["quantile_bucketize"]),
     "dedup_keep_best": (q_dedup_keep_best, _O["dedup_keep_best"]),
+    "growth_accounting": (q_growth_accounting, _O["growth_accounting"]),
     # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -4997,7 +5046,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green block, stalest first (10 of 48) ----------------------
+    # --- r05-green block, stalest first (9 of 48) ----------------------
     "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
     "sync_summary": (q_sync_summary, _O["sync_summary"]),
     "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),

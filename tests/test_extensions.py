@@ -1599,3 +1599,39 @@ def test_quantile_bucketize_immune_to_duplicate_keys_and_boundaries(spark):
     got2 = {r["k"]: r["bucket"]
             for r in quantile_bucketize(df2, "grp", "v", "k").collect()}
     assert got2 == {1: 0, 2: 0, 3: 1}
+
+
+def test_growth_accounting_ledger_identities(spark):
+    import pandas as pd
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import (
+        WEEK_SECS,
+        growth_accounting,
+    )
+
+    schema = load_table(spark, SF_UNIT, "events").schema
+
+    def mk(eid, uid, wk):
+        return {"event_id": eid, "ts": pd.Timestamp(wk * WEEK_SECS * 1000,
+                                                    unit="ms"),
+                "user_id": uid, "event_type": "view", "value": 1.0,
+                "props": "{}"}
+
+    # u1: weeks 0,1,3 (new → retained → resurrected, churned into 2 and 4)
+    # u2: week 0 only (new, churned into 1); u3: week 3 only (new)
+    rows = [mk(1, 1, 0), mk(2, 1, 1), mk(3, 1, 3), mk(4, 2, 0), mk(5, 3, 3)]
+    ev = spark.createDataFrame(pd.DataFrame(rows), schema)
+    got = {r["ws"] // WEEK_SECS: (r["n_new"], r["n_retained"],
+                                  r["n_resurrected"], r["n_churned"])
+           for r in growth_accounting(ev).collect()}
+    assert got[0] == (2, 0, 0, 0)
+    assert got[1] == (0, 1, 0, 1)   # u1 retained; u2 churned into wk1
+    assert got[2] == (0, 0, 0, 1)   # zero actives, u1 churned into wk2
+    assert got[3] == (1, 0, 1, 0)   # u3 new, u1 resurrected
+    assert 4 not in got  # last observed week charges no future churn
+    # ledger identity: new + retained + resurrected = weekly actives
+    for wk, (n, r, s, _) in got.items():
+        actives = len({row["user_id"] for row in rows
+                       if row["ts"].timestamp() // WEEK_SECS == wk})
+        assert n + r + s == actives
