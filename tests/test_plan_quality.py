@@ -628,3 +628,34 @@ def test_pq_codebook_and_tables_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_active_users_contribution_explode_no_self_join(spark):
+    """Rolling distinct actives must use the contribution-explode shape:
+    a Generate (sequence explode) over the distinct (user, day) frame —
+    never a day-range self-join of raw events, whose fan-out would be
+    |events|·7 instead of |user-days|·7."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_active_users(spark, SF_UNIT))
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one events scan feeds both DAU and WAU branches... the scan may
+    # print per branch; what must NOT appear is a join of events to
+    # events — count the scans and cap them at the two aggregate branches
+    assert plan.count("FileScan") <= 2
+
+
+def test_growth_accounting_windows_over_user_weeks_only(spark):
+    """The ledger's lag/lead windows must run over each user's DISTINCT
+    week series (the aggregate), never over raw events — below every
+    Window sit the distinct aggregation's exchanges."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_growth_accounting(spark, SF_UNIT))
+    assert "Window" in plan
+    below_window = plan[plan.index("Window") :]
+    assert "HashAggregate" in below_window
+    assert below_window.index("HashAggregate") < below_window.index("FileScan")
+    assert "CartesianProduct" not in plan  # the max-week fan-in broadcasts
