@@ -3613,7 +3613,7 @@ SELECT CAST((SELECT coalesce(sum(a.c * b.c), 0)
        (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_b,
        TRUE AS within_bound
 """,
-    "dedup_keep_best": f"""
+    "dedup_keep_best": rf"""
 WITH corpus AS (
   SELECT doc_id,
          text || repeat(' ' || regexp_split_to_array(lower(trim(text)),
