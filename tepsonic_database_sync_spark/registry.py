@@ -468,6 +468,27 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_anomaly(load_table(spark, sf_dir, "events"))
 
 
+def q_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with gap fill + LOCF over per-type event
+    values — every hourly bucket between a type's first and last
+    observation appears, empty buckets carry the last observed value
+    forward. The LOCF window sorts only the (key, bucket) grid, never
+    raw events; the grid is a bounded sequence-explode, not a
+    driver-side loop."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_locf(
+        ev,
+        key="event_type",
+        ts="ts",
+        value_cents=F.round(F.col("value") * 100, 0).cast("long"),
+    )
+
+
 # CDC snapshot derivation, shared with the oracle: OLD lacks keys
 # divisible by old_excl (→ inserts), NEW lacks keys divisible by new_excl
 # (→ deletes), NEW bumps price by upd_delta_cents on keys divisible by
@@ -3474,6 +3495,30 @@ SELECT event_type, bucket_es, cnt, trailing_sum, trailing_n,
           > {ANOMALY_SPIKE_FACTOR} * trailing_sum) AS is_spike
 FROM trail
 """,
+    "time_resample": """
+WITH obs AS (
+  SELECT event_type AS key,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+              AS BIGINT) AS bucket_es,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(CAST(round(value * 100, 0) AS BIGINT)) AS v_max
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT key,
+         CAST(unnest(generate_series(b0, b1, 3600)) AS BIGINT) AS bucket_es
+  FROM (SELECT key, min(bucket_es) AS b0, max(bucket_es) AS b1
+        FROM obs GROUP BY key)
+)
+SELECT g.key, g.bucket_es,
+       CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events,
+       CAST(last_value(o.v_max IGNORE NULLS)
+            OVER (PARTITION BY g.key ORDER BY g.bucket_es
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS value_cents,
+       o.n_events IS NULL AS is_gap
+FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket_es = o.bucket_es
+""",
     "snapshot_diff": f"""
 WITH base AS (
   SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
@@ -4996,6 +5041,8 @@ FROM sess GROUP BY user_id, session_idx
 # section), never ride the tail unverified — machine-checked by
 # tests/test_driver_contract.py::test_registry_tail_entries_have_prior_green_rows.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- late-r7 additions (unverified — must be in-window) -------------
+    "time_resample": (q_time_resample, _O["time_resample"]),
     # --- NEW in r7 (unverified — must be in-window), 19 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
     # the CDC pair (diff + roundtrip), Markov transitions, volume-spike

@@ -1635,3 +1635,41 @@ def test_growth_accounting_ledger_identities(spark):
         actives = len({row["user_id"] for row in rows
                        if row["ts"].timestamp() // WEEK_SECS == wk})
         assert n + r + s == actives
+
+
+def test_resample_locf_fills_gaps_and_carries_forward(spark):
+    import datetime as dt
+
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    utc = dt.timezone.utc
+    def at(h, m):
+        return dt.datetime(2024, 1, 1, h, m, tzinfo=utc)
+
+    rows = [
+        ("a", at(0, 5), 100), ("a", at(0, 20), 300),  # bucket 0: max 300
+        ("a", at(3, 1), 50),                          # buckets 1, 2 = gaps
+        ("b", at(2, 0), 70),                          # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = resample_locf(df, key="k", ts="ts", value_cents=F.col("v"))
+    base = int(dt.datetime(2024, 1, 1, tzinfo=utc).timestamp())
+    got = {(r["key"], (r["bucket_es"] - base) // 3600): r
+           for r in out.collect()}
+    # key a: every hourly bucket 0..3 present, nothing beyond
+    assert {h for k, h in got if k == "a"} == {0, 1, 2, 3}
+    assert got[("a", 0)]["n_events"] == 2
+    assert got[("a", 0)]["value_cents"] == 300  # deterministic in-bucket max
+    assert not got[("a", 0)]["is_gap"]
+    # gap buckets: zero events, LOCF from bucket 0, flagged
+    for h in (1, 2):
+        r = got[("a", h)]
+        assert r["n_events"] == 0 and r["value_cents"] == 300 and r["is_gap"]
+    assert got[("a", 3)]["value_cents"] == 50  # fresh observation resets
+    # key b: grid is that key's own [min, max] span — exactly one bucket
+    assert {h for k, h in got if k == "b"} == {2}
+    assert got[("b", 2)]["value_cents"] == 70
+    # no leading NULLs by construction: every row carries a value
+    assert all(r["value_cents"] is not None for r in got.values())

@@ -659,3 +659,18 @@ def test_growth_accounting_windows_over_user_weeks_only(spark):
     assert "HashAggregate" in below_window
     assert below_window.index("HashAggregate") < below_window.index("FileScan")
     assert "CartesianProduct" not in plan  # the max-week fan-in broadcasts
+
+
+def test_time_resample_window_runs_over_grid_not_raw_events(spark):
+    """The LOCF window must sort only the (key, bucket) grid frame — the
+    Sort sits above the bucket aggregate (one row per non-empty bucket),
+    never above raw events, and the grid explode keeps everything
+    per-key (no SinglePartition, no Cartesian)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_time_resample(spark, SF_UNIT))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Sort ") < plan.index("HashAggregate")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
