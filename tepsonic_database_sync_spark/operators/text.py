@@ -723,3 +723,82 @@ def winnow_overlap_pairs(
             >= min_contain_permille
         )
     )
+
+
+def token_pmi(docs: DataFrame, min_pair: int = 5, k: int = 100) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual information
+    — the phrase-detection primitive of a corpus pipeline (PMI-scored
+    bigrams are the classic collocation extractor; word2vec-style
+    phrase merging thresholds exactly this statistic).
+
+    PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) )
+             = ln n_ab − ln N_bi − ln n_a − ln n_b + 2·ln N_tok
+
+    in milli-nats through the shared portable integer log
+    (``iln_milli``), so the DuckDB oracle matches bit-for-bit. Pairs
+    rarer than ``min_pair`` are dropped (PMI is noise-dominated at tiny
+    counts); ties break on (a, b) so top-k is deterministic.
+
+    Scale shape: one raw-token aggregate and one raw-pair aggregate,
+    both map-side combined; the pair-count frame is materialized ONCE
+    (it feeds both the N_bi total and the scored output — without this
+    the corpus tokenizes twice). Scoring joins run over the pair-count
+    frame, never raw grams: the lexicon joins are BROADCAST (a
+    vocabulary is MBs against a 100 TB corpus — and it sidesteps
+    hot-token shuffle skew), the two totals are single-row broadcast
+    cross joins, and the top-k compiles to TakeOrderedAndProject.
+    """
+    toked = docs.select(
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t")
+    )
+    # sequence(1, 0) is DESCENDING, not empty — guard short docs (same
+    # trap as lm_score)
+    grams = (
+        toked.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS a, t[i] AS b))"
+                )
+            ).alias("g")
+        )
+        .select("g.a", "g.b")
+    )
+    uni = (
+        toked.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").cast("long").alias("n_tok"))
+    pairs_all = (
+        grams.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
+    n_bi = pairs_all.agg(F.sum("n_ab").cast("long").alias("n_bi"))
+    pairs = pairs_all.filter(F.col("n_ab") >= min_pair)
+    j = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = (
+        iln_milli(F.col("n_ab") * 1000)
+        - iln_milli(F.col("n_bi") * 1000)
+        - iln_milli(F.col("c_a") * 1000)
+        - iln_milli(F.col("c_b") * 1000)
+        + 2 * iln_milli(F.col("n_tok") * 1000)
+    ).cast("long")
+    return (
+        j.select("a", "b", "n_ab", pmi.alias("pmi_milli"))
+        .orderBy(F.col("pmi_milli").desc(), "a", "b")
+        .limit(k)
+    )

@@ -489,6 +489,56 @@ def q_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PMI collocation parameters, shared with the oracle
+PMI_MIN_PAIR = 5
+PMI_TOPK = 100
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-token collocations by PMI in milli-nats — the
+    phrase-detection statistic over the documents corpus. Scoring joins
+    run over the pair-count frame (materialized once), the lexicon is
+    broadcast, and the top-k compiles to TakeOrderedAndProject."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import token_pmi
+
+    return token_pmi(
+        load_table(spark, sf_dir, "documents"),
+        min_pair=PMI_MIN_PAIR,
+        k=PMI_TOPK,
+    )
+
+
+def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order rollup for ONE nation's customers, with the
+    fact side pre-filtered by an explicit Bloom runtime filter before
+    the join: the bitset is built distributed (bit_or) over the selected
+    customers' keys and probed map-side, so the orders shuffle carries
+    only (near-)matching rows. Bloom FPs are removed by the real join,
+    so the result — and the oracle — is exactly the plain join."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.runtime_filter import (
+        bloom_semi_reduce,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == 1
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    reduced = bloom_semi_reduce(orders, cust, "o_custkey", "c_custkey")
+    return (
+        reduced.join(
+            cust.select("c_custkey", "c_name"),
+            reduced["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
 # CDC snapshot derivation, shared with the oracle: OLD lacks keys
 # divisible by old_excl (→ inserts), NEW lacks keys divisible by new_excl
 # (→ deletes), NEW bumps price by upd_delta_cents on keys divisible by
@@ -3105,6 +3155,43 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def _pmi_oracle() -> str:
+    """DuckDB twin of operators.text.token_pmi: identical tokenization,
+    pair walk, and milli-nat PMI through the shared integer log."""
+    pmi = (
+        f"{_d_iln('(p.n_ab * 1000)')} - {_d_iln('(n.n_bi * 1000)')}"
+        f" - {_d_iln('(ua.c * 1000)')} - {_d_iln('(ub.c * 1000)')}"
+        f" + 2 * ({_d_iln('(t.n_tok * 1000)')})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+uni AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
+),
+ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+pairs_all AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM grams GROUP BY a, b
+),
+nbi AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM pairs_all)
+SELECT p.a, p.b, p.n_ab, CAST({pmi} AS BIGINT) AS pmi_milli
+FROM pairs_all p
+JOIN uni ua ON p.a = ua.u
+JOIN uni ub ON p.b = ub.u, ntok t, nbi n
+WHERE p.n_ab >= {PMI_MIN_PAIR}
+ORDER BY pmi_milli DESC, p.a, p.b LIMIT {PMI_TOPK}
+"""
+
+
 def _multimodal_features_oracle() -> str:
     """Byte-based oracle for the stubbed multimodal feature decode.
 
@@ -3518,6 +3605,15 @@ SELECT g.key, g.bucket_es,
             AS BIGINT) AS value_cents,
        o.n_events IS NULL AS is_gap
 FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket_es = o.bucket_es
+""",
+    "runtime_filter_join": """
+SELECT c.c_custkey, c.c_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey = 1
+GROUP BY 1, 2
 """,
     "snapshot_diff": f"""
 WITH base AS (
@@ -5043,6 +5139,8 @@ FROM sess GROUP BY user_id, session_idx
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- late-r7 additions (unverified — must be in-window) -------------
     "time_resample": (q_time_resample, _O["time_resample"]),
+    "runtime_filter_join": (q_runtime_filter_join, _O["runtime_filter_join"]),
+    "token_pmi": (q_token_pmi, _pmi_oracle()),
     # --- NEW in r7 (unverified — must be in-window), 19 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
     # the CDC pair (diff + roundtrip), Markov transitions, volume-spike

@@ -1673,3 +1673,48 @@ def test_resample_locf_fills_gaps_and_carries_forward(spark):
     assert got[("b", 2)]["value_cents"] == 70
     # no leading NULLs by construction: every row carries a value
     assert all(r["value_cents"] is not None for r in got.values())
+
+
+def test_bloom_semi_reduce_no_false_negatives_and_reduces(spark):
+    from tepsonic_database_sync_spark.operators.runtime_filter import (
+        bloom_semi_reduce,
+    )
+
+    fact = spark.range(0, 2000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 2000, 37).select(F.col("id").alias("dk"))  # 55 keys
+    reduced = bloom_semi_reduce(fact, dim, "k", "dk")
+    got = {r["k"] for r in reduced.collect()}
+    true_keys = set(range(0, 2000, 37))
+    # superset of the true semi-join (Bloom cannot false-negative) ...
+    assert true_keys <= got
+    # ... and a genuine reduction of the fact side (~2e-4 FP at defaults;
+    # allow a loose 10% slack so the test pins behavior, not luck)
+    assert len(got) <= len(true_keys) + 200
+    # schema unchanged, helper columns dropped
+    assert reduced.columns == ["k"]
+    # helper-column collision is rejected, not silently overwritten
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        bloom_semi_reduce(fact.withColumn("g", F.lit("x")), dim, "k", "dk")
+
+
+def test_token_pmi_scores_collocations_above_chance_pairs(spark):
+    from tepsonic_database_sync_spark.operators.text import token_pmi
+
+    # "rio grande" always co-occur (perfect collocation); "the" pairs
+    # with everything (chance-level) — PMI must rank the former on top
+    docs = spark.createDataFrame(
+        [(i, "the rio grande is the river by the town") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = token_pmi(docs, min_pair=5, k=10).collect()
+    assert rows, "expected qualifying pairs"
+    by_pair = {(r["a"], r["b"]): r["pmi_milli"] for r in rows}
+    assert rows[0]["pmi_milli"] == max(by_pair.values())
+    # exclusive pair beats every "the ..." pair
+    assert by_pair[("rio", "grande")] > by_pair[("the", "rio")]
+    # counts: each pair appears once per doc
+    assert all(r["n_ab"] == 5 for r in rows)
+    # min_pair filter: raising the floor above the corpus count empties it
+    assert token_pmi(docs, min_pair=6, k=10).count() == 0

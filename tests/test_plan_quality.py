@@ -674,3 +674,45 @@ def test_time_resample_window_runs_over_grid_not_raw_events(spark):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_filter_join_probes_before_the_join(spark):
+    """The Bloom reduction must run map-side UNDER the real join: k
+    broadcast word-table probes and the bit-test filter sit in the fact
+    branch, so the orders shuffle (if any) carries only survivors. No
+    Cartesian, no nested loop, and the fact scan reads only the rollup's
+    columns."""
+    from tepsonic_database_sync_spark import registry as R
+    from tepsonic_database_sync_spark.operators.dedup import BLOOM_K
+
+    plan = plan_of(R.q_runtime_filter_join(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K  # the word probes
+    assert "shiftleft" in plan  # the bit-test filter compiled JVM-side
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ocols = next(
+        (s for s in scans if "o_custkey" in s), None
+    )
+    assert ocols is not None
+    assert {c.split(":")[0] for c in ocols.split(",")} == {
+        "o_custkey",
+        "o_totalprice",
+    }
+
+
+def test_token_pmi_topk_and_broadcast_lexicon(spark):
+    """PMI scoring must join over the pair-count frame with a BROADCAST
+    lexicon (hot-token shuffle skew) and compile the top-k to
+    TakeOrderedAndProject; the only BNLs allowed are the two single-row
+    total joins."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_token_pmi(spark, SF_UNIT))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "partial_count" in plan
