@@ -489,6 +489,44 @@ def q_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the symmetrized part↔supplier procurement
+    graph from lineitem — the link-structure centrality signal, and the
+    engine's iterative-algorithm exemplar beyond fixpoint label
+    propagation. Edge list with out-degrees materialized once; each of
+    the 5 rounds is one src equi-join (only the small rank frame
+    reshuffles) plus one map-side-combined groupBy on dst."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.graph import pagerank
+
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = pairs.select(p.alias("src"), s.alias("dst")).unionAll(
+        pairs.select(s.alias("src"), p.alias("dst"))
+    )
+    return pagerank(edges)
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering statistics over orders on
+    (customer, order-day): bucket the 32-bit interleaved code on its top
+    8 bits and report per-bucket count + min/max of both raw dimensions.
+    Tight spans on BOTH dims are the file-pruning argument for
+    ``layout.zorder_layout``; the bit ladder is pure codegen'd integer
+    arithmetic shared with the oracle. One projection + one groupBy."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.layout import zorder_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    day = (F.floor(F.unix_timestamp("o_orderdate") / 86400)).cast("long")
+    return zorder_stats(o, x=F.col("o_custkey"), y=day)
+
+
 # PMI collocation parameters, shared with the oracle
 PMI_MIN_PAIR = 5
 PMI_TOPK = 100
@@ -3155,6 +3193,81 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def _pagerank_oracle() -> str:
+    """DuckDB twin of operators.graph.pagerank over the part↔supplier
+    graph: one CTE per round, identical truncating integer division at
+    both the contribution and damping steps."""
+    from tepsonic_database_sync_spark.operators.graph import (
+        PR_BASE_MILLI,
+        PR_DAMPING_PERMILLE,
+        PR_ITERS,
+    )
+
+    ctes = [
+        """pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst FROM pairs
+  UNION ALL
+  SELECT 's' || CAST(l_suppkey AS VARCHAR),
+         'p' || CAST(l_partkey AS VARCHAR) FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000 AS BIGINT) AS rank_milli FROM deg)"""
+    ]
+    for t in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{t} AS (
+  SELECT e.dst AS node,
+         CAST({PR_BASE_MILLI}
+              + ({PR_DAMPING_PERMILLE} * sum(r.rank_milli // d.d)) // 1000
+              AS BIGINT) AS rank_milli
+  FROM edges e
+  JOIN r{t - 1} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank_milli FROM r{PR_ITERS}"
+    )
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of operators.layout.zorder_stats on orders
+    (customer × epoch-day), same spread-bits ladder."""
+    from tepsonic_database_sync_spark.operators.layout import (
+        ZORDER_BUCKET_BITS,
+        ZORDER_DIM_BITS,
+        morton32_sql,
+    )
+
+    shift = 2 * ZORDER_DIM_BITS - ZORDER_BUCKET_BITS
+    grid_max = (1 << ZORDER_DIM_BITS) - 1
+    return f"""
+WITH pts AS (
+  SELECT o_custkey AS x,
+         CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+              AS BIGINT) AS y
+  FROM orders
+),
+rng AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+        FROM pts),
+norm AS (
+  SELECT x, y,
+         ((x - x0) * {grid_max}) // greatest(x1 - x0, 1) AS x16,
+         ((y - y0) * {grid_max}) // greatest(y1 - y0, 1) AS y16
+  FROM pts, rng
+)
+SELECT CAST({morton32_sql("x16", "y16")} >> {shift} AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+FROM norm GROUP BY 1
+"""
+
+
 def _pmi_oracle() -> str:
     """DuckDB twin of operators.text.token_pmi: identical tokenization,
     pair walk, and milli-nat PMI through the shared integer log."""
@@ -5141,6 +5254,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "time_resample": (q_time_resample, _O["time_resample"]),
     "runtime_filter_join": (q_runtime_filter_join, _O["runtime_filter_join"]),
     "token_pmi": (q_token_pmi, _pmi_oracle()),
+    "pagerank": (q_pagerank, _pagerank_oracle()),
+    "zorder_stats": (q_zorder_stats, _zorder_oracle()),
     # --- NEW in r7 (unverified — must be in-window), 19 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
     # the CDC pair (diff + roundtrip), Markov transitions, volume-spike

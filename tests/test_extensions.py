@@ -1718,3 +1718,79 @@ def test_token_pmi_scores_collocations_above_chance_pairs(spark):
     assert all(r["n_ab"] == 5 for r in rows)
     # min_pair filter: raising the floor above the corpus count empties it
     assert token_pmi(docs, min_pair=6, k=10).count() == 0
+
+
+def test_pagerank_cycle_is_stationary_and_hub_dominates(spark):
+    from tepsonic_database_sync_spark.operators.graph import pagerank
+
+    # 3-cycle: uniform mass 1000 is the exact fixed point of the integer
+    # recurrence (150 + 850*1000/1000 = 1000), so ranks must not move
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank_milli"] for r in pagerank(cyc).collect()}
+    assert got == {"a": 1000, "b": 1000, "c": 1000}
+
+    # star (symmetrized): the hub collects every spoke's full rank while
+    # spokes split the hub's — hub must rank strictly highest
+    spokes = [f"s{i}" for i in range(4)]
+    edges = [("h", s) for s in spokes] + [(s, "h") for s in spokes]
+    star = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r["node"]: r["rank_milli"] for r in pagerank(star).collect()}
+    assert all(ranks["h"] > ranks[s] for s in spokes)
+    assert len(set(ranks[s] for s in spokes)) == 1  # symmetry preserved
+
+
+def test_zorder_buckets_are_tight_on_both_dimensions(spark):
+    from tepsonic_database_sync_spark import registry as R
+
+    rows = R.q_zorder_stats(spark, SF_UNIT).collect()
+    assert len(rows) > 100  # normalization spreads the curve's high bits
+    gx = max(r["x_max"] for r in rows) - min(r["x_min"] for r in rows)
+    gy = max(r["y_max"] for r in rows) - min(r["y_min"] for r in rows)
+    n = sum(r["n"] for r in rows)
+    # row-weighted mean normalized span per bucket: Z-order gives BOTH
+    # dims sub-linear spans (a plain sort gives ~0 on one, ~1 on the
+    # other — the second assert is what a lexicographic layout fails)
+    mx = sum((r["x_max"] - r["x_min"]) * r["n"] for r in rows) / (n * gx)
+    my = sum((r["y_max"] - r["y_min"]) * r["n"] for r in rows) / (n * gy)
+    assert mx < 0.35, mx
+    assert my < 0.35, my
+
+
+def test_zorder_layout_partitions_prune_on_both_dims(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as FF
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.layout import zorder_layout
+
+    o = load_table(spark, SF_UNIT, "orders")
+    out = zorder_layout(
+        o,
+        x=FF.col("o_custkey"),
+        y=(FF.floor(FF.unix_timestamp("o_orderdate") / 86400)).cast("long"),
+        n_partitions=16,
+    )
+    assert out.columns == o.columns  # helper column dropped
+    per = (
+        out.groupBy(FF.spark_partition_id().alias("pid"))
+        .agg(
+            FF.min("o_custkey").alias("x0"),
+            FF.max("o_custkey").alias("x1"),
+            FF.min(FF.unix_timestamp("o_orderdate")).alias("y0"),
+            FF.max(FF.unix_timestamp("o_orderdate")).alias("y1"),
+            FF.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(per) > 4
+    # 16 contiguous z-ranges = 4 curve levels = ~2 bits of locality per
+    # dimension: the row-weighted mean span of EACH dim must be well
+    # under its global span (a plain sort fails this on the second dim)
+    n = sum(r["n"] for r in per)
+    for lo, hi in (("x0", "x1"), ("y0", "y1")):
+        g = max(r[hi] for r in per) - min(r[lo] for r in per)
+        mean_span = sum((r[hi] - r[lo]) * r["n"] for r in per) / (n * g)
+        assert mean_span < 0.5, (lo, mean_span)

@@ -716,3 +716,20 @@ def test_token_pmi_topk_and_broadcast_lexicon(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
     assert "partial_count" in plan
+
+
+def test_pagerank_rounds_are_joins_plus_partial_aggregates(spark):
+    """Each PageRank round must be an equi-join on src plus a map-side
+    combined groupBy on dst — no Cartesian, no nested loop, and the
+    edge frame is a reused checkpoint (one scan of lineitem total,
+    not one per round)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    df = R.q_pagerank(spark, SF_UNIT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    # the checkpointed edge list feeds every round: the lineitem file
+    # scan must NOT appear once per iteration
+    assert plan.count("FileScan") == 0, "edges must come from the checkpoint"
