@@ -27,9 +27,10 @@ Timing protocol (BENCH_r02 onward):
   text_hash_embed, winnow_overlap, profile_table, join_size_estimate,
   ann_pq_topk, ann_ivf_pq_topk, group_entropy, grouped_mode,
   active_users, quantile_bucketize, dedup_keep_best,
-  growth_accounting), so r7 totals are comparable to
-  earlier rounds only on the common-query subset, as with every prior
-  headline extension.
+  growth_accounting) plus the late-r7 block (time_resample,
+  runtime_filter_join, token_pmi, pagerank, zorder_stats), so r7 totals
+  are comparable to earlier rounds only on the common-query subset, as
+  with every prior headline extension.
 """
 
 from __future__ import annotations
@@ -110,6 +111,15 @@ HEADLINE = [
     "quantile_bucketize",
     "dedup_keep_best",
     "growth_accounting",
+    # late-r7: time-grid LOCF resample (grid explode + window), Bloom
+    # runtime-filter join (map-side probe before the shuffle), PMI
+    # collocations (pair-count shuffle), 5-round integer PageRank (the
+    # iterative shape), and the Z-order clustering census
+    "time_resample",
+    "runtime_filter_join",
+    "token_pmi",
+    "pagerank",
+    "zorder_stats",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

@@ -144,3 +144,93 @@ def apply_changeset(
         *keys, *[F.col(f"new_{c}").alias(c) for c in value_cols]
     )
     return kept.unionByName(inserts)
+
+
+def incremental_agg(
+    agg_state: DataFrame,
+    changes: DataFrame,
+    group: str,
+    value: str,
+) -> DataFrame:
+    """Maintain a grouped (count, sum) aggregate under a CDC changeset
+    WITHOUT recomputing from the full snapshot — the aggregate-side twin
+    of ``apply_changeset``: at warehouse scale the nightly sync touches
+    <1% of rows, so the rollup refresh should cost O(changes), not
+    O(table).
+
+    ``agg_state`` is the previous aggregate with columns
+    ``(group, n_rows, sum_<value>)`` (as produced by a prior call or the
+    bootstrap groupBy); ``changes`` has the ``snapshot_diff`` layout
+    (``change_type``, ``old_<group>``, ``new_<group>``, ``old_<value>``,
+    ``new_<value>``). Each change contributes up to two signed deltas —
+    the old side retracts (delete/update), the new side asserts
+    (insert/update) — so updates that MOVE a row between groups settle
+    both groups. Groups whose count reaches zero drop from the output,
+    matching a full recompute; NULL values count as 0 toward the sum
+    (callers with NULL-able value columns should coalesce on both the
+    bootstrap and the snapshot side, as the registry query does).
+
+    Maintenance law (the oracle):
+    ``incremental_agg(agg(OLD), snapshot_diff(OLD, NEW)) ≡ agg(NEW)``.
+
+    Scale shape: one projection + explode over the drift-sized changeset,
+    one map-side-combined groupBy on the group key, and a union with the
+    existing aggregate (itself one row per group). Nothing touches the
+    base table.
+    """
+    sum_col = f"sum_{value}"
+    expected = {group, "n_rows", sum_col}
+    if not expected <= set(agg_state.columns):
+        raise ValueError(
+            f"agg_state must carry columns {sorted(expected)}; "
+            f"got {agg_state.columns}"
+        )
+    retract = F.col("change_type").isin("delete", "update")
+    assert_ = F.col("change_type").isin("insert", "update")
+    deltas = changes.select(
+        F.explode(
+            F.array(
+                F.when(
+                    retract,
+                    F.struct(
+                        F.col(f"old_{group}").alias("g"),
+                        F.lit(-1).cast("long").alias("dn"),
+                        (-F.coalesce(F.col(f"old_{value}"), F.lit(0)))
+                        .cast("long")
+                        .alias("ds"),
+                    ),
+                ),
+                F.when(
+                    assert_,
+                    F.struct(
+                        F.col(f"new_{group}").alias("g"),
+                        F.lit(1).cast("long").alias("dn"),
+                        F.coalesce(F.col(f"new_{value}"), F.lit(0))
+                        .cast("long")
+                        .alias("ds"),
+                    ),
+                ),
+            )
+        ).alias("d")
+    )
+    # the un-matched WHEN arms explode to NULL structs (an insert has no
+    # retract side) — drop them before unpacking; a real delta with a
+    # NULL group survives (NULL is a legitimate group value)
+    deltas = deltas.filter(F.col("d").isNotNull()).select(
+        "d.g", "d.dn", "d.ds"
+    )
+    base = agg_state.select(
+        F.col(group).alias("g"),
+        F.col("n_rows").cast("long").alias("dn"),
+        F.col(sum_col).cast("long").alias("ds"),
+    )
+    return (
+        base.unionAll(deltas)
+        .groupBy("g")
+        .agg(
+            F.sum("dn").cast("long").alias("n_rows"),
+            F.sum("ds").cast("long").alias(sum_col),
+        )
+        .filter(F.col("n_rows") > 0)
+        .withColumnRenamed("g", group)
+    )

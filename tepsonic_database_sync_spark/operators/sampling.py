@@ -86,3 +86,63 @@ def stratified_sample(
         .filter(F.col("__r") <= k)
         .drop("__r")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    key: str,
+    k: int,
+    stratum: str | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES), engine-exact: each row draws an
+    exponential "arrival time" e_i = -ln(u_i)/w_i from its content-hash
+    uniform u_i and the k SMALLEST arrivals win — inclusion probability
+    rises with weight, yet membership is a pure function of (salt, key),
+    so the sample is stable across runs, engines, and partitionings
+    (the property mixture_sample already provides for unweighted rates).
+
+    Integer fixed point throughout: u as micro-units from the portable
+    hash, -ln(u) in milli-nats via the shared integer log, and the
+    division by the weight in micro-precision (truncating DIV, identical
+    both engines). Ties (hash collisions) break on the key, so the top-k
+    is total. Weights must be ≥ 1 (integer); rows with weight < 1 are
+    dropped — a zero weight means "never sample".
+
+    Scale shape: the global form compiles to TakeOrderedAndProject (no
+    full sort); the per-stratum form is one window over rows
+    hash-partitioned by stratum — the same shape as stratified_sample,
+    with the arrival time replacing the raw hash as the order key.
+    """
+    from tepsonic_database_sync_spark.operators.text import iln_milli
+
+    u_micro = (
+        h60(F.concat(F.lit(salt + ":"), F.col(key).cast("string"))) % 1000000
+    ) + 1
+    helper = {"__w", "__negln", "__arr", "__rn"}
+    if helper & set(df.columns):
+        raise ValueError(
+            f"columns collide with sampling helpers: {helper & set(df.columns)}"
+        )
+    out = (
+        df.withColumn("__w", weight.cast("long"))
+        .filter(F.col("__w") >= 1)
+        .withColumn(
+            "__negln", (F.lit(6908) - iln_milli(u_micro)).cast("long")
+        )
+        .withColumn("__arr", F.expr("(__negln * 1000000) div __w"))
+    )
+    if stratum is None:
+        return (
+            out.orderBy(F.col("__arr"), F.col(key))
+            .limit(k)
+            .drop("__w", "__negln", "__arr")
+        )
+    win = Window.partitionBy(stratum).orderBy(F.col("__arr"), F.col(key))
+    return (
+        out.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__w", "__negln", "__arr", "__rn")
+    )

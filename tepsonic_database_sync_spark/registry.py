@@ -527,6 +527,55 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_stats(o, x=F.col("o_custkey"), y=day)
 
 
+# weighted-sample size per stratum, shared with the oracle
+WSAMPLE_K = 40
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis) over the
+    documents corpus: per source, the k docs with the smallest integer
+    exponential arrival times win, so longer documents (weight =
+    n_chars) are proportionally more likely — yet membership is a pure
+    function of doc_id, reproducible across engines and runs."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    return weighted_sample(
+        load_table(spark, sf_dir, "documents"),
+        weight=F.col("n_chars"),
+        key="doc_id",
+        k=WSAMPLE_K,
+        stratum="source",
+    )
+
+
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate maintenance under CDC: refresh the per-status
+    (count, revenue) rollup from the drift-sized changeset alone — the
+    maintenance law ``incremental_agg(agg(OLD), diff(OLD, NEW)) ≡
+    agg(NEW)`` IS the oracle, so any retract/assert asymmetry (a row
+    moving between groups, a delete not settling its group) breaks the
+    hash. Nothing in the refresh touches the base table."""
+    from tepsonic_database_sync_spark.operators.cdc import (
+        incremental_agg,
+        snapshot_diff,
+    )
+
+    old, new = _cdc_snapshots(spark, sf_dir)
+    state = old.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    diff = snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["cents", "o_orderstatus"]
+    )
+    return incremental_agg(
+        state, diff, group="o_orderstatus", value="cents"
+    )
+
+
 # PMI collocation parameters, shared with the oracle
 PMI_MIN_PAIR = 5
 PMI_TOPK = 100
@@ -3193,6 +3242,53 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def _weighted_sample_oracle() -> str:
+    """DuckDB twin of operators.sampling.weighted_sample on documents:
+    identical hash-uniform, integer -ln, and truncating weight division."""
+    u = _D_H60.format(e="'wsample:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         (({u}) % 1000000) + 1 AS u
+  FROM documents WHERE n_chars >= 1
+),
+a AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         ((6908 - ({_d_iln("u")})) * 1000000) // n_chars AS arr
+  FROM w
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY arr, doc_id) AS rn
+  FROM a
+)
+SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn <= {WSAMPLE_K}
+"""
+
+
+def _cdc_incr_agg_oracle() -> str:
+    """The maintenance law as SQL: a FULL recompute of the rollup from
+    the NEW snapshot (same CDC_P derivation as _cdc_snapshots)."""
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderstatus
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {CDC_P["upd_mod"]} = 0
+              THEN cents + {CDC_P["upd_delta_cents"]} ELSE cents END AS cents,
+         o_orderstatus
+  FROM base WHERE o_orderkey % {CDC_P["new_excl"]} != 0
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(coalesce(cents, 0)) AS BIGINT) AS sum_cents
+FROM new GROUP BY 1
+"""
+
+
 def _pagerank_oracle() -> str:
     """DuckDB twin of operators.graph.pagerank over the part↔supplier
     graph: one CTE per round, identical truncating integer division at
@@ -5256,6 +5352,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "token_pmi": (q_token_pmi, _pmi_oracle()),
     "pagerank": (q_pagerank, _pagerank_oracle()),
     "zorder_stats": (q_zorder_stats, _zorder_oracle()),
+    "weighted_sample": (q_weighted_sample, _weighted_sample_oracle()),
+    "cdc_incremental_agg": (q_cdc_incremental_agg, _cdc_incr_agg_oracle()),
     # --- NEW in r7 (unverified — must be in-window), 19 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
     # the CDC pair (diff + roundtrip), Markov transitions, volume-spike

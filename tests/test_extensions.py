@@ -1794,3 +1794,64 @@ def test_zorder_layout_partitions_prune_on_both_dims(spark):
         g = max(r[hi] for r in per) - min(r[lo] for r in per)
         mean_span = sum((r[hi] - r[lo]) * r["n"] for r in per) / (n * g)
         assert mean_span < 0.5, (lo, mean_span)
+
+
+def test_weighted_sample_is_deterministic_and_biased_by_weight(spark):
+    from tepsonic_database_sync_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 200, 1000).otherwise(1).cast("long").alias("w"),
+    )
+    got = weighted_sample(df, F.col("w"), "k", k=40)
+    ids = sorted(r["k"] for r in got.collect())
+    # deterministic: a second evaluation returns the identical sample
+    assert sorted(r["k"] for r in got.collect()) == ids
+    assert len(ids) == 40
+    # 1000:1 weights → the heavy half must dominate the sample
+    heavy = sum(1 for i in ids if i < 200)
+    assert heavy >= 35, heavy
+    # zero/negative weights are never sampled
+    z = df.withColumn("w", F.when(F.col("k") < 200, 0).otherwise(F.col("w")))
+    zs = weighted_sample(z, F.col("w"), "k", k=40).collect()
+    assert all(r["k"] >= 200 for r in zs)
+    # per-stratum form: exactly k per stratum
+    s = df.withColumn("grp", (F.col("k") % 2).cast("string"))
+    per = (
+        weighted_sample(s, F.col("w"), "k", k=10, stratum="grp")
+        .groupBy("grp")
+        .count()
+        .collect()
+    )
+    assert {r["grp"]: r["count"] for r in per} == {"0": 10, "1": 10}
+
+
+def test_incremental_agg_settles_moves_deletes_and_empty_groups(spark):
+    from tepsonic_database_sync_spark.operators.cdc import incremental_agg
+
+    state = spark.createDataFrame(
+        [("A", 2, 100)], "g string, n_rows long, sum_v long"
+    )
+    changes = spark.createDataFrame(
+        [
+            # update that MOVES a row A(30) → B(40): settles both groups
+            ("update", "A", "B", 30, 40),
+            # delete of A's other row (70)
+            ("delete", "A", None, 70, None),
+            # fresh insert into B
+            ("insert", None, "B", None, 5),
+        ],
+        "change_type string, old_g string, new_g string, old_v long, new_v long",
+    )
+    got = {r["g"]: (r["n_rows"], r["sum_v"])
+           for r in incremental_agg(state, changes, "g", "v").collect()}
+    # A emptied out and must DROP (like a full recompute); B has both rows
+    assert got == {"B": (2, 45)}
+    # malformed state is rejected loudly
+    import pytest
+
+    bad = spark.createDataFrame([("A", 1)], "g string, n_rows long")
+    with pytest.raises(ValueError, match="agg_state"):
+        incremental_agg(bad, changes, "g", "v")

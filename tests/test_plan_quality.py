@@ -733,3 +733,40 @@ def test_pagerank_rounds_are_joins_plus_partial_aggregates(spark):
     # the checkpointed edge list feeds every round: the lineitem file
     # scan must NOT appear once per iteration
     assert plan.count("FileScan") == 0, "edges must come from the checkpoint"
+
+
+def test_weighted_sample_global_topk_is_take_ordered(spark):
+    """The global weighted sample must compile to TakeOrderedAndProject
+    — a full sort of the corpus to pick k rows is the plan that dies
+    first at 100 TB."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = weighted_sample(
+        load_table(spark, SF_UNIT, "documents"),
+        weight=F.col("n_chars"),
+        key="doc_id",
+        k=50,
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_incremental_agg_never_scans_the_new_snapshot_twice(spark):
+    """The refresh must cost O(changes): the plan joins OLD and NEW once
+    (the diff), and the maintained rollup unions drift-sized deltas with
+    the one-row-per-group state — no extra base-table aggregation over
+    NEW (which is exactly what the operator exists to avoid)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_cdc_incremental_agg(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # orders feeds the OLD-state aggregate and the two diff sides — the
+    # plan may scan it for those, but a 4th scan would mean the rollup
+    # was recomputed from the NEW snapshot
+    assert plan.count("FileScan") <= 3, plan.count("FileScan")
+    assert "partial_sum" in plan

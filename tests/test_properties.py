@@ -450,3 +450,38 @@ def test_grouped_quantiles_match_rank_definition(spark, rows, qs):
             rank = max(1, math.ceil(q * len(vals) / 1000))
             want[(g, q)] = (len(vals), vals[rank - 1])
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old_rows=snapshot_rows, new_rows=snapshot_rows)
+def test_cdc_incremental_agg_matches_full_recompute(spark, old_rows, new_rows):
+    """The maintenance law: incremental_agg(agg(OLD), diff(OLD, NEW))
+    must equal a full recompute of the rollup over NEW — for any
+    snapshots, including NULL groups, NULL values (counted as 0),
+    cross-group moves, and groups that empty out."""
+    from tepsonic_database_sync_spark.operators.cdc import (
+        incremental_agg,
+        snapshot_diff,
+    )
+    import pyspark.sql.functions as FF
+
+    dedup_old = {k: (k, v, s) for k, v, s in old_rows}
+    dedup_new = {k: (k, v, s) for k, v, s in new_rows}
+    schema = "k long, v long, s string"
+    old = spark.createDataFrame(list(dedup_old.values()) or [], schema)
+    new = spark.createDataFrame(list(dedup_new.values()) or [], schema)
+
+    def agg(df):
+        return df.groupBy("s").agg(
+            FF.count("*").cast("long").alias("n_rows"),
+            FF.sum(FF.coalesce(FF.col("v"), FF.lit(0))).cast("long").alias("sum_v"),
+        )
+
+    diff = snapshot_diff(old, new, ["k"], ["v", "s"])
+    got = incremental_agg(agg(old), diff, group="s", value="v")
+    want = {tuple(r) for r in agg(new).collect()}
+    assert {tuple(r) for r in got.collect()} == want
