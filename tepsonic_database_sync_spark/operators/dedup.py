@@ -23,7 +23,7 @@ suite stays JVM-side and oracle-checkable (see functions.hashing.h60).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tepsonic_database_sync_spark.functions.hashing import h60, h60_salted
@@ -844,4 +844,85 @@ def keep_best_dedup(docs: DataFrame, fingerprint: Column | None = None) -> DataF
             "quality",
             "n_copies",
         )
+    )
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame, n: int = 3, tau_permille: int = 600
+) -> DataFrame:
+    """EXACT similarity self-join via prefix filtering (AllPairs /
+    PPJoin candidate generation, Bayardo et al. / Xiao et al.) — the
+    third candidate-generation tier of the Jaccard family, completing
+    the trade-off ladder:
+
+    - ``ngram_jaccard_pairs``        cheap length blocks, recall holes;
+    - ``ngram_jaccard_pairs_banded`` LSH bands, probabilistic recall;
+    - this                           provably COMPLETE at threshold τ
+                                     (every pair with J ≥ τ is emitted),
+                                     at the cost of a per-doc sort and a
+                                     frequency pass.
+
+    Mechanics: order every doc's shingles by GLOBAL rarity (document
+    frequency asc, shingle asc — one total order for the whole corpus),
+    keep each doc's first |s| − ⌈τ·|s|⌉ + 1 shingles (the "prefix"); any
+    pair with J ≥ τ must share a prefix shingle, so an equi-join on
+    prefix shingles generates all candidates. Rare-first ordering makes
+    the prefixes collide as little as possible. Candidates then pass the
+    two-sided length filter (τ·|a| ≤ |b| and τ·|b| ≤ |a|, integer
+    cross-multiplied) and the exact inter/union verification — all
+    integer math: keep 1000·inter ≥ τ·union.
+
+    Scale shape: the document-frequency table is a vocabulary (MBs at
+    100 TB) and BROADCASTS onto the gram stream — no hot-gram shuffle;
+    the rank window partitions by uniformly-spread doc_id and sorts only
+    that doc's grams; candidates arrive by equi-join on prefix shingles
+    whose fan-out the rare-first order actively minimizes; verification
+    touches candidate pairs only. Returns
+    (a_id, b_id, inter_size, union_size).
+    """
+    s = _with_shingles(docs, n).select(
+        "doc_id", "shingles", F.size("shingles").cast("long").alias("sz")
+    )
+    tok = s.select("doc_id", "sz", F.explode("shingles").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    # prefix length |s| − ⌈τ|s|⌉ + 1; ⌈x/1000⌉ = (x + 999) div 1000
+    keep = F.col("sz") - F.expr(
+        f"(sz * {tau_permille} + 999) div 1000"
+    ) + 1
+    prefix = (
+        tok.join(F.broadcast(dfreq), "g")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= keep)
+        .select("doc_id", "sz", "g")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz"), "g"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz"), "g"
+    )
+    cands = (
+        a.join(b, "g")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.col("b_sz") * 1000 >= F.col("a_sz") * tau_permille)
+            & (F.col("a_sz") * 1000 >= F.col("b_sz") * tau_permille)
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    av = s.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    bv = s.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    pairs = cands.join(av, "a_id").join(bv, "b_id")
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("long")
+    union = (F.size("a_sh") + F.size("b_sh")).cast("long") - inter
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+        )
+        .filter(F.col("inter_size") * 1000 >= F.col("union_size") * tau_permille)
     )

@@ -155,3 +155,68 @@ def variant_admin(admin: DataFrame) -> DataFrame:
     return _pick_first(
         admin.select("name", "storage", "_id"), "name", [F.col("_id").desc()]
     ).drop("_id")
+
+
+def delete_variants(s: Column) -> Column:
+    """The SymSpell depth-1 deletion neighborhood of ``s``: the string
+    itself plus every delete-one-character variant (distinct). Guarded
+    for the empty string (Spark's sequence(1, 0) is DESCENDING, not
+    empty — the lm_score trap)."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1),
+            F.substring(s, i + 1, F.lit(2147483647)),
+        ),
+    )
+    return F.when(
+        F.length(s) >= 1, F.array_distinct(F.array_append(dels, s))
+    ).otherwise(F.array(s))
+
+
+def match_fuzzy(
+    probes: DataFrame,
+    catalog: DataFrame,
+    probe_id: str,
+    probe_col: str,
+    cat_id: str,
+    cat_col: str,
+) -> DataFrame:
+    """Edit-distance-1 name matching via SymSpell deletion-neighborhood
+    blocking — the typo-tolerant tier of the match cascade (the
+    reference stops at exact + substring, products.js:29-48; one-char
+    vendor typos fall through both).
+
+    Soundness: two strings with levenshtein ≤ 1 always share a key in
+    their depth-1 deletion neighborhoods (equality → the string itself;
+    substitution at i → both delete position i; insert/delete → the
+    shorter string is in the longer one's delete set), so an EQUI-join
+    on the variant key has zero false negatives and the explicit
+    ``levenshtein ≤ 1`` verify removes the false positives.
+
+    Scale shape: each side fans out ×(len+1) variants (names are short,
+    so bounded), candidates arrive by hash join on the variant key —
+    never an all-pairs product — and pairs are DISTINCT'd before the
+    single levenshtein verification per pair. Returns
+    (probe_id, probe_col, cat_id, matched, dist).
+    """
+    p = probes.select(
+        F.col(probe_id).alias("__pid"),
+        F.col(probe_col).alias("__probe"),
+        F.explode(delete_variants(F.col(probe_col))).alias("__key"),
+    )
+    c = catalog.select(
+        F.col(cat_id).alias("__cid"),
+        F.col(cat_col).alias("__cand"),
+        F.explode(delete_variants(F.col(cat_col))).alias("__key"),
+    )
+    pairs = p.join(c, "__key").select("__pid", "__probe", "__cid", "__cand").distinct()
+    return pairs.filter(
+        F.levenshtein("__probe", "__cand") <= 1
+    ).select(
+        F.col("__pid").alias(probe_id),
+        F.col("__probe").alias(probe_col),
+        F.col("__cid").alias(cat_id),
+        F.col("__cand").alias("matched"),
+        F.levenshtein("__probe", "__cand").cast("long").alias("dist"),
+    )

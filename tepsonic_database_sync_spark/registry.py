@@ -527,6 +527,55 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_stats(o, x=F.col("o_custkey"), y=day)
 
 
+# prefix-filter similarity-join threshold, shared with the oracle
+PREFIX_TAU_PERMILLE = 600
+
+
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard similarity self-join (J ≥ 0.6) via AllPairs prefix
+    filtering — the provably-complete candidate tier of the Jaccard
+    family. The oracle is the INDEPENDENT all-pairs ground truth, so the
+    hash certifies completeness of the rare-first prefix blocking, not
+    just the verify step."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    return jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"),
+        tau_permille=PREFIX_TAU_PERMILLE,
+    )
+
+
+def q_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant (edit-distance-1) name matching via SymSpell
+    deletion-neighborhood blocking: probes are customer names with one
+    deterministically-removed character, matched back against the
+    catalog through an equi-join on the shared delete-variant key (zero
+    false negatives by construction) and a single levenshtein verify per
+    distinct candidate pair — never an all-pairs product. The oracle is
+    the INDEPENDENT ground truth (full quadratic levenshtein join), so
+    the hash certifies the blocking's completeness, not just its
+    plumbing."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.matching import match_fuzzy
+
+    cust = load_table(spark, sf_dir, "customer")
+    probes = cust.select(
+        F.col("c_custkey").alias("probe_id"),
+        F.expr(
+            "substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))"
+            " || substr(c_name,"
+            " CAST(c_custkey % length(c_name) AS INT) + 2)"
+        ).alias("probe"),
+    )
+    catalog = cust.select(F.col("c_custkey").alias("cat_id"), "c_name")
+    return match_fuzzy(
+        probes, catalog, "probe_id", "probe", "cat_id", "c_name"
+    )
+
+
 # weighted-sample size per stratum, shared with the oracle
 WSAMPLE_K = 40
 
@@ -3242,6 +3291,39 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def _prefix_filter_oracle() -> str:
+    """Ground-truth all-pairs Jaccard at the shared τ — deliberately NOT
+    a replay of the prefix-filter mechanics, so the hash certifies the
+    blocking's completeness."""
+    return f"""
+WITH {_D_TOKS}{_D_SHINGLES}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+         AS inter_size,
+       CAST(len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+         AS union_size
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1000
+      >= (len(a.shingles) + len(b.shingles)
+          - len(list_intersect(a.shingles, b.shingles))) * {PREFIX_TAU_PERMILLE}
+"""
+
+
+_MATCH_FUZZY_ORACLE = """
+WITH probes AS (
+  SELECT c_custkey AS probe_id,
+         substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))
+           || substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)
+           AS probe
+  FROM customer
+)
+SELECT p.probe_id, p.probe, c.c_custkey AS cat_id, c.c_name AS matched,
+       CAST(levenshtein(p.probe, c.c_name) AS BIGINT) AS dist
+FROM probes p JOIN customer c ON levenshtein(p.probe, c.c_name) <= 1
+"""
+
+
 def _weighted_sample_oracle() -> str:
     """DuckDB twin of operators.sampling.weighted_sample on documents:
     identical hash-uniform, integer -ln, and truncating weight division."""
@@ -5354,6 +5436,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "zorder_stats": (q_zorder_stats, _zorder_oracle()),
     "weighted_sample": (q_weighted_sample, _weighted_sample_oracle()),
     "cdc_incremental_agg": (q_cdc_incremental_agg, _cdc_incr_agg_oracle()),
+    "match_fuzzy": (q_match_fuzzy, _MATCH_FUZZY_ORACLE),
+    "dedup_prefix_filter": (q_dedup_prefix_filter, _prefix_filter_oracle()),
     # --- NEW in r7 (unverified — must be in-window), 19 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
     # the CDC pair (diff + roundtrip), Markov transitions, volume-spike

@@ -1855,3 +1855,64 @@ def test_incremental_agg_settles_moves_deletes_and_empty_groups(spark):
     bad = spark.createDataFrame([("A", 1)], "g string, n_rows long")
     with pytest.raises(ValueError, match="agg_state"):
         incremental_agg(bad, changes, "g", "v")
+
+
+def test_match_fuzzy_finds_all_edit1_neighbors(spark):
+    from tepsonic_database_sync_spark.operators.matching import match_fuzzy
+
+    probes = spark.createDataFrame(
+        [(1, "helo"), (2, "world"), (3, "")], "pid long, p string"
+    )
+    catalog = spark.createDataFrame(
+        [(10, "hello"), (11, "help"), (12, "word"), (13, "unrelated")],
+        "cid long, c string",
+    )
+    got = {(r["pid"], r["cid"], r["dist"])
+           for r in match_fuzzy(probes, catalog, "pid", "p", "cid", "c").collect()}
+    # substitution, deletion, and insertion neighbors all found; nothing else
+    assert got == {
+        (1, 10, 1),   # helo → hello (insertion)
+        (1, 11, 1),   # helo → help  (substitution)
+        (2, 12, 1),   # world → word (deletion)
+    }
+
+
+def test_jaccard_prefix_filter_is_complete_on_adversarial_sets(spark):
+    """Hand-built corpus where length blocking WOULD miss pairs: the
+    prefix filter must emit every pair with J ≥ τ (verified against a
+    brute-force Python Jaccard over the same 3-word shingles)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts = {
+        1: " ".join(base),
+        2: " ".join(base[:-1] + ["mu"]),        # near-dup of 1
+        3: " ".join(base + ["nu", "xi"]),       # longer near-dup of 1
+        4: "completely different words entirely here now",
+        5: " ".join(base),                      # exact dup of 1
+    }
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in texts.items()],
+        "doc_id long, text string, n_chars long",
+    )
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    tau = 500
+    want = set()
+    for a in texts:
+        for b in texts:
+            if a < b:
+                ia = len(sh(texts[a]) & sh(texts[b]))
+                un = len(sh(texts[a]) | sh(texts[b]))
+                if ia * 1000 >= un * tau:
+                    want.add((a, b, ia, un))
+    got = {
+        (r["a_id"], r["b_id"], r["inter_size"], r["union_size"])
+        for r in jaccard_pairs_prefix(docs, tau_permille=tau).collect()
+    }
+    assert got == want and (1, 5, 8, 8) in got

@@ -770,3 +770,28 @@ def test_cdc_incremental_agg_never_scans_the_new_snapshot_twice(spark):
     # was recomputed from the NEW snapshot
     assert plan.count("FileScan") <= 3, plan.count("FileScan")
     assert "partial_sum" in plan
+
+
+def test_match_fuzzy_blocks_via_equi_join_not_all_pairs(spark):
+    """The deletion-neighborhood join must be a hash equi-join on the
+    variant key — an all-pairs levenshtein theta-join is the quadratic
+    plan the operator exists to avoid."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_match_fuzzy(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # the verify survives as a filter
+
+
+def test_jaccard_prefix_filter_broadcasts_dfreq_no_cartesian(spark):
+    """The document-frequency (vocabulary) join must BROADCAST onto the
+    gram stream — shuffling the corpus on the gram key funnels hot
+    shingles through single reducers — and candidates must arrive by
+    equi-join, never a Cartesian product."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_dedup_prefix_filter(spark, SF_UNIT))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
