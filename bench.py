@@ -28,9 +28,11 @@ Timing protocol (BENCH_r02 onward):
   ann_pq_topk, ann_ivf_pq_topk, group_entropy, grouped_mode,
   active_users, quantile_bucketize, dedup_keep_best,
   growth_accounting) plus the late-r7 block (time_resample,
-  runtime_filter_join, token_pmi, pagerank, zorder_stats), so r7 totals
-  are comparable to earlier rounds only on the common-query subset, as
-  with every prior headline extension.
+  runtime_filter_join, token_pmi, pagerank, zorder_stats,
+  weighted_sample, cdc_incremental_agg, match_fuzzy,
+  dedup_prefix_filter), so r7 totals are comparable to earlier rounds
+  only on the common-query subset, as with every prior headline
+  extension.
 """
 
 from __future__ import annotations
@@ -120,6 +122,10 @@ HEADLINE = [
     "token_pmi",
     "pagerank",
     "zorder_stats",
+    "weighted_sample",
+    "cdc_incremental_agg",
+    "match_fuzzy",
+    "dedup_prefix_filter",
     "match_cascade",
     "s8_upsert",
     "sync_summary",
