@@ -527,6 +527,20 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_stats(o, x=F.col("o_custkey"), y=day)
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between the two CDC snapshots'
+    price distributions — the dataset-version monitoring signal. Decile
+    boundaries come from the reference's exact distinct-value histogram;
+    proportions are clamped floored permille and the log ratio runs
+    through the shared integer log, so every per-bucket contribution is
+    engine-exact. Both PSI factors always share a sign, so the product
+    is non-negative and truncating DIV equals flooring //."""
+    from tepsonic_database_sync_spark.operators.drift import psi_drift
+
+    old, new = _cdc_snapshots(spark, sf_dir)
+    return psi_drift(old, new, "cents")
+
+
 # prefix-filter similarity-join threshold, shared with the oracle
 PREFIX_TAU_PERMILLE = 600
 
@@ -3291,6 +3305,70 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def _psi_drift_oracle() -> str:
+    """DuckDB twin of operators.drift.psi_drift over the CDC snapshots:
+    same decile boundaries, clamped permille, and integer-log ratio."""
+    from tepsonic_database_sync_spark.operators.drift import PSI_QS
+
+    qs_values = ", ".join(f"({q})" for q in PSI_QS)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+old AS (SELECT * FROM base WHERE o_orderkey % {CDC_P["old_excl"]} != 0),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {CDC_P["upd_mod"]} = 0
+              THEN cents + {CDC_P["upd_delta_cents"]} ELSE cents END AS cents
+  FROM base WHERE o_orderkey % {CDC_P["new_excl"]} != 0
+),
+hist AS (
+  SELECT cents AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM old WHERE cents IS NOT NULL GROUP BY 1
+),
+cum AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM hist),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+qs AS (SELECT CAST(q AS BIGINT) AS q FROM (VALUES {qs_values}) t(q)),
+bounds AS (
+  SELECT q.q, CAST(min(c.v) AS BIGINT) AS value
+  FROM cum c, tot t, qs q
+  WHERE 1000 * c.cum >= q.q * t.n GROUP BY 1
+),
+bs AS (SELECT list(DISTINCT value ORDER BY value) AS bs FROM bounds),
+br AS (
+  SELECT CAST(len(list_filter(bs.bs, b -> b < o.cents)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_ref
+  FROM old o, bs WHERE o.cents IS NOT NULL GROUP BY 1
+),
+bc AS (
+  SELECT CAST(len(list_filter(bs.bs, b -> b < o.cents)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_cur
+  FROM new o, bs WHERE o.cents IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT coalesce(br.bucket, bc.bucket) AS bucket,
+         coalesce(br.n_ref, 0) AS n_ref, coalesce(bc.n_cur, 0) AS n_cur
+  FROM br FULL OUTER JOIN bc ON br.bucket = bc.bucket
+),
+tr AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t FROM j),
+tc AS (SELECT CAST(sum(n_cur) AS BIGINT) AS t FROM j),
+p AS (
+  SELECT bucket, n_ref, n_cur,
+         greatest((1000 * n_ref) // greatest(tr.t, 1), 1) AS pm,
+         greatest((1000 * n_cur) // greatest(tc.t, 1), 1) AS qm
+  FROM j, tr, tc
+)
+SELECT bucket, n_ref, n_cur,
+       CAST(pm AS BIGINT) AS ref_permille,
+       CAST(qm AS BIGINT) AS cur_permille,
+       CAST(((pm - qm) * (({_d_iln("(pm * 1000)")})
+                          - ({_d_iln("(qm * 1000)")}))) // 1000 AS BIGINT)
+         AS psi_contrib_milli
+FROM p
+"""
+
+
 def _prefix_filter_oracle() -> str:
     """Ground-truth all-pairs Jaccard at the shared τ — deliberately NOT
     a replay of the prefix-filter mechanics, so the hash certifies the
@@ -5441,6 +5519,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_incremental_agg": (q_cdc_incremental_agg, _cdc_incr_agg_oracle()),
     "match_fuzzy": (q_match_fuzzy, _MATCH_FUZZY_ORACLE),
     "dedup_prefix_filter": (q_dedup_prefix_filter, _prefix_filter_oracle()),
+    "psi_drift": (q_psi_drift, _psi_drift_oracle()),
     # --- NEW in r7 (earlier in the round), 23 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
     # the CDC pair (diff + roundtrip), Markov transitions, volume-spike

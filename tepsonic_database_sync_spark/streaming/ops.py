@@ -494,3 +494,110 @@ def snapshot_cdc_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rollup_cdc_applier(spark, root: str, keys, group: str, value: str):
+    """foreachBatch callable behind ``rollup_cdc_stream``: each
+    micro-batch is a FULL snapshot version; diff it against the
+    committed previous version and refresh the grouped (count, sum)
+    rollup from the drift alone (``operators.cdc.incremental_agg``) —
+    the rollup never re-aggregates the base table after bootstrap.
+
+    Unlike the sibling appliers (whose outputs are append-only, so a
+    crash between write and marker merely re-emits one batch), a rollup
+    DOUBLE-apply corrupts state. This applier therefore commits
+    snapshot + rollup + batch_id as ONE atomic unit: both new versions
+    are written to fresh paths, then a single ``_COMMIT`` json is
+    os.replace'd. A crash anywhere before that swap leaves the previous
+    commit fully intact and the replayed batch recomputes from it —
+    exactly-once with no residual window.
+    """
+    import json
+    import os
+
+    from tepsonic_database_sync_spark.operators.cdc import (
+        incremental_agg,
+        snapshot_diff,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    commit_file = os.path.join(root, "_COMMIT")
+
+    def _commit() -> dict | None:
+        try:
+            with open(commit_file) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cm = _commit()
+        if cm is not None and batch_id <= cm["batch_id"]:
+            return
+        new = batch_df.select(*keys, group, value)
+        if new.isEmpty():
+            return
+        if cm is None:
+            old = new.limit(0)
+            agg = old.groupBy(group).agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(value).cast("long").alias(f"sum_{value}"),
+            )
+        else:
+            old = spark.read.parquet(cm["snap"])
+            agg = spark.read.parquet(cm["agg"])
+        changes = snapshot_diff(old, new, keys, [value, group])
+        new_agg = incremental_agg(agg, changes, group, value)
+        snap_path = os.path.join(root, f"b{batch_id}", "snapshot")
+        agg_path = os.path.join(root, f"b{batch_id}", "rollup")
+        new.write.mode("overwrite").parquet(snap_path)
+        new_agg.write.mode("overwrite").parquet(agg_path)
+        tmp = commit_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"batch_id": batch_id, "snap": snap_path, "agg": agg_path}, f
+            )
+        os.replace(tmp, commit_file)
+
+    return apply_batch
+
+
+def rollup_read(spark, root: str) -> DataFrame | None:
+    """The committed rollup of a ``rollup_cdc_stream`` (None before the
+    first commit)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(root, "_COMMIT")) as f:
+            return spark.read.parquet(json.load(f)["agg"])
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def rollup_cdc_stream(
+    snapshots: DataFrame,
+    spark,
+    root: str,
+    checkpoint_dir: str,
+    keys,
+    group: str,
+    value: str,
+    available_now: bool = True,
+):
+    """Continuously-maintained rollup over a snapshot-drop feed: the
+    full pipeline a nightly vendor export needs — snapshot stream →
+    pairwise diff (``snapshot_diff``) → incremental rollup refresh
+    (``incremental_agg``) — with snapshot, rollup, and batch_id
+    committed atomically per micro-batch. After any prefix of batches,
+    the committed rollup equals a full groupBy over the latest snapshot
+    (the maintenance law, pinned in tests with replay and crash-replay
+    cases). Returns the started StreamingQuery."""
+    writer = (
+        snapshots.writeStream.foreachBatch(
+            rollup_cdc_applier(spark, root, keys, group, value)
+        ).option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

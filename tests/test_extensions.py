@@ -1916,3 +1916,24 @@ def test_jaccard_prefix_filter_is_complete_on_adversarial_sets(spark):
         for r in jaccard_pairs_prefix(docs, tau_permille=tau).collect()
     }
     assert got == want and (1, 5, 8, 8) in got
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
+    from tepsonic_database_sync_spark.operators.drift import psi_drift
+
+    ref = spark.range(0, 1000).select((F.col("id") % 100).alias("v"))
+    # identical distribution → every contribution is 0
+    same = psi_drift(ref, ref, "v").collect()
+    assert sum(r["psi_contrib_milli"] for r in same) == 0
+    assert sum(r["n_ref"] for r in same) == 1000
+    # shifted distribution → strictly positive PSI, and the drained
+    # low buckets / flooded high buckets carry the signal
+    cur = spark.range(0, 1000).select(((F.col("id") % 100) + 50).alias("v"))
+    rows = psi_drift(ref, cur, "v").collect()
+    psi = sum(r["psi_contrib_milli"] for r in rows)
+    assert psi > 250, psi  # conventional "major shift" threshold
+    # every bucket row is internally consistent
+    for r in rows:
+        assert (r["psi_contrib_milli"] >= 0) and (
+            r["ref_permille"] >= 1 and r["cur_permille"] >= 1
+        )

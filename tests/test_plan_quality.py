@@ -795,3 +795,18 @@ def test_jaccard_prefix_filter_broadcasts_dfreq_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_psi_drift_is_bucket_frame_joins_only(spark):
+    """PSI must aggregate each side straight to the ≤ |qs|+1 bucket ids
+    (map-side combined) and join only bucket frames and single-row
+    totals — the only BNLs allowed are the boundary-array and totals
+    broadcasts, and nothing may sort raw rows."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_psi_drift(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    # exactly the two boundary-array broadcasts (one per side); the
+    # checkpointed single-row array prevents subtree duplication
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan

@@ -689,3 +689,81 @@ def test_snapshot_cdc_stream_emits_pairwise_diffs_and_replays_safely(
     q2.awaitTermination(180)
     assert {tuple(r) for r in spark.read.parquet(changes_dir).collect()} == want
     assert {tuple(r) for r in store.read().collect()} == set(v3)
+
+
+def test_rollup_cdc_stream_maintains_the_rollup_exactly_once(spark, tmp_path):
+    """The streamed incrementally-maintained rollup must equal a full
+    groupBy over the latest snapshot after all batches (the maintenance
+    law end-to-end), survive a full redelivery as a no-op, and recover
+    exactly-once from a crash that lost the atomic commit (replay
+    recomputes from the previous commit — no double-apply)."""
+    import json
+    import os
+
+    from tepsonic_database_sync_spark.streaming.ops import (
+        rollup_cdc_stream,
+        rollup_read,
+    )
+
+    schema = "k long, status string, cents long"
+    v1 = [(1, "a", 100), (2, "b", 200), (3, "a", 300)]
+    v2 = [(1, "a", 100), (2, "a", 250), (4, "d", 400)]  # move 2 b→a, del 3, ins 4
+    v3 = [(1, "z", 100), (2, "a", 250), (4, "d", 400)]  # move 1 a→z
+    src = str(tmp_path / "src")
+    for snap in (v1, v2, v3):
+        spark.createDataFrame(snap, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    root = str(tmp_path / "rollup")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = rollup_cdc_stream(
+        stream, spark, root, str(tmp_path / "ckpt"),
+        keys=["k"], group="status", value="cents",
+    )
+    q.awaitTermination(180)
+
+    def want(rows):
+        agg = {}
+        for _, s, c in rows:
+            n, t = agg.get(s, (0, 0))
+            agg[s] = (n + 1, t + c)
+        return {(s, n, t) for s, (n, t) in agg.items()}
+
+    got = {tuple(r) for r in rollup_read(spark, root).collect()}
+    assert got == want(v3)
+
+    # full redelivery (fresh checkpoint, same root): a no-op
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = rollup_cdc_stream(
+        stream2, spark, root, str(tmp_path / "ckpt2"),
+        keys=["k"], group="status", value="cents",
+    )
+    q2.awaitTermination(180)
+    assert {tuple(r) for r in rollup_read(spark, root).collect()} == want(v3)
+
+    # crash simulation: roll the commit pointer back one batch (the
+    # atomic unit a crash would have lost) and replay — the refresh must
+    # recompute v2→v3 from the v2 commit, not double-apply
+    commit_file = os.path.join(root, "_COMMIT")
+    cm = json.load(open(commit_file))
+    prev = {
+        "batch_id": cm["batch_id"] - 1,
+        "snap": os.path.join(root, f"b{cm['batch_id'] - 1}", "snapshot"),
+        "agg": os.path.join(root, f"b{cm['batch_id'] - 1}", "rollup"),
+    }
+    json.dump(prev, open(commit_file, "w"))
+    assert {tuple(r) for r in rollup_read(spark, root).collect()} == want(v2)
+    stream3 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q3 = rollup_cdc_stream(
+        stream3, spark, root, str(tmp_path / "ckpt3"),
+        keys=["k"], group="status", value="cents",
+    )
+    q3.awaitTermination(180)
+    assert {tuple(r) for r in rollup_read(spark, root).collect()} == want(v3)
