@@ -141,8 +141,12 @@ def write_amplified_olap(spark, factor: int, dest: str) -> None:
 
 def _olap_ops():
     from tepsonic_database_sync_spark.registry import (
+        q_dedup_prefix_filter,
         q_event_anomaly,
         q_grouped_quantiles,
+        q_match_fuzzy,
+        q_pagerank,
+        q_runtime_filter_join,
         q_sessionize_batch,
         q_snapshot_diff,
         q_stream_stream_join,
@@ -151,7 +155,16 @@ def _olap_ops():
         q_winnow_overlap,
     )
 
+    # NOT measured here, deliberately: q_pagerank's input is the DISTINCT
+    # part↔supplier pair set (copies collapse under the amplifier's
+    # orderkey-only shift), and q_match_fuzzy / q_runtime_filter_join are
+    # driven by the customer dim the amplifier keeps fixed — their curves
+    # would measure the harness, not the operator.
+    _ = (q_pagerank, q_match_fuzzy, q_runtime_filter_join)
     return {
+        # late-r7: the prefix-filtered similarity self-join — candidate
+        # fan-out under the rare-first prefix is THE thing to watch
+        "dedup_prefix_filter": q_dedup_prefix_filter,
         "tpch_q9_profit": q_tpch_q9_profit,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "sessionize_batch": q_sessionize_batch,

@@ -527,6 +527,30 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_stats(o, x=F.col("o_custkey"), y=day)
 
 
+# compaction target size, shared with the oracle (documents bytes proxy)
+COMPACT_TARGET = 2000
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy prefix-sum compaction planning over a file listing
+    (documents as the listing: source = partition dir, doc = file,
+    n_chars = bytes): one window per partition over METADATA rows
+    assigns target-sized output bins; already-right-sized singleton
+    bins are flagged to skip rewriting."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.compaction import (
+        compaction_plan,
+    )
+
+    return compaction_plan(
+        load_table(spark, sf_dir, "documents"),
+        partition_col="source",
+        file_col="doc_id",
+        bytes_col="n_chars",
+        target_bytes=COMPACT_TARGET,
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift between the two CDC snapshots'
     price distributions — the dataset-version monitoring signal. Decile
@@ -3305,6 +3329,34 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+_COMPACTION_ORACLE = f"""
+WITH f AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+  FROM f
+),
+b AS (
+  SELECT *, (cum - n_chars) AS bef,
+         ((cum - n_chars) // {COMPACT_TARGET}) AS bin
+  FROM c
+),
+g AS (
+  SELECT *, min(bef) OVER (PARTITION BY source, bin) AS bin_start,
+            count(*) OVER (PARTITION BY source, bin) AS bin_n
+  FROM b
+)
+SELECT source, doc_id, n_chars, CAST(bin AS BIGINT) AS bin,
+       CAST(cum - bin_start AS BIGINT) AS bin_bytes,
+       NOT (bin_n = 1 AND n_chars >= {COMPACT_TARGET}) AS needs_compaction
+FROM g
+"""
+
+
 def _psi_drift_oracle() -> str:
     """DuckDB twin of operators.drift.psi_drift over the CDC snapshots:
     same decile boundaries, clamped permille, and integer-log ratio."""
@@ -5495,17 +5547,18 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1,
-# then extended late in the round): the 9 late-r7 additions
-# (time_resample … dedup_prefix_filter), the 23 earlier r7-new entries,
-# and the 18 rotation-queue entries whose last hard-signal row was r01
-# or r03/r04 — 9 + 23 + 18 = 50. The 9 r05-green entries that briefly
-# held window slots (sync_pipeline … x2_quarantine) were displaced back
-# to the tail head by the late additions; they keep their r05 green
-# rows, so the "every entry green in r05 ∪ r06 ∪ r07" invariant still
-# holds after the r7 driver run. The tail below the marker (r05-green
-# head = the r8 rotation queue, then the r06-green block) still runs in
-# scripts/driver_sim.py every session. New or changed entries must
-# displace window slots, never ride the tail unverified —
+# then extended late in the round): the 11 late-r7 additions
+# (time_resample … compaction_plan), the 23 earlier r7-new entries, and
+# the first 16 rotation-queue entries — 11 + 23 + 16 = 50. The late
+# additions displaced (a) the 9 r05-green entries that briefly held
+# window slots (sync_pipeline … x2_quarantine — they keep their r05
+# green rows) and (b) the LAST TWO rotation-queue entries
+# (count_distinct, window_running_total, last green r03/r04) — those
+# two are the r8 rotation queue HEAD and the only misses of the
+# "every entry green in r05 ∪ r06 ∪ r07" target, exactly the precedented
+# r6 situation (four r01 displacees, rotated first the next round). The
+# tail still runs in scripts/driver_sim.py every session. New or changed
+# entries must displace window slots, never ride the tail unverified —
 # machine-checked by tests/test_driver_contract.py::
 # test_registry_tail_entries_have_prior_green_rows.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -5520,6 +5573,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "match_fuzzy": (q_match_fuzzy, _MATCH_FUZZY_ORACLE),
     "dedup_prefix_filter": (q_dedup_prefix_filter, _prefix_filter_oracle()),
     "psi_drift": (q_psi_drift, _psi_drift_oracle()),
+    "compaction_plan": (q_compaction_plan, _COMPACTION_ORACLE),
     # --- NEW in r7 (earlier in the round), 23 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
     # the CDC pair (diff + roundtrip), Markov transitions, volume-spike

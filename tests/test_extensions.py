@@ -1937,3 +1937,37 @@ def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
         assert (r["psi_contrib_milli"] >= 0) and (
             r["ref_permille"] >= 1 and r["cur_permille"] >= 1
         )
+
+
+def test_compaction_plan_greedy_bins_and_skip_flags(spark):
+    from tepsonic_database_sync_spark.operators.compaction import (
+        compaction_plan,
+    )
+
+    files = spark.createDataFrame(
+        [
+            ("p1", 1, 400), ("p1", 2, 400), ("p1", 3, 400),  # bin 0 (1200)
+            ("p1", 4, 900),                                   # bin 1
+            ("p1", 5, 2500),                                  # big file
+            ("p2", 6, 50),
+        ],
+        "part string, fid long, bytes long",
+    )
+    got = {r["fid"]: r for r in compaction_plan(
+        files, "part", "fid", "bytes", target_bytes=1000
+    ).collect()}
+    # greedy prefix rule: 400+400 stay in bin 0; the third 400 starts at
+    # cum_before=800 < 1000 so it also lands in bin 0 (overshoot by one
+    # file is the greedy guarantee); the 900 starts at 1200 → bin 1
+    assert [got[i]["bin"] for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
+    assert got[3]["bin_bytes"] == 1200  # last file carries the bin total
+    # the 2500 file starts at 2100 → bin 2, alone and ≥ target → skip
+    assert got[5]["bin"] == 2 and not got[5]["needs_compaction"]
+    assert got[4]["needs_compaction"]  # 900 alone but under target
+    # partitions plan independently
+    assert got[6]["bin"] == 0 and got[6]["needs_compaction"]
+    # invalid target rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(files, "part", "fid", "bytes", 0)

@@ -810,3 +810,15 @@ def test_psi_drift_is_bucket_frame_joins_only(spark):
     # exactly the two boundary-array broadcasts (one per side); the
     # checkpointed single-row array prevents subtree duplication
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_compaction_plan_windows_partition_by_dir(spark):
+    """Both planning windows must partition by the dataset partition key
+    — a global (SinglePartition) sort of the file listing would
+    serialize planning for the whole table."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_compaction_plan(spark, SF_UNIT))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
