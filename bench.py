@@ -30,7 +30,8 @@ Timing protocol (BENCH_r02 onward):
   growth_accounting) plus the late-r7 block (time_resample,
   runtime_filter_join, token_pmi, pagerank, zorder_stats,
   weighted_sample, cdc_incremental_agg, match_fuzzy,
-  dedup_prefix_filter, psi_drift, compaction_plan), so r7 totals are comparable to earlier rounds
+  dedup_prefix_filter, psi_drift, compaction_plan, interval_concurrency,
+  ewma, group_moments), so r7 totals are comparable to earlier rounds
   only on the common-query subset, as with every prior headline
   extension.
 """
@@ -128,6 +129,9 @@ HEADLINE = [
     "dedup_prefix_filter",
     "psi_drift",
     "compaction_plan",
+    "interval_concurrency",
+    "ewma",
+    "group_moments",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

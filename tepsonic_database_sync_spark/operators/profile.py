@@ -109,3 +109,35 @@ def group_entropy(
         .cast("long")
         .alias("entropy_milli"),
     )
+
+
+def group_moments(
+    df: DataFrame, group: str, x: Column, y: Column
+) -> DataFrame:
+    """Exact per-group second-moment vector over two integral series —
+    the sufficient statistics for mean / variance / covariance /
+    correlation, kept as raw BIGINT sums so the statistics derive
+    exactly downstream (a float mean loses the ability to merge two
+    groups' stats; moment vectors are mergeable by addition, the same
+    property the sketches exploit).
+
+    Overflow contract: requires n·max(|x|)² < 2⁶³ (stated, like
+    join_size_estimate's bound) — rescale the inputs (e.g. dollars, not
+    cents) or move to DECIMAL beyond that.
+
+    One map-side-combined groupBy; no second pass, no window.
+    """
+    xs = x.cast("long")
+    ys = y.cast("long")
+    return df.select(
+        F.col(group).alias("g"), xs.alias("x"), ys.alias("y")
+    ).groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        F.min("x").cast("long").alias("min_x"),
+        F.max("x").cast("long").alias("max_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_yy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+    ).withColumnRenamed("g", group)

@@ -104,3 +104,115 @@ def resample_locf(
             F.col("n_events").isNull().alias("is_gap"),
         )
     )
+
+
+def interval_concurrency(
+    intervals: DataFrame, key: str, start_es: Column, end_es: Column
+) -> DataFrame:
+    """Concurrent-interval profile per key — the sweep-line staple (how
+    many sessions/jobs/syncs were live at each instant): every interval
+    contributes +1 at its start and −1 at its (EXCLUSIVE) end; the
+    running sum of per-instant nets is the concurrency right after each
+    boundary.
+
+    Returns (key, t_es, net, concurrency): one row per distinct
+    boundary instant, ``net`` the sum of deltas landing there (both
+    deltas of an interval starting and ending at the same instant cancel
+    to 0 — zero-length intervals never count), ``concurrency`` the live
+    count from that instant until the next boundary.
+
+    Scale shape: explode to 2 rows per interval, ONE map-side-combined
+    groupBy on (key, instant), then the running-sum window over the
+    per-key distinct-boundary series — aggregate first, window over
+    aggregates (the event_anomaly shape). Never a self-join, never a
+    window over raw intervals.
+    """
+    deltas = intervals.select(
+        F.col(key).alias("key"),
+        F.explode(
+            F.array(
+                F.struct(start_es.cast("long").alias("t"), F.lit(1).alias("d")),
+                F.struct(end_es.cast("long").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("e"),
+    ).select("key", "e.t", "e.d")
+    net = deltas.groupBy("key", "t").agg(
+        F.sum("d").cast("long").alias("net")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return net.select(
+        "key",
+        F.col("t").alias("t_es"),
+        "net",
+        F.sum("net").over(w).cast("long").alias("concurrency"),
+    )
+
+
+# EWMA half-life in buckets: weight 2^(EWMA_SPAN-1-k) for a reading k
+# buckets back — dyadic weights keep every product an exact integer.
+EWMA_SPAN = 8
+
+
+def ewma_dyadic(
+    readings: DataFrame,
+    key: str,
+    bucket_col: str,
+    value_col: str,
+    step_s: int = RESAMPLE_STEP_S,
+    span: int = EWMA_SPAN,
+) -> DataFrame:
+    """Exponentially-weighted moving average with half-life = one
+    bucket, over a possibly-gappy per-key bucket series — the smoothing
+    signal next to the spike detector. Weights are powers of two
+    (2^(span−1−k) for a reading k buckets back, window of ``span``
+    buckets), so every contribution is an exact integer and the oracle
+    replays it bit-for-bit; the result is
+    ``ewma_milli = 1000·Σ w·x DIV Σ w`` over the readings PRESENT in
+    the trailing window (gaps carry no weight — the denominator adapts,
+    which is how a time-decayed average should treat missing polls).
+
+    Scale shape: the active_users contribution-explode — each reading
+    emits its ``span`` forward contributions via one generator (no
+    self-join, no RANGE window with per-row distance weights, which
+    Spark windows cannot express), then ONE map-side-combined groupBy on
+    (key, target bucket); an inner join back to the real buckets drops
+    targets that never observed a reading.
+    """
+    r = readings.select(
+        F.col(key).alias("key"),
+        F.col(bucket_col).cast("long").alias("b"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    contrib = r.select(
+        "key",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {span - 1}),"
+                f" k -> struct(b + CAST(k AS BIGINT) * {step_s} AS tb,"
+                f"             shiftleft(CAST(1 AS BIGINT), {span - 1} - k)"
+                f"             AS w,"
+                f"             x * shiftleft(CAST(1 AS BIGINT), {span - 1} - k)"
+                f"             AS wx))"
+            )
+        ).alias("c"),
+    ).select("key", "c.tb", "c.w", "c.wx")
+    sums = contrib.groupBy("key", "tb").agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum("wx").cast("long").alias("swx"),
+    ).withColumnRenamed("key", "__k")
+    return (
+        r.join(
+            sums,
+            (F.col("b") == F.col("tb")) & (F.col("key") == F.col("__k")),
+        )
+        .select(
+            "key",
+            F.col("b").alias("bucket_es"),
+            F.col("x").alias("value"),
+            F.expr("(1000 * swx) div sw").cast("long").alias("ewma_milli"),
+        )
+    )

@@ -527,6 +527,59 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_stats(o, x=F.col("o_custkey"), y=day)
 
 
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency profile: each event opens a deterministic
+    interval (duration from its value, 1-31 min) and the running sum of
+    per-instant +1/−1 nets gives the live count per type at every
+    boundary. Aggregate-first: the window sees one row per distinct
+    boundary instant, never raw intervals."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    start = F.unix_timestamp("ts").cast("long")
+    dur = (_cents("value") % 1800) + 60
+    return interval_concurrency(
+        ev, key="event_type", start_es=start, end_es=start + dur
+    )
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-weight EWMA over the per-type hourly volume series (the
+    smoothing signal next to event_anomaly's spike flags): power-of-two
+    weights keep every contribution integer-exact, and gaps carry no
+    weight — the denominator adapts. Contribution-explode shape: one
+    generator fan-out + one groupBy, no self-join, no distance-weighted
+    window."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import (
+        hourly_type_counts,
+    )
+    from tepsonic_database_sync_spark.operators.timeseries import ewma_dyadic
+
+    counts = hourly_type_counts(load_table(spark, sf_dir, "events"))
+    return ewma_dyadic(counts, key="event_type", bucket_col="bucket_es",
+                       value_col="cnt")
+
+
+def q_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-priority moment vector (n, Σx, Σx², min/max, Σy, Σy²,
+    Σxy) over (dollars, order-day) — the mergeable sufficient statistics
+    for variance/covariance/correlation, one map-side-combined pass.
+    Dollars (not cents) keep n·max² inside BIGINT (stated bound)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.profile import group_moments
+
+    o = load_table(spark, sf_dir, "orders")
+    dollars = F.expr(
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) div 100"
+    )
+    day = (F.floor(F.unix_timestamp("o_orderdate") / 86400)).cast("long")
+    return group_moments(o, "o_orderpriority", dollars, day)
+
+
 # compaction target size, shared with the oracle (documents bytes proxy)
 COMPACT_TARGET = 2000
 
@@ -3329,6 +3382,82 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+_INTERVAL_CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + (CAST(round(value * 100, 0) AS BIGINT) % 1800) + 60 AS e
+  FROM events
+),
+d AS (
+  SELECT key, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT key, e AS t, -1 AS d FROM iv
+),
+n AS (SELECT key, t, CAST(sum(d) AS BIGINT) AS net FROM d GROUP BY 1, 2)
+SELECT key, t AS t_es, net,
+       CAST(sum(net) OVER (PARTITION BY key ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+         AS concurrency
+FROM n
+"""
+
+
+def _ewma_oracle() -> str:
+    """DuckDB twin of operators.timeseries.ewma_dyadic over the hourly
+    type counts: identical contribution explode and dyadic weights."""
+    from tepsonic_database_sync_spark.operators.events import (
+        ANOMALY_BUCKET_S,
+    )
+    from tepsonic_database_sync_spark.operators.timeseries import EWMA_SPAN
+
+    return f"""
+WITH bkt AS (
+  SELECT event_type AS key,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // {ANOMALY_BUCKET_S})
+              * {ANOMALY_BUCKET_S} AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+con AS (
+  SELECT key, b + k * {ANOMALY_BUCKET_S} AS tb,
+         (CAST(1 AS BIGINT) << ({EWMA_SPAN - 1} - k)) AS w,
+         x * (CAST(1 AS BIGINT) << ({EWMA_SPAN - 1} - k)) AS wx
+  FROM bkt, unnest(range(0, {EWMA_SPAN})) AS t(k)
+),
+s AS (
+  SELECT key, tb, CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(wx) AS BIGINT) AS swx
+  FROM con GROUP BY 1, 2
+)
+SELECT r.key, r.b AS bucket_es, r.x AS value,
+       CAST((1000 * s.swx) // s.sw AS BIGINT) AS ewma_milli
+FROM bkt r JOIN s ON r.key = s.key AND r.b = s.tb
+"""
+
+
+_GROUP_MOMENTS_ORACLE = """
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100 AS x,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS y
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(min(x) AS BIGINT) AS min_x,
+       CAST(max(x) AS BIGINT) AS max_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(y * y) AS BIGINT) AS sum_yy,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM v GROUP BY 1
+"""
+
+
 _COMPACTION_ORACLE = f"""
 WITH f AS (
   SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
@@ -5547,16 +5676,17 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1,
-# then extended late in the round): the 11 late-r7 additions
-# (time_resample … compaction_plan), the 23 earlier r7-new entries, and
-# the first 16 rotation-queue entries — 11 + 23 + 16 = 50. The late
+# then extended late in the round): the 14 late-r7 additions
+# (time_resample … group_moments), the 23 earlier r7-new entries, and
+# the first 13 rotation-queue entries — 14 + 23 + 13 = 50. The late
 # additions displaced (a) the 9 r05-green entries that briefly held
 # window slots (sync_pipeline … x2_quarantine — they keep their r05
-# green rows) and (b) the LAST TWO rotation-queue entries
-# (count_distinct, window_running_total, last green r03/r04) — those
-# two are the r8 rotation queue HEAD and the only misses of the
-# "every entry green in r05 ∪ r06 ∪ r07" target, exactly the precedented
-# r6 situation (four r01 displacees, rotated first the next round). The
+# green rows) and (b) the LAST FIVE rotation-queue entries
+# (rollup_sales, pivot_segment_priority, unpivot, count_distinct,
+# window_running_total — last green r03/r04) — those five are the r8
+# rotation queue HEAD and the only misses of the "every entry green in
+# r05 ∪ r06 ∪ r07" target, exactly the precedented r6 situation (four
+# r01 displacees, rotated first the next round). The
 # tail still runs in scripts/driver_sim.py every session. New or changed
 # entries must displace window slots, never ride the tail unverified —
 # machine-checked by tests/test_driver_contract.py::
@@ -5574,6 +5704,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_prefix_filter": (q_dedup_prefix_filter, _prefix_filter_oracle()),
     "psi_drift": (q_psi_drift, _psi_drift_oracle()),
     "compaction_plan": (q_compaction_plan, _COMPACTION_ORACLE),
+    "interval_concurrency": (
+        q_interval_concurrency,
+        _INTERVAL_CONCURRENCY_ORACLE,
+    ),
+    "ewma": (q_ewma, _ewma_oracle()),
+    "group_moments": (q_group_moments, _GROUP_MOMENTS_ORACLE),
     # --- NEW in r7 (earlier in the round), 23 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
     # the CDC pair (diff + roundtrip), Markov transitions, volume-spike

@@ -1971,3 +1971,66 @@ def test_compaction_plan_greedy_bins_and_skip_flags(spark):
 
     with pytest.raises(ValueError, match="target_bytes"):
         compaction_plan(files, "part", "fid", "bytes", 0)
+
+
+def test_interval_concurrency_sweep_line(spark):
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            ("a", 0, 10), ("a", 5, 15), ("a", 10, 20),  # peak 2: end excl.
+            ("a", 30, 30),                              # zero-length: never live
+            ("b", 0, 100),
+        ],
+        "k string, s long, e long",
+    )
+    got = {(r["key"], r["t_es"]): (r["net"], r["concurrency"])
+           for r in interval_concurrency(iv, "k", F.col("s"), F.col("e")).collect()}
+    assert got[("a", 0)] == (1, 1)
+    assert got[("a", 5)] == (1, 2)
+    assert got[("a", 10)] == (0, 2)   # one ends (excl), one starts → net 0
+    assert got[("a", 15)] == (-1, 1)
+    assert got[("a", 20)] == (-1, 0)
+    assert got[("a", 30)] == (0, 0)   # zero-length interval cancels itself
+    assert got[("b", 0)] == (1, 1)
+    # every key's final concurrency returns to 0 (intervals all close)
+    for k in ("a", "b"):
+        last_t = max(t for kk, t in got if kk == k)
+        assert got[(k, last_t)][1] == 0
+
+
+def test_ewma_dyadic_weights_and_gap_adaptation(spark):
+    from tepsonic_database_sync_spark.operators.timeseries import ewma_dyadic
+
+    # buckets 0h and 2h (gap at 1h), span 8, step 3600
+    r = spark.createDataFrame(
+        [("a", 0, 100), ("a", 7200, 40)], "k string, b long, x long"
+    )
+    got = {row["bucket_es"]: row["ewma_milli"]
+           for row in ewma_dyadic(r, "k", "b", "x").collect()}
+    # bucket 0: only itself → exactly 100.000
+    assert got[0] == 100_000
+    # bucket 7200: weights 128 (itself) and 32 (the reading 2 steps back;
+    # the gap at 1 step carries NO weight) → (40·128 + 100·32)/(128+32)
+    assert got[7200] == (1000 * (40 * 128 + 100 * 32)) // 160
+
+
+def test_group_moments_derive_exact_statistics(spark):
+    from tepsonic_database_sync_spark.operators.profile import group_moments
+
+    df = spark.createDataFrame(
+        [("g", 1, 10), ("g", 2, 20), ("g", 3, 30), ("h", 5, -5)],
+        "grp string, x long, y long",
+    )
+    rows = {r["grp"]: r for r in group_moments(df, "grp", F.col("x"), F.col("y")).collect()}
+    g = rows["g"]
+    assert (g["n"], g["sum_x"], g["sum_xx"]) == (3, 6, 14)
+    assert (g["min_x"], g["max_x"]) == (1, 3)
+    assert (g["sum_y"], g["sum_yy"], g["sum_xy"]) == (60, 1400, 140)
+    # derived stats are exact: var·n² = n·Σx² − (Σx)² ; cov analogous
+    assert 3 * g["sum_xx"] - g["sum_x"] ** 2 == 6      # n²·var = 6 → var 2/3
+    assert 3 * g["sum_xy"] - g["sum_x"] * g["sum_y"] == 60
+    h = rows["h"]
+    assert (h["n"], h["sum_xy"]) == (1, -25)

@@ -822,3 +822,29 @@ def test_compaction_plan_windows_partition_by_dir(spark):
     assert "Window" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_concurrency_windows_over_boundary_aggregate(spark):
+    """The sweep-line running sum must sort one row per distinct
+    boundary instant — Sort above the (key, t) aggregate, never above
+    raw intervals; per-key, never global."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_interval_concurrency(spark, SF_UNIT))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Sort ") < plan.index("HashAggregate")
+    assert "SinglePartition" not in plan
+
+
+def test_ewma_is_generator_fanout_no_self_join_no_window(spark):
+    """The EWMA must come from the contribution explode + one groupBy —
+    no window at all (a distance-weighted RANGE frame is inexpressible),
+    and the join back to real buckets is an equi-join."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_ewma(spark, SF_UNIT))
+    assert "Generate" in plan  # the explode
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
