@@ -229,3 +229,66 @@ def join_size_with_cms_check(
         <= 3 * F.col("n_a") * F.col("n_b")
     )
     return one.select("exact_n", "n_a", "n_b", within.alias("within_bound"))
+
+
+# Portable HLL geometry: 1024 registers over the 31-bit base hash — the
+# remaining 21-bit field keeps floor(log2(w)) provably float-exact
+# (< 2^34, the iln_milli bound), so registers are engine-identical.
+HLL_M = 1024
+HLL_FIELD_BITS = 21
+
+
+def hll_register_table(
+    df: DataFrame, value_col: str, salt: str = "hll"
+) -> DataFrame:
+    """ENGINE-PORTABLE HyperLogLog register table — unlike
+    ``approx_count_distinct`` (whose register layout is Spark-internal
+    and can never be hash-compared), these registers are pure integer
+    functions of the portable content hash, so the DuckDB oracle
+    reproduces the whole sketch bit-for-bit and the correctness gate
+    covers the sketch itself, not just a bound flag.
+
+    bucket = h31 mod m; w = h31 div m (21-bit field);
+    rho = (field leading zeros) + 1 = FIELD_BITS − floor(log2(w)) for
+    w > 0, FIELD_BITS + 1 for w = 0. Returns (bucket, max_rho) for
+    OCCUPIED buckets only (missing bucket ≡ register 0 — keeps the
+    frame mergeable by plain max without densifying).
+
+    The register table is a state CRDT: merge = groupBy(bucket).max —
+    commutative, associative, IDEMPOTENT — which is what makes the
+    streaming maintenance below replay-safe with no commit protocol.
+    Max estimable cardinality ~ m·2^FIELD_BITS ≈ 4·10⁹ at this
+    geometry; widen the field (and re-prove the log2 bound) beyond that.
+    """
+    from tepsonic_database_sync_spark.functions.hashing import h31
+
+    h = h31(F.concat(F.lit(salt + ":"), F.col(value_col).cast("string")))
+    rho = F.when(F.col("w") == 0, F.lit(HLL_FIELD_BITS + 1)).otherwise(
+        F.lit(HLL_FIELD_BITS) - F.floor(F.log2("w")).cast("long")
+    )
+    return (
+        df.select(h.alias("h"))
+        .select(
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .select("bucket", rho.cast("long").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers, m: int = HLL_M) -> float:
+    """Driver-side HLL++-style estimate from a (bucket, max_rho) table —
+    diagnostic only (floats; the hash-checked surface is the register
+    table). Uses linear counting below the standard threshold."""
+    import math
+
+    rows = {r["bucket"]: r["max_rho"] for r in registers.collect()}
+    zeros = m - len(rows)
+    s = zeros * 1.0 + sum(2.0 ** -rho for rho in rows.values())
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

@@ -216,3 +216,55 @@ def ewma_dyadic(
             F.expr("(1000 * swx) div sw").cast("long").alias("ewma_milli"),
         )
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    value_cents: Column,
+    step_s: int = RESAMPLE_STEP_S,
+) -> DataFrame:
+    """Per-key OHLC bars (open/high/low/close + count + volume) on a
+    regular grid — the canonical time-series downsample for any metered
+    value feed.
+
+    Determinism is the whole problem: "first/last value in the bucket"
+    needs a TOTAL order even when two readings share a microsecond, and
+    the portable arg-min/max surface across engines is too narrow for
+    composite orderings. The engine's trick: encode (epoch_us, id,
+    value) as one fixed-width zero-padded string whose lexicographic
+    order equals the numeric composite order, take plain min/max —
+    deterministic in ANY engine — and decode the value by substring.
+    Contract: ``value_cents`` must be non-negative and < 10¹²
+    (zero-padding is order-preserving only without sign), ``id_col``
+    unique; both hold for the cent-valued feeds this serves.
+
+    One map-side-combined groupBy; no window, no self-join.
+    """
+    us = F.unix_micros(F.col(ts))
+    v = value_cents.cast("long")
+    enc = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        F.lpad(v.cast("string"), 12, "0"),
+    )
+    bucket = (F.floor(us / (step_s * 1000000)) * step_s).cast("long")
+    return (
+        events.select(
+            F.col(key).alias("key"),
+            bucket.alias("bucket_es"),
+            enc.alias("__e"),
+            v.alias("__v"),
+        )
+        .groupBy("key", "bucket_es")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.substring(F.min("__e"), 33, 12).cast("long").alias("open_cents"),
+            F.max("__v").cast("long").alias("high_cents"),
+            F.min("__v").cast("long").alias("low_cents"),
+            F.substring(F.max("__e"), 33, 12).cast("long").alias("close_cents"),
+            F.sum("__v").cast("long").alias("volume_cents"),
+        )
+    )

@@ -564,6 +564,43 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                        value_col="cnt")
 
 
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-PORTABLE HyperLogLog register table over distinct users —
+    unlike approx_count_distinct's opaque internal layout, these
+    registers are pure integer functions of the portable hash, so the
+    oracle reproduces the SKETCH ITSELF bit-for-bit (the strongest
+    check a sketch can get; the family's other entries settle for
+    bound flags). Max-merge is an idempotent CRDT join — the streaming
+    twin (streaming.ops.distinct_sketch_stream) is replay-safe with no
+    commit protocol at all."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sketches import (
+        hll_register_table,
+    )
+
+    return hll_register_table(
+        load_table(spark, sf_dir, "events"), "user_id"
+    )
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type over the value feed: open/close
+    are the first/last reading under a TOTAL (epoch_us, event_id) order
+    carried through a fixed-width string encoding — plain min/max, so
+    any engine agrees even on shared-microsecond ties. One map-side-
+    combined groupBy, no window."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.timeseries import ohlc_bars
+
+    return ohlc_bars(
+        load_table(spark, sf_dir, "events"),
+        key="event_type",
+        ts="ts",
+        id_col="event_id",
+        value_cents=F.round(F.col("value") * 100, 0).cast("long"),
+    )
+
+
 def q_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-priority moment vector (n, Σx, Σx², min/max, Σy, Σy²,
     Σxy) over (dollars, order-day) — the mergeable sufficient statistics
@@ -3438,6 +3475,53 @@ FROM bkt r JOIN s ON r.key = s.key AND r.b = s.tb
 """
 
 
+def _hll_registers_oracle() -> str:
+    """DuckDB twin of sketches.hll_register_table on events.user_id:
+    same h31 reduction, bucket split, and 21-bit-field rho."""
+    from tepsonic_database_sync_spark.operators.sketches import (
+        HLL_FIELD_BITS,
+        HLL_M,
+    )
+
+    h60 = _D_H60.format(e="'hll:' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT ({h60}) % {_P31} AS h FROM events),
+b AS (SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS w FROM h),
+r AS (
+  SELECT bucket,
+         CASE WHEN w = 0 THEN {HLL_FIELD_BITS + 1}
+              ELSE {HLL_FIELD_BITS} - CAST(floor(log2(w)) AS BIGINT)
+         END AS rho
+  FROM b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(max(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY 1
+"""
+
+
+_OHLC_ORACLE = """
+WITH e AS (
+  SELECT event_type AS key,
+         CAST((epoch_us(ts) // CAST(3600000000 AS BIGINT)) * 3600 AS BIGINT)
+           AS bucket_es,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0')
+           || lpad(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR),
+                   12, '0') AS enc,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+)
+SELECT key, bucket_es,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(substr(min(enc), 33, 12) AS BIGINT) AS open_cents,
+       CAST(max(v) AS BIGINT) AS high_cents,
+       CAST(min(v) AS BIGINT) AS low_cents,
+       CAST(substr(max(enc), 33, 12) AS BIGINT) AS close_cents,
+       CAST(sum(v) AS BIGINT) AS volume_cents
+FROM e GROUP BY 1, 2
+"""
+
+
 _GROUP_MOMENTS_ORACLE = """
 WITH v AS (
   SELECT o_orderpriority,
@@ -5676,17 +5760,18 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1,
-# then extended late in the round): the 14 late-r7 additions
-# (time_resample … group_moments), the 23 earlier r7-new entries, and
-# the first 13 rotation-queue entries — 14 + 23 + 13 = 50. The late
+# then extended late in the round): the 16 late-r7 additions
+# (time_resample … hll_registers), the 23 earlier r7-new entries, and
+# the first 11 rotation-queue entries — 16 + 23 + 11 = 50. The late
 # additions displaced (a) the 9 r05-green entries that briefly held
 # window slots (sync_pipeline … x2_quarantine — they keep their r05
-# green rows) and (b) the LAST FIVE rotation-queue entries
-# (rollup_sales, pivot_segment_priority, unpivot, count_distinct,
-# window_running_total — last green r03/r04) — those five are the r8
-# rotation queue HEAD and the only misses of the "every entry green in
-# r05 ∪ r06 ∪ r07" target, exactly the precedented r6 situation (four
-# r01 displacees, rotated first the next round). The
+# green rows) and (b) the LAST SEVEN rotation-queue entries
+# (tpch_q17_small_qty, tpch_q22_idle_custs, rollup_sales,
+# pivot_segment_priority, unpivot, count_distinct, window_running_total
+# — last green r03/r04) — those seven are the r8 rotation queue HEAD
+# and the only misses of the "every entry green in r05 ∪ r06 ∪ r07"
+# target, exactly the precedented r6 situation (four r01 displacees,
+# rotated first the next round). The
 # tail still runs in scripts/driver_sim.py every session. New or changed
 # entries must displace window slots, never ride the tail unverified —
 # machine-checked by tests/test_driver_contract.py::
@@ -5710,6 +5795,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "ewma": (q_ewma, _ewma_oracle()),
     "group_moments": (q_group_moments, _GROUP_MOMENTS_ORACLE),
+    "ohlc_bars": (q_ohlc_bars, _OHLC_ORACLE),
+    "hll_registers": (q_hll_registers, _hll_registers_oracle()),
     # --- NEW in r7 (earlier in the round), 23 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
     # the CDC pair (diff + roundtrip), Markov transitions, volume-spike

@@ -601,3 +601,63 @@ def rollup_cdc_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hll_merge_applier(store, value_col: str, salt: str = "hll"):
+    """foreachBatch callable behind ``distinct_sketch_stream``: sketch
+    the micro-batch into a portable HLL register table and max-merge it
+    into the store.
+
+    Deliberately NO batch_id marker and NO atomic multi-path commit —
+    the instructive contrast with rollup_cdc_applier: register max-merge
+    is a CRDT join (commutative, associative, IDEMPOTENT), so
+    re-applying a replayed batch cannot change the state. Exactly-once
+    falls out of the algebra instead of the commit protocol — the
+    cheapest kind of streaming state there is.
+    """
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.sketches import (
+        hll_register_table,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        regs = hll_register_table(batch_df, value_col, salt)
+        state = store.read()
+        merged = (
+            regs
+            if state is None
+            else state.unionByName(regs)
+            .groupBy("bucket")
+            .agg(F.max("max_rho").cast("long").alias("max_rho"))
+        )
+        store.overwrite(merged)
+
+    return apply_batch
+
+
+def distinct_sketch_stream(
+    stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    value_col: str,
+    salt: str = "hll",
+    available_now: bool = True,
+):
+    """Continuously-maintained distinct-count sketch: each micro-batch's
+    portable HLL registers max-merge into a versioned store, so the
+    running cardinality estimate is available at any time at fixed
+    (m-register) state — the streaming face of
+    ``sketches.hll_register_table``, replay-safe by ALGEBRA (idempotent
+    CRDT merge), not by commit protocol. Equivalence with the one-shot
+    batch sketch over the full feed is pinned in tests."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            hll_merge_applier(store, value_col, salt)
+        ).option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2034,3 +2034,32 @@ def test_group_moments_derive_exact_statistics(spark):
     assert 3 * g["sum_xy"] - g["sum_x"] * g["sum_y"] == 60
     h = rows["h"]
     assert (h["n"], h["sum_xy"]) == (1, -25)
+
+
+def test_ohlc_bars_deterministic_open_close_under_ties(spark):
+    import datetime as dt
+
+    from tepsonic_database_sync_spark.operators.timeseries import ohlc_bars
+
+    utc = dt.timezone.utc
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 500, tzinfo=utc)
+    rows = [
+        # two readings in the SAME microsecond: open must break the tie
+        # on event_id (id 1 before id 2), deterministically
+        ("a", 2, t0, 300), ("a", 1, t0, 100),
+        ("a", 3, dt.datetime(2024, 1, 1, 0, 30, tzinfo=utc), 700),
+        ("a", 4, dt.datetime(2024, 1, 1, 0, 59, tzinfo=utc), 50),
+        ("a", 5, dt.datetime(2024, 1, 1, 1, 10, tzinfo=utc), 20),  # next bar
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, eid long, ts timestamp, cents long"
+    )
+    got = {r["bucket_es"]: r for r in ohlc_bars(
+        df, "k", "ts", "eid", F.col("cents")
+    ).collect()}
+    base = int(dt.datetime(2024, 1, 1, tzinfo=utc).timestamp())
+    bar = got[base]
+    assert (bar["open_cents"], bar["close_cents"]) == (100, 50)
+    assert (bar["high_cents"], bar["low_cents"]) == (700, 50)
+    assert (bar["n"], bar["volume_cents"]) == (4, 1150)
+    assert got[base + 3600]["open_cents"] == 20
