@@ -31,7 +31,8 @@ Timing protocol (BENCH_r02 onward):
   runtime_filter_join, token_pmi, pagerank, zorder_stats,
   weighted_sample, cdc_incremental_agg, match_fuzzy,
   dedup_prefix_filter, psi_drift, compaction_plan, interval_concurrency,
-  ewma, group_moments, ohlc_bars, hll_registers), so r7 totals are comparable to earlier rounds
+  ewma, group_moments, ohlc_bars, hll_registers, tvd_drift,
+  attribution_models), so r7 totals are comparable to earlier rounds
   only on the common-query subset, as with every prior headline
   extension.
 """
@@ -134,6 +135,8 @@ HEADLINE = [
     "group_moments",
     "ohlc_bars",
     "hll_registers",
+    "tvd_drift",
+    "attribution_models",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

@@ -127,3 +127,59 @@ def psi_drift(
             contrib.cast("long").alias("psi_contrib_milli"),
         )
     )
+
+
+def tvd_drift(ref: DataFrame, cur: DataFrame, cat_col: str) -> DataFrame:
+    """Categorical drift between two dataset versions: per-category
+    share shift, whose half-L1 sum is the total variation distance —
+    the categorical complement of ``psi_drift`` (PSI's log ratio blows
+    up on categories absent from one side; TVD stays bounded in [0, 1],
+    which is what you want for churning label sets).
+
+    Returns one row per category present in EITHER side:
+    ``(category, n_ref, n_cur, ref_permille, cur_permille,
+    abs_diff_permille)`` — ``sum(abs_diff_permille) / 2`` is the TVD in
+    permille. Shares are floored permille (NOT clamped — a category
+    with zero rows has a genuine zero share; clamping is a PSI-ism its
+    log needs). NULL categories count as a real category.
+
+    Scale shape: one map-side-combined groupBy per side on the category
+    key, a full-outer join of two |categories|-sized frames, and the
+    totals from a window over that tiny frame — nothing touches raw
+    rows twice.
+    """
+    from pyspark.sql import Window
+
+    r = (
+        ref.select(F.col(cat_col).alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").cast("long").alias("n_ref"))
+    )
+    c = (
+        cur.select(F.col(cat_col).alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").cast("long").alias("n_cur"))
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = (
+        r.join(c, r["category"].eqNullSafe(c["category"]), "full_outer")
+        .select(
+            F.coalesce(r["category"], c["category"]).alias("category"),
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+        .withColumn("__tr", F.sum("n_ref").over(w).cast("long"))
+        .withColumn("__tc", F.sum("n_cur").over(w).cast("long"))
+    )
+    pm = F.expr("(1000 * n_ref) div greatest(__tr, 1)")
+    qm = F.expr("(1000 * n_cur) div greatest(__tc, 1)")
+    return j.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        pm.cast("long").alias("ref_permille"),
+        qm.cast("long").alias("cur_permille"),
+        F.abs(pm - qm).cast("long").alias("abs_diff_permille"),
+    )

@@ -329,3 +329,71 @@ def growth_accounting(events: DataFrame) -> DataFrame:
             ],
         )
     )
+
+
+def attribution_models(
+    pairs: DataFrame, channel_col: str = "channel"
+) -> DataFrame:
+    """Multi-touch attribution over (purchase, view) pairs: credit each
+    purchase's cents to its touch channels under the three standard
+    models at once —
+
+    - FIRST touch: everything to the earliest view in the window,
+    - LAST touch: everything to the latest view,
+    - LINEAR: cents DIV n per view, with the integer remainder assigned
+      to the first touch (stated tie-break; keeps every model's total
+      exactly equal to total attributed revenue — floats would leak
+      cents).
+
+    ``pairs`` is the attribution join output (one row per purchase ×
+    in-window view — streaming.ops._attribution's shape) plus a channel
+    column. Earliest/latest = (lag_sec DESC/ASC, view_id) — total order,
+    deterministic under same-second views.
+
+    Returns per channel: (channel, n_first, first_cents, n_last,
+    last_cents, linear_cents).
+
+    Scale shape: ONE window pass over the pair frame partitioned by
+    purchase_id (rn + count in the same partition ordering; last touch
+    is rn == n, no second sort), then one map-side-combined groupBy on
+    the channel. Pairs per purchase are bounded by views-per-user-window
+    — the join's own fan-out bound.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("lag_sec").desc(), F.col("view_id")
+    )
+    flagged = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(Window.partitionBy("purchase_id")))
+        .withColumn("__first", F.col("__rn") == 1)
+        .withColumn("__last", F.col("__rn") == F.col("__n"))
+        .withColumn(
+            "__linear",
+            F.expr("purchase_cents div __n")
+            + F.when(
+                F.col("__first"), F.expr("purchase_cents % __n")
+            ).otherwise(F.lit(0)),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return flagged.groupBy(F.col(channel_col).alias("channel")).agg(
+        F.sum(F.when(F.col("__first"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.coalesce(
+            F.sum(F.when(F.col("__first"), F.col("purchase_cents"))), zero
+        )
+        .cast("long")
+        .alias("first_cents"),
+        F.sum(F.when(F.col("__last"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_last"),
+        F.coalesce(
+            F.sum(F.when(F.col("__last"), F.col("purchase_cents"))), zero
+        )
+        .cast("long")
+        .alias("last_cents"),
+        F.sum("__linear").cast("long").alias("linear_cents"),
+    )

@@ -564,6 +564,67 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                        value_col="cnt")
 
 
+def q_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (total variation distance decomposition)
+    between the CDC snapshots' status distributions — the categorical
+    complement of psi_drift: shares stay bounded for categories absent
+    from one side, where PSI's log ratio blows up. Floored permille,
+    full-outer category join, totals from a window over the tiny
+    category frame."""
+    from tepsonic_database_sync_spark.operators.drift import tvd_drift
+
+    old, new = _cdc_snapshots(spark, sf_dir)
+    return tvd_drift(old, new, "o_orderstatus")
+
+
+def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch / linear multi-touch attribution over
+    the purchase→view window join, credited to the view's channel
+    (props.k mod 5): one window pass over the pair frame (rn + count in
+    the same partition ordering), integer linear split with the
+    remainder pinned to the first touch so every model's total is
+    exactly the attributed revenue."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import (
+        attribution_models,
+    )
+    from tepsonic_database_sync_spark.streaming.ops import (
+        ATTRIBUTION_WINDOW_S,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        _cents("value").alias("purchase_cents"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        (F.get_json_object("props", "$.k").cast("long") % 5).alias("channel"),
+    )
+    cond = (
+        (p["user_id"] == v["v_user_id"])
+        & (v["v_ts"] <= p["p_ts"])
+        & (
+            v["v_ts"]
+            >= p["p_ts"] - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")
+        )
+    )
+    pairs = p.join(v, cond, "inner").select(
+        "purchase_id",
+        "view_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+        .cast("long")
+        .alias("lag_sec"),
+        "purchase_cents",
+        "channel",
+    )
+    return attribution_models(pairs)
+
+
 def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE-PORTABLE HyperLogLog register table over distinct users —
     unlike approx_count_distinct's opaque internal layout, these
@@ -3475,6 +3536,78 @@ FROM bkt r JOIN s ON r.key = s.key AND r.b = s.tb
 """
 
 
+_TVD_DRIFT_ORACLE = f"""
+WITH old AS (
+  SELECT o_orderstatus FROM orders
+  WHERE o_orderkey % {CDC_P["old_excl"]} != 0
+),
+new AS (
+  SELECT o_orderstatus FROM orders
+  WHERE o_orderkey % {CDC_P["new_excl"]} != 0
+),
+r AS (SELECT o_orderstatus AS category, CAST(count(*) AS BIGINT) AS n_ref
+      FROM old GROUP BY 1),
+c AS (SELECT o_orderstatus AS category, CAST(count(*) AS BIGINT) AS n_cur
+      FROM new GROUP BY 1),
+j AS (
+  SELECT coalesce(r.category, c.category) AS category,
+         coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+  FROM r FULL OUTER JOIN c ON r.category IS NOT DISTINCT FROM c.category
+),
+t AS (
+  SELECT *, sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc FROM j
+)
+SELECT category, n_ref, n_cur,
+       CAST((1000 * n_ref) // greatest(tr, 1) AS BIGINT) AS ref_permille,
+       CAST((1000 * n_cur) // greatest(tc, 1) AS BIGINT) AS cur_permille,
+       CAST(abs((1000 * n_ref) // greatest(tr, 1)
+                - (1000 * n_cur) // greatest(tc, 1)) AS BIGINT)
+         AS abs_diff_permille
+FROM t
+"""
+
+
+def _attribution_models_oracle() -> str:
+    """DuckDB twin of operators.events.attribution_models over the
+    purchase→view window join with props.k-mod-5 channels."""
+    from tepsonic_database_sync_spark.streaming.ops import (
+        ATTRIBUTION_WINDOW_S,
+    )
+
+    return f"""
+WITH pairs AS (
+  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+         CAST(floor(epoch(p.ts)) AS BIGINT)
+           - CAST(floor(epoch(v.ts)) AS BIGINT) AS lag_sec,
+         CAST(round(p.value * 100, 0) AS BIGINT) AS purchase_cents,
+         CAST(json_extract_string(v.props, '$.k') AS BIGINT) % 5 AS channel
+  FROM events p JOIN events v
+    ON p.user_id = v.user_id
+   AND v.ts <= p.ts
+   AND v.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW_S} SECOND
+  WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+),
+fl AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY lag_sec DESC, view_id) AS rn,
+         count(*) OVER (PARTITION BY purchase_id) AS n
+  FROM pairs
+)
+SELECT channel,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(coalesce(sum(CASE WHEN rn = 1 THEN purchase_cents END), 0)
+            AS BIGINT) AS first_cents,
+       CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+       CAST(coalesce(sum(CASE WHEN rn = n THEN purchase_cents END), 0)
+            AS BIGINT) AS last_cents,
+       CAST(sum(purchase_cents // n
+                + CASE WHEN rn = 1 THEN purchase_cents % n ELSE 0 END)
+            AS BIGINT) AS linear_cents
+FROM fl GROUP BY 1
+"""
+
+
 def _hll_registers_oracle() -> str:
     """DuckDB twin of sketches.hll_register_table on events.user_id:
     same h31 reduction, bucket split, and 21-bit-field rho."""
@@ -5760,18 +5893,19 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1,
-# then extended late in the round): the 16 late-r7 additions
-# (time_resample … hll_registers), the 23 earlier r7-new entries, and
-# the first 11 rotation-queue entries — 16 + 23 + 11 = 50. The late
+# then extended late in the round): the 18 late-r7 additions
+# (time_resample … attribution_models), the 23 earlier r7-new entries,
+# and the first 9 rotation-queue entries — 18 + 23 + 9 = 50. The late
 # additions displaced (a) the 9 r05-green entries that briefly held
 # window slots (sync_pipeline … x2_quarantine — they keep their r05
-# green rows) and (b) the LAST SEVEN rotation-queue entries
-# (tpch_q17_small_qty, tpch_q22_idle_custs, rollup_sales,
-# pivot_segment_priority, unpivot, count_distinct, window_running_total
-# — last green r03/r04) — those seven are the r8 rotation queue HEAD
-# and the only misses of the "every entry green in r05 ∪ r06 ∪ r07"
-# target, exactly the precedented r6 situation (four r01 displacees,
-# rotated first the next round). The
+# green rows) and (b) the LAST NINE rotation-queue entries
+# (tpch_q10_returns, tpch_q6_sql, tpch_q17_small_qty,
+# tpch_q22_idle_custs, rollup_sales, pivot_segment_priority, unpivot,
+# count_distinct, window_running_total — last green r03/r04) — those
+# nine are the r8 rotation queue HEAD and the only misses of the
+# "every entry green in r05 ∪ r06 ∪ r07" target, exactly the
+# precedented r6 situation (four r01 displacees, rotated first the
+# next round). The
 # tail still runs in scripts/driver_sim.py every session. New or changed
 # entries must displace window slots, never ride the tail unverified —
 # machine-checked by tests/test_driver_contract.py::
@@ -5797,6 +5931,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "group_moments": (q_group_moments, _GROUP_MOMENTS_ORACLE),
     "ohlc_bars": (q_ohlc_bars, _OHLC_ORACLE),
     "hll_registers": (q_hll_registers, _hll_registers_oracle()),
+    "tvd_drift": (q_tvd_drift, _TVD_DRIFT_ORACLE),
+    "attribution_models": (q_attribution_models, _attribution_models_oracle()),
     # --- NEW in r7 (earlier in the round), 23 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
     # the CDC pair (diff + roundtrip), Markov transitions, volume-spike

@@ -2063,3 +2063,58 @@ def test_ohlc_bars_deterministic_open_close_under_ties(spark):
     assert (bar["high_cents"], bar["low_cents"]) == (700, 50)
     assert (bar["n"], bar["volume_cents"]) == (4, 1150)
     assert got[base + 3600]["open_cents"] == 20
+
+
+def test_tvd_drift_bounded_and_exact(spark):
+    from tepsonic_database_sync_spark.operators.drift import tvd_drift
+
+    ref = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 4, "c string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 4 + [("x",)] * 4, "c string"
+    )
+    got = {r["category"]: r for r in tvd_drift(ref, cur, "c").collect()}
+    # a: 600‰ → 200‰; b: 400‰ → 400‰; x: 0 → 400‰ (absent from ref —
+    # PSI would blow up here, TVD stays bounded)
+    assert got["a"]["abs_diff_permille"] == 400
+    assert got["b"]["abs_diff_permille"] == 0
+    assert got["x"]["n_ref"] == 0 and got["x"]["abs_diff_permille"] == 400
+    tvd = sum(r["abs_diff_permille"] for r in got.values()) // 2
+    assert tvd == 400
+    # identical sides → zero everywhere
+    same = tvd_drift(ref, ref, "c").collect()
+    assert all(r["abs_diff_permille"] == 0 for r in same)
+
+
+def test_attribution_models_credit_conservation_and_touch_rules(spark):
+    from tepsonic_database_sync_spark.operators.events import (
+        attribution_models,
+    )
+
+    # one purchase of 1001 cents with 3 views: channels 1 (earliest,
+    # lag 30), 2 (lag 20), 3 (latest, lag 10); plus a single-view purchase
+    pairs = spark.createDataFrame(
+        [
+            (100, 1, 30, 1001, 1),
+            (100, 2, 20, 1001, 2),
+            (100, 3, 10, 1001, 3),
+            (200, 4, 5, 500, 2),
+        ],
+        "purchase_id long, view_id long, lag_sec long,"
+        " purchase_cents long, channel long",
+    )
+    got = {r["channel"]: r for r in attribution_models(pairs).collect()}
+    # first touch: channel 1 gets all of purchase 100; channel 2 gets 200
+    assert got[1]["first_cents"] == 1001 and got[1]["n_first"] == 1
+    assert got[2]["first_cents"] == 500
+    # last touch: channel 3 gets purchase 100
+    assert got[3]["last_cents"] == 1001 and got[3]["n_last"] == 1
+    # linear: 1001 div 3 = 333 each, remainder 2 to the FIRST touch
+    assert got[1]["linear_cents"] == 333 + 2
+    assert got[2]["linear_cents"] == 333 + 500
+    assert got[3]["linear_cents"] == 333
+    # conservation: every model's total equals total attributed revenue
+    total = 1001 + 500
+    for col in ("first_cents", "last_cents", "linear_cents"):
+        assert sum(r[col] for r in got.values()) == total
