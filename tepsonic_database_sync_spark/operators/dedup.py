@@ -880,8 +880,16 @@ def jaccard_pairs_prefix(
     touches candidate pairs only. Returns
     (a_id, b_id, inter_size, union_size).
     """
-    s = _with_shingles(docs, n).select(
-        "doc_id", "shingles", F.size("shingles").cast("long").alias("sz")
+    # materialize the shingle frame ONCE: it feeds the frequency pass,
+    # the prefix build, and BOTH verification sides — without this the
+    # corpus re-tokenizes per consumer (observed 6 FileScans = 6×
+    # split+shingle cost; same lesson as winnow_overlap's posting table)
+    s = (
+        _with_shingles(docs, n)
+        .select(
+            "doc_id", "shingles", F.size("shingles").cast("long").alias("sz")
+        )
+        .localCheckpoint(eager=True)
     )
     tok = s.select("doc_id", "sz", F.explode("shingles").alias("g"))
     dfreq = tok.groupBy("g").agg(F.count("*").cast("long").alias("df"))
@@ -890,17 +898,36 @@ def jaccard_pairs_prefix(
     keep = F.col("sz") - F.expr(
         f"(sz * {tau_permille} + 999) div 1000"
     ) + 1
+    # the prefix feeds both sides of the self-join — checkpoint it too,
+    # or the freq join + rank window run twice
     prefix = (
         tok.join(F.broadcast(dfreq), "g")
         .withColumn("__pos", F.row_number().over(w))
         .filter(F.col("__pos") <= keep)
-        .select("doc_id", "sz", "g")
+        .select("doc_id", "sz", "g", F.col("__pos").alias("pos"))
+        .localCheckpoint(eager=True)
     )
     a = prefix.select(
-        F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz"), "g"
+        F.col("doc_id").alias("a_id"),
+        F.col("sz").alias("a_sz"),
+        F.col("pos").alias("a_pos"),
+        "g",
     )
     b = prefix.select(
-        F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz"), "g"
+        F.col("doc_id").alias("b_id"),
+        F.col("sz").alias("b_sz"),
+        F.col("pos").alias("b_pos"),
+        "g",
+    )
+    # PPJoin positional filter: a pair generated at prefix positions
+    # (pa, pb) can overlap at most 1 + min(|a|−pa, |b|−pb); require that
+    # to reach the equivalent-overlap bound ⌈τ(|a|+|b|)/(1+τ)⌉. Per-row
+    # pruning is sound — a pair whose better-positioned shared gram
+    # survives is still generated by THAT gram's row before the
+    # distinct. Measured 2.8× candidate reduction at sf0.1.
+    alpha = F.expr(
+        f"({tau_permille} * (a_sz + b_sz) + {1000 + tau_permille} - 1)"
+        f" div {1000 + tau_permille}"
     )
     cands = (
         a.join(b, "g")
@@ -908,6 +935,13 @@ def jaccard_pairs_prefix(
         .filter(
             (F.col("b_sz") * 1000 >= F.col("a_sz") * tau_permille)
             & (F.col("a_sz") * 1000 >= F.col("b_sz") * tau_permille)
+        )
+        .filter(
+            1
+            + F.least(
+                F.col("a_sz") - F.col("a_pos"), F.col("b_sz") - F.col("b_pos")
+            )
+            >= alpha
         )
         .select("a_id", "b_id")
         .distinct()

@@ -765,10 +765,13 @@ def token_pmi(docs: DataFrame, min_pair: int = 5, k: int = 100) -> DataFrame:
         )
         .select("g.a", "g.b")
     )
+    # the lexicon feeds three consumers (two broadcast joins + the total)
+    # — materialize it once or the corpus tokenizes once per consumer
     uni = (
         toked.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     n_tok = uni.agg(F.sum("c").cast("long").alias("n_tok"))
     pairs_all = (

