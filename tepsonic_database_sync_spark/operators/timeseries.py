@@ -126,6 +126,10 @@ def interval_concurrency(
     per-key distinct-boundary series — aggregate first, window over
     aggregates (the event_anomaly shape). Never a self-join, never a
     window over raw intervals.
+
+    Contract: start/end must be non-NULL (engines disagree on NULL
+    ordering — Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST —
+    so a NULL boundary would make the running sum engine-dependent).
     """
     deltas = intervals.select(
         F.col(key).alias("key"),
@@ -181,6 +185,10 @@ def ewma_dyadic(
     Spark windows cannot express), then ONE map-side-combined groupBy on
     (key, target bucket); an inner join back to the real buckets drops
     targets that never observed a reading.
+
+    Contract: ``value_col`` must be non-negative — the weighted sums
+    then stay non-negative, so Spark's truncating DIV equals DuckDB's
+    flooring // (the engine family's standard negative-division guard).
     """
     r = readings.select(
         F.col(key).alias("key"),
