@@ -141,3 +141,33 @@ def group_moments(
         F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_yy"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
     ).withColumnRenamed("g", group)
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns — the
+    data-governance census next to dq_checks: every combination of
+    quasi-identifier values (an "equivalence class") with its row count
+    and whether it puts individuals at re-identification risk
+    (class size < k). Suppressing or generalizing exactly the flagged
+    classes is the standard remediation; their row counts size that
+    work.
+
+    NULLs are legitimate quasi-identifier values (a missing birthday is
+    itself identifying) and group as their own class — Spark and SQL
+    GROUP BY agree on that.
+
+    One map-side-combined groupBy on the quasi columns; at 100 TB this
+    is the same shape as any rollup — the classes frame is bounded by
+    the quasi-space cardinality, not by rows.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity requires at least one quasi column")
+    if k < 2:
+        raise ValueError("k must be ≥ 2 (k=1 flags nothing)")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < k)
+    )

@@ -564,6 +564,33 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                        value_col="cnt")
 
 
+# k-anonymity threshold, shared with the oracle
+KANON_K = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over customer quasi-identifiers (nation,
+    market segment, account-balance band): every equivalence class with
+    its size and an at-risk flag (size < k). One rollup-shaped groupBy;
+    classes bounded by the quasi space, not by rows."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.profile import k_anonymity
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        # +1e6 shift keeps the dividend non-negative (acctbal can be
+        # negative) so truncating DIV == flooring // across engines
+        F.expr(
+            "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000000)"
+            " div 100000"
+        ).alias("bal_band"),
+    )
+    return k_anonymity(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=KANON_K
+    )
+
+
 def q_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift (total variation distance decomposition)
     between the CDC snapshots' status distributions — the categorical
@@ -3536,6 +3563,16 @@ FROM bkt r JOIN s ON r.key = s.key AND r.b = s.tb
 """
 
 
+_KANON_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST((CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000000) // 100000
+            AS BIGINT) AS bal_band,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) < {KANON_K} AS at_risk
+FROM customer GROUP BY 1, 2, 3
+"""
+
+
 _TVD_DRIFT_ORACLE = f"""
 WITH old AS (
   SELECT o_orderstatus FROM orders
@@ -5893,16 +5930,16 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1,
-# then extended late in the round): the 18 late-r7 additions
-# (time_resample … attribution_models), the 23 earlier r7-new entries,
-# and the first 9 rotation-queue entries — 18 + 23 + 9 = 50. The late
+# then extended late in the round): the 19 late-r7 additions
+# (time_resample … k_anonymity), the 23 earlier r7-new entries, and
+# the first 8 rotation-queue entries — 19 + 23 + 8 = 50. The late
 # additions displaced (a) the 9 r05-green entries that briefly held
 # window slots (sync_pipeline … x2_quarantine — they keep their r05
-# green rows) and (b) the LAST NINE rotation-queue entries
-# (tpch_q10_returns, tpch_q6_sql, tpch_q17_small_qty,
+# green rows) and (b) the LAST TEN rotation-queue entries
+# (tpch_q3_topk, tpch_q10_returns, tpch_q6_sql, tpch_q17_small_qty,
 # tpch_q22_idle_custs, rollup_sales, pivot_segment_priority, unpivot,
 # count_distinct, window_running_total — last green r03/r04) — those
-# nine are the r8 rotation queue HEAD and the only misses of the
+# ten are the r8 rotation queue HEAD and the only misses of the
 # "every entry green in r05 ∪ r06 ∪ r07" target, exactly the
 # precedented r6 situation (four r01 displacees, rotated first the
 # next round). The
@@ -5932,6 +5969,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ohlc_bars": (q_ohlc_bars, _OHLC_ORACLE),
     "hll_registers": (q_hll_registers, _hll_registers_oracle()),
     "tvd_drift": (q_tvd_drift, _TVD_DRIFT_ORACLE),
+    "k_anonymity": (q_k_anonymity, _KANON_ORACLE),
     "attribution_models": (q_attribution_models, _attribution_models_oracle()),
     # --- NEW in r7 (earlier in the round), 23 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,

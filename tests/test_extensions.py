@@ -2118,3 +2118,25 @@ def test_attribution_models_credit_conservation_and_touch_rules(spark):
     total = 1001 + 500
     for col in ("first_cents", "last_cents", "linear_cents"):
         assert sum(r[col] for r in got.values()) == total
+
+
+def test_k_anonymity_flags_small_classes_and_groups_nulls(spark):
+    from tepsonic_database_sync_spark.operators.profile import k_anonymity
+
+    df = spark.createDataFrame(
+        [("us", 30), ("us", 30), ("us", 30), ("de", 40), (None, 30),
+         (None, 30)],
+        "country string, age long",
+    )
+    got = {(r["country"], r["age"]): (r["class_size"], r["at_risk"])
+           for r in k_anonymity(df, ["country", "age"], k=3).collect()}
+    assert got[("us", 30)] == (3, False)
+    assert got[("de", 40)] == (1, True)
+    # NULL quasi values form their OWN class (a missing value identifies)
+    assert got[(None, 30)] == (2, True)
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], 3)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["country"], 1)
