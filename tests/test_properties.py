@@ -485,3 +485,103 @@ def test_cdc_incremental_agg_matches_full_recompute(spark, old_rows, new_rows):
     got = incremental_agg(agg(old), diff, group="s", value="v")
     want = {tuple(r) for r in agg(new).collect()}
     assert {tuple(r) for r in got.collect()} == want
+
+
+locf_events = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                 # key
+        st.integers(min_value=0, max_value=12),       # hour offset
+        st.integers(min_value=0, max_value=500),      # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=locf_events)
+def test_resample_locf_matches_python_reference(spark, rows):
+    """Gap-fill + LOCF must match a direct Python replay for random
+    sparse event sets: full per-key grid, max-per-bucket reduction,
+    carry-forward through arbitrary gap runs, correct gap flags."""
+    import datetime as dt
+
+    from pyspark.sql import functions as FF
+
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        resample_locf,
+    )
+
+    utc = dt.timezone.utc
+    base = dt.datetime(2024, 1, 1, tzinfo=utc)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(hours=h, minutes=7), v) for k, h, v in rows],
+        "k string, ts timestamp, v long",
+    )
+    got = {(r["key"], r["bucket_es"]): (r["n_events"], r["value_cents"],
+                                        r["is_gap"])
+           for r in resample_locf(df, "k", "ts", FF.col("v")).collect()}
+
+    b0 = int(base.timestamp())
+    want = {}
+    for key in {k for k, _, _ in rows}:
+        mine = [(h, v) for k, h, v in rows if k == key]
+        hours = sorted({h for h, _ in mine})
+        last = None
+        for h in range(hours[0], hours[-1] + 1):
+            obs = [v for hh, v in mine if hh == h]
+            if obs:
+                last = max(obs)
+            want[(key, b0 + 3600 * h)] = (len(obs), last, not obs)
+    assert got == want
+
+
+compaction_files = st.lists(
+    st.tuples(
+        st.sampled_from(["p", "q"]),
+        st.integers(min_value=1, max_value=3000),     # bytes
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=compaction_files, target=st.integers(min_value=1, max_value=2500))
+def test_compaction_plan_matches_greedy_reference(spark, rows, target):
+    """The prefix-sum binning must equal the sequential greedy replay
+    for random listings and targets: bin boundaries, running bin bytes,
+    and the skip flag for right-sized singletons."""
+    from tepsonic_database_sync_spark.operators.compaction import (
+        compaction_plan,
+    )
+
+    files = [(p, i, b) for i, (p, b) in enumerate(rows)]
+    df = spark.createDataFrame(files, "part string, fid long, bytes long")
+    got = {r["fid"]: (r["bin"], r["bin_bytes"], r["needs_compaction"])
+           for r in compaction_plan(df, "part", "fid", "bytes", target).collect()}
+
+    want = {}
+    for part in {p for p, _, _ in files}:
+        cum = 0
+        bins = {}
+        for p, fid, b in sorted(files):
+            if p != part:
+                continue
+            bin_id = cum // target
+            cum += b
+            bins.setdefault(bin_id, []).append((fid, b, cum))
+        for bin_id, members in bins.items():
+            start = members[0][2] - members[0][1]
+            for fid, b, c in members:
+                skip = len(members) == 1 and b >= target
+                want[fid] = (bin_id, c - start, not skip)
+    assert got == want
