@@ -661,3 +661,76 @@ def distinct_sketch_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def topk_merge(state: DataFrame, batch: DataFrame, k: int) -> DataFrame:
+    """Merge two (key, best_cents) leaderboards into the top-k by
+    (best_cents DESC, key ASC). Correct with only k state rows because
+    any member of the true top-k over the union must already lead one
+    side; idempotent because per-key max and top-k are both idempotent.
+    """
+    from pyspark.sql import Window
+
+    u = state.unionByName(batch).groupBy("key").agg(
+        F.max("best_cents").cast("long").alias("best_cents")
+    )
+    w = Window.orderBy(F.col("best_cents").desc(), F.col("key"))
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def leaderboard_applier(store, key_col: str, value_cents, k: int):
+    """foreachBatch callable behind ``leaderboard_stream``: reduce the
+    micro-batch to its own top-k of per-key maxima and merge into the
+    stored leaderboard. Like the HLL registers — and unlike the rollup —
+    the merge is an idempotent CRDT join, so replays need no marker
+    protocol; state is k rows, period (the global top-k window sorts a
+    ≤ 2k-row union, never the feed)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_top = topk_merge(
+            batch_df.select(
+                F.col(key_col).alias("key"),
+                value_cents.cast("long").alias("best_cents"),
+            ).limit(0),
+            batch_df.select(
+                F.col(key_col).alias("key"),
+                value_cents.cast("long").alias("best_cents"),
+            ),
+            k,
+        )
+        state = store.read()
+        merged = batch_top if state is None else topk_merge(state, batch_top, k)
+        store.overwrite(merged)
+
+    return apply_batch
+
+
+def leaderboard_stream(
+    stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    key_col: str,
+    value_cents,
+    k: int,
+    available_now: bool = True,
+):
+    """Continuously-maintained top-k leaderboard (largest observed value
+    per key — e.g. biggest purchase per user): per micro-batch, reduce
+    to the batch's own top-k and CRDT-merge with the stored k rows.
+    Exactly-once by algebra (idempotent max + top-k), state bounded at
+    k rows regardless of feed size; equivalence with the one-shot batch
+    top-k over the full feed is pinned in tests."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            leaderboard_applier(store, key_col, value_cents, k)
+        ).option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

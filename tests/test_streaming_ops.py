@@ -817,3 +817,51 @@ def test_distinct_sketch_stream_equals_batch_and_replays_by_algebra(
     q2 = distinct_sketch_stream(stream2, store, str(tmp_path / "ckpt2"), "uid")
     q2.awaitTermination(180)
     assert {(r["bucket"], r["max_rho"]) for r in store.read().collect()} == want
+
+
+def test_leaderboard_stream_equals_batch_topk_and_replays_by_algebra(
+    spark, tmp_path
+):
+    """The streamed k-row leaderboard must equal the one-shot batch
+    top-k over the full feed — including when a later batch demotes an
+    earlier leader — and a full redelivery must be a no-op purely
+    because max + top-k are idempotent (no marker protocol exists)."""
+    from pyspark.sql import functions as FF
+
+    from tepsonic_database_sync_spark.sources.jdbc import ParquetStateStore
+    from tepsonic_database_sync_spark.streaming.ops import leaderboard_stream
+
+    schema = "uid long, cents long"
+    chunks = [
+        [(1, 100), (2, 900), (3, 50)],
+        [(4, 500), (1, 800), (5, 30)],   # user 1 improves
+        [(6, 950), (7, 20), (2, 10)],    # new leader; low repeat ignored
+    ]
+    src = str(tmp_path / "src")
+    for ch in chunks:
+        spark.createDataFrame(ch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = ParquetStateStore(spark, str(tmp_path / "lb"))
+    k = 3
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = leaderboard_stream(
+        stream, store, str(tmp_path / "ckpt"), "uid", FF.col("cents"), k
+    )
+    q.awaitTermination(180)
+
+    got = {(r["key"], r["best_cents"]) for r in store.read().collect()}
+    assert got == {(6, 950), (2, 900), (1, 800)}
+
+    # full redelivery, fresh checkpoint: unchanged by idempotence alone
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = leaderboard_stream(
+        stream2, store, str(tmp_path / "ckpt2"), "uid", FF.col("cents"), k
+    )
+    q2.awaitTermination(180)
+    assert {(r["key"], r["best_cents"]) for r in store.read().collect()} == got
