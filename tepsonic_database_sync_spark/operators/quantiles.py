@@ -157,3 +157,64 @@ def quantile_bucketize(
             .alias("bucket")
         )
     )
+
+
+def grouped_mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_milli: int = 3000,
+) -> DataFrame:
+    """Robust per-group outlier census via the median absolute deviation
+    — the resistant complement of the percentile-threshold detector
+    (outliers_p99): a few extreme rows move a mean/stddev fence but
+    leave median and MAD untouched, so the classic
+    ``|x − median| > k · MAD`` rule (k = 3 by default, in milli) keeps
+    its power under contamination.
+
+    Exact integer throughout: both the median and the MAD come from the
+    distinct-value histogram (``grouped_quantiles_exact`` — inverse CDF,
+    never a per-group sort of raw rows), deviations are absolute BIGINT
+    differences, and the fence check cross-multiplies
+    (``dev · 1000 > k_milli · mad``) instead of dividing. MAD = 0
+    (more than half the group identical) makes every deviating row an
+    outlier — the documented degenerate of the rule. NULL values are
+    excluded (no rank).
+
+    Returns per group: (group, n, median, mad, n_outliers).
+
+    Scale shape: two histogram passes (values, then deviations), each
+    one map-side-combined shuffle + a window over distinct values; the
+    per-group median/MAD frames broadcast back onto the rows. Nothing
+    sorts raw rows.
+    """
+    rows = df.select(group_col, value_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    med = grouped_quantiles_exact(rows, group_col, value_col, (500,)).select(
+        group_col, F.col("value").alias("__med")
+    )
+    dev = rows.join(F.broadcast(med), group_col).select(
+        group_col,
+        F.col("__med"),
+        F.abs(F.col(value_col) - F.col("__med")).cast("long").alias("__dev"),
+    )
+    mad = grouped_quantiles_exact(dev, group_col, "__dev", (500,)).select(
+        group_col, F.col("value").alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("__med").cast("long").alias("median"),
+            F.min("__mad").cast("long").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("__dev") * 1000 > k_milli * F.col("__mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

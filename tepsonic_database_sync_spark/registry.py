@@ -564,6 +564,22 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                        value_col="cnt")
 
 
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-priority outlier census on order totals: median and
+    MAD from the exact distinct-value histogram (no per-group sort of
+    raw rows), fence |x−med| > 3·MAD cross-multiplied in integers.
+    The resistant complement of outliers_p99."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.quantiles import (
+        grouped_mad_outliers,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents("o_totalprice").alias("cents")
+    )
+    return grouped_mad_outliers(o, "o_orderpriority", "cents")
+
+
 # leaderboard size, shared with the oracle
 LEADERBOARD_K = 20
 
@@ -3585,6 +3601,45 @@ FROM bkt r JOIN s ON r.key = s.key AND r.b = s.tb
 """
 
 
+_OUTLIERS_MAD_ORACLE = """
+WITH rows_ AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+vh AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1, 2),
+vc AS (SELECT g, v, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum
+       FROM vh),
+vt AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM vh GROUP BY 1),
+med AS (
+  SELECT c.g, CAST(min(c.v) AS BIGINT) AS med
+  FROM vc c JOIN vt t USING (g)
+  WHERE 1000 * c.cum >= 500 * t.n GROUP BY 1
+),
+dev AS (
+  SELECT r.g, m.med, abs(r.v - m.med) AS d
+  FROM rows_ r JOIN med m ON r.g = m.g
+),
+dh AS (SELECT g, d, CAST(count(*) AS BIGINT) AS cnt FROM dev GROUP BY 1, 2),
+dc AS (SELECT g, d, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY d) AS cum
+       FROM dh),
+dt AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM dh GROUP BY 1),
+mad AS (
+  SELECT c.g, CAST(min(c.d) AS BIGINT) AS mad
+  FROM dc c JOIN dt t USING (g)
+  WHERE 1000 * c.cum >= 500 * t.n GROUP BY 1
+)
+SELECT d.g AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d.med) AS BIGINT) AS median,
+       CAST(min(m.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN d.d * 1000 > 3000 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.g = m.g
+GROUP BY 1
+"""
+
+
 _LEADERBOARD_ORACLE = f"""
 SELECT user_id AS key,
        CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
@@ -5961,17 +6016,17 @@ FROM sess GROUP BY user_id, session_idx
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
 # FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1,
-# then extended late in the round): the 20 late-r7 additions
-# (time_resample … leaderboard), the 23 earlier r7-new entries, and
-# the first 7 rotation-queue entries — 20 + 23 + 7 = 50. The late
+# then extended late in the round): the 21 late-r7 additions
+# (time_resample … outliers_mad), the 23 earlier r7-new entries, and
+# the first 6 rotation-queue entries — 21 + 23 + 6 = 50. The late
 # additions displaced (a) the 9 r05-green entries that briefly held
 # window slots (sync_pipeline … x2_quarantine — they keep their r05
-# green rows) and (b) the LAST ELEVEN rotation-queue entries
-# (exists_subquery, tpch_q3_topk, tpch_q10_returns, tpch_q6_sql,
-# tpch_q17_small_qty, tpch_q22_idle_custs, rollup_sales,
+# green rows) and (b) the trailing rotation-queue entries
+# (exists_subquery, tpch_q1_pricing, tpch_q3_topk, tpch_q10_returns,
+# tpch_q6_sql, tpch_q17_small_qty, tpch_q22_idle_custs, rollup_sales,
 # pivot_segment_priority, unpivot, count_distinct, window_running_total
-# — last green r03/r04) — those eleven are the r8 rotation queue HEAD
-# and the only misses of the
+# — LAST TWELVE displaced) — those twelve are the
+# r8 rotation queue HEAD and the only misses of the
 # "every entry green in r05 ∪ r06 ∪ r07" target, exactly the
 # precedented r6 situation (four r01 displacees, rotated first the
 # next round). The
@@ -6003,6 +6058,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tvd_drift": (q_tvd_drift, _TVD_DRIFT_ORACLE),
     "k_anonymity": (q_k_anonymity, _KANON_ORACLE),
     "leaderboard": (q_leaderboard, _LEADERBOARD_ORACLE),
+    "outliers_mad": (q_outliers_mad, _OUTLIERS_MAD_ORACLE),
     "attribution_models": (q_attribution_models, _attribution_models_oracle()),
     # --- NEW in r7 (earlier in the round), 23 entries:
     # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,

@@ -2140,3 +2140,25 @@ def test_k_anonymity_flags_small_classes_and_groups_nulls(spark):
         k_anonymity(df, [], 3)
     with pytest.raises(ValueError):
         k_anonymity(df, ["country"], 1)
+
+
+def test_grouped_mad_outliers_resistant_fence(spark):
+    from tepsonic_database_sync_spark.operators.quantiles import (
+        grouped_mad_outliers,
+    )
+
+    # group g: tight cluster 100±2 plus two extreme rows — a mean/std
+    # fence would be dragged by the extremes; MAD must flag exactly them
+    rows = ([("g", v) for v in (98, 99, 100, 100, 101, 102)]
+            + [("g", 500), ("g", -300)]
+            + [("h", 7)] * 4)  # constant group: MAD 0, no deviating rows
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {r["grp"]: r for r in grouped_mad_outliers(df, "grp", "v").collect()}
+    g = got["g"]
+    assert g["median"] == 100 and g["mad"] == 1
+    assert g["n_outliers"] == 2  # only the two planted extremes
+    h = got["h"]
+    assert h["mad"] == 0 and h["n_outliers"] == 0
+    # MAD = 0 degenerate: one deviating row among constants IS an outlier
+    df2 = spark.createDataFrame([("k", 5)] * 5 + [("k", 6)], "grp string, v long")
+    assert grouped_mad_outliers(df2, "grp", "v").collect()[0]["n_outliers"] == 1
