@@ -32,7 +32,8 @@ Timing protocol (BENCH_r02 onward):
   weighted_sample, cdc_incremental_agg, match_fuzzy,
   dedup_prefix_filter, psi_drift, compaction_plan, interval_concurrency,
   ewma, group_moments, ohlc_bars, hll_registers, tvd_drift,
-  attribution_models, k_anonymity, leaderboard, outliers_mad), so r7 totals are comparable to earlier rounds
+  attribution_models, k_anonymity, leaderboard, outliers_mad,
+  triangle_stats), so r7 totals are comparable to earlier rounds
   only on the common-query subset, as with every prior headline
   extension.
 """
@@ -140,6 +141,7 @@ HEADLINE = [
     "k_anonymity",
     "leaderboard",
     "outliers_mad",
+    "triangle_stats",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

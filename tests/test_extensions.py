@@ -2162,3 +2162,26 @@ def test_grouped_mad_outliers_resistant_fence(spark):
     # MAD = 0 degenerate: one deviating row among constants IS an outlier
     df2 = spark.createDataFrame([("k", 5)] * 5 + [("k", 6)], "grp string, v long")
     assert grouped_mad_outliers(df2, "grp", "v").collect()[0]["n_outliers"] == 1
+
+
+def test_triangle_stats_counts_each_triangle_once(spark):
+    from tepsonic_database_sync_spark.operators.graph import triangle_stats
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3, cc = 1000‰), a
+    # pendant node 5 off node 1, and a triangle-free path 10-11-12
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    edges = k4 + [(1, 5), (10, 11), (11, 12)]
+    # feed some edges reversed and duplicated: normalization must absorb
+    df = spark.createDataFrame(
+        edges + [(j, i) for i, j in k4[:3]], "a long, b long"
+    )
+    got = {r["node"]: r for r in triangle_stats(df).collect()}
+    for n in (2, 3, 4):
+        assert got[n]["n_triangles"] == 3
+        assert got[n]["clustering_permille"] == 1000
+    assert got[1]["degree"] == 4 and got[1]["n_triangles"] == 3
+    assert got[1]["clustering_permille"] == (2000 * 3) // (4 * 3)
+    assert got[5] ["n_triangles"] == 0 and got[5]["clustering_permille"] == 0
+    assert got[11]["degree"] == 2 and got[11]["n_triangles"] == 0
+    # total triangles = Σ credits / 3 = 4
+    assert sum(r["n_triangles"] for r in got.values()) == 12
