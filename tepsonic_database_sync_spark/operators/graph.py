@@ -42,13 +42,22 @@ PR_BASE_MILLI = 150  # (1000 - damping) · 1000 / 1000
 def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """Integer PageRank over a directed edge list (src, dst).
 
-    Every node must appear as a source (no dangling nodes) — symmetrize
-    the graph first if needed; raises otherwise is NOT checked here
-    (a dangling dst simply keeps receiving mass but contributes none,
-    and drops out of the returned frame, which covers exactly the nodes
-    with in-edges after round 1 ∪ sources at round 0 — callers wanting
-    the classic formulation pass a symmetrized edge set, as the registry
-    query does).
+    The rank frame covers EVERY node of the graph (src ∪ dst) on every
+    round: nodes with no in-edges receive exactly the base mass
+    (150 milli) but keep CONTRIBUTING their rank downstream — the
+    classic formulation on any shape, including non-symmetrized DAGs.
+    (Before r8 a node with out-edges but no in-edges dropped out of the
+    rank frame after round 1, silently losing its outbound
+    contributions — VERDICT r7 advice item 3.) Dangling nodes (in-edges
+    only) receive mass but emit none; their lost mass is the standard
+    no-redistribution variant.
+
+    Mechanics: every round unions one zero-contribution row per node
+    into the contribution frame before the groupBy, so absent keys
+    still aggregate to the base rank — a union (no shuffle of its own;
+    the rows co-group with the real contributions in the one
+    map-side-combined aggregate), NOT an extra per-round join. The tiny
+    node frame is derived once from the checkpointed edge frame.
 
     Returns (node, rank_milli).
     """
@@ -58,11 +67,18 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    # seed ranks FROM the checkpoint (already partitioned on src, so the
-    # distinct adds no exchange) — deriving them from `deg` would re-scan
-    # the source once more, plan-asserted in tests/test_plan_quality.py
-    ranks = e.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(1000).cast("long").alias("rank_milli")
+    # node universe FROM the checkpoint (never re-scans the source,
+    # plan-asserted in tests/test_plan_quality.py); checkpointed so the
+    # per-round union re-reads a materialized frame, not the distinct
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
+    ranks = nodes.select(
+        "node", F.lit(1000).cast("long").alias("rank_milli")
     )
     for _ in range(iters):
         contribs = e.join(
@@ -71,7 +87,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             e["dst"].alias("node"),
             F.expr("rank_milli div d").cast("long").alias("c"),
         )
-        ranks = contribs.groupBy("node").agg(
+        ranks = contribs.unionAll(zero).groupBy("node").agg(
             (
                 F.lit(PR_BASE_MILLI)
                 + F.expr(f"({PR_DAMPING_PERMILLE} * sum(c)) div 1000")

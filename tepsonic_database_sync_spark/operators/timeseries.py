@@ -245,18 +245,47 @@ def ohlc_bars(
     value) as one fixed-width zero-padded string whose lexicographic
     order equals the numeric composite order, take plain min/max —
     deterministic in ANY engine — and decode the value by substring.
-    Contract: ``value_cents`` must be non-negative and < 10¹²
-    (zero-padding is order-preserving only without sign), ``id_col``
-    unique; both hold for the cent-valued feeds this serves.
+    Contract (ALL enforced at runtime, not just documented — a violation
+    raises mid-job instead of silently mis-picking open/close):
+    ``value_cents`` non-negative and < 10¹² and ``ts`` >= 1970-01-01
+    (zero-padding is order-preserving only without a sign character),
+    ``id_col`` rendering to <= 12 characters (lpad TRUNCATES beyond
+    the pad width, which would break the total order); ``id_col``
+    unique. All hold for the cent-valued feeds this serves.
 
-    One map-side-combined groupBy; no window, no self-join.
+    One map-side-combined groupBy; no window, no self-join. The guard
+    is a codegen'd branch on already-computed values — no extra pass.
     """
     us = F.unix_micros(F.col(ts))
     v = value_cents.cast("long")
-    enc = F.concat(
-        F.lpad(us.cast("string"), 20, "0"),
-        F.lpad(F.col(id_col).cast("string"), 12, "0"),
-        F.lpad(v.cast("string"), 12, "0"),
+    id_s = F.col(id_col).cast("string")
+    enc_ok = (
+        (us >= 0)
+        & (v >= 0)
+        & (v < F.lit(10**12))
+        & (F.length(id_s) <= 12)
+    )
+    enc = F.when(
+        enc_ok,
+        F.concat(
+            F.lpad(us.cast("string"), 20, "0"),
+            F.lpad(id_s, 12, "0"),
+            F.lpad(v.cast("string"), 12, "0"),
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ohlc_bars encoding contract violated "
+                    "(need ts>=epoch, 0<=value<10^12, len(id)<=12): ts_us="
+                ),
+                us.cast("string"),
+                F.lit(" id="),
+                id_s,
+                F.lit(" value="),
+                v.cast("string"),
+            )
+        )
     )
     bucket = (F.floor(us / (step_s * 1000000)) * step_s).cast("long")
     return (

@@ -3985,7 +3985,8 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
             - len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
          AS union_size
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles)) * 1000
+WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+  AND len(list_intersect(a.shingles, b.shingles)) * 1000
       >= (len(a.shingles) + len(b.shingles)
           - len(list_intersect(a.shingles, b.shingles))) * {PREFIX_TAU_PERMILLE}
 """
@@ -4072,19 +4073,25 @@ edges AS (
          'p' || CAST(l_partkey AS VARCHAR) FROM pairs
 ),
 deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
-r0 AS (SELECT src AS node, CAST(1000 AS BIGINT) AS rank_milli FROM deg)"""
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst AS node FROM edges),
+r0 AS (SELECT node, CAST(1000 AS BIGINT) AS rank_milli FROM nodes)"""
     ]
     for t in range(1, PR_ITERS + 1):
         ctes.append(
             f"""r{t} AS (
-  SELECT e.dst AS node,
+  SELECT node,
          CAST({PR_BASE_MILLI}
-              + ({PR_DAMPING_PERMILLE} * sum(r.rank_milli // d.d)) // 1000
+              + ({PR_DAMPING_PERMILLE} * sum(c)) // 1000
               AS BIGINT) AS rank_milli
-  FROM edges e
-  JOIN r{t - 1} r ON e.src = r.node
-  JOIN deg d ON e.src = d.src
-  GROUP BY e.dst)"""
+  FROM (
+    SELECT e.dst AS node, r.rank_milli // d.d AS c
+    FROM edges e
+    JOIN r{t - 1} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    UNION ALL SELECT node, 0 FROM nodes
+  )
+  GROUP BY node)"""
         )
     return (
         "WITH "
