@@ -960,3 +960,64 @@ def jaccard_pairs_prefix(
         )
         .filter(F.col("inter_size") * 1000 >= F.col("union_size") * tau_permille)
     )
+
+
+CHUNK_DEDUP_TOKENS = 32
+
+
+def chunk_dedup(
+    docs: DataFrame, chunk_tokens: int = CHUNK_DEDUP_TOKENS
+) -> DataFrame:
+    """Sub-document exact dedup (the RefinedWeb/Falcon "exact substring
+    dedup" shape, at chunk granularity): split every document into
+    non-overlapping ``chunk_tokens``-token chunks, keep each distinct
+    chunk's GLOBALLY FIRST occurrence (ordered by doc_id, chunk_idx),
+    and reassemble documents from their surviving chunks — boilerplate
+    and quoted passages disappear corpus-wide while the enclosing
+    documents survive, where whole-document dedup (``dedup_exact``)
+    would either keep the duplication or drop whole documents.
+
+    Mechanics: chunking reuses ``text.chunk_documents`` (overlap=0, so
+    reassembly is lossless); the winner per chunk fingerprint is one
+    row_number window partitioned by the h60 fingerprint — balanced
+    partitions by construction (it's a hash), the same shuffle size as
+    any groupBy on the chunk key at 100 TB; reassembly is one groupBy
+    on doc_id with an array_sort on (idx, chunk) structs, no second
+    scan of the corpus.
+
+    Returns (doc_id, n_chunks, n_kept, kept_text) — kept_text is the
+    idx-ordered space-join of surviving chunks ('' when every chunk was
+    someone else's duplicate).
+    """
+    from tepsonic_database_sync_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=0
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("idx"),
+        "chunk_text",
+        h60(F.lower(F.col("chunk_text"))).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.col("doc_id").asc(), F.col("idx").asc()
+    )
+    flagged = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "  CASE WHEN rn = 1"
+                    "       THEN struct(idx, chunk_text) END)),"
+                    " s -> s.chunk_text)"
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )

@@ -397,3 +397,76 @@ def attribution_models(
         .alias("last_cents"),
         F.sum("__linear").cast("long").alias("linear_cents"),
     )
+
+
+def seasonal_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-week seasonal composition drift: per event type, compare
+    the traffic DISTRIBUTION over the 168 hour-of-week slots in the
+    trailing 7 days against the baseline distribution from everything
+    before — the seasonal complement to ``event_anomaly`` (which flags
+    level spikes on a trailing window but is blind to "Tuesday 9am
+    volume moved to Saturday 3am", the shape change this surfaces).
+
+    Slot arithmetic is epoch-based and engine-portable:
+    ``dow = (epoch_day + 4) % 7`` (1970-01-01 was a Thursday; 0=Thu) and
+    ``how = dow·24 + hour`` — never the engines' divergent
+    dayofweek()/weekday() conventions. Each side's distribution is an
+    exact integer permille of that side's own total, so the delta is a
+    pure composition signal, independent of overall volume growth.
+
+    Scale shape: one scalar max(ts) aggregate (broadcast back as a
+    1-row cross join), then ONE map-side-combined groupBy of raw events
+    to (type, how, side) counts; the permille normalization runs over
+    the tiny (type × 168)-slot frame via per-type totals. No windows
+    over raw events.
+
+    Returns (event_type, how, base_n, cur_n, base_permille,
+    cur_permille, delta_permille) for every observed (type, slot).
+    """
+    es = F.unix_timestamp("ts").cast("long")
+    mx = events.agg(F.max(es).alias("max_es"))
+    how = (
+        ((F.floor(F.col("es") / 86400) + 4) % 7) * 24
+        + F.floor((F.col("es") % 86400) / 3600)
+    ).cast("long")
+    slotted = (
+        events.select(es.alias("es"), "event_type")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            how.alias("how"),
+            (F.col("es") >= F.col("max_es") - 7 * 86400).alias("cur"),
+        )
+        .groupBy("event_type", "how")
+        .agg(
+            F.sum(F.when(~F.col("cur"), 1).otherwise(0))
+            .cast("long")
+            .alias("base_n"),
+            F.sum(F.when(F.col("cur"), 1).otherwise(0))
+            .cast("long")
+            .alias("cur_n"),
+        )
+    )
+    tot = Window.partitionBy("event_type")
+    base_tot = F.sum("base_n").over(tot)
+    cur_tot = F.sum("cur_n").over(tot)
+    return (
+        slotted.select(
+            "event_type",
+            "how",
+            "base_n",
+            "cur_n",
+            F.when(base_tot > 0, F.floor(F.col("base_n") * 1000 / base_tot))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("base_permille"),
+            F.when(cur_tot > 0, F.floor(F.col("cur_n") * 1000 / cur_tot))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cur_permille"),
+        )
+        .withColumn(
+            "delta_permille",
+            (F.col("cur_permille") - F.col("base_permille")).cast("long"),
+        )
+    )

@@ -182,3 +182,56 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .cast("long"),
         )
     )
+
+
+BFS_MAX_HOPS = 4
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = BFS_MAX_HOPS
+) -> DataFrame:
+    """Bounded-hop BFS distances from a seed set over a directed edge
+    list (src, dst) — the reachability primitive behind blast-radius
+    analysis ("which parts does this supplier outage touch within k
+    tiers?"), contamination spread, and k-hop feature neighborhoods.
+    ``seeds`` is a one-column (node) frame.
+
+    Returns (node, hops): the MINIMUM hop count ≤ ``max_hops`` for
+    every reachable node (seeds at 0).
+
+    Scale shape: the edge frame is hash-partitioned on src and
+    materialized ONCE (localCheckpoint — it feeds every round); each
+    round is one frontier⋈edges equi-join plus a distinct, so only the
+    small frontier frame reshuffles, and the final min-hop reduction is
+    one map-side-combined groupBy. The frontier is NOT pruned by the
+    visited set (that would add a per-round anti-join); for the small
+    fixed hop counts this serves, the distinct bounds each frontier by
+    the node count — a production unbounded-depth BFS would add the
+    anti-join and a convergence check instead of the fixed round count
+    (same trade as ``pagerank``'s fixed iterations, which keep the
+    oracle expressible as an unrolled CTE chain).
+    """
+    e = edges.repartition("src").localCheckpoint(eager=True)
+    # each frontier is materialized (localCheckpoint): it feeds BOTH the
+    # next round's join and its own dist level, and without the pin each
+    # level would re-run every prior round's join chain from the source
+    # (plan-asserted: zero FileScans in tests/test_plan_quality.py)
+    frontier = seeds.select("node").distinct().localCheckpoint(eager=True)
+    dist = frontier.select(
+        "node", F.lit(0).cast("long").alias("hops")
+    )
+    for h in range(1, max_hops + 1):
+        frontier = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(e["dst"].alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionAll(
+            frontier.select(
+                "node", F.lit(h).cast("long").alias("hops")
+            )
+        )
+    return dist.groupBy("node").agg(
+        F.min("hops").cast("long").alias("hops")
+    )

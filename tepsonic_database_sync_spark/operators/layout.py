@@ -142,3 +142,134 @@ def zorder_stats(
             F.max("y").alias("y_max"),
         )
     )
+
+
+LAYOUT_N_FILES = 64
+# predicate selectivity, permille of each dimension's value range
+LAYOUT_PRED_PERMILLE = 20
+
+
+def layout_prune_compare(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    n_files: int = LAYOUT_N_FILES,
+    pred_permille: int = LAYOUT_PRED_PERMILLE,
+) -> DataFrame:
+    """The layout advisor: quantify what zone-map (min/max) file
+    pruning each physical layout would deliver for range predicates on
+    EITHER dimension — the decision input behind ``zorder_layout``
+    ("is interleaving worth it for THIS table, or does one sort key
+    dominate?").
+
+    Simulates three layouts over the same rows, ``n_files`` files each:
+    ``zorder`` (files = equal slices of the normalized Morton curve),
+    ``by_x`` and ``by_y`` (files = equal value-range slices of one
+    column — the plain sorted layout). For each, builds the per-file
+    zone maps (min/max of both dims) and evaluates two mid-range
+    predicates (a ``pred_permille``-of-range band on x, same on y),
+    counting files and rows a zone-map-pruning scan must read. The
+    expected read-out: by_x prunes the x predicate perfectly and the y
+    predicate not at all, by_y the mirror, zorder prunes BOTH
+    sub-linearly — the case for the interleave.
+
+    Scale shape: one single-row min/max aggregate broadcast back; one
+    projection exploding each row into its 3 (layout, file) assignments
+    (a codegen'd generator — NOT three scans); one groupBy to the
+    3·n_files zone-map frame; the predicate evaluation runs over that
+    tiny frame. All integer arithmetic, engine-portable.
+
+    Returns (layout, predicate, n_files, files_scanned, rows_total,
+    rows_scanned).
+    """
+    pts = df.select(x.cast("long").alias("x"), y.cast("long").alias("y"))
+    zed = _with_z(pts, "x", "y").select("x", "y", "__z")
+    z_bits = 2 * ZORDER_DIM_BITS
+    rng = pts.agg(
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        F.min("y").alias("y0"),
+        F.max("y").alias("y1"),
+    )
+    nf = int(n_files)
+    if nf & (nf - 1):
+        raise ValueError("n_files must be a power of two (z-slicing)")
+    z_shift = z_bits - (nf.bit_length() - 1)
+    assigned = (
+        zed.crossJoin(F.broadcast(rng))
+        .select(
+            "x",
+            "y",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.shiftright(F.col("__z"), z_shift)
+                        .cast("long")
+                        .alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("by_x").alias("layout"),
+                        F.expr(
+                            f"((x - x0) * {nf}) div greatest(x1 - x0 + 1, 1)"
+                        )
+                        .cast("long")
+                        .alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("by_y").alias("layout"),
+                        F.expr(
+                            f"((y - y0) * {nf}) div greatest(y1 - y0 + 1, 1)"
+                        )
+                        .cast("long")
+                        .alias("file_id"),
+                    ),
+                )
+            ).alias("a"),
+        )
+        .select("x", "y", "a.layout", "a.file_id")
+    )
+    zones = assigned.groupBy("layout", "file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("x").alias("fx0"),
+        F.max("x").alias("fx1"),
+        F.min("y").alias("fy0"),
+        F.max("y").alias("fy1"),
+    )
+    # mid-range band predicates, pred_permille of each dim's range wide
+    p = int(pred_permille)
+    zp = zones.crossJoin(F.broadcast(rng)).select(
+        "*",
+        F.expr(f"x0 + ((x1 - x0) * {500 - p // 2}) div 1000").alias("px_lo"),
+        F.expr(f"x0 + ((x1 - x0) * {500 + p // 2}) div 1000").alias("px_hi"),
+        F.expr(f"y0 + ((y1 - y0) * {500 - p // 2}) div 1000").alias("py_lo"),
+        F.expr(f"y0 + ((y1 - y0) * {500 + p // 2}) div 1000").alias("py_hi"),
+    )
+    preds = zp.select(
+        "layout",
+        "n_rows",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("x_band").alias("predicate"),
+                    ((F.col("fx0") <= F.col("px_hi"))
+                     & (F.col("fx1") >= F.col("px_lo"))).alias("keep"),
+                ),
+                F.struct(
+                    F.lit("y_band").alias("predicate"),
+                    ((F.col("fy0") <= F.col("py_hi"))
+                     & (F.col("fy1") >= F.col("py_lo"))).alias("keep"),
+                ),
+            )
+        ).alias("p"),
+    ).select("layout", "n_rows", "p.predicate", "p.keep")
+    return preds.groupBy("layout", "predicate").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("files_scanned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(F.col("keep"), F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+    )

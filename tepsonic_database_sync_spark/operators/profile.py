@@ -171,3 +171,139 @@ def k_anonymity(
         .agg(F.count("*").cast("long").alias("class_size"))
         .withColumn("at_risk", F.col("class_size") < k)
     )
+
+
+def _milli_scale(num: str, den: str) -> F.Column:
+    """Exact ``(1000·num) div den`` without the 1000× overflow: split
+    into quotient and remainder first — ``(n div d)·1000 +
+    ((n % d)·1000) div d``. Both ``div`` and ``%`` truncate toward zero
+    with dividend-signed remainders in Spark AND DuckDB, so the split
+    is engine-exact for negative numerators too (den must be > 0)."""
+    return F.expr(
+        f"(({num}) div ({den})) * 1000"
+        f" + ((({num}) % ({den})) * 1000) div ({den})"
+    ).cast("long")
+
+
+def grouped_regression(
+    df: DataFrame, group: str, x: F.Column, y: F.Column
+) -> DataFrame:
+    """Per-group ordinary-least-squares line y ≈ a + b·(x − x0) in exact
+    integer milli — trend extraction as ONE aggregation (the shape that
+    survives 100 TB: sufficient statistics with map-side combine, never
+    a per-group sort or a second pass).
+
+    ``x``/``y`` must be integer-valued columns. The group's minimum x is
+    used as the origin x0: sums are computed RAW in one pass, then
+    re-centered algebraically (Σx′ = Σx − n·x0, Σx′² = Σx² − 2x0Σx +
+    n·x0², Σx′y = Σxy − x0·Σy), which keeps every intermediate within
+    BIGINT for |x′| ≤ ~2.4e3, |y| ≤ ~5e5, n ≤ ~4e4 (stated bound —
+    the dollars/day feeds this serves; widen to decimal128 beyond).
+    The final milli scaling uses the quotient/remainder split
+    (``_milli_scale``) so the 1000× never overflows.
+
+    Returns (group, n, x0, slope_milli, intercept_milli) where
+    intercept is the fitted value AT x0, in milli-y units; degenerate
+    groups (zero x-variance) report slope 0 and the mean as intercept.
+    """
+    agg = df.groupBy(group).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.min(x).cast("long").alias("x0"),
+    )
+    c = (
+        agg.withColumn("sxc", F.expr("sx - n * x0"))
+        .withColumn("sxxc", F.expr("sxx - 2 * x0 * sx + n * x0 * x0"))
+        .withColumn("sxyc", F.expr("sxy - x0 * sy"))
+        .withColumn("num", F.expr("n * sxyc - sxc * sy"))
+        .withColumn("den", F.expr("n * sxxc - sxc * sxc"))
+    )
+    slope = F.when(F.col("den") > 0, _milli_scale("num", "den")).otherwise(
+        F.lit(0)
+    )
+    return (
+        c.withColumn("slope_milli", slope.cast("long"))
+        .withColumn(
+            "intercept_milli",
+            F.expr("(1000 * sy - slope_milli * sxc) div n").cast("long"),
+        )
+        .select("n", "x0", "slope_milli", "intercept_milli", group)
+        .select(group, "n", "x0", "slope_milli", "intercept_milli")
+    )
+
+
+CHI_QUANT = 16  # deviation quantum: d is floored to CHI_QUANT counts
+
+
+def chi_square_cells(
+    df: DataFrame, row_col: str, col_col: str, quant: int = CHI_QUANT
+) -> DataFrame:
+    """χ² independence census for two categorical columns: one
+    contingency-table aggregation plus per-cell expected counts and χ²
+    contributions in exact integer milli.
+
+    The textbook contribution (O−E)²/E = (N·O − R·C)²/(N·R·C) squares a
+    number as large as N·O — overflow at warehouse scale — so the
+    deviation d = N·O − R·C is first floored to ``quant``-count units:
+    contrib_milli = (1000·(d div q)²) div ((N·R·C) div q²), with the
+    1000× applied through the quotient/remainder split
+    (``_milli_scale``). With q=16 that is exact χ² up to a ≤q-count
+    quantization of each deviation (≪ any significance threshold).
+    BIGINT bound: requires |d| div q ≤ 3·10⁹ — pick
+    q ≥ N·O_max / 3·10⁹ for bigger tables (q=16 covers N ≈ 7·10⁵ rows
+    worst-case, far more in practice since d ≪ N·O on real data). Both
+    engines share every step, so the result is hash-identical.
+
+    Scale shape: ONE map-side-combined groupBy of the fact table to the
+    (row × col) cell frame; marginals, the grand total, and the DENSE
+    cell grid (every observed row value × every observed col value —
+    χ² is wrong without the ZERO cells, whose deviations are exactly
+    the dependence signal a groupBy alone would drop) all derive from
+    that tiny frame, never a second fact pass.
+
+    Returns (row value, col value, observed, expected_milli,
+    contrib_milli) for the FULL grid, zero cells included.
+    """
+    # the tiny cell frame is materialized ONCE (localCheckpoint): the
+    # marginals, the grand total, and the dense-grid left join all read
+    # it back instead of re-running the fact aggregation — plan-asserted
+    # (exactly one fact scan) in tests/test_plan_quality.py
+    cells = (
+        df.groupBy(row_col, col_col)
+        .agg(F.count("*").cast("long").alias("observed"))
+        .localCheckpoint(eager=True)
+    )
+    rv = cells.groupBy(row_col).agg(
+        F.sum("observed").cast("long").alias("rt")
+    )
+    cv = cells.groupBy(col_col).agg(
+        F.sum("observed").cast("long").alias("ct")
+    )
+    nn = rv.agg(F.sum("rt").cast("long").alias("nn"))
+    q = int(quant)
+    return (
+        rv.crossJoin(F.broadcast(cv))
+        .join(cells, [row_col, col_col], "left")
+        .withColumn(
+            "observed", F.coalesce("observed", F.lit(0)).cast("long")
+        )
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "expected_milli",
+            F.expr("(1000 * rt * ct) div nn").cast("long"),
+        )
+        .withColumn("d", F.expr("nn * observed - rt * ct"))
+        .withColumn(
+            "contrib_milli",
+            _milli_scale(
+                f"(d div {q}) * (d div {q})",
+                f"(nn * rt * ct) div {q * q}",
+            ),
+        )
+        .select(
+            row_col, col_col, "observed", "expected_milli", "contrib_milli"
+        )
+    )

@@ -146,3 +146,35 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__w", "__negln", "__arr", "__rn")
     )
+
+
+def class_balance(df: DataFrame, label: str, key: str) -> DataFrame:
+    """Exact class-balanced downsample: every label class is cut to the
+    size of the SMALLEST class, keeping each class's rows with the
+    lowest content hash — deterministic across runs, engines, and
+    partitionings, like every sampler here (no ``df.sample`` seeds).
+
+    The two-sided shape: class sizes are one tiny map-side-combined
+    aggregate (min over it broadcast back as a 1-row cross join); the
+    per-class selection is ONE row_number window partitioned by label,
+    ordered by (h60, key). That per-class hash order is a real
+    distributed sort of the fact table — the honest cost of an EXACT
+    quota; when a ±ε miss is acceptable at 100 TB, the cheaper cousin
+    is a pure hash-threshold filter (``h60 % N < quota·N/class_n``,
+    no sort), same as ``mixture_sample``.
+
+    Returns the kept rows: (key, label).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(label).agg(F.count("*").alias("class_n"))
+    m = counts.agg(F.min("class_n").alias("m"))
+    h = h60(F.concat(F.lit("bal:"), F.col(key).cast("string")))
+    w = Window.partitionBy(label).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.select(key, label)
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select(key, label)
+    )

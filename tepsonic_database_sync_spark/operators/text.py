@@ -805,3 +805,179 @@ def token_pmi(docs: DataFrame, min_pair: int = 5, k: int = 100) -> DataFrame:
         .orderBy(F.col("pmi_milli").desc(), "a", "b")
         .limit(k)
     )
+
+
+INVIDX_MIN_DF = 5
+INVIDX_MAX_POSTINGS = 20
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = INVIDX_MIN_DF,
+    max_postings: int = INVIDX_MAX_POSTINGS,
+) -> DataFrame:
+    """Term → posting-list construction — the search-index build step,
+    and the shared candidate-generation backbone of ``bm25_tfidf``,
+    ``winnow_overlap_pairs``, and ``tfidf_doc_sim`` made explicit as
+    its own operator.
+
+    One explode + one groupBy on the term. The emitted posting sample
+    is the first ``max_postings`` doc_ids in sorted order (full lists
+    belong in a sink, not a result set); ``df`` is the full document
+    frequency. ``min_df`` drops the hapax tail — at corpus scale most
+    of the vocabulary is df=1 noise that would dominate the index
+    byte-for-byte while never matching a query.
+
+    Postings are canonicalized to a '|'-joined string (the engine's
+    list convention — deterministic, hash-comparable in any engine).
+
+    Returns (term, df, postings).
+    """
+    t = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        t.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice(
+                        F.sort_array(F.collect_set("doc_id")),
+                        1,
+                        max_postings,
+                    ),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+TFIDF_DF_CAP = 64  # terms in more docs than this are stop-shingles
+TFIDF_MIN_DF = 2
+TFIDF_TF_CAP = 20
+TFIDF_MIN_COS_PERMILLE = 300
+
+
+def _isqrt(x: str) -> F.Column:
+    """Exact integer sqrt for BIGINT x < 2^52: floor(sqrt(double)) is
+    within ±1 of truth there (double sqrt is correctly rounded), so one
+    CASE correction pins it — identical in Spark and DuckDB."""
+    s0 = f"CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT)"
+    return F.expr(
+        f"CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({x}) THEN {s0} + 1 "
+        f"WHEN {s0} * {s0} > ({x}) THEN {s0} - 1 ELSE {s0} END"
+    ).cast("long")
+
+
+def tfidf_doc_sim(
+    docs: DataFrame,
+    df_cap: int = TFIDF_DF_CAP,
+    min_df: int = TFIDF_MIN_DF,
+    tf_cap: int = TFIDF_TF_CAP,
+    min_cos_permille: int = TFIDF_MIN_COS_PERMILLE,
+) -> DataFrame:
+    """Sparse tf-idf cosine similarity join over 2-token shingles — the
+    lexical document-similarity operator between exact dedup (hash
+    equality) and embedding near-dup (dense cosine): finds topically
+    overlapping pairs with full interpretability of WHY (shared
+    weighted shingles).
+
+    All-integer weighting: idf_milli = iln_milli(1000·N div df) on the
+    shared portable log; w = min(tf, tf_cap)·idf_milli; cosine via
+    exact integer sqrt of the two norms (``_isqrt``), reported in
+    floored permille.
+
+    The scale argument is the DF CAP: candidate pairs come from
+    self-joining posting lists on the shingle, so one stop-shingle with
+    df=10⁶ would emit 5·10¹¹ pairs. Dropping shingles with df >
+    ``df_cap`` bounds per-term fan-out at df_cap²/2 while losing only
+    terms that carry no idf signal anyway (idf ≈ 0 is exactly the
+    regime the cap removes) — same lesson as
+    ``winnow_overlap_pairs``'s stop-fingerprint cap, measured there at
+    90× candidate reduction.
+
+    Returns (a_id, b_id, dot, cos_permille), a_id < b_id,
+    cos_permille ≥ ``min_cos_permille``.
+    """
+    # 2-gram shingles as a pure array transform — a codegen'd generator
+    # at scan speed, never a positional self-join
+    ta = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    sh = (
+        ta.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(element_at(t, i + 1), ' ',"
+                    "             element_at(t, i + 2)))"
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.least(F.count("*"), F.lit(tf_cap)).cast("long").alias("tf"))
+    )
+    n_docs = docs.select(
+        F.countDistinct("doc_id").cast("long").alias("nd")
+    )
+    dfreq = (
+        sh.groupBy("s")
+        .agg(F.count("*").cast("long").alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= df_cap))
+    )
+    weighted = (
+        sh.join(dfreq, "s")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "s",
+            (
+                F.col("tf")
+                * iln_milli(F.expr("(1000 * nd) div df"))
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
+    )
+    pa = weighted.select(
+        F.col("doc_id").alias("a_id"), "s", F.col("w").alias("wa")
+    )
+    pb = weighted.select(
+        F.col("doc_id").alias("b_id"), "s", F.col("w").alias("wb")
+    )
+    dots = (
+        pa.join(pb, "s")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("a_id"), F.col("norm2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("b_id"), F.col("norm2").alias("nb2")
+    )
+    return (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("sa", _isqrt("na2"))
+        .withColumn("sb", _isqrt("nb2"))
+        .withColumn(
+            "cos_permille",
+            F.expr("(1000 * dot) div (sa * sb)").cast("long"),
+        )
+        .filter(F.col("cos_permille") >= min_cos_permille)
+        .select("a_id", "b_id", "dot", "cos_permille")
+    )

@@ -106,6 +106,102 @@ def resample_locf(
     )
 
 
+def resample_linear(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value_cents: Column,
+    step_s: int = RESAMPLE_STEP_S,
+) -> DataFrame:
+    """``resample_locf``'s sibling with LINEAR interpolation across gaps
+    — the right fill for continuously-varying signals (prices, sensor
+    readings) where carrying the last value forward biases everything
+    after a gap.
+
+    Per key, one row per ``step_s`` bucket between the key's first and
+    last observation. Gap buckets get
+
+        v(t) = (v_prev·(t_next − t) + v_next·(t − t_prev))
+                 div (t_next − t_prev)
+
+    — the convex-combination form, chosen over ``v_prev + slope·Δt``
+    because with non-negative values BOTH products are non-negative, so
+    the single truncating division is engine-portable with no sign
+    cases. Contract: ``value_cents`` ≥ 0 (holds for the cent-valued
+    feeds this serves). The grid is bounded by observations on both
+    sides, so ``t_prev``/``t_next`` always exist.
+
+    Scale shape: identical to ``resample_locf`` — one map-side-combined
+    groupBy to per-bucket observations, one bounded grid explode, and
+    the fill windows run over GRID rows (one per bucket), never raw
+    events; the forward and backward carries are two frames over the
+    same partition key, one sort.
+
+    Returns (key, bucket_es, n_events, value_cents, is_gap).
+    """
+    obs = (
+        events.select(
+            F.col(key).alias("key"),
+            bucket_es(F.col(ts), step_s).alias("bucket_es"),
+            value_cents.alias("v"),
+        )
+        .groupBy("key", "bucket_es")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("v").cast("long").alias("v_max"),
+        )
+    )
+    grid = (
+        obs.groupBy("key")
+        .agg(F.min("bucket_es").alias("b0"), F.max("bucket_es").alias("b1"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("b0"), F.col("b1"), F.lit(int(step_s)))
+            ).alias("bucket_es"),
+        )
+    )
+    wb = (
+        Window.partitionBy("key")
+        .orderBy("bucket_es")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("key")
+        .orderBy("bucket_es")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("v_max").isNotNull(), F.col("bucket_es"))
+    filled = (
+        grid.join(obs, ["key", "bucket_es"], "left")
+        .select(
+            "key",
+            "bucket_es",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+                "n_events"
+            ),
+            F.col("n_events").isNull().alias("is_gap"),
+            F.last("v_max", ignorenulls=True).over(wb).alias("vp"),
+            F.last(obs_b, ignorenulls=True).over(wb).alias("tp"),
+            F.first("v_max", ignorenulls=True).over(wf).alias("vn"),
+            F.first(obs_b, ignorenulls=True).over(wf).alias("tn"),
+        )
+    )
+    interp = F.expr(
+        "(vp * (tn - bucket_es) + vn * (bucket_es - tp)) div (tn - tp)"
+    )
+    return filled.select(
+        "key",
+        "bucket_es",
+        "n_events",
+        F.when(~F.col("is_gap"), F.col("vp"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("value_cents"),
+        "is_gap",
+    )
+
+
 def interval_concurrency(
     intervals: DataFrame, key: str, start_es: Column, end_es: Column
 ) -> DataFrame:

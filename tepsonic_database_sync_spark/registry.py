@@ -2261,6 +2261,216 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- r8 additions ----------------------------------------------------
+# shared parameters read by BOTH the Spark queries and the oracle SQL
+R8_P = {
+    "bfs_seed_mod": 97,
+}
+
+
+def _psgraph(spark: SparkSession, sf_dir: str):
+    """The symmetrized part↔supplier procurement graph (shared by
+    pagerank / bfs_hops): string-typed nodes 'p{k}' / 's{k}'."""
+    from tepsonic_database_sync_spark.io import load_table
+
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    return pairs.select(p.alias("src"), s.alias("dst")).unionAll(
+        pairs.select(s.alias("src"), p.alias("dst"))
+    )
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the part↔supplier graph from a deterministic
+    seed set (parts with key ≡ 0 mod 97) — supplier-outage blast
+    radius in ≤ 4 tiers. Edge frame checkpointed once; each round is
+    one frontier equi-join + distinct, min-hop reduction at the end."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.graph import bfs_hops
+
+    seeds = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % R8_P["bfs_seed_mod"] == 0)
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    return bfs_hops(_psgraph(spark, sf_dir), seeds)
+
+
+def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of the event value feed with LINEAR gap
+    interpolation (convex-combination integer form) — the
+    continuously-varying-signal fill next to time_resample's LOCF.
+    Fill windows run over grid rows, never raw events."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        resample_linear,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_linear(
+        ev,
+        key="event_type",
+        ts="ts",
+        value_cents=F.round(F.col("value") * 100, 0).cast("long"),
+    )
+
+
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week composition drift per event type: trailing 7 days
+    vs the baseline before, both as exact permille distributions —
+    the seasonal shape-change detector next to event_anomaly's level
+    spikes. One scalar max(ts) + one groupBy of raw events."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import (
+        seasonal_profile,
+    )
+
+    return seasonal_profile(load_table(spark, sf_dir, "events"))
+
+
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of order value (milli-dollars per day)
+    over the order date — ONE sufficient-statistics aggregation with
+    algebraic re-centering at the group's first day; the 1000× milli
+    scaling via the exact quotient/remainder split."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.profile import (
+        grouped_regression,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return grouped_regression(
+        o,
+        group="o_orderpriority",
+        x=F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long"),
+        y=F.round(F.col("o_totalprice"), 0).cast("long"),
+    )
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence census of market segment × order priority: one
+    fact-table groupBy to the contingency cells, totals as windows
+    over that tiny frame, per-cell expected counts and quantized χ²
+    contributions in exact integer milli."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.profile import (
+        chi_square_cells,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    )
+    return chi_square_cells(joined, "c_mktsegment", "o_orderpriority")
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact class-balanced downsample of orders by priority: every
+    class cut to the smallest class's size, keeping hash-least rows —
+    deterministic, engine-portable (no RNG seeds)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import (
+        class_balance,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return class_balance(o, label="o_orderpriority", key="o_orderkey")
+
+
+def q_item_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase similarity: parts bought in the same
+    order, lift + confidence in exact milli, top-10 co-items per part.
+    Pair generation is an equi-join on the order key with a basket-size
+    cap (the quadratic-fan-out guard); counts broadcast back."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.recommend import (
+        item_cooccur_topk,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return item_cooccur_topk(li, basket_col="l_orderkey", item_col="l_partkey")
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic popularity-biased negative sampling over the
+    customer×part purchase matrix: 5 hash-ranked non-purchased items
+    per customer from the 50 most popular parts — broadcast candidate
+    pool, anti-join on positives, never the full user×catalog cross."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.recommend import (
+        negative_sample,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pos = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_partkey"
+    )
+    return negative_sample(pos, user_col="o_custkey", item_col="l_partkey")
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term→postings index over documents (df ≥ 5, postings sample =
+    first 20 sorted doc_ids as the engine's '|'-joined canonical list)
+    — the explicit build step behind the BM25 / winnowing / tf-idf
+    candidate generators."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+def q_tfidf_doc_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine pairs over 2-token shingles (integer idf on
+    the shared portable log, exact integer sqrt for the norms) — the
+    interpretable lexical-similarity join; candidates blocked by the
+    df cap on posting lists, never all-pairs."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import tfidf_doc_sim
+
+    return tfidf_doc_sim(load_table(spark, sf_dir, "documents"))
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at 32-token-chunk granularity with
+    document reassembly (the RefinedWeb exact-substring shape):
+    globally-first chunk occurrences win; one fingerprint window + one
+    doc-level rollup."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisor over orders on (customer, order-day): simulated
+    zone-map pruning for zorder vs single-key layouts under mid-range
+    band predicates on each dimension — quantifies what zorder_layout
+    buys before paying for the rewrite."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.layout import (
+        layout_prune_compare,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    day = (F.floor(F.unix_timestamp("o_orderdate") / 86400)).cast("long")
+    return layout_prune_compare(o, x=F.col("o_custkey"), y=day)
+
+
 def _disc_cents() -> F.Column:
     """Discounted revenue in integer cents — the shared money convention."""
     return F.round(
@@ -6101,93 +6311,526 @@ FROM sess GROUP BY user_id, session_idx
 """,
 }
 
+# ---- r8 oracle twins ---------------------------------------------------
+
+_D_ISQRT = (
+    "CASE WHEN (CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT) + 1)"
+    "          * (CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT) + 1)"
+    "          <= ({x})"
+    "     THEN CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT) + 1 "
+    "     WHEN CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT)"
+    "          * CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT) > ({x})"
+    "     THEN CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT) - 1 "
+    "     ELSE CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT) END"
+)
+
+_PS_EDGES_SQL = """pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst FROM pairs
+  UNION ALL
+  SELECT 's' || CAST(l_suppkey AS VARCHAR),
+         'p' || CAST(l_partkey AS VARCHAR) FROM pairs
+)"""
+
+
+def _bfs_oracle() -> str:
+    """DuckDB twin of operators.graph.bfs_hops on the part↔supplier
+    graph: one frontier CTE per hop, min-hop reduction at the end."""
+    from tepsonic_database_sync_spark.operators.graph import BFS_MAX_HOPS
+
+    ctes = [
+        _PS_EDGES_SQL,
+        f"""f0 AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node
+      FROM lineitem WHERE l_partkey % {R8_P["bfs_seed_mod"]} = 0)""",
+    ]
+    levels = ["SELECT node, 0 AS hops FROM f0"]
+    for h in range(1, BFS_MAX_HOPS + 1):
+        ctes.append(
+            f"""f{h} AS (SELECT DISTINCT e.dst AS node
+      FROM edges e JOIN f{h - 1} ON e.src = f{h - 1}.node)"""
+        )
+        levels.append(f"SELECT node, {h} AS hops FROM f{h}")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (\n  "
+        + "\n  UNION ALL ".join(levels)
+        + "\n) GROUP BY node"
+    )
+
+
+_LINEAR_INTERP_ORACLE = """
+WITH obs AS (
+  SELECT event_type AS key,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+              AS BIGINT) AS bucket_es,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(CAST(round(value * 100, 0) AS BIGINT)) AS v_max
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT key,
+         CAST(unnest(generate_series(b0, b1, 3600)) AS BIGINT) AS bucket_es
+  FROM (SELECT key, min(bucket_es) AS b0, max(bucket_es) AS b1
+        FROM obs GROUP BY key)
+),
+j AS (
+  SELECT g.key, g.bucket_es,
+         CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events,
+         o.n_events IS NULL AS is_gap,
+         last_value(o.v_max IGNORE NULLS) OVER wb AS vp,
+         last_value(CASE WHEN o.v_max IS NOT NULL THEN g.bucket_es END
+                    IGNORE NULLS) OVER wb AS tp,
+         first_value(o.v_max IGNORE NULLS) OVER wf AS vn,
+         first_value(CASE WHEN o.v_max IS NOT NULL THEN g.bucket_es END
+                     IGNORE NULLS) OVER wf AS tn
+  FROM grid g LEFT JOIN obs o
+    ON g.key = o.key AND g.bucket_es = o.bucket_es
+  WINDOW wb AS (PARTITION BY g.key ORDER BY g.bucket_es
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY g.key ORDER BY g.bucket_es
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT key, bucket_es, n_events,
+       CAST(CASE WHEN NOT is_gap THEN vp
+                 ELSE (vp * (tn - bucket_es) + vn * (bucket_es - tp))
+                      // (tn - tp) END AS BIGINT) AS value_cents,
+       is_gap
+FROM j
+"""
+
+_SEASONAL_ORACLE = """
+WITH m AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_es
+           FROM events),
+s AS (
+  SELECT event_type,
+         CAST((((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7) * 24
+              + (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600
+              AS BIGINT) AS how,
+         CAST(floor(epoch(ts)) AS BIGINT) >= max_es - 604800 AS cur
+  FROM events, m
+),
+cells AS (
+  SELECT event_type, how,
+         CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+         CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+  FROM s GROUP BY 1, 2
+),
+tot AS (
+  SELECT *,
+         sum(base_n) OVER (PARTITION BY event_type) AS bt,
+         sum(cur_n) OVER (PARTITION BY event_type) AS ct
+  FROM cells
+)
+SELECT event_type, how, base_n, cur_n,
+       CAST(CASE WHEN bt > 0 THEN (base_n * 1000) // bt ELSE 0 END
+            AS BIGINT) AS base_permille,
+       CAST(CASE WHEN ct > 0 THEN (cur_n * 1000) // ct ELSE 0 END
+            AS BIGINT) AS cur_permille,
+       CAST((CASE WHEN ct > 0 THEN (cur_n * 1000) // ct ELSE 0 END)
+            - (CASE WHEN bt > 0 THEN (base_n * 1000) // bt ELSE 0 END)
+            AS BIGINT) AS delta_permille
+FROM tot
+"""
+
+_GROUPED_REGRESSION_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS x,
+         CAST(round(o_totalprice, 0) AS BIGINT) AS y
+  FROM orders
+),
+a AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(min(x) AS BIGINT) AS x0
+  FROM o GROUP BY 1
+),
+c AS (
+  SELECT *, sx - n * x0 AS sxc,
+         sxx - 2 * x0 * sx + n * x0 * x0 AS sxxc,
+         sxy - x0 * sy AS sxyc
+  FROM a
+),
+d AS (
+  SELECT *, n * sxyc - sxc * sy AS num, n * sxxc - sxc * sxc AS den
+  FROM c
+),
+e AS (
+  SELECT *,
+         CASE WHEN den > 0
+              THEN (num // den) * 1000 + ((num % den) * 1000) // den
+              ELSE 0 END AS slope_milli
+  FROM d
+)
+SELECT o_orderpriority, n, x0,
+       CAST(slope_milli AS BIGINT) AS slope_milli,
+       CAST((1000 * sy - slope_milli * sxc) // n AS BIGINT)
+         AS intercept_milli
+FROM e
+"""
+
+
+def _chi_square_oracle() -> str:
+    """DuckDB twin of operators.profile.chi_square_cells on
+    segment × priority, same quantized deviation and milli split."""
+    from tepsonic_database_sync_spark.operators.profile import CHI_QUANT
+
+    q = CHI_QUANT
+    return f"""
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_orderpriority
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT c_mktsegment, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM j GROUP BY 1, 2
+),
+rv AS (SELECT c_mktsegment, CAST(sum(observed) AS BIGINT) AS rt
+       FROM cells GROUP BY 1),
+cv AS (SELECT o_orderpriority, CAST(sum(observed) AS BIGINT) AS ct
+       FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(rt) AS BIGINT) AS nn FROM rv),
+dense AS (
+  SELECT rv.c_mktsegment, cv.o_orderpriority, rv.rt, cv.ct, tot.nn,
+         CAST(coalesce(c.observed, 0) AS BIGINT) AS observed
+  FROM rv CROSS JOIN cv CROSS JOIN tot
+  LEFT JOIN cells c
+    ON rv.c_mktsegment = c.c_mktsegment
+   AND cv.o_orderpriority = c.o_orderpriority
+),
+d AS (SELECT *, nn * observed - rt * ct AS dd FROM dense)
+SELECT c_mktsegment, o_orderpriority, observed,
+       CAST((1000 * rt * ct) // nn AS BIGINT) AS expected_milli,
+       CAST(((dd // {q}) * (dd // {q}) // ((nn * rt * ct) // {q * q}))
+              * 1000
+            + (((dd // {q}) * (dd // {q}) % ((nn * rt * ct) // {q * q}))
+               * 1000) // ((nn * rt * ct) // {q * q})
+            AS BIGINT) AS contrib_milli
+FROM d
+"""
+
+
+def _class_balance_oracle() -> str:
+    h = _D_H60.format(e="'bal:' || CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH m AS (
+  SELECT min(cnt) AS m
+  FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderpriority)
+),
+r AS (
+  SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY {h}, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority FROM r, m WHERE rn <= m.m
+"""
+
+
+def _item_cooccur_oracle() -> str:
+    from tepsonic_database_sync_spark.operators.recommend import (
+        MAX_BASKET,
+        MIN_SUPPORT,
+        TOPK_PER_ITEM,
+    )
+
+    return f"""
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+ok AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= {MAX_BASKET}),
+cap AS (SELECT bi.b, bi.i FROM bi JOIN ok USING (b)),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM cap),
+cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM cap GROUP BY i),
+pr AS (
+  SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS support
+  FROM cap a JOIN cap c ON a.b = c.b AND a.i != c.i
+  GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+),
+sc AS (
+  SELECT pr.ia AS item_a, pr.ib AS item_b, pr.support,
+         CAST((1000 * pr.support * nb.nb) // (ca.cnt * cb.cnt) AS BIGINT)
+           AS lift_milli,
+         CAST((1000 * pr.support) // ca.cnt AS BIGINT) AS conf_milli
+  FROM pr CROSS JOIN nb
+  JOIN cnt ca ON pr.ia = ca.i
+  JOIN cnt cb ON pr.ib = cb.i
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY item_a
+             ORDER BY lift_milli DESC, support DESC, item_b ASC) AS rn
+  FROM sc
+)
+SELECT item_a, item_b, support, lift_milli, conf_milli
+FROM r WHERE rn <= {TOPK_PER_ITEM}
+"""
+
+
+def _negative_sample_oracle() -> str:
+    from tepsonic_database_sync_spark.operators.recommend import (
+        NEG_CANDIDATES,
+        NEG_PER_USER,
+    )
+
+    h = _D_H60.format(
+        e="'neg:' || CAST(u AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+    )
+    return f"""
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+top_items AS (
+  SELECT i FROM (SELECT i, count(*) AS pop FROM pos GROUP BY i
+                 ORDER BY pop DESC, i ASC LIMIT {NEG_CANDIDATES})
+),
+users AS (SELECT DISTINCT u FROM pos),
+cand AS (SELECT u, i FROM users CROSS JOIN top_items),
+neg AS (
+  SELECT u, i FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM pos
+                    WHERE pos.u = cand.u AND pos.i = cand.i)
+),
+r AS (
+  SELECT u, i,
+         row_number() OVER (PARTITION BY u ORDER BY {h}, i) AS neg_rank
+  FROM neg
+)
+SELECT u AS o_custkey, i AS l_partkey,
+       CAST(neg_rank AS BIGINT) AS neg_rank
+FROM r WHERE neg_rank <= {NEG_PER_USER}
+"""
+
+
+def _inverted_index_oracle() -> str:
+    from tepsonic_database_sync_spark.operators.text import (
+        INVIDX_MAX_POSTINGS,
+        INVIDX_MIN_DF,
+    )
+
+    return rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents)
+  WHERE t != ''
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       array_to_string(
+         (list_sort(list(DISTINCT doc_id)))[1:{INVIDX_MAX_POSTINGS}], '|')
+         AS postings
+FROM toks GROUP BY term HAVING count(DISTINCT doc_id) >= {INVIDX_MIN_DF}
+"""
+
+
+def _tfidf_doc_sim_oracle() -> str:
+    from tepsonic_database_sync_spark.operators.text import (
+        TFIDF_DF_CAP,
+        TFIDF_MIN_COS_PERMILLE,
+        TFIDF_MIN_DF,
+        TFIDF_TF_CAP,
+    )
+
+    iln = _d_iln("(1000 * nd.nd) // dfq.df")
+    sa = _D_ISQRT.format(x="na2")
+    sb = _D_ISQRT.format(x="nb2")
+    return rf"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS s
+  FROM toked, unnest(range(1, len(t))) r(i)
+),
+sh AS (
+  SELECT doc_id, s, CAST(least(count(*), {TFIDF_TF_CAP}) AS BIGINT) AS tf
+  FROM sh0 GROUP BY 1, 2
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM documents),
+dfq AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS df
+  FROM sh GROUP BY s
+  HAVING count(*) BETWEEN {TFIDF_MIN_DF} AND {TFIDF_DF_CAP}
+),
+w AS (
+  SELECT sh.doc_id, sh.s, CAST(sh.tf * ({iln}) AS BIGINT) AS w
+  FROM sh JOIN dfq ON sh.s = dfq.s CROSS JOIN nd
+),
+norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2
+          FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT d.a_id, d.b_id, d.dot, na.norm2 AS na2, nb.norm2 AS nb2
+  FROM dots d
+  JOIN norms na ON d.a_id = na.doc_id
+  JOIN norms nb ON d.b_id = nb.doc_id
+),
+q AS (SELECT *, {sa} AS sa, {sb} AS sb FROM j)
+SELECT a_id, b_id, dot,
+       CAST((1000 * dot) // (sa * sb) AS BIGINT) AS cos_permille
+FROM q WHERE (1000 * dot) // (sa * sb) >= {TFIDF_MIN_COS_PERMILLE}
+"""
+
+
+def _chunk_dedup_oracle() -> str:
+    from tepsonic_database_sync_spark.operators.dedup import (
+        CHUNK_DEDUP_TOKENS,
+    )
+
+    c = CHUNK_DEDUP_TOKENS
+    h = _D_H60.format(e="lower(chunk_text)")
+    return rf"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t,
+         CASE WHEN trim(array_to_string(t, ' ')) = '' THEN 0
+              WHEN len(t) <= {c} THEN 1
+              ELSE CAST(ceil((len(t) - {c}) / {c}.0) AS INT) + 1
+         END AS n_chunks
+  FROM toked
+),
+ch AS (
+  SELECT s.doc_id, CAST(r.i AS BIGINT) AS idx,
+         array_to_string(
+           t[CAST(r.i AS INT) * {c} + 1 : CAST(r.i AS INT) * {c} + {c}],
+           ' ') AS chunk_text
+  FROM sized s, unnest(range(0, s.n_chunks)) r(i)
+  WHERE s.n_chunks > 0
+),
+fp AS (SELECT *, {h} AS f FROM ch),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id, idx) AS rn
+  FROM fp
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                           ' ' ORDER BY idx), '') AS kept_text
+FROM rn GROUP BY doc_id
+"""
+
+
+def _layout_prune_oracle() -> str:
+    from tepsonic_database_sync_spark.operators.layout import (
+        LAYOUT_N_FILES,
+        LAYOUT_PRED_PERMILLE,
+        ZORDER_DIM_BITS,
+        morton32_sql,
+    )
+
+    nf = LAYOUT_N_FILES
+    z_shift = 2 * ZORDER_DIM_BITS - (nf.bit_length() - 1)
+    grid_max = (1 << ZORDER_DIM_BITS) - 1
+    lo = 500 - LAYOUT_PRED_PERMILLE // 2
+    hi = 500 + LAYOUT_PRED_PERMILLE // 2
+    return f"""
+WITH pts AS (
+  SELECT o_custkey AS x,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS y
+  FROM orders
+),
+rng AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+        FROM pts),
+norm AS (
+  SELECT x, y,
+         ((x - x0) * {grid_max}) // greatest(x1 - x0, 1) AS x16,
+         ((y - y0) * {grid_max}) // greatest(y1 - y0, 1) AS y16
+  FROM pts, rng
+),
+z AS (SELECT x, y, {morton32_sql("x16", "y16")} AS z FROM norm),
+asg AS (
+  SELECT x, y, 'zorder' AS layout, CAST(z >> {z_shift} AS BIGINT) AS file_id
+  FROM z
+  UNION ALL
+  SELECT x, y, 'by_x',
+         CAST(((x - x0) * {nf}) // greatest(x1 - x0 + 1, 1) AS BIGINT)
+  FROM pts, rng
+  UNION ALL
+  SELECT x, y, 'by_y',
+         CAST(((y - y0) * {nf}) // greatest(y1 - y0 + 1, 1) AS BIGINT)
+  FROM pts, rng
+),
+zones AS (
+  SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         min(x) AS fx0, max(x) AS fx1, min(y) AS fy0, max(y) AS fy1
+  FROM asg GROUP BY 1, 2
+),
+p AS (
+  SELECT x0 + ((x1 - x0) * {lo}) // 1000 AS px_lo,
+         x0 + ((x1 - x0) * {hi}) // 1000 AS px_hi,
+         y0 + ((y1 - y0) * {lo}) // 1000 AS py_lo,
+         y0 + ((y1 - y0) * {hi}) // 1000 AS py_hi
+  FROM rng
+),
+pred AS (
+  SELECT layout, n_rows, 'x_band' AS predicate,
+         (fx0 <= px_hi AND fx1 >= px_lo) AS keep
+  FROM zones, p
+  UNION ALL
+  SELECT layout, n_rows, 'y_band',
+         (fy0 <= py_hi AND fy1 >= py_lo)
+  FROM zones, p
+)
+SELECT layout, predicate, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_scanned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN keep THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned
+FROM pred GROUP BY 1, 2
+"""
+
+
 # name → (spark callable, oracle sql | None)
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
-# FIRST 50 entries (the "window"). Round-7 allocation (VERDICT r6 item 1,
-# then extended late in the round): the 22 late-r7 additions
-# (time_resample … triangle_stats), the 23 earlier r7-new entries, and
-# the first 5 rotation-queue entries — 22 + 23 + 5 = 50. The late
-# additions displaced (a) the 9 r05-green entries that briefly held
-# window slots (sync_pipeline … x2_quarantine — they keep their r05
-# green rows) and (b) the trailing rotation-queue entries
-# (cube_sales, exists_subquery, tpch_q1_pricing, tpch_q3_topk,
-# tpch_q10_returns, tpch_q6_sql, tpch_q17_small_qty,
-# tpch_q22_idle_custs, rollup_sales, pivot_segment_priority, unpivot,
-# count_distinct, window_running_total — LAST THIRTEEN displaced) —
-# those thirteen are the r8 rotation queue HEAD and the only misses
-# of the
-# "every entry green in r05 ∪ r06 ∪ r07" target, exactly the
-# precedented r6 situation (four r01 displacees, rotated first the
-# next round). The
-# tail still runs in scripts/driver_sim.py every session. New or changed
+# FIRST 50 entries (the "window"). Round-8 allocation: the 12 new r8
+# operators (bfs_hops … layout_prune), the 3 entries whose
+# implementation or oracle CHANGED this round (pagerank — full-node
+# rank frame; ohlc_bars — encoding guard; dedup_prefix_filter —
+# degenerate-pair oracle guard), the full 13-entry r8 rotation-queue
+# head (cube_sales … window_running_total, last green r04 — VERDICT r7
+# named them the only misses of the freshness target), and the 22
+# stalest r05-green entries (multimodal/sketch/asof/range/TPC-H block)
+# — 12 + 3 + 13 + 22 = 50. The tail is ordered by green-row freshness:
+# the 26 remaining r05-green entries lead it and are the r9 rotation
+# queue HEAD, then the r06 block, then the r07 block. The whole tail
+# still runs in scripts/driver_sim.py every session. New or changed
 # entries must displace window slots, never ride the tail unverified —
 # machine-checked by tests/test_driver_contract.py::
 # test_registry_tail_entries_have_prior_green_rows.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- late-r7 additions (unverified — must be in-window) -------------
-    "time_resample": (q_time_resample, _O["time_resample"]),
-    "runtime_filter_join": (q_runtime_filter_join, _O["runtime_filter_join"]),
-    "token_pmi": (q_token_pmi, _pmi_oracle()),
+    # --- NEW in r8 (12) — must be in-window -----------------------------
+    "bfs_hops": (q_bfs_hops, _bfs_oracle()),
+    "linear_interp": (q_linear_interp, _LINEAR_INTERP_ORACLE),
+    "seasonal_profile": (q_seasonal_profile, _SEASONAL_ORACLE),
+    "grouped_regression": (q_grouped_regression, _GROUPED_REGRESSION_ORACLE),
+    "chi_square": (q_chi_square, _chi_square_oracle()),
+    "class_balance": (q_class_balance, _class_balance_oracle()),
+    "item_cooccur": (q_item_cooccur, _item_cooccur_oracle()),
+    "negative_sample": (q_negative_sample, _negative_sample_oracle()),
+    "inverted_index": (q_inverted_index, _inverted_index_oracle()),
+    "tfidf_doc_sim": (q_tfidf_doc_sim, _tfidf_doc_sim_oracle()),
+    "chunk_dedup": (q_chunk_dedup, _chunk_dedup_oracle()),
+    "layout_prune": (q_layout_prune, _layout_prune_oracle()),
+    # --- changed in r8 (advice-item fixes touched impl or oracle) -------
     "pagerank": (q_pagerank, _pagerank_oracle()),
-    "zorder_stats": (q_zorder_stats, _zorder_oracle()),
-    "weighted_sample": (q_weighted_sample, _weighted_sample_oracle()),
-    "cdc_incremental_agg": (q_cdc_incremental_agg, _cdc_incr_agg_oracle()),
-    "match_fuzzy": (q_match_fuzzy, _MATCH_FUZZY_ORACLE),
-    "dedup_prefix_filter": (q_dedup_prefix_filter, _prefix_filter_oracle()),
-    "psi_drift": (q_psi_drift, _psi_drift_oracle()),
-    "compaction_plan": (q_compaction_plan, _COMPACTION_ORACLE),
-    "interval_concurrency": (
-        q_interval_concurrency,
-        _INTERVAL_CONCURRENCY_ORACLE,
-    ),
-    "ewma": (q_ewma, _ewma_oracle()),
-    "group_moments": (q_group_moments, _GROUP_MOMENTS_ORACLE),
     "ohlc_bars": (q_ohlc_bars, _OHLC_ORACLE),
-    "hll_registers": (q_hll_registers, _hll_registers_oracle()),
-    "tvd_drift": (q_tvd_drift, _TVD_DRIFT_ORACLE),
-    "k_anonymity": (q_k_anonymity, _KANON_ORACLE),
-    "leaderboard": (q_leaderboard, _LEADERBOARD_ORACLE),
-    "outliers_mad": (q_outliers_mad, _OUTLIERS_MAD_ORACLE),
-    "triangle_stats": (q_triangle_stats, _triangle_oracle()),
-    "attribution_models": (q_attribution_models, _attribution_models_oracle()),
-    # --- NEW in r7 (earlier in the round), 23 entries:
-    # bigram-LM scoring, incremental dedup, the corpus-prepare pipeline,
-    # the CDC pair (diff + roundtrip), Markov transitions, volume-spike
-    # detection, exact grouped quantiles/mode/entropy, source overlap,
-    # the skew profiler, semantic dedup clusters, the hashing-trick
-    # embedder, winnowing passage-overlap pairs, the table profiler, the
-    # CMS join-size estimate, and the PQ + IVF∘PQ ANN tiers. Displacees
-    # (all r05-green, named per block below) moved to the tail queue. ----
-    "text_lm_score": (q_text_lm_score, _lm_score_oracle()),
-    "dedup_incremental": (q_dedup_incremental, _DEDUP_INCREMENTAL_ORACLE),
-    "prepare_corpus": (q_prepare_corpus, _prepare_corpus_oracle()),
-    "snapshot_diff": (q_snapshot_diff, _O["snapshot_diff"]),
-    "event_transitions": (q_event_transitions, _O["event_transitions"]),
-    "event_anomaly": (q_event_anomaly, _O["event_anomaly"]),
-    "grouped_quantiles": (q_grouped_quantiles, _O["grouped_quantiles"]),
-    "source_overlap": (q_source_overlap, _O["source_overlap"]),
-    "skew_profile": (q_skew_profile, _O["skew_profile"]),
-    "embed_dedup_clusters": (q_embed_dedup_clusters, _O["embed_dedup_clusters"]),
-    "cdc_roundtrip": (q_cdc_roundtrip, _O["cdc_roundtrip"]),
-    "text_hash_embed": (q_text_hash_embed, _O["text_hash_embed"]),
-    "winnow_overlap": (q_winnow_overlap, _winnow_overlap_sql()),
-    "profile_table": (q_profile_table, _O["profile_table"]),
-    "join_size_estimate": (q_join_size_estimate, _O["join_size_estimate"]),
-    "ann_pq_topk": (q_ann_pq_topk, _pq_oracle()),
-    "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, _pq_oracle(ivf=True)),
-    "group_entropy": (q_group_entropy, _O["group_entropy"]),
-    "grouped_mode": (q_grouped_mode, _O["grouped_mode"]),
-    "active_users": (q_active_users, _O["active_users"]),
-    "quantile_bucketize": (q_quantile_bucketize, _O["quantile_bucketize"]),
-    "dedup_keep_best": (q_dedup_keep_best, _O["dedup_keep_best"]),
-    "growth_accounting": (q_growth_accounting, _O["growth_accounting"]),
-    # --- rotation queue: last green r01 (4) then r03/r04 (14) -----------
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
-    "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
-    "topk_orders": (q_topk_orders, _O["topk_orders"]),
-    "set_union": (q_set_union, _O["set_union"]),
-    "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
+    "dedup_prefix_filter": (q_dedup_prefix_filter, _prefix_filter_oracle()),
+    # --- r8 rotation-queue head (last green r04) ------------------------
     "cube_sales": (q_cube_sales, _O["cube_sales"]),
     "exists_subquery": (q_exists_subquery, _O["exists_subquery"]),
     "tpch_q1_pricing": (q_tpch_q1_pricing, _O["tpch_q1_pricing"]),
@@ -6201,46 +6844,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot": (q_unpivot, _O["unpivot"]),
     "count_distinct": (q_count_distinct, _O["count_distinct"]),
     "window_running_total": (q_window_running_total, _O["window_running_total"]),
-    # --- r05-green head (displaced from the window by the 9 late-r7
-    # additions; all have r05 green rows — the r8 rotation queue) ------
-    "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
-    "sync_summary": (q_sync_summary, _O["sync_summary"]),
-    "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),
-    "s8_upsert": (q_s8_upsert, _O["s8_upsert"]),
-    "j2_match_partial": (q_j2_match_partial, _O["j2_match_partial"]),
-    "j3_item_lookup": (q_j3_item_lookup, _O["j3_item_lookup"]),
-    "s2_full_scan": (q_s2_full_scan, _O["s2_full_scan"]),
-    "s10_report": (q_s10_report, _O["s10_report"]),
-    "x2_quarantine": (q_x2_quarantine, _O["x2_quarantine"]),
-    "a3_merge_idempotent": (q_a3_merge_idempotent, _O["a3_merge_idempotent"]),
-    "a4_stock_totals": (q_a4_stock_totals, _O["a4_stock_totals"]),
-    "dedup_jaccard_banded": (q_dedup_jaccard_banded, _O["dedup_jaccard_banded"]),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _O["dedup_minhash_lsh"]),
-    "dedup_clusters": (q_dedup_clusters, _O["dedup_clusters"]),
-    "dedup_clusters_star": (q_dedup_clusters_star, _O["dedup_clusters"]),
-    "dedup_simhash": (q_dedup_simhash, _O["dedup_simhash"]),
-    "dedup_canonicalize": (q_dedup_canonicalize, _O["dedup_canonicalize"]),
-    "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
-    # ==== entries below are OUTSIDE the 50-entry driver window ==========
-    # (embed_neardup / decontaminate / pack_sequences / mixture_sample /
-    # scd2_history / ann_* / kmeans_train, all r05-green, displaced by
-    # r7's source_overlap / skew_profile / embed_dedup_clusters /
-    # cdc_roundtrip / text_hash_embed / winnow_overlap / profile_table /
-    # join_size_estimate / ann_pq_topk; dedup_canonicalize also r05-green)
-    "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
-    "decontaminate": (q_decontaminate, _O["decontaminate"]),
-    "pack_sequences": (q_pack_sequences, _O["pack_sequences"]),
-    "mixture_sample": (q_mixture_sample, _O["mixture_sample"]),
-    "scd2_history": (q_scd2_history, _O["scd2_history"]),
-    "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
-    "ann_ivf_topk": (q_ann_ivf_topk, _O["ann_ivf_topk"]),
-    "kmeans_train": (q_kmeans_train, _O["kmeans_train"]),
-    # --- r05-green leftovers: head of the r8 rotation queue -------------
-    # (text_bm25 / text_repetition / sketch_distinct / multimodal_* /
-    # ann_* / kmeans_train displaced from the window by r7's ten new
-    # entries: text_lm_score, dedup_incremental, prepare_corpus,
-    # snapshot_diff, event_transitions, event_anomaly, grouped_quantiles,
-    # source_overlap, skew_profile, embed_dedup_clusters)
+    # --- stalest r05-green fill (multimodal/sketch/asof/TPC-H block) ----
     "multimodal_stats": (q_multimodal_stats, _O["multimodal_stats"]),
     "multimodal_frames": (q_multimodal_frames, _O["multimodal_frames"]),
     "multimodal_features": (q_multimodal_features, _O["multimodal_features"]),
@@ -6249,41 +6853,53 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_repetition": (q_text_repetition, _O["text_repetition"]),
     "sketch_distinct": (q_sketch_distinct, _O["sketch_distinct"]),
     "sketch_percentile": (q_sketch_percentile, _O["sketch_percentile"]),
+    "sketch_topk": (q_sketch_topk, _O["sketch_topk"]),
     "asof_join": (q_asof_join, _O["asof_join"]),
     "range_join": (q_range_join, _O["range_join"]),
+    "sessionize_batch": (q_sessionize_batch, _O["sessionize_batch"]),
+    "set_intersect": (q_set_intersect, _O["set_intersect"]),
     "tpch_q2_min_cost": (q_tpch_q2_min_cost, _O["tpch_q2_min_cost"]),
-    "tpch_q4_order_priority": (
-        q_tpch_q4_order_priority,
-        _O["tpch_q4_order_priority"],
-    ),
-    "tpch_q7_volume_shipping": (
-        q_tpch_q7_volume_shipping,
-        _O["tpch_q7_volume_shipping"],
-    ),
+    "tpch_q4_order_priority": (q_tpch_q4_order_priority, _O["tpch_q4_order_priority"],),
+    "tpch_q7_volume_shipping": (q_tpch_q7_volume_shipping, _O["tpch_q7_volume_shipping"],),
     "tpch_q8_market_share": (q_tpch_q8_market_share, _O["tpch_q8_market_share"]),
     "tpch_q9_profit": (q_tpch_q9_profit, _O["tpch_q9_profit"]),
     "tpch_q14_promo_share": (q_tpch_q14_promo_share, _O["tpch_q14_promo_share"]),
-    "tpch_q16_supplier_cnt": (
-        q_tpch_q16_supplier_cnt,
-        _O["tpch_q16_supplier_cnt"],
-    ),
+    "tpch_q16_supplier_cnt": (q_tpch_q16_supplier_cnt, _O["tpch_q16_supplier_cnt"],),
     "tpch_q19_disjunctive": (q_tpch_q19_disjunctive, _O["tpch_q19_disjunctive"]),
-    "tpch_q20_excess_suppliers": (
-        q_tpch_q20_excess_suppliers,
-        _O["tpch_q20_excess_suppliers"],
-    ),
+    "tpch_q20_excess_suppliers": (q_tpch_q20_excess_suppliers, _O["tpch_q20_excess_suppliers"],),
+    # ==== entries below are OUTSIDE the 50-entry driver window ==========
+    # --- r9 rotation queue HEAD: remaining r05-green entries ------------
     "tpch_q21_waiting": (q_tpch_q21_waiting, _O["tpch_q21_waiting"]),
-    "sessionize_batch": (q_sessionize_batch, _O["sessionize_batch"]),
-    "sketch_topk": (q_sketch_topk, _O["sketch_topk"]),
-    "set_intersect": (q_set_intersect, _O["set_intersect"]),
-    # --- green in CORRECTNESS_r06 (last round's window) -----------------
+    "a3_merge_idempotent": (q_a3_merge_idempotent, _O["a3_merge_idempotent"]),
+    "a4_stock_totals": (q_a4_stock_totals, _O["a4_stock_totals"]),
+    "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
+    "ann_ivf_topk": (q_ann_ivf_topk, _O["ann_ivf_topk"]),
+    "decontaminate": (q_decontaminate, _O["decontaminate"]),
+    "dedup_canonicalize": (q_dedup_canonicalize, _O["dedup_canonicalize"]),
+    "dedup_clusters": (q_dedup_clusters, _O["dedup_clusters"]),
+    "dedup_clusters_star": (q_dedup_clusters_star, _O["dedup_clusters"]),
+    "dedup_jaccard_banded": (q_dedup_jaccard_banded, _O["dedup_jaccard_banded"]),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _O["dedup_minhash_lsh"]),
+    "dedup_simhash": (q_dedup_simhash, _O["dedup_simhash"]),
+    "embed_neardup": (q_embed_neardup, _O["embed_neardup"]),
+    "j2_match_partial": (q_j2_match_partial, _O["j2_match_partial"]),
+    "j3_item_lookup": (q_j3_item_lookup, _O["j3_item_lookup"]),
+    "kmeans_train": (q_kmeans_train, _O["kmeans_train"]),
+    "mixture_sample": (q_mixture_sample, _O["mixture_sample"]),
+    "pack_sequences": (q_pack_sequences, _O["pack_sequences"]),
+    "s10_report": (q_s10_report, _O["s10_report"]),
+    "s2_full_scan": (q_s2_full_scan, _O["s2_full_scan"]),
+    "s8_upsert": (q_s8_upsert, _O["s8_upsert"]),
+    "scd2_history": (q_scd2_history, _O["scd2_history"]),
+    "sync_merge_resync": (q_sync_merge_resync, _O["sync_merge_resync"]),
+    "sync_pipeline": (q_sync_pipeline, _O["sync_pipeline"]),
+    "sync_summary": (q_sync_summary, _O["sync_summary"]),
+    "x2_quarantine": (q_x2_quarantine, _O["x2_quarantine"]),
+    # --- r06-green block -------------------------------------------------
     "s1_rest_ingest": (q_s1_rest_ingest, _s1_rest_ingest_oracle()),
     "model_score": (q_model_score, _O["model_score"]),
     "model_score_hist": (q_model_score_hist, _O["model_score"]),
-    "tpch_q15_top_supplier": (
-        q_tpch_q15_top_supplier,
-        _O["tpch_q15_top_supplier"],
-    ),
+    "tpch_q15_top_supplier": (q_tpch_q15_top_supplier, _O["tpch_q15_top_supplier"],),
     "stream_stream_join": (q_stream_stream_join, _stream_stream_join_oracle()),
     "stream_conversion": (q_stream_conversion, _stream_conversion_oracle()),
     "j5_valid_skip_split": (q_j5_valid_skip_split, _O["j5_valid_skip_split"]),
@@ -6310,10 +6926,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_enrich": (q_stream_enrich, _O["stream_enrich"]),
     "rollup_multires": (q_rollup_multires, _O["rollup_multires"]),
     "tpch_q5_region_revenue": (q_tpch_q5_region_revenue, _O["tpch_q5_region_revenue"]),
-    "tpch_q12_priority_counts": (
-        q_tpch_q12_priority_counts,
-        _O["tpch_q12_priority_counts"],
-    ),
+    "tpch_q12_priority_counts": (q_tpch_q12_priority_counts, _O["tpch_q12_priority_counts"],),
     "tpch_q13_custdist": (q_tpch_q13_custdist, _O["tpch_q13_custdist"]),
     "tpch_q18_big_orders": (q_tpch_q18_big_orders, _O["tpch_q18_big_orders"]),
     "skew_salted_agg": (q_skew_salted_agg, _O["skew_salted_agg"]),
@@ -6332,7 +6945,54 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_winnow": (q_text_winnow, _O["text_winnow"]),
     "text_chunks": (q_text_chunks, _O["text_chunks"]),
     "text_scrub": (q_text_scrub, _O["text_scrub"]),
-    "decontaminate_bloom": (q_decontaminate_bloom, _O["decontaminate_bloom"]),
+    # --- r07-green block -------------------------------------------------
+    "time_resample": (q_time_resample, _O["time_resample"]),
+    "runtime_filter_join": (q_runtime_filter_join, _O["runtime_filter_join"]),
+    "token_pmi": (q_token_pmi, _pmi_oracle()),
+    "zorder_stats": (q_zorder_stats, _zorder_oracle()),
+    "weighted_sample": (q_weighted_sample, _weighted_sample_oracle()),
+    "cdc_incremental_agg": (q_cdc_incremental_agg, _cdc_incr_agg_oracle()),
+    "match_fuzzy": (q_match_fuzzy, _MATCH_FUZZY_ORACLE),
+    "psi_drift": (q_psi_drift, _psi_drift_oracle()),
+    "compaction_plan": (q_compaction_plan, _COMPACTION_ORACLE),
+    "interval_concurrency": (q_interval_concurrency, _INTERVAL_CONCURRENCY_ORACLE,),
+    "ewma": (q_ewma, _ewma_oracle()),
+    "group_moments": (q_group_moments, _GROUP_MOMENTS_ORACLE),
+    "hll_registers": (q_hll_registers, _hll_registers_oracle()),
+    "tvd_drift": (q_tvd_drift, _TVD_DRIFT_ORACLE),
+    "k_anonymity": (q_k_anonymity, _KANON_ORACLE),
+    "leaderboard": (q_leaderboard, _LEADERBOARD_ORACLE),
+    "outliers_mad": (q_outliers_mad, _OUTLIERS_MAD_ORACLE),
+    "triangle_stats": (q_triangle_stats, _triangle_oracle()),
+    "attribution_models": (q_attribution_models, _attribution_models_oracle()),
+    "text_lm_score": (q_text_lm_score, _lm_score_oracle()),
+    "dedup_incremental": (q_dedup_incremental, _DEDUP_INCREMENTAL_ORACLE),
+    "prepare_corpus": (q_prepare_corpus, _prepare_corpus_oracle()),
+    "snapshot_diff": (q_snapshot_diff, _O["snapshot_diff"]),
+    "event_transitions": (q_event_transitions, _O["event_transitions"]),
+    "event_anomaly": (q_event_anomaly, _O["event_anomaly"]),
+    "grouped_quantiles": (q_grouped_quantiles, _O["grouped_quantiles"]),
+    "source_overlap": (q_source_overlap, _O["source_overlap"]),
+    "skew_profile": (q_skew_profile, _O["skew_profile"]),
+    "embed_dedup_clusters": (q_embed_dedup_clusters, _O["embed_dedup_clusters"]),
+    "cdc_roundtrip": (q_cdc_roundtrip, _O["cdc_roundtrip"]),
+    "text_hash_embed": (q_text_hash_embed, _O["text_hash_embed"]),
+    "winnow_overlap": (q_winnow_overlap, _winnow_overlap_sql()),
+    "profile_table": (q_profile_table, _O["profile_table"]),
+    "join_size_estimate": (q_join_size_estimate, _O["join_size_estimate"]),
+    "ann_pq_topk": (q_ann_pq_topk, _pq_oracle()),
+    "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, _pq_oracle(ivf=True)),
+    "group_entropy": (q_group_entropy, _O["group_entropy"]),
+    "grouped_mode": (q_grouped_mode, _O["grouped_mode"]),
+    "active_users": (q_active_users, _O["active_users"]),
+    "quantile_bucketize": (q_quantile_bucketize, _O["quantile_bucketize"]),
+    "dedup_keep_best": (q_dedup_keep_best, _O["dedup_keep_best"]),
+    "growth_accounting": (q_growth_accounting, _O["growth_accounting"]),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
+    "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
+    "topk_orders": (q_topk_orders, _O["topk_orders"]),
+    "set_union": (q_set_union, _O["set_union"]),
+    "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
 }
 
 

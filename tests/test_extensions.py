@@ -2227,3 +2227,220 @@ def test_triangle_stats_counts_each_triangle_once(spark):
     assert got[11]["degree"] == 2 and got[11]["n_triangles"] == 0
     # total triangles = Σ credits / 3 = 4
     assert sum(r["n_triangles"] for r in got.values()) == 12
+
+
+# ---- r8 operators ------------------------------------------------------
+
+
+def test_bfs_hops_min_distances_on_a_chain_with_branch(spark):
+    from tepsonic_database_sync_spark.operators.graph import bfs_hops
+
+    # a→b→c→d plus shortcut a→c: c must report hops=1 (min), d hops=2;
+    # z is unreachable and must be absent
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("z", "z2")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_resample_linear_interpolates_gaps_exactly(spark):
+    import datetime as dt
+
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        resample_linear,
+    )
+
+    utc = dt.timezone.utc
+    rows = [
+        ("k", dt.datetime(2024, 1, 1, 0, tzinfo=utc), 100),
+        # 3-hour gap: hours 1 and 2 must interpolate toward 400
+        ("k", dt.datetime(2024, 1, 1, 3, tzinfo=utc), 400),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, cents long")
+    got = {
+        r["bucket_es"]: (r["value_cents"], r["is_gap"])
+        for r in resample_linear(df, "k", "ts", F.col("cents")).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1, tzinfo=utc).timestamp())
+    assert got[base] == (100, False)
+    assert got[base + 3600] == (200, True)
+    assert got[base + 7200] == (300, True)
+    assert got[base + 10800] == (400, False)
+
+
+def test_class_balance_cuts_every_class_to_the_min(spark):
+    from tepsonic_database_sync_spark.operators.sampling import class_balance
+
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "k long, label string")
+    out = class_balance(df, label="label", key="k").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["label"], set()).add(r["k"])
+    assert len(by["big"]) == 3 and len(by["small"]) == 3
+    # deterministic: re-running picks the identical rows
+    out2 = {(r["k"], r["label"]) for r in class_balance(df, "label", "k").collect()}
+    assert {(r["k"], r["label"]) for r in out} == out2
+
+
+def test_item_cooccur_lift_flags_the_complementary_pair(spark):
+    from tepsonic_database_sync_spark.operators.recommend import (
+        item_cooccur_topk,
+    )
+
+    # items 1,2 always together (4 baskets); item 3 everywhere (8 baskets)
+    rows = []
+    for b in range(8):
+        rows.append((b, 3))
+        if b < 4:
+            rows += [(b, 1), (b, 2)]
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in item_cooccur_topk(
+            df, "b", "i", min_support=2, k=5
+        ).collect()
+    }
+    # lift(1,2) = support*N/(n1*n2) = 4*8/(4*4) = 2.0 → 2000 milli
+    assert got[(1, 2)]["lift_milli"] == 2000
+    assert got[(1, 2)]["conf_milli"] == 1000
+    # lift(1,3) = 4*8/(4*8) = 1.0 — co-buying with a ubiquitous item is noise
+    assert got[(1, 3)]["lift_milli"] == 1000
+    assert got[(1, 2)]["support"] == 4
+
+
+def test_negative_sample_excludes_positives_and_is_deterministic(spark):
+    from tepsonic_database_sync_spark.operators.recommend import (
+        negative_sample,
+    )
+
+    rows = [(u, i) for u in range(6) for i in range(10) if (u + i) % 3 == 0]
+    pos = spark.createDataFrame(rows, "u long, i long")
+    out = negative_sample(pos, "u", "i", n_candidates=8, k=3).collect()
+    pos_set = set(rows)
+    assert all((r["u"], r["i"]) not in pos_set for r in out)
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["u"], []).append(r["neg_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_user.values())
+    out2 = {(r["u"], r["i"], r["neg_rank"]) for r in
+            negative_sample(pos, "u", "i", n_candidates=8, k=3).collect()}
+    assert {(r["u"], r["i"], r["neg_rank"]) for r in out} == out2
+
+
+def test_chunk_dedup_drops_the_later_duplicate_chunk(spark):
+    from tepsonic_database_sync_spark.operators.dedup import chunk_dedup
+
+    boiler = " ".join(f"w{i}" for i in range(32))
+    uniq_a = " ".join(f"a{i}" for i in range(32))
+    uniq_b = " ".join(f"b{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [(1, uniq_a + " " + boiler), (2, boiler + " " + uniq_b)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in chunk_dedup(docs).collect()}
+    # doc 1 keeps both chunks (first occurrence of boiler); doc 2 keeps
+    # only its unique chunk — the boilerplate is deduped corpus-wide
+    assert (got[1]["n_chunks"], got[1]["n_kept"]) == (2, 2)
+    assert (got[2]["n_chunks"], got[2]["n_kept"]) == (2, 1)
+    assert got[2]["kept_text"] == uniq_b
+    assert got[1]["kept_text"] == uniq_a + " " + boiler
+
+
+def test_tfidf_doc_sim_ranks_near_identical_docs_high(spark):
+    from tepsonic_database_sync_spark.operators.text import tfidf_doc_sim
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a + " iota"), (3, "one two three four five six")]
+        + [(10 + i, f"filler{i} alpha beta pad{i} gamma delta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    got = {(r["a_id"], r["b_id"]): r["cos_permille"]
+           for r in tfidf_doc_sim(docs, min_df=2, df_cap=10).collect()}
+    assert got.get((1, 2), 0) >= 900  # near-identical
+    assert all(3 not in pair for pair in got)  # disjoint doc never pairs
+
+
+def test_grouped_regression_recovers_an_exact_line(spark):
+    from tepsonic_database_sync_spark.operators.profile import (
+        grouped_regression,
+    )
+
+    # y = 250 + 3x exactly → slope_milli 3000, intercept at x0=10 is
+    # 250 + 3·10 = 280 → 280000 milli
+    rows = [("g", 10 + i, 250 + 3 * (10 + i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = grouped_regression(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert (r["slope_milli"], r["x0"]) == (3000, 10)
+    assert r["intercept_milli"] == 280000
+    # degenerate group: zero x-variance → slope 0, intercept = mean
+    one = spark.createDataFrame([("h", 5, 7), ("h", 5, 9)], "g string, x long, y long")
+    r = grouped_regression(one, "g", F.col("x"), F.col("y")).collect()[0]
+    assert (r["slope_milli"], r["intercept_milli"]) == (0, 8000)
+
+
+def test_chi_square_cells_zero_on_independent_uniform_table(spark):
+    from tepsonic_database_sync_spark.operators.profile import (
+        chi_square_cells,
+    )
+
+    # perfectly independent 2×2 with equal masses: every d = 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(64)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_square_cells(df, "a", "b").collect()
+    assert all(r["contrib_milli"] == 0 for r in out)
+    assert all(r["expected_milli"] == 64000 for r in out)
+    # fully dependent: x↔u only, y↔v only → large contributions
+    rows = [("x", "u")] * 64 + [("y", "v")] * 64
+    out = chi_square_cells(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).collect()
+    assert sum(r["contrib_milli"] for r in out) > 100000
+
+
+def test_seasonal_profile_permilles_sum_to_one(spark):
+    from tepsonic_database_sync_spark import registry as R
+
+    rows = R.q_seasonal_profile(spark, SF_UNIT).collect()
+    by_type = {}
+    for r in rows:
+        t = by_type.setdefault(r["event_type"], [0, 0])
+        t[0] += r["base_permille"]
+        t[1] += r["cur_permille"]
+    for base_sum, cur_sum in by_type.values():
+        # floored permilles undershoot by up to 1 per occupied slot (≤168)
+        assert 832 <= base_sum <= 1000
+        assert 832 <= cur_sum <= 1000
+
+
+def test_layout_prune_zorder_prunes_both_dims_single_sorts_one(spark):
+    from tepsonic_database_sync_spark import registry as R
+
+    rows = {(r["layout"], r["predicate"]): r
+            for r in R.q_layout_prune(spark, SF_UNIT).collect()}
+    # single-key layouts: near-perfect on their own dim, useless on the other
+    assert rows[("by_x", "x_band")]["files_scanned"] <= 4
+    assert rows[("by_y", "y_band")]["files_scanned"] <= 4
+    assert (rows[("by_x", "y_band")]["files_scanned"]
+            == rows[("by_x", "y_band")]["n_files"])
+    # zorder: sub-linear on BOTH dims — the case for the interleave
+    for pred in ("x_band", "y_band"):
+        z = rows[("zorder", pred)]
+        assert z["files_scanned"] <= z["n_files"] // 2, (pred, z)
+
+
+def test_inverted_index_df_floor_and_sorted_postings(spark):
+    from tepsonic_database_sync_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common " + (f"rare{i}" if i else "x")) for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: r for r in inverted_index(docs, min_df=3, max_postings=4).collect()}
+    assert list(got) == ["common"]
+    assert got["common"]["df"] == 6
+    assert got["common"]["postings"] == "0|1|2|3"  # sorted, capped at 4

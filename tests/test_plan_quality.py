@@ -864,3 +864,81 @@ def test_ewma_is_generator_fanout_no_self_join_no_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_tfidf_doc_sim_pairs_come_from_the_posting_join(spark):
+    """tfidf_doc_sim's candidate pairs must be an equi-join on the
+    shingle (posting lists), never a Cartesian over documents; the only
+    BNL allowed is the single-row corpus-size stat join. The weighted
+    posting frame is checkpointed, so the dots/norms branches re-read it
+    instead of re-tokenizing the corpus."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_tfidf_doc_sim(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0  # checkpoint absorbed it
+    assert plan.count("FileScan") == 0, "weighted postings come from the checkpoint"
+    assert "partial_sum" in plan
+
+
+def test_item_cooccur_pairs_are_basket_equijoin(spark):
+    """Pair generation must be an equi-join on the basket key (fan-out
+    bounded by the basket cap), counts broadcast back — no Cartesian,
+    and the one BNL is the single-row n_baskets stat."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_item_cooccur(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BroadcastHashJoin" in plan  # the item-count probes
+    assert "partial_count" in plan
+
+
+def test_negative_sample_cross_is_bounded_broadcast(spark):
+    """users × top-N candidates is the ONE legitimate nested-loop (one
+    side is a constant-size broadcast list); the positives removal must
+    be a hash anti join, not a second nested loop."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_negative_sample(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "LeftAnti" in plan
+
+
+def test_chi_square_single_fact_pass(spark):
+    """The contingency census must aggregate the fact join ONCE —
+    marginals, total, and the dense grid all derive from the tiny cells
+    frame (orders file-scanned exactly once)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_chi_square(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    # the fact join ran ONCE, inside the eager cells checkpoint — the
+    # compiled plan reads only that materialized frame (zero re-scans;
+    # before the checkpoint this plan showed FOUR orders scans)
+    assert plan.count("FileScan") == 0, plan
+
+
+def test_bfs_rounds_reuse_the_checkpointed_edges(spark):
+    """Every BFS round joins the frontier against the SAME materialized
+    edge frame: zero FileScans in the compiled plan (lineitem was read
+    once at checkpoint time), no Cartesian."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_bfs_hops(spark, SF_UNIT))
+    assert plan.count("FileScan") == 0, "edges must come from the checkpoint"
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # min-hop reduction map-side combines
+
+
+def test_resample_linear_windows_run_over_grid_rows(spark):
+    """The interpolation windows must sort the bounded (key, bucket)
+    grid, never raw events: the window's child aggregates first
+    (partial_count/partial_max visible below the Window node)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_linear_interp(spark, SF_UNIT))
+    assert "Window" in plan
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
