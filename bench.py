@@ -166,6 +166,13 @@ HEADLINE = [
     "seasonal_profile",
     "inverted_index",
     "layout_prune",
+    # r8 batch 2: generic star-contraction components, bucketed interval
+    # join, rank fusion, anchored-window funnel, embedding label-QA
+    "graph_components",
+    "interval_join",
+    "rrf_fusion",
+    "window_funnel",
+    "embed_outliers",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

@@ -470,3 +470,63 @@ def seasonal_profile(events: DataFrame) -> DataFrame:
             (F.col("cur_permille") - F.col("base_permille")).cast("long"),
         )
     )
+
+
+WFUNNEL_HORIZON_S = 72 * 3600
+
+
+def window_funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("signup", "view", "purchase"),
+    horizon_s: int = WFUNNEL_HORIZON_S,
+) -> DataFrame:
+    """ClickHouse-style windowFunnel: per user, the longest ORDERED
+    prefix of ``stages`` completed within ``horizon_s`` of some stage-0
+    anchor event — the anchored-window semantics product analytics
+    wants ("converted within 72h of signup"), where the plain
+    ``funnel_conversion`` (global min-timestamp cascade) would credit a
+    purchase made months after an unrelated signup.
+
+    Mechanics: every stage-0 event is an anchor; stage k's earliest
+    completion per anchor is one equi-join on user_id with the
+    (t > prev, t < anchor + horizon) residual, then a min-aggregate —
+    k−1 bounded joins total, all shuffling on user_id. Per-anchor
+    fan-out is the user's stage-k event count inside one horizon —
+    bounded by per-user activity, the same assumption every
+    sessionizer here makes. The per-user best is one final groupBy.
+
+    Returns (user_id, steps) with steps ∈ [1, len(stages)] — users with
+    no stage-0 event are absent.
+    """
+    es = F.unix_timestamp("ts").cast("long")
+    by_stage = [
+        events.filter(F.col("event_type") == s)
+        .select("user_id", es.alias(f"t{i}"))
+        .distinct()
+        for i, s in enumerate(stages)
+    ]
+    anchors = by_stage[0].withColumn("deadline", F.col("t0") + horizon_s)
+    cur = anchors
+    for i in range(1, len(stages)):
+        nxt = by_stage[i]
+        joined = cur.join(nxt, "user_id").filter(
+            (F.col(f"t{i}") > F.col(f"t{i-1}"))
+            & (F.col(f"t{i}") < F.col("deadline"))
+        )
+        best = joined.groupBy("user_id", "t0").agg(
+            F.min(f"t{i}").alias(f"t{i}")
+        )
+        keys = ["user_id", "t0", "deadline"] + [f"t{j}" for j in range(1, i)]
+        cur = (
+            cur.join(best.withColumnRenamed(f"t{i}", f"__n{i}"),
+                     ["user_id", "t0"], "left")
+            .select(*keys, F.col(f"__n{i}").alias(f"t{i}"))
+        )
+    steps = F.lit(1)
+    for i in range(1, len(stages)):
+        steps = F.when(F.col(f"t{i}").isNotNull(), i + 1).otherwise(steps)
+    return (
+        cur.select("user_id", steps.cast("long").alias("s"))
+        .groupBy("user_id")
+        .agg(F.max("s").cast("long").alias("steps"))
+    )

@@ -702,3 +702,51 @@ def ivf_pq_topk(
         shortlist=shortlist,
         candidates=candidates,
     )
+
+
+EMBOUT_TOPK = 5
+
+
+def embed_outliers(emb: DataFrame, k: int = EMBOUT_TOPK) -> DataFrame:
+    """Per-label embedding outliers — the label-QA sweep a training
+    pipeline runs before trusting its annotations: quantize vectors to
+    exact integers (the engine's ANN convention), compute each label's
+    integer centroid, and surface the k vectors FARTHEST from their own
+    centroid (squared L2, exact) — mislabeled or off-distribution
+    examples concentrate there.
+
+    Mechanics: vector sums are a posexplode + groupBy(label, pos) —
+    a codegen'd generator and one map-side-combined aggregate, never a
+    driver-side vector loop; centroids are truncating per-coordinate
+    means; distances recombine through one (label, pos) equi-join and a
+    per-vector rollup; the final top-k is a window over the per-label
+    frame. All integer, oracle-replayable.
+
+    Returns (label, vec_id, d2, out_rank), out_rank 1..k per label by
+    (d2 desc, vec_id asc).
+    """
+    from pyspark.sql import Window
+
+    v = _quantized(emb)
+    coords = v.select(
+        "label", "vec_id", F.posexplode("iv").alias("pos", "x")
+    )
+    cent = coords.groupBy("label", "pos").agg(
+        F.expr("sum(x) div count(*)").cast("long").alias("c")
+    )
+    d2 = (
+        coords.join(cent, ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        d2.withColumn("out_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("out_rank") <= k)
+    )

@@ -401,3 +401,76 @@ def ohlc_bars(
             F.sum("__v").cast("long").alias("volume_cents"),
         )
     )
+
+
+INTERVAL_BUCKET_S = 3600
+
+
+def interval_overlap_join(
+    a: DataFrame, b: DataFrame, bucket_s: int = INTERVAL_BUCKET_S
+) -> DataFrame:
+    """Unkeyed interval-overlap join — "which incidents touched which
+    activity windows" — as a BUCKETED equi-join, never a quadratic theta
+    join: each interval explodes to the time-grid buckets it covers
+    (a bounded generator), candidates meet on the bucket key, a distinct
+    collapses multi-bucket matches, and the exact end-exclusive overlap
+    test (a_start < b_end AND b_start < a_end) removes same-bucket
+    near-misses. The registry oracle is the INDEPENDENT quadratic theta
+    join, so the hash certifies the blocking's completeness (the
+    dedup_prefix_filter pattern applied to time).
+
+    Inputs: ``a`` = (a_id, a_start, a_end), ``b`` = (b_id, b_start,
+    b_end), epoch-second integers, end-exclusive. Returns (a_id, b_id,
+    overlap_sec).
+
+    Scale: candidate count per bucket is |a-in-bucket|·|b-in-bucket| —
+    ``bucket_s`` is the knob (≈ median interval length); intervals
+    spanning many buckets multiply the explode, so cap pathological
+    spans upstream or split the long tail into its own pass.
+    """
+    ab = a.select(
+        "a_id",
+        "a_start",
+        "a_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"a_start div {bucket_s}"),
+                F.expr(f"(a_end - 1) div {bucket_s}"),
+            )
+        ).alias("bucket"),
+    )
+    bb = b.select(
+        "b_id",
+        "b_start",
+        "b_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"b_start div {bucket_s}"),
+                F.expr(f"(b_end - 1) div {bucket_s}"),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        ab.join(bb, "bucket")
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.least("a_end", "b_end")
+                - F.greatest("a_start", "b_start")
+            )
+            .cast("long")
+            .alias("overlap_sec"),
+        )
+        .distinct()
+    )
+
+
+# registry-query parameters shared with the oracle (incident windows
+# around high-value events)
+INCIDENT_VALUE_MIN = 450
+INCIDENT_SPAN_S = 2 * 3600

@@ -2444,3 +2444,110 @@ def test_inverted_index_df_floor_and_sorted_postings(spark):
     assert list(got) == ["common"]
     assert got["common"]["df"] == 6
     assert got["common"]["postings"] == "0|1|2|3"  # sorted, capped at 4
+
+
+def test_interval_overlap_join_blocking_is_complete(spark):
+    """The bucketed candidates must reproduce the quadratic ground truth
+    exactly — including intervals that only touch across a bucket
+    boundary and excluding end-exclusive abutters."""
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [("a1", 0, 7200), ("a2", 7200, 7201), ("a3", 100000, 100100)],
+        "a_id string, a_start long, a_end long",
+    )
+    b = spark.createDataFrame(
+        [(1, 3600, 10800), (2, 7100, 7200), (3, 99000, 100001)],
+        "b_id long, b_start long, b_end long",
+    )
+    got = {(r["a_id"], r["b_id"]): r["overlap_sec"]
+           for r in interval_overlap_join(a, b).collect()}
+    # ground truth: end-exclusive overlap
+    want = {}
+    for aid, as_, ae in [("a1", 0, 7200), ("a2", 7200, 7201), ("a3", 100000, 100100)]:
+        for bid, bs, be in [(1, 3600, 10800), (2, 7100, 7200), (3, 99000, 100001)]:
+            if as_ < be and bs < ae:
+                want[(aid, bid)] = min(ae, be) - max(as_, bs)
+    assert got == want
+    assert ("a1", 2) in got            # inside one bucket
+    assert ("a2", 1) in got            # crosses the bucket boundary
+    assert ("a2", 2) not in got        # abutting end-exclusive: NO overlap
+    assert got[("a3", 3)] == 1
+
+
+def test_rrf_fuse_consensus_beats_single_ranker_favorites(spark):
+    from tepsonic_database_sync_spark.operators.recommend import rrf_fuse
+
+    rows = [
+        # key 1: rank 2 in both; key 2: rank 1 in A only (rank 50 in B);
+        # key 3: rank 1 in B only (rank 50 in A)
+        (1, "A", 2), (1, "B", 2),
+        (2, "A", 1), (2, "B", 50),
+        (3, "A", 50), (3, "B", 1),
+    ]
+    df = spark.createDataFrame(rows, "key long, ranker string, rank long")
+    out = [r["key"] for r in rrf_fuse(df, k=3).collect()]
+    assert out[0] == 1  # the consensus key wins
+    assert set(out) == {1, 2, 3}
+    got = {r["key"]: r["rrf_micro"] for r in rrf_fuse(df, k=3).collect()}
+    assert got[1] == 2 * (1000000 // 62)
+    assert got[2] == 1000000 // 61 + 1000000 // 110
+
+
+def test_window_funnel_anchoring_vs_global_cascade(spark):
+    import datetime as dt
+
+    from tepsonic_database_sync_spark.operators.events import window_funnel
+
+    utc = dt.timezone.utc
+
+    def t(day, hour=0):
+        return dt.datetime(2024, 1, day, hour, tzinfo=utc)
+
+    rows = [
+        # user 1: signup then view+purchase within 72h → 3 steps
+        (1, "signup", t(1)), (1, "view", t(2)), (1, "purchase", t(3)),
+        # user 2: view BEFORE signup, purchase after horizon → 1 step
+        (2, "view", t(1)), (2, "signup", t(2)), (2, "purchase", t(20)),
+        # user 3: two anchors; only the SECOND signup completes → 3
+        (3, "signup", t(1)), (3, "signup", t(10)),
+        (3, "view", t(11)), (3, "purchase", t(12)),
+        # user 4: view only within horizon → 2 steps
+        (4, "signup", t(1)), (4, "view", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["user_id"]: r["steps"] for r in window_funnel(df).collect()}
+    assert got == {1: 3, 2: 1, 3: 3, 4: 2}
+
+
+def test_embed_outliers_flags_the_planted_outlier(spark):
+    from tepsonic_database_sync_spark.operators.similarity import (
+        embed_outliers,
+    )
+
+    base = [0.1] * 8
+    rows = [(i, base, 0) for i in range(9)] + [(99, [0.9] * 8, 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = embed_outliers(df, k=2).collect()
+    assert out[0]["vec_id"] == 99 and out[0]["out_rank"] == 1
+    assert out[0]["d2"] > out[1]["d2"]
+
+
+def test_graph_components_on_two_known_clusters(spark):
+    from tepsonic_database_sync_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 42)], "node long"
+    )
+    got = {r["node"]: r["comp"] for r in
+           connected_components_star(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 42: 42}

@@ -942,3 +942,47 @@ def test_resample_linear_windows_run_over_grid_rows(spark):
     assert "Window" in plan
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_bucketed_equijoin(spark):
+    """The interval-overlap candidates must meet on the bucket key —
+    no Cartesian/nested-loop theta join anywhere (the quadratic form is
+    confined to the ORACLE, which is the point)."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_interval_join(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # the bucket fan-out generator
+
+
+def test_rrf_fusion_topk_is_take_ordered(spark):
+    """The fused consensus top-k must compile to TakeOrderedAndProject,
+    never a global sort of the scored frame."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_rrf_fusion(spark, SF_UNIT))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_funnel_joins_shuffle_on_user_only(spark):
+    """Every stage join is a user-keyed equi-join with a range residual
+    — no Cartesian, no nested loop; anchors aggregate map-side."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_window_funnel(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan
+
+
+def test_embed_outliers_vector_sums_are_generated_not_joined(spark):
+    """Centroid math must be the posexplode generator + one map-side
+    combined (label, pos) aggregate — no Cartesian over vectors."""
+    from tepsonic_database_sync_spark import registry as R
+
+    plan = plan_of(R.q_embed_outliers(spark, SF_UNIT))
+    assert "CartesianProduct" not in plan
+    assert "Generate posexplode" in plan
+    assert "partial_sum" in plan
