@@ -585,3 +585,135 @@ def test_compaction_plan_matches_greedy_reference(spark, rows, target):
                 skip = len(members) == 1 and b >= target
                 want[fid] = (bin_id, c - start, not skip)
     assert got == want
+
+
+# ---- r8 properties -----------------------------------------------------
+
+interval_set = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50000),
+        st.integers(min_value=1, max_value=30000),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(aset=interval_set, bset=interval_set)
+def test_interval_join_blocking_equals_theta_ground_truth(spark, aset, bset):
+    """The bucketed interval join must equal the quadratic ground truth
+    for ANY interval geometry — spans shorter/longer than the bucket,
+    boundary-straddling, duplicates, empty sides."""
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        interval_overlap_join,
+    )
+
+    a_rows = [(f"a{i}", s, s + d) for i, (s, d) in enumerate(aset)]
+    b_rows = [(i, s, s + d) for i, (s, d) in enumerate(bset)]
+    a = spark.createDataFrame(
+        a_rows, "a_id string, a_start long, a_end long"
+    )
+    b = spark.createDataFrame(b_rows, "b_id long, b_start long, b_end long")
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap_sec"]
+        for r in interval_overlap_join(a, b).collect()
+    }
+    want = {
+        (aid, bid): min(ae, be) - max(as_, bs)
+        for (aid, as_, ae) in a_rows
+        for (bid, bs, be) in b_rows
+        if as_ < be and bs < ae
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.sampled_from(["signup", "view", "purchase", "click"]),
+            st.integers(min_value=0, max_value=400000),  # seconds
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_window_funnel_matches_sequential_reference(spark, events):
+    """window_funnel must match a brute-force per-anchor scan: for every
+    signup anchor, greedily take the earliest strictly-later next stage
+    inside the horizon (greedy-earliest ≡ any-subsequence)."""
+    import datetime as dt
+
+    from tepsonic_database_sync_spark.operators.events import (
+        WFUNNEL_HORIZON_S,
+        window_funnel,
+    )
+
+    utc = dt.timezone.utc
+    base = dt.datetime(2024, 1, 1, tzinfo=utc)
+    rows = [
+        (u, t, base + dt.timedelta(seconds=s)) for (u, t, s) in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {r["user_id"]: r["steps"] for r in window_funnel(df).collect()}
+
+    stages = ("signup", "view", "purchase")
+    by_user: dict[int, dict[str, list[int]]] = {}
+    for u, t, s in events:
+        by_user.setdefault(u, {}).setdefault(t, []).append(s)
+    want = {}
+    for u, evs in by_user.items():
+        anchors = sorted(set(evs.get("signup", [])))
+        if not anchors:
+            continue
+        best = 1
+        for t0 in anchors:
+            prev, steps = t0, 1
+            for stage in stages[1:]:
+                nxt = [
+                    t
+                    for t in evs.get(stage, [])
+                    if t > prev and t < t0 + WFUNNEL_HORIZON_S
+                ]
+                if not nxt:
+                    break
+                prev = min(nxt)
+                steps += 1
+            best = max(best, steps)
+        want[u] = best
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    num=st.integers(min_value=-(10**17), max_value=10**17),
+    den=st.integers(min_value=1, max_value=10**12),
+)
+def test_milli_scale_split_is_exact(spark, num, den):
+    """The quotient/remainder milli split must equal the true
+    floor/trunc of 1000·num/den for any sign of num — the property the
+    regression/χ² wide scaling rests on (Python // floors, so adjust
+    for trunc semantics on negatives)."""
+    from tepsonic_database_sync_spark.operators.profile import _milli_scale
+
+    df = spark.createDataFrame([(num, den)], "num long, den long")
+    got = df.select(_milli_scale("num", "den").alias("v")).collect()[0]["v"]
+    n1000 = 1000 * num
+    want = n1000 // den if n1000 >= 0 else -((-n1000) // den)
+    assert got == want, (num, den, got, want)
