@@ -141,25 +141,33 @@ def write_amplified_olap(spark, factor: int, dest: str) -> None:
 
 def _olap_ops():
     from tepsonic_database_sync_spark.registry import (
+        q_chunk_dedup,
+        q_class_balance,
         q_dedup_prefix_filter,
         q_event_anomaly,
         q_grouped_quantiles,
+        q_interval_join,
+        q_item_cooccur,
         q_match_fuzzy,
         q_pagerank,
         q_runtime_filter_join,
         q_sessionize_batch,
         q_snapshot_diff,
         q_stream_stream_join,
+        q_tfidf_doc_sim,
         q_tpch_q9_profit,
         q_tpch_q21_waiting,
+        q_window_funnel,
         q_winnow_overlap,
     )
 
-    # NOT measured here, deliberately: q_pagerank's input is the DISTINCT
-    # part↔supplier pair set (copies collapse under the amplifier's
-    # orderkey-only shift), and q_match_fuzzy / q_runtime_filter_join are
-    # driven by the customer dim the amplifier keeps fixed — their curves
-    # would measure the harness, not the operator.
+    # NOT measured here, deliberately: q_pagerank / q_bfs_hops /
+    # q_graph_components run on the DISTINCT part↔supplier or
+    # co-purchase pair sets (copies collapse — or densify — under the
+    # amplifier's orderkey-only shift), q_match_fuzzy /
+    # q_runtime_filter_join are driven by the customer dim the amplifier
+    # keeps fixed, and q_embed_outliers reads the unamplified embeddings
+    # table — their curves would measure the harness, not the operator.
     _ = (q_pagerank, q_match_fuzzy, q_runtime_filter_join)
     return {
         # late-r7: the prefix-filtered similarity self-join — candidate
@@ -179,6 +187,18 @@ def _olap_ops():
         "grouped_quantiles": q_grouped_quantiles,
         "event_anomaly": q_event_anomaly,
         "winnow_overlap": q_winnow_overlap,
+        # r8: basket self-join (pair count fixed, support scales — work
+        # linear in rows), df-capped posting self-join (suffixed copies
+        # keep dfs constant → linear), fingerprint-window chunk dedup,
+        # bucketed interval join (activities fixed, incidents scale),
+        # anchored funnel (users scale, per-user activity fixed), and
+        # the per-class hash-order sort (classes fixed, rows scale)
+        "item_cooccur": q_item_cooccur,
+        "tfidf_doc_sim": q_tfidf_doc_sim,
+        "chunk_dedup": q_chunk_dedup,
+        "interval_join": q_interval_join,
+        "window_funnel": q_window_funnel,
+        "class_balance": q_class_balance,
     }
 
 

@@ -2565,21 +2565,26 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev_cents"),
         F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
     )
-    w_rev = Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
-    w_brd = Window.orderBy(F.col("n_orders").desc(), F.col("l_partkey").asc())
-    rankings = (
-        per_part.select(
+    # each ranking's top-200 via orderBy+limit (TakeOrderedAndProject —
+    # distributed per-partition top-k, only 200 rows move), THEN the
+    # rank numbers from a window over that bounded 200-row frame. A
+    # global row_number window over per_part would single-partition the
+    # whole part catalog (the WindowExec warning) — the limit makes the
+    # unpartitioned window constant-size instead.
+    def _ranked(order_cols, name):
+        top = per_part.orderBy(*order_cols).limit(200)
+        w = Window.orderBy(*order_cols)
+        return top.select(
             F.col("l_partkey").alias("key"),
-            F.lit("revenue").alias("ranker"),
-            F.row_number().over(w_rev).alias("rank"),
+            F.lit(name).alias("ranker"),
+            F.row_number().over(w).alias("rank"),
         )
-        .filter(F.col("rank") <= 200)
-        .unionAll(
-            per_part.select(
-                F.col("l_partkey").alias("key"),
-                F.lit("breadth").alias("ranker"),
-                F.row_number().over(w_brd).alias("rank"),
-            ).filter(F.col("rank") <= 200)
+
+    rankings = _ranked(
+        [F.col("rev_cents").desc(), F.col("l_partkey").asc()], "revenue"
+    ).unionAll(
+        _ranked(
+            [F.col("n_orders").desc(), F.col("l_partkey").asc()], "breadth"
         )
     )
     return rrf_fuse(rankings)

@@ -957,12 +957,15 @@ def test_interval_join_is_bucketed_equijoin(spark):
 
 
 def test_rrf_fusion_topk_is_take_ordered(spark):
-    """The fused consensus top-k must compile to TakeOrderedAndProject,
-    never a global sort of the scored frame."""
+    """The fused consensus top-k AND each input ranking's top-200 must
+    compile to TakeOrderedAndProject — a global row_number window over
+    the full part catalog would single-partition it (the WindowExec
+    warning caught in the r8 bench run); the only unpartitioned window
+    allowed is the rank numbering over the already-limited 200 rows."""
     from tepsonic_database_sync_spark import registry as R
 
     plan = plan_of(R.q_rrf_fusion(spark, SF_UNIT))
-    assert "TakeOrderedAndProject" in plan
+    assert plan.count("TakeOrderedAndProject") >= 3  # 2 rankings + fusion
     assert "CartesianProduct" not in plan
 
 
