@@ -173,6 +173,11 @@ HEADLINE = [
     "rrf_fusion",
     "window_funnel",
     "embed_outliers",
+    # r8 batch 3: per-domain curation cap and the blocking audit
+    # (prefix-filter ground truth × LSH candidates — two dedup tiers in
+    # one measurement query)
+    "domain_cap",
+    "lsh_quality",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

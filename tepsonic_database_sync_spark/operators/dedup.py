@@ -1021,3 +1021,53 @@ def chunk_dedup(
             ).alias("kept_text"),
         )
     )
+
+
+def blocking_quality(
+    truth_pairs: DataFrame, cand_pairs: DataFrame
+) -> DataFrame:
+    """The blocking AUDIT: measure a candidate generator against exact
+    ground truth as one full-outer join + one aggregate — recall ("did
+    the blocker miss true pairs?") and precision ("how much junk does
+    verification pay for?") in floored permille. The number every
+    dedup/similarity deployment should publish next to its throughput;
+    here it is an operator, so the measurement itself is distributed,
+    deterministic, and oracle-checkable.
+
+    Inputs: two (a_id, b_id) pair frames (a < b). Returns ONE row
+    (n_true, n_cand, n_hit, recall_permille, precision_permille);
+    degenerate empty sides report -1 for the undefined ratio.
+    """
+    t = truth_pairs.select("a_id", "b_id").distinct().withColumn(
+        "t", F.lit(1)
+    )
+    c = cand_pairs.select("a_id", "b_id").distinct().withColumn(
+        "c", F.lit(1)
+    )
+    j = t.join(c, ["a_id", "b_id"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce("t", F.lit(0))).cast("long").alias("n_true"),
+        F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.expr(
+            "CASE WHEN n_true > 0 THEN (1000 * n_hit) div n_true"
+            " ELSE -1 END"
+        )
+        .cast("long")
+        .alias("recall_permille"),
+        F.expr(
+            "CASE WHEN n_cand > 0 THEN (1000 * n_hit) div n_cand"
+            " ELSE -1 END"
+        )
+        .cast("long")
+        .alias("precision_permille"),
+    )

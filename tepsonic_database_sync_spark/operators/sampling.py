@@ -178,3 +178,40 @@ def class_balance(df: DataFrame, label: str, key: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("m"))
         .select(key, label)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    group: str,
+    key: str,
+    priority: Column,
+    n: int,
+) -> DataFrame:
+    """Per-domain cap with quality-ranked survivors — the standard
+    pretraining curation step ("at most N documents per source, keep the
+    best"): caps over-represented domains where a global fraction
+    sampler (``mixture_sample``) would still admit their long tail.
+
+    Order within a domain is (priority DESC, content hash, key) — the
+    hash makes the tie region (priority scores are coarse) a fair
+    deterministic lottery instead of an id-order bias, and keeps the
+    selection a pure function of the data like every sampler here.
+
+    One window per domain over (key, priority) projections — the honest
+    exact-quota sort, same trade as ``class_balance`` (its docstring
+    names the sort-free approximate cousin).
+
+    Returns (key, group, priority) for the kept rows.
+    """
+    from pyspark.sql import Window
+
+    h = h60(F.concat(F.lit("cap:"), F.col(key).cast("string")))
+    w = Window.partitionBy(group).orderBy(
+        F.col("priority").desc(), h.asc(), F.col(key).asc()
+    )
+    return (
+        df.select(key, group, priority.alias("priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select(key, group, "priority")
+    )

@@ -2614,6 +2614,53 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_outliers(load_table(spark, sf_dir, "embeddings"))
 
 
+
+
+DOMAIN_CAP_N = 10
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap with quality-ranked survivors (keep the
+    best 10 per source): the pretraining curation step that bounds
+    over-represented domains. One window per source over (key, quality)
+    projections; hash tiebreak makes the coarse-quality tie region a
+    fair lottery."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import domain_cap
+    from tepsonic_database_sync_spark.operators.text import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_cap(
+        docs,
+        group="source",
+        key="doc_id",
+        priority=quality_expr(F.col("text")),
+        n=DOMAIN_CAP_N,
+    )
+
+
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking audit, run on the engine's own dedup tiers: recall
+    and precision of the MinHash-LSH candidate generator against the
+    prefix-filter EXACT Jaccard ground truth at tau=0.6 — one full-outer
+    join + one aggregate, distributed and hash-checkable. The number a
+    dedup deployment should publish next to its throughput."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        blocking_quality,
+        jaccard_pairs_prefix,
+        lsh_candidate_pairs,
+        minhash_sig_array,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs_prefix(
+        docs, tau_permille=PREFIX_TAU_PERMILLE
+    ).select("a_id", "b_id")
+    cand = lsh_candidate_pairs(minhash_sig_array(docs))
+    return blocking_quality(truth, cand)
+
+
 def _disc_cents() -> F.Column:
     """Discounted revenue in integer cents — the shared money convention."""
     return F.round(
@@ -6454,6 +6501,66 @@ FROM sess GROUP BY user_id, session_idx
 """,
 }
 
+# ---- r8 oracle twins (batch 3) ----------------------------------------
+
+def _domain_cap_oracle() -> str:
+    h = _D_H60.format(e="'cap:' || CAST(q.doc_id AS VARCHAR)")
+    return f"""
+WITH tq AS (SELECT * FROM ({_O["text_quality"]})),
+q AS (
+  SELECT d.doc_id, d.source, tq.quality
+  FROM documents d JOIN tq ON d.doc_id = tq.doc_id
+),
+r AS (
+  SELECT q.doc_id, q.source, q.quality,
+         row_number() OVER (PARTITION BY q.source
+                            ORDER BY q.quality DESC, {h}, q.doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, source, CAST(quality AS BIGINT) AS priority
+FROM r WHERE rn <= {DOMAIN_CAP_N}
+"""
+
+
+def _lsh_quality_oracle() -> str:
+    return f"""
+WITH {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ','))
+           AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+    AND len(list_intersect(a.shingles, b.shingles)) * 1000
+        >= (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles)))
+           * {PREFIX_TAU_PERMILLE}
+),
+s AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM truth t JOIN cand c
+            ON t.a_id = c.a_id AND t.b_id = c.b_id) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN n_true > 0 THEN (1000 * n_hit) // n_true
+                 ELSE -1 END AS BIGINT) AS recall_permille,
+       CAST(CASE WHEN n_cand > 0 THEN (1000 * n_hit) // n_cand
+                 ELSE -1 END AS BIGINT) AS precision_permille
+FROM s
+"""
+
+
 # ---- r8 oracle twins (batch 2) ----------------------------------------
 
 def _graph_components_oracle() -> str:
@@ -7154,6 +7261,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
     "embed_outliers": (q_embed_outliers, _embed_outliers_oracle()),
+    # --- NEW in r8, batch 3 (2) — displaced tpch q7/q8 to the tail front
+    "domain_cap": (q_domain_cap, _domain_cap_oracle()),
+    "lsh_quality": (q_lsh_quality, _lsh_quality_oracle()),
     # --- changed in r8 (advice-item fixes touched impl or oracle) -------
     "pagerank": (q_pagerank, _pagerank_oracle()),
     "ohlc_bars": (q_ohlc_bars, _OHLC_ORACLE),
@@ -7188,11 +7298,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "set_intersect": (q_set_intersect, _O["set_intersect"]),
     "tpch_q2_min_cost": (q_tpch_q2_min_cost, _O["tpch_q2_min_cost"]),
     "tpch_q4_order_priority": (q_tpch_q4_order_priority, _O["tpch_q4_order_priority"],),
-    "tpch_q7_volume_shipping": (q_tpch_q7_volume_shipping, _O["tpch_q7_volume_shipping"],),
-    "tpch_q8_market_share": (q_tpch_q8_market_share, _O["tpch_q8_market_share"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
     # --- r9 rotation queue HEAD: remaining r05-green entries (the five
     # tpch fills displaced by r8 batch 2 lead it) -------------------------
+    "tpch_q7_volume_shipping": (
+        q_tpch_q7_volume_shipping,
+        _O["tpch_q7_volume_shipping"],
+    ),
+    "tpch_q8_market_share": (q_tpch_q8_market_share, _O["tpch_q8_market_share"]),
     "tpch_q9_profit": (q_tpch_q9_profit, _O["tpch_q9_profit"]),
     "tpch_q14_promo_share": (q_tpch_q14_promo_share, _O["tpch_q14_promo_share"]),
     "tpch_q16_supplier_cnt": (q_tpch_q16_supplier_cnt, _O["tpch_q16_supplier_cnt"]),

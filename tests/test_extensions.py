@@ -2551,3 +2551,39 @@ def test_graph_components_on_two_known_clusters(spark):
     got = {r["node"]: r["comp"] for r in
            connected_components_star(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 42: 42}
+
+
+def test_domain_cap_keeps_best_n_per_source(spark):
+    from tepsonic_database_sync_spark.operators.sampling import domain_cap
+
+    rows = (
+        [(i, "big", 10 + i) for i in range(8)]
+        + [(100 + i, "small", 5) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "k long, src string, q long")
+    out = domain_cap(df, group="src", key="k", priority=F.col("q"), n=3)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["src"], []).append((r["k"], r["priority"]))
+    # big is capped at 3 and keeps the HIGHEST priorities (15, 16, 17)
+    assert sorted(p for _, p in by["big"]) == [15, 16, 17]
+    # small is under the cap — fully kept
+    assert len(by["small"]) == 2
+
+
+def test_blocking_quality_counts_hits_and_misses(spark):
+    from tepsonic_database_sync_spark.operators.dedup import blocking_quality
+
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "a_id long, b_id long"
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8), (9, 10)], "a_id long, b_id long"
+    )
+    r = blocking_quality(truth, cand).collect()[0]
+    assert (r["n_true"], r["n_cand"], r["n_hit"]) == (3, 4, 2)
+    assert r["recall_permille"] == 666
+    assert r["precision_permille"] == 500
+    # degenerate: empty truth reports -1, not a crash
+    r = blocking_quality(truth.limit(0), cand).collect()[0]
+    assert r["recall_permille"] == -1 and r["n_cand"] == 4
