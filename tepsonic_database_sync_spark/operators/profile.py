@@ -298,9 +298,14 @@ def chi_square_cells(
         .withColumn("d", F.expr("nn * observed - rt * ct"))
         .withColumn(
             "contrib_milli",
+            # greatest(…, 1): on tables smaller than ~q³ rows the
+            # quantized denominator floors to 0 — an ANSI divide-by-zero
+            # — so it is clamped; both engines share the clamp, and for
+            # any table large enough that quantization makes sense the
+            # clamp never fires
             _milli_scale(
                 f"(d div {q}) * (d div {q})",
-                f"(nn * rt * ct) div {q * q}",
+                f"greatest((nn * rt * ct) div {q * q}, 1)",
             ),
         )
         .select(

@@ -427,7 +427,16 @@ def interval_overlap_join(
     ``bucket_s`` is the knob (≈ median interval length); intervals
     spanning many buckets multiply the explode, so cap pathological
     spans upstream or split the long tail into its own pass.
+
+    Non-positive-length intervals (end ≤ start) are dropped before the
+    explode: under end-exclusive semantics they can never overlap
+    anything, and a REVERSED interval would otherwise make ``sequence``
+    descend (start bucket > end bucket) and fan out one junk row per
+    bucket in between — filtered-then-verified would still be correct,
+    but the fan-out is unbounded garbage.
     """
+    a = a.filter(F.col("a_end") > F.col("a_start"))
+    b = b.filter(F.col("b_end") > F.col("b_start"))
     ab = a.select(
         "a_id",
         "a_start",

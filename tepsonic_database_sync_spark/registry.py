@@ -6932,10 +6932,11 @@ dense AS (
 d AS (SELECT *, nn * observed - rt * ct AS dd FROM dense)
 SELECT c_mktsegment, o_orderpriority, observed,
        CAST((1000 * rt * ct) // nn AS BIGINT) AS expected_milli,
-       CAST(((dd // {q}) * (dd // {q}) // ((nn * rt * ct) // {q * q}))
-              * 1000
-            + (((dd // {q}) * (dd // {q}) % ((nn * rt * ct) // {q * q}))
-               * 1000) // ((nn * rt * ct) // {q * q})
+       CAST(((dd // {q}) * (dd // {q})
+             // greatest((nn * rt * ct) // {q * q}, 1)) * 1000
+            + (((dd // {q}) * (dd // {q})
+                % greatest((nn * rt * ct) // {q * q}, 1))
+               * 1000) // greatest((nn * rt * ct) // {q * q}, 1)
             AS BIGINT) AS contrib_milli
 FROM d
 """

@@ -2400,6 +2400,14 @@ def test_chi_square_cells_zero_on_independent_uniform_table(spark):
         spark.createDataFrame(rows, "a string, b string"), "a", "b"
     ).collect()
     assert sum(r["contrib_milli"] for r in out) > 100000
+    # tiny table (< q³ rows): the quantized denominator floors to 0 and
+    # must be clamped, not crash with an ANSI divide-by-zero
+    tiny = [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")]
+    out = chi_square_cells(
+        spark.createDataFrame(tiny, "a string, b string"), "a", "b"
+    ).collect()
+    assert len(out) == 4  # survives; quantized contribs are 0 here
+    assert all(r["contrib_milli"] == 0 for r in out)
 
 
 def test_seasonal_profile_permilles_sum_to_one(spark):
@@ -2475,6 +2483,13 @@ def test_interval_overlap_join_blocking_is_complete(spark):
     assert ("a2", 1) in got            # crosses the bucket boundary
     assert ("a2", 2) not in got        # abutting end-exclusive: NO overlap
     assert got[("a3", 3)] == 1
+    # degenerate/reversed intervals are dropped BEFORE the bucket
+    # explode (a reversed one would make sequence() descend)
+    bad = spark.createDataFrame(
+        [("z1", 5000, 5000), ("z2", 90000, 10)],
+        "a_id string, a_start long, a_end long",
+    )
+    assert interval_overlap_join(bad, b).count() == 0
 
 
 def test_rrf_fuse_consensus_beats_single_ranker_favorites(spark):
