@@ -174,11 +174,17 @@ def k_anonymity(
 
 
 def _milli_scale(num: str, den: str) -> F.Column:
-    """Exact ``(1000·num) div den`` without the 1000× overflow: split
-    into quotient and remainder first — ``(n div d)·1000 +
-    ((n % d)·1000) div d``. Both ``div`` and ``%`` truncate toward zero
-    with dividend-signed remainders in Spark AND DuckDB, so the split
-    is engine-exact for negative numerators too (den must be > 0)."""
+    """Exact ``(1000·num) div den`` without the 1000× overflow on the
+    NUMERATOR: split into quotient and remainder first — ``(n div
+    d)·1000 + ((n % d)·1000) div d``. Both ``div`` and ``%`` truncate
+    toward zero with dividend-signed remainders in Spark AND DuckDB, so
+    the split is engine-exact for negative numerators too (den > 0).
+
+    Contract (hypothesis-pinned): |num div den| < 2⁶³/1000 ≈ 9.2·10¹⁵
+    and den·1000 < 2⁶³ — the split buys 1000× headroom on the
+    numerator, not on the QUOTIENT. Both callers state input bounds
+    that keep the quotient orders of magnitude inside (regression
+    slopes in milli-y-units per x; χ² contributions ≤ 1000·N)."""
     return F.expr(
         f"(({num}) div ({den})) * 1000"
         f" + ((({num}) % ({den})) * 1000) div ({den})"

