@@ -1045,12 +1045,22 @@ def blocking_quality(
         "c", F.lit(1)
     )
     j = t.join(c, ["a_id", "b_id"], "full_outer")
+    # outer coalesce: with BOTH inputs empty the join has zero rows and
+    # sum() yields NULL — the counts must still read 0 (oracle parity
+    # on the fully-degenerate case; caught in review)
     return j.agg(
-        F.sum(F.coalesce("t", F.lit(0))).cast("long").alias("n_true"),
-        F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("n_cand"),
-        F.sum(
-            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
-            .otherwise(0)
+        F.coalesce(F.sum(F.coalesce("t", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_true"),
+        F.coalesce(F.sum(F.coalesce("c", F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_cand"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_hit"),

@@ -425,9 +425,11 @@ def seasonal_profile(events: DataFrame) -> DataFrame:
     """
     es = F.unix_timestamp("ts").cast("long")
     mx = events.agg(F.max(es).alias("max_es"))
-    how = (
-        ((F.floor(F.col("es") / 86400) + 4) % 7) * 24
-        + F.floor((F.col("es") % 86400) / 3600)
+    # integer div end-to-end (not floor of a double quotient): matches
+    # the oracle's `//` exactly, including on pre-1970 negative epochs
+    # where floor and truncation diverge (review finding)
+    how = F.expr(
+        "(((es div 86400) + 4) % 7) * 24 + (es % 86400) div 3600"
     ).cast("long")
     slotted = (
         events.select(es.alias("es"), "event_type")
@@ -448,20 +450,22 @@ def seasonal_profile(events: DataFrame) -> DataFrame:
         )
     )
     tot = Window.partitionBy("event_type")
-    base_tot = F.sum("base_n").over(tot)
-    cur_tot = F.sum("cur_n").over(tot)
     return (
-        slotted.select(
+        slotted.withColumn("bt", F.sum("base_n").over(tot))
+        .withColumn("ct", F.sum("cur_n").over(tot))
+        .select(
             "event_type",
             "how",
             "base_n",
             "cur_n",
-            F.when(base_tot > 0, F.floor(F.col("base_n") * 1000 / base_tot))
-            .otherwise(F.lit(0))
+            F.expr(
+                "CASE WHEN bt > 0 THEN (base_n * 1000) div bt ELSE 0 END"
+            )
             .cast("long")
             .alias("base_permille"),
-            F.when(cur_tot > 0, F.floor(F.col("cur_n") * 1000 / cur_tot))
-            .otherwise(F.lit(0))
+            F.expr(
+                "CASE WHEN ct > 0 THEN (cur_n * 1000) div ct ELSE 0 END"
+            )
             .cast("long")
             .alias("cur_permille"),
         )

@@ -241,7 +241,7 @@ def grouped_regression(
     )
 
 
-CHI_QUANT = 16  # deviation quantum: d is floored to CHI_QUANT counts
+CHI_QUANT = 64  # deviation quantum: d is floored to CHI_QUANT counts
 
 
 def chi_square_cells(
@@ -259,9 +259,9 @@ def chi_square_cells(
     (``_milli_scale``). With q=16 that is exact χ² up to a ≤q-count
     quantization of each deviation (≪ any significance threshold).
     BIGINT bound: requires |d| div q ≤ 3·10⁹ — pick
-    q ≥ N·O_max / 3·10⁹ for bigger tables (q=16 covers N ≈ 7·10⁵ rows
-    worst-case, far more in practice since d ≪ N·O on real data). Both
-    engines share every step, so the result is hash-identical.
+    q ≥ N·O_max / 3·10⁹ for bigger tables (q=64 covers N ≈ 1.4·10⁶
+    rows worst-case, far more in practice since d ≪ N·O on real data).
+    Both engines share every step, so the result is hash-identical.
 
     Scale shape: ONE map-side-combined groupBy of the fact table to the
     (row × col) cell frame; marginals, the grand total, and the DENSE

@@ -2373,6 +2373,10 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(c.select("c_custkey", "c_mktsegment")),
         o["o_custkey"] == c["c_custkey"],
     )
+    # default quant: for this 5×5 table O_max ≈ N/5, so |d| ≲ N²/5 and
+    # the |d| div q ≤ 3·10⁹ bound holds to N ≈ 10⁶ orders (sf ≈ 0.7)
+    # with CHI_QUANT=64; pass a larger quant beyond (the operator
+    # docstring derives the rule)
     return chi_square_cells(joined, "c_mktsegment", "o_orderpriority")
 
 
@@ -2475,35 +2479,27 @@ def q_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the co-purchase part graph (parts sharing
-    ≥ 2 orders, baskets capped like item_cooccur): the generic graph
-    clustering next to PageRank's centrality and the dedup-specific
-    star contraction — here the SAME large-star/small-star operator runs
-    on an arbitrary edge list. Returns (node, comp) with comp = the
-    component's minimum part key."""
+    ≥ 2 orders, baskets capped like item_cooccur — both build on the
+    SAME capped_basket_items/cooccur_pairs substrate, so the cap
+    semantics cannot diverge): the generic graph clustering next to
+    PageRank's centrality and the dedup-specific star contraction.
+    Returns (node, comp) with comp = the component's minimum part key."""
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.operators.dedup import (
         connected_components_star,
     )
-    from tepsonic_database_sync_spark.operators.recommend import MAX_BASKET
+    from tepsonic_database_sync_spark.operators.recommend import (
+        capped_basket_items,
+        cooccur_pairs,
+    )
 
-    bi = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i"))
-        .distinct()
+    capped = capped_basket_items(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
     )
-    sizes = bi.groupBy("b").agg(F.count("*").alias("bn"))
-    cap = bi.join(sizes.filter(F.col("bn") <= MAX_BASKET), "b").select("b", "i")
-    la = cap.select("b", F.col("i").alias("a_id"))
-    lb = cap.select("b", F.col("i").alias("b_id"))
-    edges = (
-        la.join(lb, "b")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("a_id", "b_id")
+    edges = cooccur_pairs(capped, min_support=2, symmetric=False).select(
+        "a_id", "b_id"
     )
-    nodes = cap.select(F.col("i").alias("node")).distinct()
+    nodes = capped.select(F.col("i").alias("node")).distinct()
     return connected_components_star(edges, nodes)
 
 
@@ -7224,19 +7220,20 @@ FROM pred GROUP BY 1, 2
 # name → (spark callable, oracle sql | None)
 #
 # ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
-# FIRST 50 entries (the "window"). Round-8 allocation: the 17 new r8
-# operators (bfs_hops … layout_prune, then batch 2 graph_components …
-# embed_outliers), the 3 entries whose implementation or oracle
-# CHANGED this round (pagerank — full-node rank frame; ohlc_bars —
-# encoding guard; dedup_prefix_filter — degenerate-pair oracle guard),
-# the full 13-entry r8 rotation-queue head (cube_sales …
-# window_running_total, last green r04 — VERDICT r7 named them the
-# only misses of the freshness target), and the 17 stalest r05-green
-# entries (multimodal/sketch/asof/range/TPC-H block; batch 2 displaced
-# tpch q9/q14/q16/q19/q20 back to the tail front) — 17 + 3 + 13 + 17
-# = 50. The tail is ordered by green-row freshness: the 31 remaining
-# r05-green entries lead it and are the r9 rotation queue HEAD, then
-# the r06 block, then the r07 block. The whole tail still runs in
+# FIRST 50 entries (the "window"). Round-8 allocation: the 19 new r8
+# operators (batch 1 bfs_hops … layout_prune, batch 2
+# graph_components … embed_outliers, batch 3 domain_cap +
+# lsh_quality), the 3 entries whose implementation or oracle CHANGED
+# this round (pagerank — full-node rank frame; ohlc_bars — encoding
+# guard; dedup_prefix_filter — degenerate-pair oracle guard), the full
+# 13-entry r8 rotation-queue head (cube_sales … window_running_total,
+# last green r04 — VERDICT r7 named them the only misses of the
+# freshness target), and the 15 stalest r05-green entries
+# (multimodal/sketch/asof/range/TPC-H block; batches 2+3 displaced
+# tpch q7/q8/q9/q14/q16/q19/q20 back to the tail front) —
+# 19 + 3 + 13 + 15 = 50. The tail is ordered by green-row freshness:
+# the 33 r05-green entries lead it and are the r9 rotation queue HEAD,
+# then the r06 block, then the r07 block. The whole tail still runs in
 # scripts/driver_sim.py every session. New or changed
 # entries must displace window slots, never ride the tail unverified —
 # machine-checked by tests/test_driver_contract.py::
@@ -7388,6 +7385,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_winnow": (q_text_winnow, _O["text_winnow"]),
     "text_chunks": (q_text_chunks, _O["text_chunks"]),
     "text_scrub": (q_text_scrub, _O["text_scrub"]),
+    # re-added after the r8 dict rebuild dropped it (caught in review):
+    # r06-green, so tail placement is contract-legal
+    "decontaminate_bloom": (q_decontaminate_bloom, _O["decontaminate_bloom"]),
     # --- r07-green block -------------------------------------------------
     "time_resample": (q_time_resample, _O["time_resample"]),
     "runtime_filter_join": (q_runtime_filter_join, _O["runtime_filter_join"]),

@@ -520,8 +520,9 @@ def rollup_cdc_applier(spark, root: str, keys, group: str, value: str):
     snapshot version CANNOT be delivered as zero rows — encode
     delete-all as explicit tombstone rows or apply it out-of-band;
     the maintenance law below is stated over non-empty versions only.
-    Pinned by tests/test_streaming_cdc.py (empty batch → committed
-    state unchanged).
+    Pinned by tests/test_streaming_ops.py::
+    test_rollup_cdc_applier_ignores_empty_batches (empty batch →
+    committed state unchanged).
     """
     import json
     import os

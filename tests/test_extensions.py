@@ -2602,3 +2602,8 @@ def test_blocking_quality_counts_hits_and_misses(spark):
     # degenerate: empty truth reports -1, not a crash
     r = blocking_quality(truth.limit(0), cand).collect()[0]
     assert r["recall_permille"] == -1 and r["n_cand"] == 4
+    # BOTH sides empty: counts must be 0 (not NULL — the sum over an
+    # empty join needs an outer coalesce; review finding), ratios -1
+    r = blocking_quality(truth.limit(0), cand.limit(0)).collect()[0]
+    assert (r["n_true"], r["n_cand"], r["n_hit"]) == (0, 0, 0)
+    assert (r["recall_permille"], r["precision_permille"]) == (-1, -1)
