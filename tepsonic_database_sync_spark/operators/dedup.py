@@ -1081,3 +1081,100 @@ def blocking_quality(
         .cast("long")
         .alias("precision_permille"),
     )
+
+
+def _chunk_index_merge(state: DataFrame, new: DataFrame) -> DataFrame:
+    u = state.unionByName(new)
+    return (
+        u.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("m"))
+        .select(
+            "fp",
+            F.col("m.doc_id").cast("long").alias("doc_id"),
+            F.col("m.idx").cast("long").alias("idx"),
+        )
+    )
+
+
+def incremental_chunk_dedup(
+    new_docs: DataFrame, store, chunk_tokens: int = CHUNK_DEDUP_TOKENS
+) -> DataFrame:
+    """``chunk_dedup``'s operational form: dedupe an INCREMENT's chunks
+    against a persistent chunk-fingerprint index (the
+    ``incremental_dedup`` pattern at sub-document granularity) — a
+    daily crawl drop loses its boilerplate against EVERYTHING already
+    ingested, at O(increment) cost, never by re-chunking the corpus.
+
+    Per batch: chunk (overlap=0, lossless reassembly) → within-batch
+    winner per fingerprint (min (doc_id, idx)) → anti-join against the
+    partition-pruned index probe → admit fresh fingerprints
+    (``store.merge`` rewrites only touched buckets) → reassemble every
+    batch document from its surviving chunks.
+
+    The INDEX is replay-idempotent (re-merging admitted fingerprints is
+    a no-op by the min-merge); the EMITTED reassembly is
+    first-delivery-wins — a replayed batch reassembles to all-dropped
+    documents because its own chunks now sit in the index, so the
+    output sink must be append-once per batch (exactly the
+    ``stream_upsert_sink`` batch_id contract, which
+    ``streaming.ops.chunk_dedup_stream`` applies).
+
+    Equivalence law (pinned in tests): feeding batches in doc_id order
+    and concatenating the emissions equals one-shot ``chunk_dedup``
+    over the union — the global first-occurrence rule and the arrival
+    order coincide exactly then.
+
+    Returns (doc_id, n_chunks, n_kept, kept_text) for the batch's docs.
+    """
+    from tepsonic_database_sync_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        new_docs, chunk_tokens=chunk_tokens, overlap=0
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("idx"),
+        "chunk_text",
+        h60(F.lower(F.col("chunk_text"))).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.col("doc_id").asc(), F.col("idx").asc()
+    )
+    winners = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fp", "doc_id", "idx")
+    )
+    existing = store.read_touched(winners.select("fp"))
+    fresh = (
+        winners
+        if existing is None
+        else winners.join(existing.select("fp"), "fp", "left_anti")
+    )
+    fresh = fresh.localCheckpoint(eager=True)
+    store.merge(fresh, _chunk_index_merge)
+    marked = chunks.join(
+        fresh.select(
+            "fp",
+            F.col("doc_id").alias("__wd"),
+            F.col("idx").alias("__wi"),
+        ),
+        "fp",
+        "left",
+    ).withColumn(
+        "__kept",
+        (F.col("doc_id") == F.col("__wd")) & (F.col("idx") == F.col("__wi")),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("__kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "  CASE WHEN __kept THEN struct(idx, chunk_text) END)),"
+                " s -> s.chunk_text)"
+            ),
+            " ",
+        ).alias("kept_text"),
+    )

@@ -748,3 +748,66 @@ def leaderboard_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def chunk_dedup_applier(store, out_dir: str):
+    """foreachBatch callable behind ``chunk_dedup_stream``: each
+    micro-batch of documents runs ``dedup.incremental_chunk_dedup``
+    against the persistent chunk-fingerprint store and appends the
+    reassembled documents to ``out_dir`` exactly once per batch_id
+    (the ``stream_upsert_sink`` marker contract — a replayed batch
+    would otherwise re-emit its documents as all-dropped, because the
+    first delivery already admitted their chunks into the index)."""
+    import json
+    import os
+
+    from tepsonic_database_sync_spark.operators.dedup import (
+        incremental_chunk_dedup,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_BATCHES")
+
+    def _done() -> set[int]:
+        try:
+            with open(marker) as f:
+                return set(json.load(f))
+        except (FileNotFoundError, ValueError):
+            return set()
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        done = _done()
+        if batch_id in done or batch_df.isEmpty():
+            return
+        out = incremental_chunk_dedup(batch_df, store)
+        out.write.mode("append").parquet(os.path.join(out_dir, "docs"))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(done | {batch_id}), f)
+        os.replace(tmp, marker)
+
+    return apply_batch
+
+
+def chunk_dedup_stream(
+    docs_stream,
+    store,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous sub-document dedup: a document stream → per-batch
+    ``incremental_chunk_dedup`` against the bucketed chunk-fingerprint
+    store → reassembled documents appended exactly once per batch_id.
+    The streaming twin of the batch ``chunk_dedup`` (equivalence law in
+    the operator docstring: in-arrival-order batching reproduces the
+    one-shot result — pinned in tests over deterministic micro-batches).
+    State is the fingerprint index itself — replay-idempotent by the
+    min-merge, no watermark needed (exact dedup has no lateness
+    semantics). Returns the started StreamingQuery."""
+    writer = docs_stream.writeStream.foreachBatch(
+        chunk_dedup_applier(store, out_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

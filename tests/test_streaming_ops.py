@@ -896,3 +896,115 @@ def test_leaderboard_stream_equals_batch_topk_and_replays_by_algebra(
     )
     q2.awaitTermination(180)
     assert {(r["key"], r["best_cents"]) for r in store.read().collect()} == got
+
+
+def test_incremental_chunk_dedup_equals_batch_and_is_index_idempotent(
+    spark, tmp_path
+):
+    """The incremental form fed in doc_id order must concatenate to the
+    one-shot chunk_dedup over the union (the equivalence law), and
+    replaying a batch must leave the fingerprint index unchanged while
+    reassembling that batch's docs as all-dropped (first-delivery-wins,
+    documented)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        chunk_dedup,
+        incremental_chunk_dedup,
+    )
+    from tepsonic_database_sync_spark.sources.jdbc import (
+        BucketedParquetStateStore,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(32))
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(32))  # noqa: E731
+    docs = [
+        (1, u("a") + " " + boiler),
+        (2, boiler + " " + u("b")),
+        (3, u("c")),
+        (4, u("b") + " " + boiler),  # both chunks already seen by now
+    ]
+    schema = "doc_id long, text string"
+    all_df = spark.createDataFrame(docs, schema)
+    want = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+            for r in chunk_dedup(all_df).collect()}
+
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "fpidx"), keys=["fp"], n_buckets=8
+    )
+    got = {}
+    for batch in (docs[:2], docs[2:]):
+        out = incremental_chunk_dedup(
+            spark.createDataFrame(batch, schema), store
+        )
+        for r in out.collect():
+            got[r["doc_id"]] = (r["n_chunks"], r["n_kept"], r["kept_text"])
+    assert got == want
+    assert want[4] == (2, 0, "")  # everything doc 4 had was boilerplate
+
+    # replay batch 2: the index must not change, and the replayed docs
+    # reassemble as all-dropped (their chunks are already admitted)
+    idx_before = {tuple(r) for r in store.read().collect()}
+    replay = incremental_chunk_dedup(
+        spark.createDataFrame(docs[2:], schema), store
+    ).collect()
+    assert {tuple(r) for r in store.read().collect()} == idx_before
+    assert all(r["n_kept"] == 0 and r["kept_text"] == "" for r in replay)
+
+
+def test_chunk_dedup_stream_matches_one_shot_batch(spark, tmp_path):
+    """The streamed form over in-order micro-batches must reproduce the
+    one-shot batch chunk_dedup, and a full redelivery (fresh checkpoint,
+    same store + sink) must be a no-op via the batch-id marker."""
+    from tepsonic_database_sync_spark.operators.dedup import chunk_dedup
+    from tepsonic_database_sync_spark.sources.jdbc import (
+        BucketedParquetStateStore,
+    )
+    from tepsonic_database_sync_spark.streaming.ops import (
+        chunk_dedup_stream,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(32))
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(32))  # noqa: E731
+    docs = [
+        (1, u("a") + " " + boiler),
+        (2, boiler + " " + u("b")),
+        (3, u("b") + " " + u("d")),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    for i, row in enumerate(docs):
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "fpidx"), keys=["fp"], n_buckets=8
+    )
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = chunk_dedup_stream(stream, store, out_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+        for r in spark.read.parquet(out_dir + "/docs").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+        for r in chunk_dedup(spark.createDataFrame(docs, schema)).collect()
+    }
+    assert got == want
+
+    # full redelivery with a fresh checkpoint: marker makes it a no-op
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = chunk_dedup_stream(stream2, store, out_dir, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    again = spark.read.parquet(out_dir + "/docs").count()
+    assert again == len(docs)  # no duplicate emissions
