@@ -989,3 +989,26 @@ def test_embed_outliers_vector_sums_are_generated_not_joined(spark):
     assert "CartesianProduct" not in plan
     assert "Generate posexplode" in plan
     assert "partial_sum" in plan
+
+
+def test_no_cartesian_product_in_any_registry_query(spark):
+    """Blanket invariant over the ENTIRE registry: no query may compile
+    to a CartesianProduct — the non-broadcast cross join that dies
+    first at scale. Deliberate bounded nested loops (1-row stat
+    broadcasts, the brute-force ANN baseline, negative_sample's
+    candidate cross) appear as BroadcastNestedLoopJoin, which this
+    blanket check intentionally does NOT forbid — per-operator tests
+    pin those counts individually. Catching a Cartesian here means a
+    join condition was dropped or a blocking key was lost."""
+    from tepsonic_database_sync_spark import registry as R
+
+    offenders = []
+    for name, (fn, _sql) in R.REGISTRY.items():
+        try:
+            plan = plan_of(fn(spark, SF_UNIT))
+        except Exception as ex:  # noqa: BLE001 — name the op that broke
+            offenders.append(f"{name}: PLAN BUILD FAILED {type(ex).__name__}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
