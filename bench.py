@@ -178,6 +178,8 @@ HEADLINE = [
     # one measurement query)
     "domain_cap",
     "lsh_quality",
+    # r8 batch 5: the between-epoch dataloader shuffle as an operator
+    "epoch_order",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

@@ -215,3 +215,52 @@ def domain_cap(
         .filter(F.col("rn") <= n)
         .select(key, group, "priority")
     )
+
+
+EPOCHS_DEFAULT = 3
+
+
+def epoch_order(
+    df: DataFrame, key: str, epochs: int = EPOCHS_DEFAULT
+) -> DataFrame:
+    """Deterministic multi-epoch shuffle for training dataloaders: for
+    each epoch e, every row gets a position in an epoch-specific
+    pseudorandom permutation — ordered by h60("epoch:e:" || key) — so
+    (a) every epoch visits the data in a different order, (b) the order
+    is a pure function of (epoch, key): reproducible across engines,
+    repartitionings, and restarts mid-epoch, with no RNG state to
+    checkpoint (the property ``df.sample``-style seeded shuffles lose
+    the moment partitioning changes).
+
+    One generator explode (×epochs) + one rank per epoch. The rank is a
+    window ordered by the hash — a full distributed sort per epoch,
+    which IS the honest cost of a global permutation (it is exactly the
+    between-epoch shuffle pass training pipelines schedule); at 100 TB
+    each epoch's sort is an independent range-partitioned sort on a
+    uniform key, and pipelines that only need per-shard shuffling drop
+    the global window for a (shard, hash) sort at scan speed.
+
+    Returns (key, epoch, position), position 1-based within each epoch.
+    """
+    from pyspark.sql import Window
+
+    e = df.select(key).select(
+        F.col(key),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(epochs) - 1))
+        ).alias("epoch"),
+    )
+    h = h60(
+        F.concat(
+            F.lit("epoch:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col(key).cast("string"),
+        )
+    )
+    w = Window.partitionBy("epoch").orderBy(h.asc(), F.col(key).asc())
+    return e.select(
+        key,
+        F.col("epoch").cast("long").alias("epoch"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )

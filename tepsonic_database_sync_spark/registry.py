@@ -2657,6 +2657,21 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_quality(truth, cand)
 
 
+
+
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-epoch training shuffle over documents: each
+    epoch is a different hash-keyed permutation, reproducible with no
+    RNG state (restart-safe mid-epoch) — the between-epoch shuffle pass
+    a dataloader schedules, as an operator."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import epoch_order
+
+    return epoch_order(
+        load_table(spark, sf_dir, "documents"), key="doc_id"
+    )
+
+
 def _disc_cents() -> F.Column:
     """Discounted revenue in integer cents — the shared money convention."""
     return F.round(
@@ -6497,6 +6512,30 @@ FROM sess GROUP BY user_id, session_idx
 """,
 }
 
+# ---- r8 oracle twins (batch 5) ----------------------------------------
+
+def _epoch_order_oracle() -> str:
+    from tepsonic_database_sync_spark.operators.sampling import (
+        EPOCHS_DEFAULT,
+    )
+
+    h = _D_H60.format(
+        e="'epoch:' || CAST(e.epoch AS VARCHAR) || ':'"
+          " || CAST(d.doc_id AS VARCHAR)"
+    )
+    return f"""
+WITH e AS (SELECT unnest(range(0, {EPOCHS_DEFAULT})) AS epoch),
+x AS (
+  SELECT d.doc_id, CAST(e.epoch AS BIGINT) AS epoch, {h} AS h
+  FROM documents d CROSS JOIN e
+)
+SELECT doc_id, epoch,
+       CAST(row_number() OVER (PARTITION BY epoch
+                               ORDER BY h, doc_id) AS BIGINT) AS position
+FROM x
+"""
+
+
 # ---- r8 oracle twins (batch 3) ----------------------------------------
 
 def _domain_cap_oracle() -> str:
@@ -7262,6 +7301,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- NEW in r8, batch 3 (2) — displaced tpch q7/q8 to the tail front
     "domain_cap": (q_domain_cap, _domain_cap_oracle()),
     "lsh_quality": (q_lsh_quality, _lsh_quality_oracle()),
+    # --- NEW in r8, batch 5 (1) — displaced tpch_q4 to the tail front
+    "epoch_order": (q_epoch_order, _epoch_order_oracle()),
     # --- changed in r8 (advice-item fixes touched impl or oracle) -------
     "pagerank": (q_pagerank, _pagerank_oracle()),
     "ohlc_bars": (q_ohlc_bars, _OHLC_ORACLE),
@@ -7295,10 +7336,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sessionize_batch": (q_sessionize_batch, _O["sessionize_batch"]),
     "set_intersect": (q_set_intersect, _O["set_intersect"]),
     "tpch_q2_min_cost": (q_tpch_q2_min_cost, _O["tpch_q2_min_cost"]),
-    "tpch_q4_order_priority": (q_tpch_q4_order_priority, _O["tpch_q4_order_priority"],),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
     # --- r9 rotation queue HEAD: remaining r05-green entries (the five
     # tpch fills displaced by r8 batch 2 lead it) -------------------------
+    "tpch_q4_order_priority": (q_tpch_q4_order_priority, _O["tpch_q4_order_priority"],),
     "tpch_q7_volume_shipping": (
         q_tpch_q7_volume_shipping,
         _O["tpch_q7_volume_shipping"],

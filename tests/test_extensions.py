@@ -2607,3 +2607,24 @@ def test_blocking_quality_counts_hits_and_misses(spark):
     r = blocking_quality(truth.limit(0), cand.limit(0)).collect()[0]
     assert (r["n_true"], r["n_cand"], r["n_hit"]) == (0, 0, 0)
     assert (r["recall_permille"], r["precision_permille"]) == (-1, -1)
+
+
+def test_epoch_order_permutations_differ_and_are_stable(spark):
+    from tepsonic_database_sync_spark.operators.sampling import epoch_order
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "k long")
+    out = epoch_order(df, "k", epochs=3).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], {})[r["position"]] = r["k"]
+    # each epoch is a complete permutation of the keys
+    for e, perm in by_epoch.items():
+        assert sorted(perm.keys()) == list(range(1, 41))
+        assert sorted(perm.values()) == list(range(40))
+    # epochs genuinely differ (hash-keyed per epoch)
+    o0 = [by_epoch[0][p] for p in range(1, 41)]
+    o1 = [by_epoch[1][p] for p in range(1, 41)]
+    assert o0 != o1
+    # stable: re-running (and repartitioning) reproduces the order
+    out2 = epoch_order(df.repartition(7), "k", epochs=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
