@@ -180,6 +180,8 @@ HEADLINE = [
     "lsh_quality",
     # r8 batch 5: the between-epoch dataloader shuffle as an operator
     "epoch_order",
+    # r8 batch 6: the second-order path census
+    "event_paths",
     "match_cascade",
     "s8_upsert",
     "sync_summary",

@@ -534,3 +534,58 @@ def window_funnel(
         .groupBy("user_id")
         .agg(F.max("s").cast("long").alias("steps"))
     )
+
+
+PATHS_TOPK = 50
+
+
+def event_paths(events: DataFrame, k: int = PATHS_TOPK) -> DataFrame:
+    """Second-order path census — the (prev2 → prev1 → next) trigram
+    counts and within-context probabilities that first-order
+    ``event_transitions`` can't see ("view→purchase happens, but only
+    when a signup came before"): the product-analytics path explorer
+    and the second-order Markov model in one frame.
+
+    Same scale contract as event_transitions: ONE window shuffle on
+    user_id (two lags share the single (ts, event_id) ordering), then a
+    groupBy whose result is ≤ |types|³ rows — the context normalization
+    runs over THAT tiny frame, never raw events; the final top-k
+    compiles to TakeOrderedAndProject.
+
+    Returns (prev2_type, prev1_type, event_type, n, p_permille) — the k
+    most frequent trigrams by (n desc, then the triple ascending);
+    p_permille = floor(1000·n / Σn over the same (prev2, prev1)
+    context).
+    """
+    es = F.unix_timestamp("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    tri = (
+        events.select("user_id", "event_id", "event_type", es.alias("es"))
+        .withColumn("prev1_type", F.lag("event_type", 1).over(w))
+        .withColumn("prev2_type", F.lag("event_type", 2).over(w))
+        .filter(F.col("prev2_type").isNotNull())
+    )
+    counts = tri.groupBy("prev2_type", "prev1_type", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ctx = Window.partitionBy("prev2_type", "prev1_type")
+    scored = counts.select(
+        "prev2_type",
+        "prev1_type",
+        "event_type",
+        "n",
+        F.expr("(n * 1000)").cast("long").alias("__n1000"),
+        F.sum("n").over(ctx).cast("long").alias("__ctx"),
+    ).select(
+        "prev2_type",
+        "prev1_type",
+        "event_type",
+        "n",
+        F.expr("__n1000 div __ctx").cast("long").alias("p_permille"),
+    )
+    return scored.orderBy(
+        F.col("n").desc(),
+        F.col("prev2_type").asc(),
+        F.col("prev1_type").asc(),
+        F.col("event_type").asc(),
+    ).limit(k)

@@ -2672,6 +2672,20 @@ def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order user-path census: top-50 (prev2, prev1, next)
+    trigrams with within-context permille — the path signal first-order
+    event_transitions can't see. One user_id window shuffle (two lags,
+    one ordering); normalization over the ≤|types|³ frame; top-k via
+    TakeOrderedAndProject."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.events import event_paths
+
+    return event_paths(load_table(spark, sf_dir, "events"))
+
+
 def _disc_cents() -> F.Column:
     """Discounted revenue in integer cents — the shared money convention."""
     return F.round(
@@ -6512,6 +6526,44 @@ FROM sess GROUP BY user_id, session_idx
 """,
 }
 
+# ---- r8 oracle twins (batch 6) ----------------------------------------
+
+def _event_paths_oracle() -> str:
+    from tepsonic_database_sync_spark.operators.events import PATHS_TOPK
+
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+tri AS (
+  SELECT event_type,
+         lag(event_type, 1) OVER w AS prev1_type,
+         lag(event_type, 2) OVER w AS prev2_type
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+counts AS (
+  SELECT prev2_type, prev1_type, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tri WHERE prev2_type IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT *,
+         CAST((n * 1000)
+              // sum(n) OVER (PARTITION BY prev2_type, prev1_type)
+              AS BIGINT) AS p_permille
+  FROM counts
+)
+SELECT prev2_type, prev1_type, event_type, n, p_permille
+FROM scored
+ORDER BY n DESC, prev2_type ASC, prev1_type ASC, event_type ASC
+LIMIT {PATHS_TOPK}
+"""
+
+
 # ---- r8 oracle twins (batch 5) ----------------------------------------
 
 def _epoch_order_oracle() -> str:
@@ -7303,6 +7355,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lsh_quality": (q_lsh_quality, _lsh_quality_oracle()),
     # --- NEW in r8, batch 5 (1) — displaced tpch_q4 to the tail front
     "epoch_order": (q_epoch_order, _epoch_order_oracle()),
+    # --- NEW in r8, batch 6 (1) — displaced tpch_q2 to the tail front
+    "event_paths": (q_event_paths, _event_paths_oracle()),
     # --- changed in r8 (advice-item fixes touched impl or oracle) -------
     "pagerank": (q_pagerank, _pagerank_oracle()),
     "ohlc_bars": (q_ohlc_bars, _OHLC_ORACLE),
@@ -7335,10 +7389,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "range_join": (q_range_join, _O["range_join"]),
     "sessionize_batch": (q_sessionize_batch, _O["sessionize_batch"]),
     "set_intersect": (q_set_intersect, _O["set_intersect"]),
-    "tpch_q2_min_cost": (q_tpch_q2_min_cost, _O["tpch_q2_min_cost"]),
     # ==== entries below are OUTSIDE the 50-entry driver window ==========
     # --- r9 rotation queue HEAD: remaining r05-green entries (the five
     # tpch fills displaced by r8 batch 2 lead it) -------------------------
+    "tpch_q2_min_cost": (q_tpch_q2_min_cost, _O["tpch_q2_min_cost"]),
     "tpch_q4_order_priority": (q_tpch_q4_order_priority, _O["tpch_q4_order_priority"],),
     "tpch_q7_volume_shipping": (
         q_tpch_q7_volume_shipping,

@@ -2628,3 +2628,32 @@ def test_epoch_order_permutations_differ_and_are_stable(spark):
     # stable: re-running (and repartitioning) reproduces the order
     out2 = epoch_order(df.repartition(7), "k", epochs=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_event_paths_counts_and_context_permille(spark):
+    import datetime as dt
+
+    from tepsonic_database_sync_spark.operators.events import event_paths
+
+    utc = dt.timezone.utc
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, tzinfo=utc)  # noqa: E731
+    # user 1: a b c a b d ; user 2: a b c — trigrams:
+    # (a,b,c)×2, (b,c,a), (c,a,b), (a,b,d)
+    rows = [(1, i, s, t(i)) for i, s in enumerate("abcabd")] + [
+        (2, 10 + i, s, t(i)) for i, s in enumerate("abc")
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r["prev2_type"], r["prev1_type"], r["event_type"]): (
+            r["n"],
+            r["p_permille"],
+        )
+        for r in event_paths(df, k=10).collect()
+    }
+    assert got[("a", "b", "c")] == (2, 666)  # context (a,b) = 3 trigrams
+    assert got[("a", "b", "d")] == (1, 333)
+    assert got[("b", "c", "a")] == (1, 1000)
+    assert got[("c", "a", "b")] == (1, 1000)
+    assert len(got) == 4
