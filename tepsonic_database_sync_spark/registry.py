@@ -7308,10 +7308,11 @@ FROM pred GROUP BY 1, 2
 """
 
 
-# name → (spark callable, oracle sql | None)
+# name → (spark callable, oracle sql | None) — the CATALOG. Definition
+# order here is historical; the driver-facing order (window contract)
+# is rebuilt below from _R9_WINDOW + _TAIL_FRESHNESS.
 #
-# ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
-# FIRST 50 entries (the "window"). Round-8 allocation: the 19 new r8
+# Historical allocation notes (r8): Round-8 allocation: the 19 new r8
 # operators (batch 1 bfs_hops … layout_prune, batch 2
 # graph_components … embed_outliers, batch 3 domain_cap +
 # lsh_quality), the 3 entries whose implementation or oracle CHANGED
@@ -7329,7 +7330,7 @@ FROM pred GROUP BY 1, 2
 # entries must displace window slots, never ride the tail unverified —
 # machine-checked by tests/test_driver_contract.py::
 # test_registry_tail_entries_have_prior_green_rows.
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+_REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     # --- NEW in r8 (12) — must be in-window -----------------------------
     "bfs_hops": (q_bfs_hops, _bfs_oracle()),
     "linear_interp": (q_linear_interp, _LINEAR_INTERP_ORACLE),
@@ -7532,6 +7533,125 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "set_union": (q_set_union, _O["set_union"]),
     "ann_lsh_topk": (q_ann_lsh_topk, _O["ann_lsh_topk"]),
 }
+
+
+# --- driver-window rotation (SURVEY §13) -----------------------------
+#
+# ORDER IS A CONTRACT: the driver's CORRECTNESS file records only the
+# FIRST 50 entries of REGISTRY (the "window"). _REGISTRY_DEF above is
+# the unordered catalog; REGISTRY below is rebuilt each round from an
+# explicit window name list + a freshness-ordered tail, with set-equality
+# asserts so a rotation edit can never silently drop or duplicate an
+# entry (the r8 regex rebuild lost one — never again).
+#
+# r9 window allocation (VERDICT r8 item 1): the FULL 35-entry block whose
+# last green driver row is r05 — the reference spine (sync/s8/j2/j3/a3/
+# a4/s2/s10/x2) plus the r05 tpch/dedup/ann fills — then the entries
+# whose impl or oracle CHANGED in r9 (window_funnel — ClickHouse <=
+# boundary fix; item_cooccur — lift overflow guard), then the stalest
+# r06-green entries as fill. The remaining r06 block is the r10 rotation
+# queue head; VERDICT r8 confirmed the one-round freshness invariant was
+# unreachable, so the schedule is two-round: r9 retires the r05 block,
+# r10 the r06 block.
+_R9_WINDOW = [
+    "tpch_q2_min_cost", "tpch_q4_order_priority", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt", "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting", "a3_merge_idempotent", "a4_stock_totals",
+    "ann_bruteforce_topk", "ann_ivf_topk", "decontaminate",
+    "dedup_canonicalize", "dedup_clusters", "dedup_clusters_star",
+    "dedup_jaccard_banded", "dedup_minhash_lsh", "dedup_simhash",
+    "embed_neardup", "j2_match_partial", "j3_item_lookup",
+    "kmeans_train", "mixture_sample", "pack_sequences",
+    "s10_report", "s2_full_scan", "s8_upsert",
+    "scd2_history", "sync_merge_resync", "sync_pipeline",
+    "sync_summary", "x2_quarantine", "window_funnel",
+    "item_cooccur", "s1_rest_ingest", "model_score",
+    "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
+    "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
+    "p1_norm_name", "f1_status_filter", "j1_match_exact",
+    "s3_filtered_scan", "s9_backfill",
+]
+
+# Tail order = rotation-queue priority for future rounds: stalest green
+# round first (r06 remainder, then r07, then r08). Window members are
+# excluded automatically, so editing _R9_WINDOW is the ONLY step a
+# rotation needs.
+_TAIL_FRESHNESS = [
+    "tpch_q2_min_cost", "tpch_q4_order_priority", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt", "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting", "a3_merge_idempotent", "a4_stock_totals",
+    "ann_bruteforce_topk", "ann_ivf_topk", "decontaminate",
+    "dedup_canonicalize", "dedup_clusters", "dedup_clusters_star",
+    "dedup_jaccard_banded", "dedup_minhash_lsh", "dedup_simhash",
+    "embed_neardup", "j2_match_partial", "j3_item_lookup",
+    "kmeans_train", "mixture_sample", "pack_sequences",
+    "s10_report", "s2_full_scan", "s8_upsert",
+    "scd2_history", "sync_merge_resync", "sync_pipeline",
+    "sync_summary", "x2_quarantine", "s1_rest_ingest",
+    "model_score", "model_score_hist", "tpch_q15_top_supplier",
+    "stream_stream_join", "stream_conversion", "j5_valid_skip_split",
+    "stream_tumbling", "p1_norm_name", "f1_status_filter",
+    "j1_match_exact", "s3_filtered_scan", "s9_backfill",
+    "x1_dispatch", "dedup_exact", "text_stats",
+    "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
+    "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
+    "set_except", "events_json", "stream_sliding",
+    "stream_sessions", "stream_dedup", "stream_enrich",
+    "rollup_multires", "tpch_q5_region_revenue", "tpch_q12_priority_counts",
+    "tpch_q13_custdist", "tpch_q18_big_orders", "skew_salted_agg",
+    "skew_salted_join", "dq_checks", "dataset_split",
+    "outliers_p99", "mom_growth", "cohort_retention",
+    "stratified_sample", "percentiles", "text_lang_id",
+    "text_quality", "text_fingerprint", "text_top_terms",
+    "text_winnow", "text_chunks", "text_scrub",
+    "decontaminate_bloom", "time_resample", "runtime_filter_join",
+    "token_pmi", "zorder_stats", "weighted_sample",
+    "cdc_incremental_agg", "match_fuzzy", "psi_drift",
+    "compaction_plan", "interval_concurrency", "ewma",
+    "group_moments", "hll_registers", "tvd_drift",
+    "k_anonymity", "leaderboard", "outliers_mad",
+    "triangle_stats", "attribution_models", "text_lm_score",
+    "dedup_incremental", "prepare_corpus", "snapshot_diff",
+    "event_transitions", "event_anomaly", "grouped_quantiles",
+    "source_overlap", "skew_profile", "embed_dedup_clusters",
+    "cdc_roundtrip", "text_hash_embed", "winnow_overlap",
+    "profile_table", "join_size_estimate", "ann_pq_topk",
+    "ann_ivf_pq_topk", "group_entropy", "grouped_mode",
+    "active_users", "quantile_bucketize", "dedup_keep_best",
+    "growth_accounting", "dedup_ngram_jaccard", "p_nested_project",
+    "topk_orders", "set_union", "ann_lsh_topk",
+    "bfs_hops", "linear_interp", "seasonal_profile",
+    "grouped_regression", "chi_square", "class_balance",
+    "item_cooccur", "negative_sample", "inverted_index",
+    "tfidf_doc_sim", "chunk_dedup", "layout_prune",
+    "graph_components", "interval_join", "rrf_fusion",
+    "window_funnel", "embed_outliers", "domain_cap",
+    "lsh_quality", "epoch_order", "event_paths",
+    "pagerank", "ohlc_bars", "dedup_prefix_filter",
+    "cube_sales", "exists_subquery", "tpch_q1_pricing",
+    "tpch_q3_topk", "tpch_q10_returns", "tpch_q6_sql",
+    "tpch_q17_small_qty", "tpch_q22_idle_custs", "rollup_sales",
+    "pivot_segment_priority", "unpivot", "count_distinct",
+    "window_running_total", "multimodal_stats", "multimodal_frames",
+    "multimodal_features", "multimodal_resize", "text_bm25",
+    "text_repetition", "sketch_distinct", "sketch_percentile",
+    "sketch_topk", "asof_join", "range_join",
+    "sessionize_batch", "set_intersect",
+]
+
+assert len(_R9_WINDOW) == 50, f"window must be exactly 50, got {len(_R9_WINDOW)}"
+assert len(set(_R9_WINDOW)) == 50, "duplicate name in window"
+_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R9_WINDOW)]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    n: _REGISTRY_DEF[n] for n in (*_R9_WINDOW, *_tail)
+}
+assert set(REGISTRY) == set(_REGISTRY_DEF), (
+    "rotation dropped/invented entries: "
+    f"{set(REGISTRY) ^ set(_REGISTRY_DEF)}"
+)
+assert len(REGISTRY) == len(_REGISTRY_DEF)
 
 
 def queries() -> dict[str, QueryFn]:
