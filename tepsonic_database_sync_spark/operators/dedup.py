@@ -1126,6 +1126,25 @@ def incremental_chunk_dedup(
 
     Returns (doc_id, n_chunks, n_kept, kept_text) for the batch's docs.
     """
+    fresh, out = incremental_chunk_dedup_plan(new_docs, store, chunk_tokens)
+    store.merge(fresh, _chunk_index_merge)
+    return out
+
+
+def incremental_chunk_dedup_plan(
+    new_docs: DataFrame, store, chunk_tokens: int = CHUNK_DEDUP_TOKENS
+) -> tuple[DataFrame, DataFrame]:
+    """``incremental_chunk_dedup`` WITHOUT the index merge: returns
+    ``(fresh, out)`` where ``fresh`` is the eagerly-checkpointed
+    fingerprint increment still to be merged (via
+    ``store.merge(fresh, _chunk_index_merge)``) and ``out`` is the
+    reassembled-batch frame. ``out`` depends only on the batch's chunks
+    and the materialized ``fresh`` — never on the post-merge index — so
+    a caller may sequence output-commit and index-merge in whichever
+    order its crash-recovery protocol needs (``streaming.ops.
+    chunk_dedup_applier`` commits the output atomically FIRST, then
+    merges; the batch wrapper above merges first, which is equivalent
+    for a non-crashing caller)."""
     from tepsonic_database_sync_spark.operators.text import chunk_documents
 
     chunks = chunk_documents(
@@ -1151,7 +1170,6 @@ def incremental_chunk_dedup(
         else winners.join(existing.select("fp"), "fp", "left_anti")
     )
     fresh = fresh.localCheckpoint(eager=True)
-    store.merge(fresh, _chunk_index_merge)
     marked = chunks.join(
         fresh.select(
             "fp",
@@ -1164,7 +1182,7 @@ def incremental_chunk_dedup(
         "__kept",
         (F.col("doc_id") == F.col("__wd")) & (F.col("idx") == F.col("__wi")),
     )
-    return marked.groupBy("doc_id").agg(
+    out = marked.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_chunks"),
         F.sum(F.when(F.col("__kept"), 1).otherwise(0))
         .cast("long")
@@ -1178,3 +1196,4 @@ def incremental_chunk_dedup(
             " ",
         ).alias("kept_text"),
     )
+    return fresh, out

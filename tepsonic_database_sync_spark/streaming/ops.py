@@ -752,17 +752,42 @@ def leaderboard_stream(
 
 def chunk_dedup_applier(store, out_dir: str):
     """foreachBatch callable behind ``chunk_dedup_stream``: each
-    micro-batch of documents runs ``dedup.incremental_chunk_dedup``
-    against the persistent chunk-fingerprint store and appends the
-    reassembled documents to ``out_dir`` exactly once per batch_id
-    (the ``stream_upsert_sink`` marker contract — a replayed batch
-    would otherwise re-emit its documents as all-dropped, because the
-    first delivery already admitted their chunks into the index)."""
+    micro-batch of documents runs the ``dedup.
+    incremental_chunk_dedup_plan`` → commit-output → merge-index
+    sequence against the persistent chunk-fingerprint store, emitting
+    the reassembled documents exactly once per batch_id.
+
+    Crash-recovery protocol (every window replays correctly — this is
+    the full case analysis, in commit order):
+
+    1. output is committed ATOMICALLY first, as a per-batch partition
+       dir ``docs/batch_id=N`` staged in a temp dir and ``os.replace``d
+       into place (the ``rollup_cdc_applier`` temp-dir pattern). A
+       crash before the replace leaves nothing visible; the replay
+       recomputes against the still-unmerged index and produces the
+       identical output.
+    2. ``store.merge`` runs AFTER the output commit. A crash between
+       replace and merge replays with the output dir present: the
+       applier skips the (already committed) output and recomputes +
+       merges only the fingerprint increment — the index is unchanged
+       since the first attempt, so the increment is identical.
+       Crucially the replay must NOT recompute the output here: with a
+       half-admitted index it would reassemble the batch as all-dropped
+       (``kept_text=''``) and silently lose the batch's text — the bug
+       this ordering exists to prevent.
+    3. the ``_BATCHES`` marker is written last. A crash between merge
+       and marker replays with the dir present → output skipped, and
+       the re-merge is a no-op by the min-merge idempotence.
+
+    Readers see the union of batch dirs via ordinary partition
+    discovery (``spark.read.parquet(out_dir + "/docs")``), with
+    ``batch_id`` as a provenance partition column."""
     import json
     import os
 
     from tepsonic_database_sync_spark.operators.dedup import (
-        incremental_chunk_dedup,
+        _chunk_index_merge,
+        incremental_chunk_dedup_plan,
     )
 
     os.makedirs(out_dir, exist_ok=True)
@@ -779,8 +804,14 @@ def chunk_dedup_applier(store, out_dir: str):
         done = _done()
         if batch_id in done or batch_df.isEmpty():
             return
-        out = incremental_chunk_dedup(batch_df, store)
-        out.write.mode("append").parquet(os.path.join(out_dir, "docs"))
+        fresh, out = incremental_chunk_dedup_plan(batch_df, store)
+        batch_dir = os.path.join(out_dir, "docs", f"batch_id={batch_id}")
+        os.makedirs(os.path.join(out_dir, "docs"), exist_ok=True)
+        if not os.path.exists(batch_dir):
+            tmp = os.path.join(out_dir, f"_tmp_batch_{batch_id}")
+            out.write.mode("overwrite").parquet(tmp)
+            os.replace(tmp, batch_dir)
+        store.merge(fresh, _chunk_index_merge)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             json.dump(sorted(done | {batch_id}), f)

@@ -1008,3 +1008,58 @@ def test_chunk_dedup_stream_matches_one_shot_batch(spark, tmp_path):
     q2.awaitTermination(180)
     again = spark.read.parquet(out_dir + "/docs").count()
     assert again == len(docs)  # no duplicate emissions
+
+
+def test_chunk_dedup_applier_replay_after_output_before_merge(
+    spark, tmp_path
+):
+    """Crash-window 2 of the applier protocol (ADVICE r8): the first
+    delivery crashed AFTER the atomic output commit but BEFORE
+    ``store.merge``. The replay must leave the committed (correct)
+    output untouched — NOT overwrite it with an all-dropped reassembly
+    — while still admitting the batch's fingerprints into the index,
+    and a further replay after that must be a full no-op."""
+    import os
+
+    from tepsonic_database_sync_spark.operators.dedup import (
+        incremental_chunk_dedup_plan,
+    )
+    from tepsonic_database_sync_spark.sources.jdbc import (
+        BucketedParquetStateStore,
+    )
+    from tepsonic_database_sync_spark.streaming.ops import (
+        chunk_dedup_applier,
+    )
+
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(32))  # noqa: E731
+    schema = "doc_id long, text string"
+    batch = spark.createDataFrame([(1, u("a")), (2, u("b"))], schema)
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "fpidx"), keys=["fp"], n_buckets=8
+    )
+    out_dir = str(tmp_path / "out")
+
+    # stage exactly what the applier's step 1 commits, then "crash"
+    _fresh, out = incremental_chunk_dedup_plan(batch, store)
+    os.makedirs(os.path.join(out_dir, "docs"), exist_ok=True)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "docs", "batch_id=0")
+    )
+    read_out = lambda: {  # noqa: E731
+        (r["doc_id"], r["n_kept"], r["kept_text"])
+        for r in spark.read.parquet(out_dir + "/docs").collect()
+    }
+    before = read_out()
+    assert all(n_kept > 0 for _, n_kept, _ in before)
+    assert store.read() is None  # the merge never ran
+
+    # replay the batch through the real applier
+    chunk_dedup_applier(store, out_dir)(batch, 0)
+    assert read_out() == before  # committed output untouched
+    assert store.read().count() > 0  # index caught up
+
+    # fully done now: a marker-guarded second replay is a no-op
+    idx = {tuple(r) for r in store.read().collect()}
+    chunk_dedup_applier(store, out_dir)(batch, 0)
+    assert read_out() == before
+    assert {tuple(r) for r in store.read().collect()} == idx
