@@ -491,9 +491,15 @@ def window_funnel(
     ``funnel_conversion`` (global min-timestamp cascade) would credit a
     purchase made months after an unrelated signup.
 
+    Boundary semantics (pinned, matching ClickHouse): the horizon is
+    INCLUSIVE — an event landing exactly at ``anchor + horizon_s``
+    counts (ClickHouse admits events within <= window of the anchor);
+    inter-stage ordering is strictly increasing, i.e. ClickHouse's
+    ``strict_increase`` mode (same-timestamp stage pairs don't chain).
+
     Mechanics: every stage-0 event is an anchor; stage k's earliest
     completion per anchor is one equi-join on user_id with the
-    (t > prev, t < anchor + horizon) residual, then a min-aggregate —
+    (t > prev, t <= anchor + horizon) residual, then a min-aggregate —
     k−1 bounded joins total, all shuffling on user_id. Per-anchor
     fan-out is the user's stage-k event count inside one horizon —
     bounded by per-user activity, the same assumption every
@@ -515,7 +521,7 @@ def window_funnel(
         nxt = by_stage[i]
         joined = cur.join(nxt, "user_id").filter(
             (F.col(f"t{i}") > F.col(f"t{i-1}"))
-            & (F.col(f"t{i}") < F.col("deadline"))
+            & (F.col(f"t{i}") <= F.col("deadline"))
         )
         best = joined.groupBy("user_id", "t0").agg(
             F.min(f"t{i}").alias(f"t{i}")

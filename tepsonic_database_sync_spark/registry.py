@@ -6763,7 +6763,7 @@ s2 AS (SELECT DISTINCT user_id, es AS t FROM ev WHERE event_type = 'purchase'),
 a1 AS (
   SELECT s0.user_id, s0.t0, min(s1.t) AS t1
   FROM s0 JOIN s1 ON s0.user_id = s1.user_id
-   AND s1.t > s0.t0 AND s1.t < s0.t0 + {h}
+   AND s1.t > s0.t0 AND s1.t <= s0.t0 + {h}
   GROUP BY 1, 2
 ),
 c1 AS (SELECT s0.user_id, s0.t0, a1.t1
@@ -6771,7 +6771,7 @@ c1 AS (SELECT s0.user_id, s0.t0, a1.t1
 a2 AS (
   SELECT c1.user_id, c1.t0, min(s2.t) AS t2
   FROM c1 JOIN s2 ON c1.user_id = s2.user_id
-   AND s2.t > c1.t1 AND s2.t < c1.t0 + {h}
+   AND s2.t > c1.t1 AND s2.t <= c1.t0 + {h}
   GROUP BY 1, 2
 ),
 c2 AS (SELECT c1.user_id, c1.t0, c1.t1, a2.t2

@@ -651,7 +651,8 @@ def test_interval_join_blocking_equals_theta_ground_truth(spark, aset, bset):
 def test_window_funnel_matches_sequential_reference(spark, events):
     """window_funnel must match a brute-force per-anchor scan: for every
     signup anchor, greedily take the earliest strictly-later next stage
-    inside the horizon (greedy-earliest ≡ any-subsequence)."""
+    within the INCLUSIVE horizon — ClickHouse boundary semantics
+    (greedy-earliest ≡ any-subsequence)."""
     import datetime as dt
 
     from tepsonic_database_sync_spark.operators.events import (
@@ -685,7 +686,7 @@ def test_window_funnel_matches_sequential_reference(spark, events):
                 nxt = [
                     t
                     for t in evs.get(stage, [])
-                    if t > prev and t < t0 + WFUNNEL_HORIZON_S
+                    if t > prev and t <= t0 + WFUNNEL_HORIZON_S
                 ]
                 if not nxt:
                     break
