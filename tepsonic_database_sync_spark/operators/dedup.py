@@ -1083,6 +1083,76 @@ def blocking_quality(
     )
 
 
+BQ_SAMPLE_PERMILLE = 250
+
+
+def blocking_quality_sampled(
+    docs: DataFrame,
+    truth_fn,
+    cand_fn,
+    sample_permille: int = BQ_SAMPLE_PERMILLE,
+    key: str = "doc_id",
+    salt: str = "bq",
+) -> DataFrame:
+    """``blocking_quality`` in the form that runs at 100 TB: the exact
+    ground truth is computed on a deterministic HASH SAMPLE of the
+    corpus, never on the corpus itself. The inline-full-truth wiring
+    (``registry.q_lsh_quality``) is the small-SF checkable form; at
+    production scale exact all-pairs truth over the corpus is the very
+    job blocking exists to avoid, so the audit must estimate recall
+    from a sample — this operator is that pattern, as one frame.
+
+    Mechanics: keep documents with ``h60(salt # key) % 1000 <
+    sample_permille`` (deterministic, engine-portable, re-runnable),
+    then run BOTH the candidate generator and the exact-truth generator
+    on the sampled sub-corpus and audit one against the other.
+
+    Validity: sampling documents (not pairs) keeps the recall estimate
+    unbiased exactly when the blocker's candidate decision is PER-PAIR
+    — true for MinHash banding, SimHash bands, and prefix-filter, whose
+    collision probability depends only on the two documents' contents.
+    It is NOT valid for corpus-dependent blockers (e.g. a df-capped
+    posting join, where dropping documents changes df): audit those
+    with candidate pairs computed on the full corpus restricted to
+    sample×sample, at the same truth cost.
+
+    Precision of the estimate: n_true in the output is the binomial
+    sample size; the recall CI half-width is ±1960·sqrt(hat·(1000−hat)
+    /n_true)/1000 permille at 95% (hat = recall_permille) — e.g. 400
+    sampled true pairs at recall 900‰ gives ±29‰. Document-sampling at
+    rate p yields ~p² of the corpus's true pairs, so pick
+    sample_permille to land n_true in the hundreds; the CI arithmetic
+    stays caller-side to keep this frame integer-exact.
+
+    Returns ONE row: (sample_permille, n_docs_sampled, n_true, n_cand,
+    n_hit, recall_permille, precision_permille) — the last five exactly
+    as ``blocking_quality`` defines them, over the sample.
+    """
+    sampled = docs.filter(
+        F.pmod(
+            h60(F.concat(F.lit(f"{salt}#"), F.col(key).cast("string"))),
+            F.lit(1000),
+        )
+        < F.lit(sample_permille)
+    )
+    audit = blocking_quality(
+        truth_fn(sampled).select("a_id", "b_id"),
+        cand_fn(sampled).select("a_id", "b_id"),
+    )
+    n_docs = sampled.agg(
+        F.count("*").cast("long").alias("n_docs_sampled")
+    )
+    return audit.crossJoin(F.broadcast(n_docs)).select(
+        F.lit(sample_permille).cast("long").alias("sample_permille"),
+        "n_docs_sampled",
+        "n_true",
+        "n_cand",
+        "n_hit",
+        "recall_permille",
+        "precision_permille",
+    )
+
+
 def _chunk_index_merge(state: DataFrame, new: DataFrame) -> DataFrame:
     u = state.unionByName(new)
     return (

@@ -2657,6 +2657,32 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_quality(truth, cand)
 
 
+def q_blocking_quality_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The blocking audit in its production form (VERDICT r8 item 2):
+    exact prefix-filter ground truth computed only on a deterministic
+    25% hash sample of the corpus, LSH candidates on the same sample —
+    the recall estimate a 100 TB deployment publishes, where inline
+    full-corpus truth (q_lsh_quality, the small-SF form) is exactly the
+    job blocking exists to avoid."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        blocking_quality_sampled,
+        jaccard_pairs_prefix,
+        lsh_candidate_pairs,
+        minhash_sig_array,
+    )
+
+    return blocking_quality_sampled(
+        load_table(spark, sf_dir, "documents"),
+        lambda d: jaccard_pairs_prefix(
+            d, tau_permille=PREFIX_TAU_PERMILLE
+        ),
+        lambda d: lsh_candidate_pairs(minhash_sig_array(d)),
+    )
+
+
 
 
 def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6648,6 +6674,60 @@ FROM s
 """
 
 
+def _blocking_quality_sampled_oracle() -> str:
+    from tepsonic_database_sync_spark.operators.dedup import (
+        BQ_SAMPLE_PERMILLE,
+    )
+
+    # same pipeline as _lsh_quality_oracle, but every stage reads the
+    # h60-hash-sampled sub-corpus (the Spark side's salt='bq' filter)
+    toks_sampled = _D_TOKS.replace(
+        "FROM documents",
+        "FROM documents WHERE ("
+        + _D_H60.format(e="'bq#' || CAST(doc_id AS VARCHAR)")
+        + f" % 1000) < {BQ_SAMPLE_PERMILLE}",
+    )
+    return f"""
+WITH {toks_sampled}{_D_SHINGLES}{_D_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ','))
+           AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+    AND len(list_intersect(a.shingles, b.shingles)) * 1000
+        >= (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles)))
+           * {PREFIX_TAU_PERMILLE}
+),
+s AS (
+  SELECT (SELECT count(*) FROM toks) AS n_docs_sampled,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM truth t JOIN cand c
+            ON t.a_id = c.a_id AND t.b_id = c.b_id) AS n_hit
+)
+SELECT CAST({BQ_SAMPLE_PERMILLE} AS BIGINT) AS sample_permille,
+       CAST(n_docs_sampled AS BIGINT) AS n_docs_sampled,
+       CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN n_true > 0 THEN (1000 * n_hit) // n_true
+                 ELSE -1 END AS BIGINT) AS recall_permille,
+       CAST(CASE WHEN n_cand > 0 THEN (1000 * n_hit) // n_cand
+                 ELSE -1 END AS BIGINT) AS precision_permille
+FROM s
+"""
+
+
 # ---- r8 oracle twins (batch 2) ----------------------------------------
 
 def _graph_components_oracle() -> str:
@@ -7354,6 +7434,11 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     # --- NEW in r8, batch 3 (2) — displaced tpch q7/q8 to the tail front
     "domain_cap": (q_domain_cap, _domain_cap_oracle()),
     "lsh_quality": (q_lsh_quality, _lsh_quality_oracle()),
+    # --- NEW in r9: the sampled-ground-truth blocking audit -------------
+    "blocking_quality_sampled": (
+        q_blocking_quality_sampled,
+        _blocking_quality_sampled_oracle(),
+    ),
     # --- NEW in r8, batch 5 (1) — displaced tpch_q4 to the tail front
     "epoch_order": (q_epoch_order, _epoch_order_oracle()),
     # --- NEW in r8, batch 6 (1) — displaced tpch_q2 to the tail front
@@ -7570,7 +7655,7 @@ _R9_WINDOW = [
     "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
     "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
     "p1_norm_name", "f1_status_filter", "j1_match_exact",
-    "s3_filtered_scan", "s9_backfill",
+    "s3_filtered_scan", "blocking_quality_sampled",
 ]
 
 # Tail order = rotation-queue priority for future rounds: stalest green

@@ -2657,3 +2657,49 @@ def test_event_paths_counts_and_context_permille(spark):
     assert got[("b", "c", "a")] == (1, 1000)
     assert got[("c", "a", "b")] == (1, 1000)
     assert len(got) == 4
+
+
+def test_blocking_quality_sampled_is_the_audit_of_the_hash_sample(spark):
+    """blocking_quality_sampled must equal blocking_quality run on the
+    generators' output over exactly the h60-hash-sampled sub-corpus
+    (determinism + consistency), and report that sample's size."""
+    from tepsonic_database_sync_spark.functions.hashing import h60
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.registry import PREFIX_TAU_PERMILLE
+    from tepsonic_database_sync_spark.operators.dedup import (
+        BQ_SAMPLE_PERMILLE,
+        blocking_quality,
+        blocking_quality_sampled,
+        jaccard_pairs_prefix,
+        lsh_candidate_pairs,
+        minhash_sig_array,
+    )
+
+    docs = load_table(spark, SF_UNIT, "documents")
+    truth_fn = lambda d: jaccard_pairs_prefix(  # noqa: E731
+        d, tau_permille=PREFIX_TAU_PERMILLE
+    )
+    cand_fn = lambda d: lsh_candidate_pairs(minhash_sig_array(d))  # noqa: E731
+
+    row = blocking_quality_sampled(docs, truth_fn, cand_fn).collect()[0]
+
+    sampled = docs.filter(
+        F.pmod(
+            h60(F.concat(F.lit("bq#"), F.col("doc_id").cast("string"))),
+            F.lit(1000),
+        )
+        < BQ_SAMPLE_PERMILLE
+    )
+    n = sampled.count()
+    assert 0 < n < docs.count()  # a strict, non-empty sub-corpus
+    assert row["n_docs_sampled"] == n
+    assert row["sample_permille"] == BQ_SAMPLE_PERMILLE
+
+    want = blocking_quality(
+        truth_fn(sampled).select("a_id", "b_id"),
+        cand_fn(sampled).select("a_id", "b_id"),
+    ).collect()[0]
+    for c in (
+        "n_true", "n_cand", "n_hit", "recall_permille", "precision_permille"
+    ):
+        assert row[c] == want[c], c
