@@ -178,6 +178,9 @@ HEADLINE = [
     # one measurement query)
     "domain_cap",
     "lsh_quality",
+    # r9: the sampled-ground-truth audit — the form that runs at 100 TB;
+    # its gap vs lsh_quality's inline-exact truth is the measured payoff
+    "blocking_quality_sampled",
     # r8 batch 5: the between-epoch dataloader shuffle as an operator
     "epoch_order",
     # r8 batch 6: the second-order path census
@@ -274,20 +277,25 @@ def main() -> None:
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
+    # key order matters: the driver records only the last 2000 bytes of
+    # stdout (BENCH_r08's "tail"), so the headline totals sit at the END
+    # of the object — a truncated head loses cheap per-query entries,
+    # never "value"/"value_cold" (VERDICT r8 item 3)
     line_queries = {k: round(v, 2) for k, v in warm.items()}
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(warm.values()), 3),
         "unit": "sec",
         "queries": line_queries,
-        "value_cold": round(sum(cold.values()), 3),
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
+        "value_cold": round(sum(cold.values()), 3),
+        "value": round(sum(warm.values()), 3),
     }
-    # keep the line parseable inside a bounded tail capture: if it would
-    # run long, move the CHEAPEST queries out of the line (they are in
-    # BENCH_DETAIL.json either way) — the expensive ones carry the grade
-    budget = 2400
+    # keep the WHOLE line inside the driver's 2000-byte tail capture: if
+    # it would run long, move the CHEAPEST queries out of the line (they
+    # are in BENCH_DETAIL.json either way) — the expensive ones carry
+    # the grade
+    budget = 1900
     encoded = json.dumps(out, separators=(",", ":"))
     if len(encoded) > budget:
         for name in sorted(line_queries, key=line_queries.get):

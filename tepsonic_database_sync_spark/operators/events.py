@@ -542,6 +542,47 @@ def window_funnel(
     )
 
 
+def funnel_steps_inmem(
+    evs,
+    n_stages: int,
+    horizon_s: int,
+    final_before: int | None = None,
+) -> tuple[int, int]:
+    """The ``window_funnel`` kernel over an in-memory set of
+    ``(stage_idx, ts_seconds)`` pairs — per-anchor greedy-earliest with
+    the same boundary semantics as the distributed form (strictly-later
+    inter-stage, INCLUSIVE horizon). This is ONE USER's state inside
+    ``streaming.ops.window_funnel_stream`` (bounded by per-user activity
+    in the horizon, never corpus-sized) and doubles as the reference
+    model shared with the property test.
+
+    Returns ``(best_all, best_final)``: best steps over all anchors,
+    and over only anchors whose inclusive window closed strictly before
+    ``final_before`` (the stream's watermark — those can never improve,
+    so the caller folds them into a scalar and prunes their events).
+    Users with no stage-0 event score 0 (the batch op omits them).
+    """
+    by_stage = [
+        sorted({t for s, t in evs if s == k}) for k in range(n_stages)
+    ]
+    best_all = 0
+    best_final = 0
+    for t0 in by_stage[0]:
+        prev, steps = t0, 1
+        for k in range(1, n_stages):
+            nxt = [
+                t for t in by_stage[k] if t > prev and t <= t0 + horizon_s
+            ]
+            if not nxt:
+                break
+            prev = min(nxt)
+            steps += 1
+        best_all = max(best_all, steps)
+        if final_before is not None and t0 + horizon_s < final_before:
+            best_final = max(best_final, steps)
+    return best_all, best_final
+
+
 PATHS_TOPK = 50
 
 

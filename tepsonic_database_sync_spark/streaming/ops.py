@@ -842,3 +842,146 @@ def chunk_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+WFS_OUT_SCHEMA = "user_id long, steps long"
+WFS_STATE_SCHEMA = "best long, stages array<integer>, tss array<long>"
+WFS_LATENESS = "1 hour"
+
+
+def funnel_update_fn(stages: tuple[str, ...], horizon_s: int):
+    """The ``applyInPandasWithState`` update function behind
+    ``window_funnel_stream`` — per user: union the batch's (stage, ts)
+    events into state, re-run the in-memory funnel kernel, emit the
+    user's current best step count, then watermark-prune.
+
+    State bound (the reason this runs forever): the watermark W lets
+    every anchor with ``t0 + horizon < W`` be FINALIZED — no admissible
+    event for it can still arrive — so its steps fold into the scalar
+    ``best`` and every event with ``ts < W − horizon`` is dropped (such
+    an event can only serve finalized anchors: as a chain event it
+    needs an anchor with ``t0 ≤ ts``, and as an anchor its own window
+    closed). Retained state = one scalar + the user's events in the
+    trailing ``horizon + lateness`` span of event time.
+    """
+    import pandas as pd
+
+    from tepsonic_database_sync_spark.operators.events import (
+        funnel_steps_inmem,
+    )
+
+    n = len(stages)
+
+    def fn(key, pdf_iter, state):
+        rows: set[tuple[int, int]] = set()
+        for pdf in pdf_iter:
+            rows.update(
+                zip(
+                    (int(x) for x in pdf["stage"]),
+                    (int(x) for x in pdf["es"]),
+                )
+            )
+        if state.exists:
+            best, st_stages, st_tss = state.get
+            evs = set(zip(st_stages, st_tss)) | rows
+        else:
+            best, evs = 0, rows
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        best_all, best_final = funnel_steps_inmem(
+            evs, n, horizon_s, final_before=wm_s
+        )
+        cur = max(best, best_all)
+        best = max(best, best_final)
+        keep = sorted(
+            (s, t) for (s, t) in evs if t >= wm_s - horizon_s
+        )
+        state.update(
+            (best, [s for s, _ in keep], [t for _, t in keep])
+        )
+        if cur >= 1:
+            yield pd.DataFrame({"user_id": [key[0]], "steps": [cur]})
+
+    return fn
+
+
+def funnel_emit_applier(out_dir: str):
+    """foreachBatch sink for the update-mode funnel changelog: append
+    each batch's (user_id, steps) rows stamped with batch_id; the
+    consumer's view is last-write-wins per user (argmax batch_id) —
+    re-emission of an unchanged value is harmless by construction, so
+    no exactly-once marker is needed."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return apply_batch
+
+
+def window_funnel_stream(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    stages: tuple[str, ...] = ("signup", "view", "purchase"),
+    horizon_s: int | None = None,
+    lateness: str = WFS_LATENESS,
+    available_now: bool = True,
+):
+    """Streaming twin of ``operators.events.window_funnel`` (the §12.3
+    pairing): a custom stateful operator over ``applyInPandasWithState``
+    — per-user funnel progress maintained continuously, emitted in
+    update mode as (user_id, steps).
+
+    Semantics match the batch op exactly (strictly-later inter-stage,
+    INCLUSIVE horizon, ClickHouse ``strict_increase``): as long as each
+    event arrives within ``lateness`` of the stream's max event time,
+    the final emission per user equals the batch ``window_funnel`` over
+    the same events UNDER ANY ARRIVAL ORDER — state retains the full
+    undecided horizon, so this is not an in-order-only equivalence
+    (pinned in tests over both ordered and shuffled micro-batches).
+
+    This is the repo's deliberately-Pandas stateful exemplar alongside
+    the multimodal decode path: per-user state is small (events in one
+    horizon + one scalar), the shuffle is one hash partition on
+    user_id, and the kernel is pure Python over that bounded state —
+    the shape ``applyInPandasWithState`` exists for. Returns the
+    started StreamingQuery.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from tepsonic_database_sync_spark.operators.events import (
+        WFUNNEL_HORIZON_S,
+    )
+
+    h = WFUNNEL_HORIZON_S if horizon_s is None else horizon_s
+    stage_col = F.when(F.col("event_type") == stages[0], 0)
+    for i, s in enumerate(stages[1:], 1):
+        stage_col = stage_col.when(F.col("event_type") == s, i)
+    prepared = (
+        events_stream.withWatermark("ts", lateness)
+        .filter(F.col("event_type").isin(*stages))
+        .select(
+            "ts",
+            "user_id",
+            stage_col.cast("int").alias("stage"),
+            F.unix_timestamp("ts").cast("long").alias("es"),
+        )
+    )
+    upd = prepared.groupBy("user_id").applyInPandasWithState(
+        funnel_update_fn(stages, h),
+        WFS_OUT_SCHEMA,
+        WFS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        upd.writeStream.outputMode("update")
+        .foreachBatch(funnel_emit_applier(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

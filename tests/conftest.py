@@ -32,6 +32,47 @@ def spark(tmp_path_factory):
     yield s
 
 
+class _RegistryPlans:
+    """Session-memoized physical plans of registry entries (VERDICT r8
+    item 5): the blanket no-Cartesian sweep plus ~40 per-operator plan
+    assertions used to compile the same entries repeatedly (~220 builds
+    and growing linearly with the registry); this cache compiles each
+    entry's ``executedPlan`` string at most ONCE per session, whichever
+    test touches it first. Plans are deterministic per session (same
+    code, same SF_UNIT inputs), so memoization cannot mask a
+    regression."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._cache: dict[str, str] = {}
+
+    def __getitem__(self, name: str) -> str:
+        if name not in self._cache:
+            from tepsonic_database_sync_spark import registry as R
+
+            fn, _sql = R.REGISTRY[name]
+            self._cache[name] = (
+                fn(self._spark, SF_UNIT)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        return self._cache[name]
+
+    def get_or_error(self, name: str) -> str:
+        """Blanket-sweep form: a failed plan build becomes a marker
+        string (so the sweep names the broken op) instead of raising."""
+        try:
+            return self[name]
+        except Exception as ex:  # noqa: BLE001
+            return f"PLAN BUILD FAILED {type(ex).__name__}"
+
+
+@pytest.fixture(scope="session")
+def registry_plans(spark):
+    return _RegistryPlans(spark)
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

@@ -265,39 +265,39 @@ def test_new_tpch_queries_have_no_scale_killers(spark):
         assert "PushedFilters: [" in plan, fn.__name__
 
 
-def test_tpch_q15_max_is_broadcast_not_global_sort(spark):
+def test_tpch_q15_max_is_broadcast_not_global_sort(spark, registry_plans):
     """Q15's correlated MAX over the revenue view must come from a
     single-row aggregate broadcast back onto the view — not a global sort
     or a single-partition window over per-supplier rows (at 100 TB the
     supplier dimension is still millions of rows)."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_tpch_q15_top_supplier(spark, SF_UNIT))
+    plan = registry_plans["tpch_q15_top_supplier"]
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "Sort [total_revenue" not in plan
 
 
-def test_sessionize_batch_single_shuffle(spark):
+def test_sessionize_batch_single_shuffle(spark, registry_plans):
     """Batch sessionization must run on ONE user_id exchange: the lag
     window, the running-sum window, and the per-session aggregate all
     share the same hash partitioning (a second exchange here would double
     the shuffle volume of every 100 TB sessionization run)."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_sessionize_batch(spark, SF_UNIT))
+    plan = registry_plans["sessionize_batch"]
     assert plan.count("Exchange") == 1
     assert "SinglePartition" not in plan
 
 
-def test_model_score_prunes_before_python_exchange(spark):
+def test_model_score_prunes_before_python_exchange(spark, registry_plans):
     """The scorer's input projection must be pruned to the model's columns
     BEFORE the Python exchange (payload columns never cross the JVM/Python
     boundary), and the rank stage must shuffle exactly once (on the domain
     key)."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_model_score(spark, SF_UNIT))
+    plan = registry_plans["model_score"]
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") == 1
@@ -310,14 +310,14 @@ def test_model_score_prunes_before_python_exchange(spark):
     assert read_cols == {"doc_id", "source", "lang", "text"}, read_cols
 
 
-def test_model_score_histogram_rank_no_python_no_row_sort(spark):
+def test_model_score_histogram_rank_no_python_no_row_sort(spark, registry_plans):
     """The histogram rank mode must be pure Catalyst — no Python rank
     stage (the pandas mode's FlatMapGroupsInPandas) — and its only Window
     must run over the (domain, score) HISTOGRAM, i.e. downstream of the
     count aggregate, never a per-domain sort of raw document rows."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_model_score_hist(spark, SF_UNIT))
+    plan = registry_plans["model_score_hist"]
     assert "FlatMapGroupsInPandas" not in plan  # the rank is JVM-side
     assert "Window" in plan
     # the window's sort operates on the aggregated histogram: in the
@@ -376,7 +376,7 @@ def test_histogram_rank_retains_null_scores_ranked_lowest(spark):
     assert got == {1: 0, 2: 0, 3: 666, 4: 1000}
 
 
-def test_brute_force_topk_is_deliberate_bnl_query_side_broadcast(spark):
+def test_brute_force_topk_is_deliberate_bnl_query_side_broadcast(spark, registry_plans):
     """brute_force_topk is the ONE place a BroadcastNestedLoopJoin is
     correct: exact KNN scores every (query, vector) pair (O(N·Q) is the
     semantics), so the plan must be a BNL with the small QUERY side
@@ -386,7 +386,7 @@ def test_brute_force_topk_is_deliberate_bnl_query_side_broadcast(spark):
     broke the exact baseline while 'fixing' plan warnings."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_ann_bruteforce_topk(spark, SF_UNIT))
+    plan = registry_plans["ann_bruteforce_topk"]
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan  # broadcast, not a shuffled product
     assert "BroadcastExchange" in plan
@@ -394,13 +394,13 @@ def test_brute_force_topk_is_deliberate_bnl_query_side_broadcast(spark):
     assert "Window" in plan
 
 
-def test_sketch_topk_probes_broadcast_counters(spark):
+def test_sketch_topk_probes_broadcast_counters(spark, registry_plans):
     """The CMS probe must be a broadcast join against the KB-sized counter
     grid (never a shuffle of the term dictionary), and the exact top-k must
     compile to TakeOrderedAndProject, not a global sort."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_sketch_topk(spark, SF_UNIT))
+    plan = registry_plans["sketch_topk"]
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
@@ -478,7 +478,7 @@ def test_prepare_corpus_gram_probe_broadcast_no_bnl(spark):
     assert "SortMergeJoin [g#" not in plan
 
 
-def test_snapshot_diff_single_copartitioned_join_no_bnl(spark):
+def test_snapshot_diff_single_copartitioned_join_no_bnl(spark, registry_plans):
     """The CDC diff must be ONE full-outer equi-join on the key (both
     sides shuffle once on o_orderkey — bucketing both snapshots makes it
     shuffle-free at warehouse scale), with the changes-only filter and
@@ -486,7 +486,7 @@ def test_snapshot_diff_single_copartitioned_join_no_bnl(spark):
     would scan |old|·|new| pairs."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_snapshot_diff(spark, SF_UNIT))
+    plan = registry_plans["snapshot_diff"]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan
@@ -499,14 +499,14 @@ def test_snapshot_diff_single_copartitioned_join_no_bnl(spark):
     assert read_cols == {"o_orderkey", "o_totalprice", "o_orderstatus"}, read_cols
 
 
-def test_grouped_quantiles_window_runs_over_histogram_not_raw_rows(spark):
+def test_grouped_quantiles_window_runs_over_histogram_not_raw_rows(spark, registry_plans):
     """Exact grouped quantiles must follow the histogram shape: the only
     Sort feeds the cumulative window over the per-(group, value)
     aggregate — never a per-group sort of raw orders (the naive
     percentile plan that dies at 100 TB)."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_grouped_quantiles(spark, SF_UNIT))
+    plan = registry_plans["grouped_quantiles"]
     assert "Window" in plan and "HashAggregate" in plan
     assert "Sort " in plan
     # top-down print: BELOW the Sort, the histogram aggregate appears
@@ -518,26 +518,26 @@ def test_grouped_quantiles_window_runs_over_histogram_not_raw_rows(spark):
     assert "SinglePartition" not in plan  # per-group, never global
 
 
-def test_event_anomaly_window_runs_over_hourly_aggregate(spark):
+def test_event_anomaly_window_runs_over_hourly_aggregate(spark, registry_plans):
     """Spike detection windows over the per-type HOURLY bucket series —
     the RANGE frame's sort must sit above the count aggregate, so its
     input is one row per non-empty bucket, not one per event."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_event_anomaly(spark, SF_UNIT))
+    plan = registry_plans["event_anomaly"]
     assert "Window" in plan and "HashAggregate" in plan
     assert plan.index("Sort ") < plan.index("HashAggregate")
     assert "SinglePartition" not in plan
 
 
-def test_source_overlap_text_pruned_and_no_cartesian(spark):
+def test_source_overlap_text_pruned_and_no_cartesian(spark, registry_plans):
     """The overlap matrix must read only (source, text) from the corpus,
     keep the wide text column out of every join (shingles explode before
     any shuffle), and never degenerate into a Cartesian source×source
     product — the shingle equi-join IS the candidate generator."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_source_overlap(spark, SF_UNIT))
+    plan = registry_plans["source_overlap"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     import re
@@ -548,54 +548,54 @@ def test_source_overlap_text_pruned_and_no_cartesian(spark):
     assert read_cols == {"source", "text"}, read_cols
 
 
-def test_skew_profile_topk_compiles_to_take_ordered(spark):
+def test_skew_profile_topk_compiles_to_take_ordered(spark, registry_plans):
     """The diagnostic's top-k must be TakeOrderedAndProject over the
     per-key counts — a global Sort of the count table would serialize
     the very shuffle the tool exists to protect."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_skew_profile(spark, SF_UNIT))
+    plan = registry_plans["skew_profile"]
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan  # the stats fan-in is broadcast
 
 
-def test_hash_embed_single_partial_aggregated_shuffle_no_python(spark):
+def test_hash_embed_single_partial_aggregated_shuffle_no_python(spark, registry_plans):
     """The hashing-trick embedder must stay whole-stage-codegen'd (md5 +
     string ops, no Python eval) and partial-aggregate the (doc, bucket)
     weights before its one shuffle — at 100 TB the exchange carries
     sparse per-doc buckets, never raw tokens."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_text_hash_embed(spark, SF_UNIT))
+    plan = registry_plans["text_hash_embed"]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan
     assert plan.count("Exchange") == 1
 
 
-def test_apply_changeset_broadcasts_drift_sized_changes(spark):
+def test_apply_changeset_broadcasts_drift_sized_changes(spark, registry_plans):
     """The CDC consumer: the drift-sized changeset must broadcast onto
     the state side (state never shuffles), and nothing degenerates into
     a nested loop."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_cdc_roundtrip(spark, SF_UNIT))
+    plan = registry_plans["cdc_roundtrip"]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
-def test_profile_table_is_one_pass(spark):
+def test_profile_table_is_one_pass(spark, registry_plans):
     """The column census must be ONE aggregation pass: a single scan of
     the table feeding one (Expand + partial-aggregate) pipeline — never
     a per-column job fan-out from the driver."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_profile_table(spark, SF_UNIT))
+    plan = registry_plans["profile_table"]
     assert plan.count("FileScan") == 1
     assert "Expand" in plan  # the N-distinct rewrite, not N scans
     assert "partial" in plan
 
 
-def test_winnow_overlap_no_nested_loop_text_pruned(spark):
+def test_winnow_overlap_no_nested_loop_text_pruned(spark, registry_plans):
     """Overlap candidates come from the fingerprint equi self-join (the
     winnowing analog of an LSH band) — no nested loop, no Cartesian. The
     pair plan reads from the checkpointed posting table (the operator
@@ -605,7 +605,7 @@ def test_winnow_overlap_no_nested_loop_text_pruned(spark):
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.operators.text import winnow_fingerprints
 
-    plan = plan_of(R.q_winnow_overlap(spark, SF_UNIT))
+    plan = registry_plans["winnow_overlap"]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     import re
@@ -617,27 +617,27 @@ def test_winnow_overlap_no_nested_loop_text_pruned(spark):
     assert read_cols == {"doc_id", "text"}, read_cols
 
 
-def test_pq_codebook_and_tables_broadcast(spark):
+def test_pq_codebook_and_tables_broadcast(spark, registry_plans):
     """PQ's joins must all be broadcast-side-small: the codebook joins
     (training, encoding) and the per-query ADC distance tables are KBs
     at any corpus size — a sort-merge or nested-loop here would shuffle
     the corpus for no reason."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_ann_pq_topk(spark, SF_UNIT))
+    plan = registry_plans["ann_pq_topk"]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
 
 
-def test_active_users_contribution_explode_no_self_join(spark):
+def test_active_users_contribution_explode_no_self_join(spark, registry_plans):
     """Rolling distinct actives must use the contribution-explode shape:
     a Generate (sequence explode) over the distinct (user, day) frame —
     never a day-range self-join of raw events, whose fan-out would be
     |events|·7 instead of |user-days|·7."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_active_users(spark, SF_UNIT))
+    plan = registry_plans["active_users"]
     assert "Generate explode" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -647,13 +647,13 @@ def test_active_users_contribution_explode_no_self_join(spark):
     assert plan.count("FileScan") <= 2
 
 
-def test_growth_accounting_windows_over_user_weeks_only(spark):
+def test_growth_accounting_windows_over_user_weeks_only(spark, registry_plans):
     """The ledger's lag/lead windows must run over each user's DISTINCT
     week series (the aggregate), never over raw events — below every
     Window sit the distinct aggregation's exchanges."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_growth_accounting(spark, SF_UNIT))
+    plan = registry_plans["growth_accounting"]
     assert "Window" in plan
     below_window = plan[plan.index("Window") :]
     assert "HashAggregate" in below_window
@@ -661,14 +661,14 @@ def test_growth_accounting_windows_over_user_weeks_only(spark):
     assert "CartesianProduct" not in plan  # the max-week fan-in broadcasts
 
 
-def test_time_resample_window_runs_over_grid_not_raw_events(spark):
+def test_time_resample_window_runs_over_grid_not_raw_events(spark, registry_plans):
     """The LOCF window must sort only the (key, bucket) grid frame — the
     Sort sits above the bucket aggregate (one row per non-empty bucket),
     never above raw events, and the grid explode keeps everything
     per-key (no SinglePartition, no Cartesian)."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_time_resample(spark, SF_UNIT))
+    plan = registry_plans["time_resample"]
     assert "Window" in plan and "HashAggregate" in plan
     assert plan.index("Sort ") < plan.index("HashAggregate")
     assert "SinglePartition" not in plan
@@ -676,7 +676,7 @@ def test_time_resample_window_runs_over_grid_not_raw_events(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_runtime_filter_join_probes_before_the_join(spark):
+def test_runtime_filter_join_probes_before_the_join(spark, registry_plans):
     """The Bloom reduction must run map-side UNDER the real join: k
     broadcast word-table probes and the bit-test filter sit in the fact
     branch, so the orders shuffle (if any) carries only survivors. No
@@ -685,7 +685,7 @@ def test_runtime_filter_join_probes_before_the_join(spark):
     from tepsonic_database_sync_spark import registry as R
     from tepsonic_database_sync_spark.operators.dedup import BLOOM_K
 
-    plan = plan_of(R.q_runtime_filter_join(spark, SF_UNIT))
+    plan = registry_plans["runtime_filter_join"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= BLOOM_K  # the word probes
@@ -703,14 +703,14 @@ def test_runtime_filter_join_probes_before_the_join(spark):
     }
 
 
-def test_token_pmi_topk_and_broadcast_lexicon(spark):
+def test_token_pmi_topk_and_broadcast_lexicon(spark, registry_plans):
     """PMI scoring must join over the pair-count frame with a BROADCAST
     lexicon (hot-token shuffle skew) and compile the top-k to
     TakeOrderedAndProject; the only BNLs allowed are the two single-row
     total joins."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_token_pmi(spark, SF_UNIT))
+    plan = registry_plans["token_pmi"]
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -771,14 +771,14 @@ def test_weighted_sample_global_topk_is_take_ordered(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_cdc_incremental_agg_never_scans_the_new_snapshot_twice(spark):
+def test_cdc_incremental_agg_never_scans_the_new_snapshot_twice(spark, registry_plans):
     """The refresh must cost O(changes): the plan joins OLD and NEW once
     (the diff), and the maintained rollup unions drift-sized deltas with
     the one-row-per-group state — no extra base-table aggregation over
     NEW (which is exactly what the operator exists to avoid)."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_cdc_incremental_agg(spark, SF_UNIT))
+    plan = registry_plans["cdc_incremental_agg"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # orders feeds the OLD-state aggregate and the two diff sides — the
@@ -788,39 +788,39 @@ def test_cdc_incremental_agg_never_scans_the_new_snapshot_twice(spark):
     assert "partial_sum" in plan
 
 
-def test_match_fuzzy_blocks_via_equi_join_not_all_pairs(spark):
+def test_match_fuzzy_blocks_via_equi_join_not_all_pairs(spark, registry_plans):
     """The deletion-neighborhood join must be a hash equi-join on the
     variant key — an all-pairs levenshtein theta-join is the quadratic
     plan the operator exists to avoid."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_match_fuzzy(spark, SF_UNIT))
+    plan = registry_plans["match_fuzzy"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan  # the verify survives as a filter
 
 
-def test_jaccard_prefix_filter_broadcasts_dfreq_no_cartesian(spark):
+def test_jaccard_prefix_filter_broadcasts_dfreq_no_cartesian(spark, registry_plans):
     """The document-frequency (vocabulary) join must BROADCAST onto the
     gram stream — shuffling the corpus on the gram key funnels hot
     shingles through single reducers — and candidates must arrive by
     equi-join, never a Cartesian product."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_dedup_prefix_filter(spark, SF_UNIT))
+    plan = registry_plans["dedup_prefix_filter"]
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_psi_drift_is_bucket_frame_joins_only(spark):
+def test_psi_drift_is_bucket_frame_joins_only(spark, registry_plans):
     """PSI must aggregate each side straight to the ≤ |qs|+1 bucket ids
     (map-side combined) and join only bucket frames and single-row
     totals — the only BNLs allowed are the boundary-array and totals
     broadcasts, and nothing may sort raw rows."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_psi_drift(spark, SF_UNIT))
+    plan = registry_plans["psi_drift"]
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
     # exactly the two boundary-array broadcasts (one per side); the
@@ -828,37 +828,37 @@ def test_psi_drift_is_bucket_frame_joins_only(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
 
 
-def test_compaction_plan_windows_partition_by_dir(spark):
+def test_compaction_plan_windows_partition_by_dir(spark, registry_plans):
     """Both planning windows must partition by the dataset partition key
     — a global (SinglePartition) sort of the file listing would
     serialize planning for the whole table."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_compaction_plan(spark, SF_UNIT))
+    plan = registry_plans["compaction_plan"]
     assert "Window" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
 
 
-def test_interval_concurrency_windows_over_boundary_aggregate(spark):
+def test_interval_concurrency_windows_over_boundary_aggregate(spark, registry_plans):
     """The sweep-line running sum must sort one row per distinct
     boundary instant — Sort above the (key, t) aggregate, never above
     raw intervals; per-key, never global."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_interval_concurrency(spark, SF_UNIT))
+    plan = registry_plans["interval_concurrency"]
     assert "Window" in plan and "HashAggregate" in plan
     assert plan.index("Sort ") < plan.index("HashAggregate")
     assert "SinglePartition" not in plan
 
 
-def test_ewma_is_generator_fanout_no_self_join_no_window(spark):
+def test_ewma_is_generator_fanout_no_self_join_no_window(spark, registry_plans):
     """The EWMA must come from the contribution explode + one groupBy —
     no window at all (a distance-weighted RANGE frame is inexpressible),
     and the join back to real buckets is an equi-join."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_ewma(spark, SF_UNIT))
+    plan = registry_plans["ewma"]
     assert "Generate" in plan  # the explode
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
@@ -866,7 +866,7 @@ def test_ewma_is_generator_fanout_no_self_join_no_window(spark):
     assert "partial_sum" in plan
 
 
-def test_tfidf_doc_sim_pairs_come_from_the_posting_join(spark):
+def test_tfidf_doc_sim_pairs_come_from_the_posting_join(spark, registry_plans):
     """tfidf_doc_sim's candidate pairs must be an equi-join on the
     shingle (posting lists), never a Cartesian over documents; the only
     BNL allowed is the single-row corpus-size stat join. The weighted
@@ -874,45 +874,45 @@ def test_tfidf_doc_sim_pairs_come_from_the_posting_join(spark):
     instead of re-tokenizing the corpus."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_tfidf_doc_sim(spark, SF_UNIT))
+    plan = registry_plans["tfidf_doc_sim"]
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 0  # checkpoint absorbed it
     assert plan.count("FileScan") == 0, "weighted postings come from the checkpoint"
     assert "partial_sum" in plan
 
 
-def test_item_cooccur_pairs_are_basket_equijoin(spark):
+def test_item_cooccur_pairs_are_basket_equijoin(spark, registry_plans):
     """Pair generation must be an equi-join on the basket key (fan-out
     bounded by the basket cap), counts broadcast back — no Cartesian,
     and the one BNL is the single-row n_baskets stat."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_item_cooccur(spark, SF_UNIT))
+    plan = registry_plans["item_cooccur"]
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "BroadcastHashJoin" in plan  # the item-count probes
     assert "partial_count" in plan
 
 
-def test_negative_sample_cross_is_bounded_broadcast(spark):
+def test_negative_sample_cross_is_bounded_broadcast(spark, registry_plans):
     """users × top-N candidates is the ONE legitimate nested-loop (one
     side is a constant-size broadcast list); the positives removal must
     be a hash anti join, not a second nested loop."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_negative_sample(spark, SF_UNIT))
+    plan = registry_plans["negative_sample"]
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "LeftAnti" in plan
 
 
-def test_chi_square_single_fact_pass(spark):
+def test_chi_square_single_fact_pass(spark, registry_plans):
     """The contingency census must aggregate the fact join ONCE —
     marginals, total, and the dense grid all derive from the tiny cells
     frame (orders file-scanned exactly once)."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_chi_square(spark, SF_UNIT))
+    plan = registry_plans["chi_square"]
     assert "CartesianProduct" not in plan
     # the fact join ran ONCE, inside the eager cells checkpoint — the
     # compiled plan reads only that materialized frame (zero re-scans;
@@ -920,43 +920,43 @@ def test_chi_square_single_fact_pass(spark):
     assert plan.count("FileScan") == 0, plan
 
 
-def test_bfs_rounds_reuse_the_checkpointed_edges(spark):
+def test_bfs_rounds_reuse_the_checkpointed_edges(spark, registry_plans):
     """Every BFS round joins the frontier against the SAME materialized
     edge frame: zero FileScans in the compiled plan (lineitem was read
     once at checkpoint time), no Cartesian."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_bfs_hops(spark, SF_UNIT))
+    plan = registry_plans["bfs_hops"]
     assert plan.count("FileScan") == 0, "edges must come from the checkpoint"
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan  # min-hop reduction map-side combines
 
 
-def test_resample_linear_windows_run_over_grid_rows(spark):
+def test_resample_linear_windows_run_over_grid_rows(spark, registry_plans):
     """The interpolation windows must sort the bounded (key, bucket)
     grid, never raw events: the window's child aggregates first
     (partial_count/partial_max visible below the Window node)."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_linear_interp(spark, SF_UNIT))
+    plan = registry_plans["linear_interp"]
     assert "Window" in plan
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
 
 
-def test_interval_join_is_bucketed_equijoin(spark):
+def test_interval_join_is_bucketed_equijoin(spark, registry_plans):
     """The interval-overlap candidates must meet on the bucket key —
     no Cartesian/nested-loop theta join anywhere (the quadratic form is
     confined to the ORACLE, which is the point)."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_interval_join(spark, SF_UNIT))
+    plan = registry_plans["interval_join"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan  # the bucket fan-out generator
 
 
-def test_rrf_fusion_topk_is_take_ordered(spark):
+def test_rrf_fusion_topk_is_take_ordered(spark, registry_plans):
     """The fused consensus top-k AND each input ranking's top-200 must
     compile to TakeOrderedAndProject — a global row_number window over
     the full part catalog would single-partition it (the WindowExec
@@ -964,34 +964,34 @@ def test_rrf_fusion_topk_is_take_ordered(spark):
     allowed is the rank numbering over the already-limited 200 rows."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_rrf_fusion(spark, SF_UNIT))
+    plan = registry_plans["rrf_fusion"]
     assert plan.count("TakeOrderedAndProject") >= 3  # 2 rankings + fusion
     assert "CartesianProduct" not in plan
 
 
-def test_window_funnel_joins_shuffle_on_user_only(spark):
+def test_window_funnel_joins_shuffle_on_user_only(spark, registry_plans):
     """Every stage join is a user-keyed equi-join with a range residual
     — no Cartesian, no nested loop; anchors aggregate map-side."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_window_funnel(spark, SF_UNIT))
+    plan = registry_plans["window_funnel"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan
 
 
-def test_embed_outliers_vector_sums_are_generated_not_joined(spark):
+def test_embed_outliers_vector_sums_are_generated_not_joined(spark, registry_plans):
     """Centroid math must be the posexplode generator + one map-side
     combined (label, pos) aggregate — no Cartesian over vectors."""
     from tepsonic_database_sync_spark import registry as R
 
-    plan = plan_of(R.q_embed_outliers(spark, SF_UNIT))
+    plan = registry_plans["embed_outliers"]
     assert "CartesianProduct" not in plan
     assert "Generate posexplode" in plan
     assert "partial_sum" in plan
 
 
-def test_no_cartesian_product_in_any_registry_query(spark):
+def test_no_cartesian_product_in_any_registry_query(registry_plans):
     """Blanket invariant over the ENTIRE registry: no query may compile
     to a CartesianProduct — the non-broadcast cross join that dies
     first at scale. Deliberate bounded nested loops (1-row stat
@@ -1003,12 +1003,9 @@ def test_no_cartesian_product_in_any_registry_query(spark):
     from tepsonic_database_sync_spark import registry as R
 
     offenders = []
-    for name, (fn, _sql) in R.REGISTRY.items():
-        try:
-            plan = plan_of(fn(spark, SF_UNIT))
-        except Exception as ex:  # noqa: BLE001 — name the op that broke
-            offenders.append(f"{name}: PLAN BUILD FAILED {type(ex).__name__}")
-            continue
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+    for name in R.REGISTRY:
+        plan = registry_plans.get_or_error(name)
+        if "CartesianProduct" in plan or "PLAN BUILD FAILED" in plan:
+            offenders.append(f"{name}: {plan[:80]}" if "FAILED" in plan
+                             else name)
     assert not offenders, offenders

@@ -1063,3 +1063,140 @@ def test_chunk_dedup_applier_replay_after_output_before_merge(
     chunk_dedup_applier(store, out_dir)(batch, 0)
     assert read_out() == before
     assert {tuple(r) for r in store.read().collect()} == idx
+
+
+def _wfs_docs():
+    """Funnel event fixture with the boundary cases pinned: u1 converts
+    exactly AT the inclusive horizon boundary; u2 stalls at stage 2; u3
+    has a second anchor that outperforms its first; u4 has no anchor
+    (must be absent); u5's purchase precedes its view (order matters)."""
+    H = 72 * 3600
+    return [
+        (1, "signup", 0), (1, "view", 10), (1, "purchase", H),  # == t0+H
+        (2, "signup", 50), (2, "view", 60), (2, "click", 70),
+        (3, "signup", 0), (3, "view", H + 100),  # outside anchor 1
+        (3, "signup", H), (3, "purchase", H + 200),  # anchor 2: 3 steps
+        (4, "view", 5), (4, "purchase", 6),
+        (5, "signup", 100), (5, "purchase", 150), (5, "view", 200),
+    ]
+
+
+def _wfs_run(spark, tmp_path, order, tag):
+    """Feed the fixture one event-file per micro-batch in the given
+    order; return the stream's final per-user steps."""
+    import datetime as dt
+
+    from tepsonic_database_sync_spark.streaming.ops import (
+        window_funnel_stream,
+    )
+
+    utc = dt.timezone.utc
+    base = dt.datetime(2024, 1, 1, tzinfo=utc)
+    schema = "user_id long, event_type string, ts timestamp"
+    src = str(tmp_path / f"src_{tag}")
+    for u, t, s in order:
+        spark.createDataFrame(
+            [(u, t, base + dt.timedelta(seconds=s))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    out_dir = str(tmp_path / f"out_{tag}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = window_funnel_stream(
+        stream, out_dir, str(tmp_path / f"ckpt_{tag}"),
+        lateness="9999 hours",
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out_dir).collect()
+    last = {}
+    for r in rows:
+        if r["user_id"] not in last or r["batch_id"] > last[r["user_id"]][1]:
+            last[r["user_id"]] = (r["steps"], r["batch_id"])
+    return {u: s for u, (s, _) in last.items()}
+
+
+def test_window_funnel_stream_matches_batch_in_order_and_shuffled(
+    spark, tmp_path
+):
+    """The streaming funnel's final emission must equal the batch
+    window_funnel over the same events — under in-event-time-order
+    delivery AND under an adversarially shuffled delivery (state holds
+    the undecided horizon, so this is NOT an in-order-only law)."""
+    import datetime as dt
+
+    from tepsonic_database_sync_spark.operators.events import window_funnel
+
+    docs = _wfs_docs()
+    utc = dt.timezone.utc
+    base = dt.datetime(2024, 1, 1, tzinfo=utc)
+    batch_df = spark.createDataFrame(
+        [(u, t, base + dt.timedelta(seconds=s)) for (u, t, s) in docs],
+        "user_id long, event_type string, ts timestamp",
+    )
+    want = {r["user_id"]: r["steps"] for r in window_funnel(batch_df).collect()}
+    assert want == {1: 3, 2: 2, 3: 3, 5: 2}  # fixture sanity, incl. u4 absent
+
+    got_ordered = _wfs_run(
+        spark, tmp_path, sorted(docs, key=lambda r: r[2]), "ord"
+    )
+    assert got_ordered == want
+
+    shuffled = [docs[i] for i in (14, 2, 8, 11, 0, 13, 5, 9, 1, 7, 4, 12, 3, 10, 6)]
+    got_shuffled = _wfs_run(spark, tmp_path, shuffled, "shuf")
+    assert got_shuffled == want
+
+
+def test_window_funnel_stream_prunes_state_behind_watermark(spark, tmp_path):
+    """The state-bound contract: with a small lateness, anchors whose
+    window closed behind the watermark fold into the scalar and their
+    events leave state — the final answer is still exact for in-order
+    delivery, which is precisely what the watermark promises."""
+    import datetime as dt
+
+    from tepsonic_database_sync_spark.operators.events import (
+        funnel_steps_inmem,
+        window_funnel,
+    )
+    from tepsonic_database_sync_spark.streaming.ops import (
+        window_funnel_stream,
+    )
+
+    H = 72 * 3600
+    docs = [
+        (1, "signup", 0), (1, "view", 10), (1, "purchase", 20),
+        # far-future second anchor, > H + lateness past the first
+        (1, "signup", 10 * H), (1, "view", 10 * H + 5),
+    ]
+    utc = dt.timezone.utc
+    base = dt.datetime(2024, 1, 1, tzinfo=utc)
+    schema = "user_id long, event_type string, ts timestamp"
+    src = str(tmp_path / "src_prune")
+    for u, t, s in docs:
+        spark.createDataFrame(
+            [(u, t, base + dt.timedelta(seconds=s))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    out_dir = str(tmp_path / "out_prune")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = window_funnel_stream(
+        stream, out_dir, str(tmp_path / "ckpt_prune"), lateness="1 hour"
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out_dir).collect()
+    best_by_batch = sorted((r["batch_id"], r["steps"]) for r in rows)
+    assert best_by_batch[-1][1] == 3  # the folded first-anchor result wins
+    batch_df = spark.createDataFrame(
+        [(u, t, base + dt.timedelta(seconds=s)) for (u, t, s) in docs],
+        schema,
+    )
+    want = {r["user_id"]: r["steps"] for r in window_funnel(batch_df).collect()}
+    assert want == {1: 3}
+    # and the kernel's finalization arithmetic is itself consistent
+    evs = {(0, 0), (1, 10), (2, 20)}
+    assert funnel_steps_inmem(evs, 3, H, final_before=H + 21) == (3, 3)
+    assert funnel_steps_inmem(evs, 3, H, final_before=H) == (3, 0)
