@@ -340,9 +340,23 @@ def connected_components_star(
     - small-star: every node links its ≤ neighbors (and itself) to the
       minimum of that subset.
     At the fixpoint every edge is (node → component-min root).
+
+    Orientation invariant (r9, −2 shuffles/round): every edge frame in
+    the loop keeps ``u > v`` — the input is canonicalized once, and both
+    stars emit (x, m) with m strictly below x (m is a neighborhood min
+    with the x = m case filtered). A set with all edges descending
+    cannot contain a pair AND its reverse, so symmetrization is a plain
+    union — no ``.distinct()`` exchange. The per-star ``.distinct()``
+    calls that bound the frame SIZE are kept; only the provably-no-op
+    dedup was removed. At sf0.1 this is latency-neutral (round time is
+    scheduling-dominated — SCALE.md r9); the payoff is shuffle VOLUME
+    at real scale: two fewer full-edge-frame exchanges per round.
     """
     E = (
-        edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        edges.select(
+            F.greatest("a_id", "b_id").alias("u"),
+            F.least("a_id", "b_id").alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -355,9 +369,11 @@ def connected_components_star(
         return (r["n"], r["h"])
 
     def _sym(e: DataFrame) -> DataFrame:
+        # no .distinct(): with every edge u > v, e and its reverse are
+        # disjoint and e itself is already distinct (invariant above)
         return e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
 
     sig = None
     for _ in range(max_iter):

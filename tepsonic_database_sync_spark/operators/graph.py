@@ -221,12 +221,18 @@ def bfs_hops(
         "node", F.lit(0).cast("long").alias("hops")
     )
     for h in range(1, max_hops + 1):
-        frontier = (
-            e.join(frontier, e["src"] == frontier["node"])
-            .select(e["dst"].alias("node"))
-            .distinct()
-            .localCheckpoint(eager=True)
+        frontier = e.join(frontier, e["src"] == frontier["node"]).select(
+            e["dst"].alias("node")
         )
+        if h < max_hops:
+            # non-final frontiers: distinct bounds the next join's input
+            # (without it the frontier grows by path multiplicity), and
+            # the eager checkpoint pins the level so later rounds don't
+            # re-run the join chain. The LAST frontier needs NEITHER —
+            # it feeds only the min-hop groupBy, which collapses
+            # duplicates itself — so the final round skips one exchange
+            # and one materialization job (r9: −20% warm at sf0.1).
+            frontier = frontier.distinct().localCheckpoint(eager=True)
         dist = dist.unionAll(
             frontier.select(
                 "node", F.lit(h).cast("long").alias("hops")

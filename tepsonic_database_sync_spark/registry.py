@@ -7633,11 +7633,15 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # last green driver row is r05 — the reference spine (sync/s8/j2/j3/a3/
 # a4/s2/s10/x2) plus the r05 tpch/dedup/ann fills — then the entries
 # whose impl or oracle CHANGED in r9 (window_funnel — ClickHouse <=
-# boundary fix; item_cooccur — lift overflow guard), then the stalest
-# r06-green entries as fill. The remaining r06 block is the r10 rotation
-# queue head; VERDICT r8 confirmed the one-round freshness invariant was
-# unreachable, so the schedule is two-round: r9 retires the r05 block,
-# r10 the r06 block.
+# boundary fix; item_cooccur — lift overflow guard; graph_components +
+# dedup_clusters_star — star-contraction orientation invariant;
+# bfs_hops — final-round fusion), the NEW r9 entry
+# (blocking_quality_sampled), then the stalest r06-green entries as
+# fill. The remaining r06 block is the r10 rotation queue head
+# (j1_match_exact, s3_filtered_scan, s9_backfill lead it — displaced
+# from the fill by the r9 changes); VERDICT r8 confirmed the one-round
+# freshness invariant was unreachable, so the schedule is two-round:
+# r9 retires the r05 block, r10 the r06 block.
 _R9_WINDOW = [
     "tpch_q2_min_cost", "tpch_q4_order_priority", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_profit", "tpch_q14_promo_share",
@@ -7654,8 +7658,8 @@ _R9_WINDOW = [
     "item_cooccur", "s1_rest_ingest", "model_score",
     "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
     "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
-    "p1_norm_name", "f1_status_filter", "j1_match_exact",
-    "s3_filtered_scan", "blocking_quality_sampled",
+    "p1_norm_name", "f1_status_filter", "graph_components",
+    "bfs_hops", "blocking_quality_sampled",
 ]
 
 # Tail order = rotation-queue priority for future rounds: stalest green
