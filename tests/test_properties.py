@@ -592,7 +592,10 @@ def test_compaction_plan_matches_greedy_reference(spark, rows, target):
 interval_set = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=50000),
-        st.integers(min_value=1, max_value=30000),
+        # durations from -2: zero/negative-length intervals exercise the
+        # documented drop-degenerate path (end-exclusive semantics — they
+        # can never overlap anything, and reversed spans must not fan out)
+        st.integers(min_value=-2, max_value=30000),
     ),
     min_size=0,
     max_size=12,
@@ -627,9 +630,60 @@ def test_interval_join_blocking_equals_theta_ground_truth(spark, aset, bset):
         (aid, bid): min(ae, be) - max(as_, bs)
         for (aid, as_, ae) in a_rows
         for (bid, bs, be) in b_rows
-        if as_ < be and bs < ae
+        # positive-length on BOTH sides (the operator's documented
+        # drop-degenerate rule), then end-exclusive overlap
+        if ae > as_ and be > bs and as_ < be and bs < ae
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["d1", "d2", "d3", "d4", "d5", "d6"]),
+            st.sampled_from(["bm25", "cos", "recency"]),
+            st.integers(min_value=1, max_value=7),
+        ),
+        min_size=0,
+        max_size=18,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_rrf_fusion_matches_reference_including_tie_regions(spark, rows, k):
+    """rrf_fuse must match an integer reference for ANY long-form input
+    — deliberately small rank/key alphabets so score TIES are common:
+    equal rrf_micro must order by key ascending, the LIMIT must cut
+    deterministically inside a tie run, and duplicate (key, ranker)
+    rows must sum every rank while counting the ranker once."""
+    from tepsonic_database_sync_spark.operators.recommend import (
+        RRF_K,
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    df = spark.createDataFrame(
+        rows, "key string, ranker string, rank long"
+    )
+    got = [
+        (r["key"], r["n_rankers"], r["rrf_micro"])
+        for r in rrf_fuse(df, k=k).collect()
+    ]
+
+    agg: dict[str, list] = {}
+    for key, ranker, rank in rows:
+        cur = agg.setdefault(key, [set(), 0])
+        cur[0].add(ranker)
+        cur[1] += RRF_SCALE // (RRF_K + rank)
+    ordered = sorted(
+        ((key, len(rs), score) for key, (rs, score) in agg.items()),
+        key=lambda t: (-t[2], t[0]),
+    )
+    assert got == ordered[:k]
 
 
 @settings(
