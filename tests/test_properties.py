@@ -785,3 +785,154 @@ def test_milli_scale_split_is_exact(spark, case):
     n1000 = 1000 * num
     want = n1000 // den if n1000 >= 0 else -((-n1000) // den)
     assert got == want, (num, den, got, want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.sampled_from(["a", "b", "c"]),  # type (small: dense ties)
+            st.integers(min_value=0, max_value=30),  # seconds (dup-prone)
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_event_paths_matches_trigram_reference(spark, events, k):
+    """event_paths must match a per-user trigram census computed in
+    Python: same (es, event_id) ordering (duplicate timestamps resolved
+    by event_id), same floored context permille, same (n desc, triple
+    asc) top-k cut — including inside tie runs."""
+    import datetime as dt
+    from collections import Counter
+
+    from tepsonic_database_sync_spark.operators.events import event_paths
+
+    utc = dt.timezone.utc
+    base = dt.datetime(2024, 1, 1, tzinfo=utc)
+    rows = [
+        (u, i, t, base + dt.timedelta(seconds=s))
+        for i, (u, t, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = [
+        (r["prev2_type"], r["prev1_type"], r["event_type"],
+         r["n"], r["p_permille"])
+        for r in event_paths(df, k=k).collect()
+    ]
+
+    by_user: dict[int, list] = {}
+    for u, eid, t, s in [(u, i, t, s) for i, (u, t, s) in enumerate(events)]:
+        by_user.setdefault(u, []).append((s, eid, t))
+    tri = Counter()
+    for u, evs in by_user.items():
+        seq = [t for _, _, t in sorted(evs)]
+        for j in range(2, len(seq)):
+            tri[(seq[j - 2], seq[j - 1], seq[j])] += 1
+    ctx = Counter()
+    for (p2, p1, _t), n in tri.items():
+        ctx[(p2, p1)] += n
+    scored = [
+        (p2, p1, t, n, (n * 1000) // ctx[(p2, p1)])
+        for (p2, p1, t), n in tri.items()
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0], r[1], r[2]))
+    assert got == scored[:k]
+
+
+def _h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # key (dups possible)
+            st.sampled_from(["web", "book", "code"]),  # domain
+            st.integers(min_value=0, max_value=3),  # coarse priority: ties
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_domain_cap_matches_ranked_reference(spark, rows, n):
+    """domain_cap must keep exactly the per-domain top-n by
+    (priority desc, h60('cap:'+key), key) — the hash-lottery tie region
+    replicated bit-for-bit in Python."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.sampling import domain_cap
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, domain string, prio long"
+    )
+    got = {
+        (r["doc_id"], r["domain"], r["priority"])
+        for r in domain_cap(
+            df, "domain", "doc_id", F.col("prio"), n
+        ).collect()
+    }
+    want = set()
+    for dom in {d for _, d, _ in rows}:
+        members = sorted(
+            ((k, d, p) for (k, d, p) in rows if d == dom),
+            key=lambda r: (-r[2], _h60_py(f"cap:{r[0]}"), r[0]),
+        )
+        want |= {tuple(m) for m in members[:n]}
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.sampled_from(["pos", "neg", "neu"]),
+        ),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_class_balance_matches_min_quota_reference(spark, rows):
+    """class_balance must cut every class to the smallest class's size,
+    keeping the lowest (h60('bal:'+key), key) rows per class."""
+    from tepsonic_database_sync_spark.operators.sampling import (
+        class_balance,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, label string")
+    got = {
+        (r["doc_id"], r["label"])
+        for r in class_balance(df, "label", "doc_id").collect()
+    }
+    classes: dict[str, list[int]] = {}
+    for k, lbl in rows:
+        classes.setdefault(lbl, []).append(k)
+    m = min(len(v) for v in classes.values())
+    want = set()
+    for lbl, keys in classes.items():
+        keys.sort(key=lambda k: (_h60_py(f"bal:{k}"), k))
+        want |= {(k, lbl) for k in keys[:m]}
+    assert got == want
