@@ -2640,7 +2640,12 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and precision of the MinHash-LSH candidate generator against the
     prefix-filter EXACT Jaccard ground truth at tau=0.6 — one full-outer
     join + one aggregate, distributed and hash-checkable. The number a
-    dedup deployment should publish next to its throughput."""
+    dedup deployment should publish next to its throughput.
+
+    SCALE NOTE: inline full-corpus exact truth is the small-SF checkable
+    form ONLY — at production scale the audit is
+    ``q_blocking_quality_sampled`` (hash-sampled truth, binomial CI);
+    copy THAT pattern, not this one."""
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.operators.dedup import (
         blocking_quality,

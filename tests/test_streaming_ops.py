@@ -1200,3 +1200,66 @@ def test_window_funnel_stream_prunes_state_behind_watermark(spark, tmp_path):
     evs = {(0, 0), (1, 10), (2, 20)}
     assert funnel_steps_inmem(evs, 3, H, final_before=H + 21) == (3, 3)
     assert funnel_steps_inmem(evs, 3, H, final_before=H) == (3, 0)
+
+
+def test_window_funnel_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Durability: stop after the first half of the feed, then start a
+    NEW query with the SAME checkpoint over the grown source — the
+    applyInPandasWithState state must survive the restart, so the
+    second run only processes the remainder and the final per-user
+    answer still equals the batch op over everything."""
+    import datetime as dt
+
+    from tepsonic_database_sync_spark.operators.events import window_funnel
+    from tepsonic_database_sync_spark.streaming.ops import (
+        window_funnel_stream,
+    )
+
+    docs = _wfs_docs()
+    half = len(docs) // 2
+    utc = dt.timezone.utc
+    base = dt.datetime(2024, 1, 1, tzinfo=utc)
+    schema = "user_id long, event_type string, ts timestamp"
+    src = str(tmp_path / "src_resume")
+    out_dir = str(tmp_path / "out_resume")
+    ckpt = str(tmp_path / "ckpt_resume")
+    ordered = sorted(docs, key=lambda r: r[2])
+
+    def feed(rows):
+        for u, t, s in rows:
+            spark.createDataFrame(
+                [(u, t, base + dt.timedelta(seconds=s))], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = window_funnel_stream(
+            stream, out_dir, ckpt, lateness="9999 hours"
+        )
+        q.awaitTermination(300)
+
+    feed(ordered[:half])
+    run()
+    feed(ordered[half:])
+    run()  # same checkpoint: resumes, does not reprocess the first half
+
+    rows = spark.read.parquet(out_dir).collect()
+    last = {}
+    for r in rows:
+        if r["user_id"] not in last or r["batch_id"] > last[r["user_id"]][1]:
+            last[r["user_id"]] = (r["steps"], r["batch_id"])
+    got = {u: s for u, (s, _) in last.items()}
+    batch_df = spark.createDataFrame(
+        [(u, t, base + dt.timedelta(seconds=s)) for (u, t, s) in docs],
+        schema,
+    )
+    want = {r["user_id"]: r["steps"] for r in window_funnel(batch_df).collect()}
+    assert got == want
+    # the resumed run started numbering where the first left off — proof
+    # the first half was not re-read (no batch_id collision/reset)
+    n_batches = {r["batch_id"] for r in rows}
+    assert max(n_batches) >= half  # second run extended, not restarted
