@@ -936,3 +936,51 @@ def test_class_balance_matches_min_quota_reference(spark, rows):
         keys.sort(key=lambda k: (_h60_py(f"bal:{k}"), k))
         want |= {(k, lbl) for k in keys[:m]}
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pos=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user
+            st.integers(min_value=0, max_value=9),  # item
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    n_candidates=st.integers(min_value=1, max_value=6),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_negative_sample_matches_reference(spark, pos, n_candidates, k):
+    """negative_sample must equal the Python reference end-to-end: the
+    (pop desc, item asc) candidate pool cut, positive removal, the
+    h60('neg:u:i') ranking with item tiebreak, and the up-to-k
+    contract for users who interacted with most of the pool."""
+    from collections import Counter
+
+    from tepsonic_database_sync_spark.operators.recommend import (
+        negative_sample,
+    )
+
+    df = spark.createDataFrame(pos, "uid long, item long")
+    got = {
+        (r["uid"], r["item"], r["neg_rank"])
+        for r in negative_sample(
+            df, "uid", "item", n_candidates=n_candidates, k=k
+        ).collect()
+    }
+
+    dedup = set(pos)
+    popc = Counter(i for _, i in dedup)
+    top = sorted(popc.items(), key=lambda t: (-t[1], t[0]))[:n_candidates]
+    pool = [i for i, _ in top]
+    want = set()
+    for u in {u for u, _ in dedup}:
+        elig = [i for i in pool if (u, i) not in dedup]
+        elig.sort(key=lambda i: (_h60_py(f"neg:{u}:{i}"), i))
+        want |= {(u, i, r + 1) for r, i in enumerate(elig[:k])}
+    assert got == want
