@@ -984,3 +984,345 @@ def test_negative_sample_matches_reference(spark, pos, n_candidates, k):
         elig.sort(key=lambda i: (_h60_py(f"neg:{u}:{i}"), i))
         want |= {(u, i, r + 1) for r, i in enumerate(elig[:k])}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints vs a sequential reference
+# ---------------------------------------------------------------------------
+
+def _winnow_py(text: str, k: int, w: int) -> tuple[int, str]:
+    """Sequential winnowing reference: same normalize (lower, collapse
+    whitespace, trim), same polynomial hash mod M, plain min per w-window,
+    distinct sorted minima joined with '|'. Mirrors the documented Spark
+    split semantics: split('', '') yields [''] whose ascii code is 0."""
+    import re as _re
+
+    from tepsonic_database_sync_spark.operators.text import (
+        WINNOW_B,
+        WINNOW_M,
+    )
+
+    s = _re.sub(r"\s+", " ", text.lower()).strip()
+    codes = [ord(c) for c in s] if s else [0]
+    npos = max(len(codes) - k + 1, 0)
+    powers = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
+    hashes = [
+        sum(codes[i + j] * powers[j] for j in range(k)) % WINNOW_M
+        for i in range(npos)
+    ]
+    nw = max(len(hashes) - w + 1, 0)
+    minima = [min(hashes[i : i + w]) for i in range(nw)]
+    return npos, "|".join(str(v) for v in sorted(set(minima)))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+    w=st.integers(min_value=1, max_value=3),
+)
+def test_winnow_fingerprints_match_sequential_reference(spark, texts, k, w):
+    """winnow_fingerprints must equal the sequential MOSS-style reference
+    for ANY text — around the n_grams/n_windows boundaries (len < k,
+    len == k, n_hashes < w), tie-dense hashes (2-char alphabet), and
+    whitespace-only docs that normalize to ''."""
+    from tepsonic_database_sync_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["fps"])
+        for r in winnow_fingerprints(docs, k=k, w=w).collect()
+    }
+    want = {i: _winnow_py(t, k, w) for i, t in enumerate(texts)}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BM25 / TF-IDF fixed-point scoring vs an exact integer reference
+# ---------------------------------------------------------------------------
+
+def _iln_milli_py(x: int) -> int:
+    """Integer twin of text.iln_milli: floor(log2) by bit_length, linear
+    interpolation within the octave, ln2 fixed-point multiply."""
+    k = x.bit_length() - 1
+    p2k = 1 << k
+    frac = ((x - p2k) * 1000) // p2k
+    return ((k * 1000 + frac) * 693147) // 1000000 - 6908
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "zz", "q"]), min_size=0, max_size=6
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    query=st.lists(
+        st.sampled_from(["x", "q", "zz", "absent"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_bm25_tfidf_matches_integer_reference(spark, doc_toks, query):
+    """bm25_tfidf must equal the exact integer reference for ANY corpus:
+    df=0 terms (idf clamp + tfidf skip), empty docs (tokenizer yields
+    [''] so dl=1, never 0 — avgdl can't divide by zero), single-doc
+    corpora (x_bm25 = 1000//(2df+1) floors into the idf clamp), and
+    tf-heavy docs saturating tf_norm."""
+    from tepsonic_database_sync_spark.operators.text import bm25_tfidf
+
+    texts = [" ".join(ts) for ts in doc_toks]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bm25_milli"], r["tfidf_milli"])
+        for r in bm25_tfidf(docs, query).collect()
+    }
+
+    # the tokenizer splits the trimmed text on \s+, so '' -> ['']
+    toks = [ts if ts else [""] for ts in doc_toks]
+    n = len(toks)
+    dls = [len(t) for t in toks]
+    avgdl = (sum(dls) * 1000) // n
+    k1, b = 1200, 750
+    want = {}
+    for d, t in enumerate(toks):
+        dl = dls[d]
+        bm25 = tfidf = 0
+        for q in query:
+            tf = t.count(q)
+            df = sum(1 for u in toks if q in u)
+            x_b = ((2 * (n - df) + 1) * 1000) // (2 * df + 1)
+            idf_b = max(0, _iln_milli_py(max(x_b, 1)))
+            denom = tf * 1000 + (
+                k1 * ((1000 - b) + (b * dl * 1000) // avgdl)
+            ) // 1000
+            bm25 += (idf_b * ((tf * (k1 + 1000) * 1000) // denom)) // 1000
+            if df > 0:
+                tfidf += tf * max(0, _iln_milli_py(max((n * 1000) // df, 1)))
+        want[d] = (dl, bm25, tfidf)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring vs an exact integer reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["r", "s", "t"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_lm_score_matches_integer_reference(spark, doc_toks):
+    """lm_score must equal the exact add-one bigram-LM reference for ANY
+    corpus: docs with < 2 tokens (0 over 0 bigrams, but their unigrams
+    still train the lexicon), repeated bigrams summing per occurrence,
+    and the micro-scale clamp floor. Small alphabet so c(u,v)/c(u)/V
+    interact densely."""
+    from collections import Counter
+
+    from tepsonic_database_sync_spark.operators.text import lm_score
+
+    texts = [" ".join(ts) for ts in doc_toks]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_nll_milli"], r["avg_nll_milli"])
+        for r in lm_score(docs).collect()
+    }
+
+    uni = Counter(t for ts in doc_toks for t in ts)
+    v_types = len(uni)
+    big = Counter(
+        (ts[i], ts[i + 1])
+        for ts in doc_toks
+        if len(ts) >= 2
+        for i in range(len(ts) - 1)
+    )
+    want = {}
+    for d, ts in enumerate(doc_toks):
+        pairs = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        nlls = [
+            6908
+            - _iln_milli_py(
+                max(((big[p] + 1) * 1000000) // (uni[p[0]] + v_types), 1)
+            )
+            for p in pairs
+        ]
+        n, s = len(nlls), sum(nlls)
+        want[d] = (n, s, s // n if n else 0)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# tf-idf shingle cosine join vs an exact integer reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["u", "v", "w"]), min_size=0, max_size=6),
+        min_size=2,
+        max_size=6,
+    ),
+    df_cap=st.integers(min_value=1, max_value=6),
+    tf_cap=st.integers(min_value=1, max_value=3),
+)
+def test_tfidf_doc_sim_matches_integer_reference(spark, doc_toks, df_cap, tf_cap):
+    """tfidf_doc_sim must equal the integer reference for ANY corpus and
+    cap geometry: the df-cap dropping stop-shingles, the tf cap, docs
+    too short to shingle, and — the sharp edge — NEGATIVE weights when
+    df == N (iln_milli(1000) = -9, the documented 0.061-nat epsilon),
+    whose dot products must divide with ANSI div's truncation toward
+    zero, not Python floor."""
+    import math
+    from collections import Counter
+
+    from tepsonic_database_sync_spark.operators.text import tfidf_doc_sim
+
+    texts = [" ".join(ts) for ts in doc_toks]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (r["dot"], r["cos_permille"])
+        for r in tfidf_doc_sim(
+            docs, df_cap=df_cap, min_df=1, tf_cap=tf_cap, min_cos_permille=0
+        ).collect()
+    }
+
+    nd = len(doc_toks)
+    per_doc = [
+        Counter(
+            " ".join(ts[i : i + 2]) for i in range(len(ts) - 1)
+        )
+        for ts in doc_toks
+    ]
+    dfreq = Counter(s for c in per_doc for s in c)
+    kept = {s for s, f in dfreq.items() if 1 <= f <= df_cap}
+    w = [
+        {
+            s: min(tf, tf_cap) * _iln_milli_py((1000 * nd) // dfreq[s])
+            for s, tf in c.items()
+            if s in kept
+        }
+        for c in per_doc
+    ]
+    want = {}
+    for a in range(nd):
+        for b in range(a + 1, nd):
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(w[a][s] * w[b][s] for s in shared)
+            sa = math.isqrt(sum(x * x for x in w[a].values()))
+            sb = math.isqrt(sum(x * x for x in w[b].values()))
+            q, rem = divmod(abs(1000 * dot), sa * sb)
+            cos = q if dot >= 0 else -q  # ANSI div truncates toward zero
+            if cos >= 0:
+                want[(a, b)] = (dot, cos)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation resample vs a sequential reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # key
+            st.integers(min_value=0, max_value=800),  # epoch seconds
+            st.integers(min_value=0, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    step=st.sampled_from([60, 100, 250]),
+)
+def test_resample_linear_matches_sequential_reference(spark, events, step):
+    """resample_linear must equal the sequential reference for ANY event
+    geometry: single-observation keys (grid of one bucket, no gap),
+    multi-observation buckets (v = bucket max), gaps of any width
+    (convex-combination fill with truncating div), and grids whose ends
+    are observations by construction."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        resample_linear,
+    )
+
+    df = spark.createDataFrame(
+        [(k, ts, c) for k, ts, c in events],
+        "k long, es long, cents long",
+    ).select("k", F.timestamp_seconds("es").alias("ts"), "cents")
+    got = {
+        (r["key"], r["bucket_es"]): (
+            r["n_events"],
+            r["value_cents"],
+            r["is_gap"],
+        )
+        for r in resample_linear(
+            df, "k", "ts", F.col("cents"), step_s=step
+        ).collect()
+    }
+
+    want = {}
+    by_key: dict[int, list] = {}
+    for k, ts, c in events:
+        by_key.setdefault(k, []).append((ts // step * step, c))
+    for k, obs in by_key.items():
+        buckets: dict[int, list] = {}
+        for b, c in obs:
+            buckets.setdefault(b, []).append(c)
+        lo, hi = min(buckets), max(buckets)
+        grid = list(range(lo, hi + 1, step))
+        observed = sorted(buckets)
+        for b in grid:
+            if b in buckets:
+                want[(k, b)] = (len(buckets[b]), max(buckets[b]), False)
+            else:
+                tp = max(o for o in observed if o < b)
+                tn = min(o for o in observed if o > b)
+                vp, vn = max(buckets[tp]), max(buckets[tn])
+                # both products non-negative -> trunc div == floor div
+                v = (vp * (tn - b) + vn * (b - tp)) // (tn - tp)
+                want[(k, b)] = (0, v, True)
+    assert got == want
