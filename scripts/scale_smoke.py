@@ -63,12 +63,20 @@ def amplified_docs(spark, factor: int):
     return out
 
 
-def _doc_ops(docs):
+def _doc_ops(docs, factor: int = 1):
     """The doc-side operators whose scale shape matters most: repetition
-    rules (gram shuffle), MinHash-LSH pairs (banded equi-join), and
-    star-contraction clustering (O(log²) rounds over the pair graph)."""
+    rules (gram shuffle), MinHash-LSH pairs (banded equi-join),
+    star-contraction clustering (O(log²) rounds over the pair graph),
+    and the sampled blocking audit at CONSTANT TARGET SAMPLE SIZE
+    (sample_permille ∝ 1/factor — how a deployment actually picks it:
+    hold n_true in the hundreds as the corpus grows; the audit's wall
+    time should then be ~FLAT, because its quadratic term runs on the
+    fixed-size sample and only the hash-filter scan grows with the
+    corpus)."""
     from tepsonic_database_sync_spark.operators.dedup import (
+        blocking_quality_sampled,
         connected_components_star,
+        jaccard_pairs_prefix,
         lsh_candidate_pairs,
         minhash_sig_array,
     )
@@ -86,7 +94,21 @@ def _doc_ops(docs):
             "overwrite"
         ).save()
 
-    return {"text_repetition": run_repetition, "lsh+star_clusters": run_lsh_clusters}
+    def run_blocking_audit():
+        # tau matches registry.PREFIX_TAU_PERMILLE (not imported: pulling
+        # in the registry module compiles all 183 entries)
+        blocking_quality_sampled(
+            docs,
+            lambda d: jaccard_pairs_prefix(d, tau_permille=600),
+            lambda d: lsh_candidate_pairs(minhash_sig_array(d)),
+            sample_permille=max(1, 250 // factor),
+        ).write.format("noop").mode("overwrite").save()
+
+    return {
+        "text_repetition": run_repetition,
+        "lsh+star_clusters": run_lsh_clusters,
+        "blocking_audit(n≈const)": run_blocking_audit,
+    }
 
 
 def write_amplified_olap(spark, factor: int, dest: str) -> None:
@@ -241,7 +263,7 @@ def main() -> None:
         results: dict[str, list] = {}
         for f in factors:
             docs = amplified_docs(spark, f).localCheckpoint(eager=True)
-            for name, run in _doc_ops(docs).items():
+            for name, run in _doc_ops(docs, f).items():
                 t0 = time.time()
                 run()
                 dt = time.time() - t0

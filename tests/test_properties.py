@@ -1326,3 +1326,234 @@ def test_resample_linear_matches_sequential_reference(spark, events, step):
                 v = (vp * (tn - b) + vn * (b - tp)) // (tn - tp)
                 want[(k, b)] = (0, v, True)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SimHash signature vs an exact bit-vote reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["m", "n", "o", "p"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    bits=st.sampled_from([4, 16, 32]),
+)
+def test_simhash_matches_bit_vote_reference(spark, doc_toks, bits):
+    """simhash must equal the per-token ±1 bit-vote reference for ANY
+    doc: repeated tokens vote once per OCCURRENCE, exact vote ties
+    (sum == 0) pack as 0, and the empty doc (tokenizer yields [''],
+    which still hashes and votes) gets the h60('')-derived signature,
+    not NULL."""
+    from tepsonic_database_sync_spark.operators.dedup import simhash
+
+    texts = [" ".join(ts) for ts in doc_toks]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, bits=bits).collect()
+    }
+
+    want = {}
+    for d, ts in enumerate(doc_toks):
+        toks = ts if ts else [""]
+        sig = 0
+        for b in range(bits):
+            vote = sum(
+                1 if (_h60_py(t) >> b) & 1 else -1 for t in toks
+            )
+            if vote > 0:
+                sig |= 1 << b
+        want[d] = sig
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency vs a sequential reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # key
+            st.integers(min_value=0, max_value=30),  # start
+            st.integers(min_value=0, max_value=10),  # duration (0 = empty)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_interval_concurrency_matches_sweep_reference(spark, intervals):
+    """interval_concurrency must equal the sequential sweep for ANY
+    geometry: zero-length intervals cancel to net 0 at their instant,
+    coincident boundaries sum their deltas into one row, and the running
+    count drops exactly at the EXCLUSIVE end."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    df = spark.createDataFrame(
+        [(k, s, s + d) for k, s, d in intervals],
+        "k long, s long, e long",
+    )
+    got = {
+        (r["key"], r["t_es"]): (r["net"], r["concurrency"])
+        for r in interval_concurrency(
+            df, "k", F.col("s"), F.col("e")
+        ).collect()
+    }
+
+    want = {}
+    by_key: dict[int, dict[int, int]] = {}
+    for k, s, d in intervals:
+        nets = by_key.setdefault(k, {})
+        nets[s] = nets.get(s, 0) + 1
+        nets[s + d] = nets.get(s + d, 0) - 1
+    for k, nets in by_key.items():
+        running = 0
+        for t in sorted(nets):
+            running += nets[t]
+            want[(k, t)] = (nets[t], running)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EWMA vs an exact integer reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    readings=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),  # key
+            st.integers(min_value=0, max_value=9),  # bucket index
+            st.integers(min_value=0, max_value=40),  # value
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    span=st.sampled_from([2, 4, 8]),
+)
+def test_ewma_dyadic_matches_integer_reference(spark, readings, span):
+    """ewma_dyadic must equal the exact dyadic-weight reference for ANY
+    gappy series: the denominator adapts to the readings PRESENT in the
+    trailing window, duplicate (key, bucket) readings each contribute
+    AND each get an output row, and 1000·Σwx DIV Σw truncates like the
+    non-negative contract promises."""
+    from tepsonic_database_sync_spark.operators.timeseries import (
+        ewma_dyadic,
+    )
+
+    step = 100
+    df = spark.createDataFrame(
+        [(k, b * step, x) for k, b, x in readings],
+        "k long, bucket long, x long",
+    )
+    got = sorted(
+        (r["key"], r["bucket_es"], r["value"], r["ewma_milli"])
+        for r in ewma_dyadic(
+            df, "k", "bucket", "x", step_s=step, span=span
+        ).collect()
+    )
+
+    # contributions: reading at bucket b weights target b+k·step by
+    # 2^(span-1-k), k in [0, span)
+    sums: dict[tuple, list] = {}
+    for k, b, x in readings:
+        for j in range(span):
+            w = 1 << (span - 1 - j)
+            cur = sums.setdefault((k, (b + j) * step), [0, 0])
+            cur[0] += w
+            cur[1] += w * x
+    want = sorted(
+        (k, b * step, x, (1000 * sums[(k, b * step)][1]) // sums[(k, b * step)][0])
+        for k, b, x in readings
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars vs a sequential reference (composite-order open/close picks)
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),    # key
+            st.integers(min_value=0, max_value=500),  # epoch seconds
+            st.integers(min_value=0, max_value=99),   # cents
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    step=st.sampled_from([60, 250]),
+)
+def test_ohlc_bars_match_sequential_reference(spark, events, step):
+    """ohlc_bars must equal the sequential reference for ANY feed:
+    open/close resolved by the (ts, id, value) composite order even when
+    many readings share the SAME second (the string-encoding trick's
+    whole reason to exist), high/low/volume over every reading."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.timeseries import ohlc_bars
+
+    rows = [(i, k, es, c) for i, (k, es, c) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, k long, es long, cents long"
+    ).select("event_id", "k", F.timestamp_seconds("es").alias("ts"), "cents")
+    got = {
+        (r["key"], r["bucket_es"]): (
+            r["n"],
+            r["open_cents"],
+            r["high_cents"],
+            r["low_cents"],
+            r["close_cents"],
+            r["volume_cents"],
+        )
+        for r in ohlc_bars(
+            df, "k", "ts", "event_id", F.col("cents"), step_s=step
+        ).collect()
+    }
+
+    by_bucket: dict[tuple, list] = {}
+    for i, k, es, c in rows:
+        by_bucket.setdefault((k, es // step * step), []).append(
+            (es * 1_000_000, i, c)
+        )
+    want = {}
+    for kb, evs in by_bucket.items():
+        evs.sort()  # (epoch_us, id, value) — the composite total order
+        vals = [c for _, _, c in evs]
+        want[kb] = (
+            len(evs),
+            evs[0][2],
+            max(vals),
+            min(vals),
+            evs[-1][2],
+            sum(vals),
+        )
+    assert got == want
