@@ -1557,3 +1557,130 @@ def test_ohlc_bars_match_sequential_reference(spark, events, step):
             sum(vals),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression and chi-square cells vs exact integer references
+# ---------------------------------------------------------------------------
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division (Spark/DuckDB div), b > 0."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _milli_scale_py(num: int, den: int) -> int:
+    rem = num - _tdiv(num, den) * den  # dividend-signed remainder
+    return _tdiv(num, den) * 1000 + _tdiv(rem * 1000, den)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=0, max_value=20),   # x
+            st.integers(min_value=0, max_value=100),  # y
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_grouped_regression_matches_integer_reference(spark, rows):
+    """grouped_regression must equal the exact sufficient-statistics
+    reference for ANY point set: the x0 re-centering algebra, the
+    quotient/remainder milli split on a possibly-NEGATIVE slope
+    numerator, the degenerate zero-x-variance groups (slope 0, mean as
+    intercept), and the truncating intercept division."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.profile import (
+        grouped_regression,
+    )
+
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: (r["n"], r["x0"], r["slope_milli"], r["intercept_milli"])
+        for r in grouped_regression(df, "g", F.col("x"), F.col("y")).collect()
+    }
+
+    want = {}
+    by_g: dict[str, list] = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pts in by_g.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        x0 = min(x for x, _ in pts)
+        sxc = sx - n * x0
+        sxxc = sxx - 2 * x0 * sx + n * x0 * x0
+        sxyc = sxy - x0 * sy
+        num = n * sxyc - sxc * sy
+        den = n * sxxc - sxc * sxc
+        slope = _milli_scale_py(num, den) if den > 0 else 0
+        intercept = _tdiv(1000 * sy - slope * sxc, n)
+        want[g] = (n, x0, slope, intercept)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["r1", "r2", "r3"]),
+            st.sampled_from(["c1", "c2"]),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    quant=st.sampled_from([1, 2, 64]),
+)
+def test_chi_square_cells_match_integer_reference(spark, rows, quant):
+    """chi_square_cells must equal the exact integer reference for ANY
+    contingency shape: the DENSE grid including never-observed zero
+    cells, negative deviations under truncating div, the deviation
+    quantum, and the denominator clamp when quantization floors it to
+    zero (quant=64 on tiny tables)."""
+    from tepsonic_database_sync_spark.operators.profile import (
+        chi_square_cells,
+    )
+
+    df = spark.createDataFrame(rows, "rv string, cv string")
+    got = {
+        (r["rv"], r["cv"]): (
+            r["observed"],
+            r["expected_milli"],
+            r["contrib_milli"],
+        )
+        for r in chi_square_cells(df, "rv", "cv", quant=quant).collect()
+    }
+
+    from collections import Counter
+
+    obs = Counter(rows)
+    rts = Counter(r for r, _ in rows)
+    cts = Counter(c for _, c in rows)
+    nn = len(rows)
+    q = quant
+    want = {}
+    for rv in rts:
+        for cv in cts:
+            o = obs.get((rv, cv), 0)
+            rt, ct = rts[rv], cts[cv]
+            expected = _tdiv(1000 * rt * ct, nn)
+            d = nn * o - rt * ct
+            dq = _tdiv(d, q)
+            den = max(_tdiv(nn * rt * ct, q * q), 1)
+            want[(rv, cv)] = (o, expected, _milli_scale_py(dq * dq, den))
+    assert got == want
