@@ -1684,3 +1684,108 @@ def test_chi_square_cells_match_integer_reference(spark, rows, quant):
             den = max(_tdiv(nn * rt * ct, q * q), 1)
             want[(rv, cv)] = (o, expected, _milli_scale_py(dq * dq, den))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing embedder and hour-of-week seasonal profile
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["e", "f", "g", "h"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    dim=st.sampled_from([2, 4, 16]),
+)
+def test_hash_embed_matches_signed_bag_reference(spark, doc_toks, dim):
+    """hash_embed must equal the signed bag-of-words reference for ANY
+    doc: per-occurrence ±1 votes summed per bucket, exact cancellations
+    DROPPED (weight 0 never emitted), and the empty doc's [''] token
+    still hashing into a bucket."""
+    from tepsonic_database_sync_spark.operators.text import hash_embed
+
+    texts = [" ".join(ts) for ts in doc_toks]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in hash_embed(docs, dim=dim).collect()
+    }
+
+    want: dict[tuple, int] = {}
+    for d, ts in enumerate(doc_toks):
+        for t in ts if ts else [""]:
+            b = _h60_py(f"b:{t}") % dim
+            s = 1 if _h60_py(f"s:{t}") % 2 == 0 else -1
+            want[(d, b)] = want.get((d, b), 0) + s
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view"]),
+            st.integers(min_value=0, max_value=30 * 86400),  # epoch seconds
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_seasonal_profile_matches_reference(spark, events):
+    """seasonal_profile must equal the reference for ANY event history:
+    the epoch-arithmetic hour-of-week slotting, the max(ts)-anchored
+    7-day current window (boundary INCLUSIVE at max_es - 7d), per-side
+    permille normalized by each side's own total, and zero-total sides
+    reporting 0."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.events import (
+        seasonal_profile,
+    )
+
+    df = spark.createDataFrame(
+        events, "event_type string, es long"
+    ).select("event_type", F.timestamp_seconds("es").alias("ts"))
+    got = {
+        (r["event_type"], r["how"]): (
+            r["base_n"],
+            r["cur_n"],
+            r["base_permille"],
+            r["cur_permille"],
+            r["delta_permille"],
+        )
+        for r in seasonal_profile(df).collect()
+    }
+
+    max_es = max(es for _, es in events)
+    cut = max_es - 7 * 86400
+    counts: dict[tuple, list] = {}
+    for et, es in events:
+        how = ((es // 86400 + 4) % 7) * 24 + (es % 86400) // 3600
+        cur = es >= cut
+        c = counts.setdefault((et, how), [0, 0])
+        c[1 if cur else 0] += 1
+    want = {}
+    for et in {e for e, _ in events}:
+        bt = sum(b for (t, _), (b, _c) in counts.items() if t == et)
+        ct = sum(c for (t, _), (_b, c) in counts.items() if t == et)
+        for (t, how), (b, c) in counts.items():
+            if t != et:
+                continue
+            bp = (b * 1000) // bt if bt > 0 else 0
+            cp = (c * 1000) // ct if ct > 0 else 0
+            want[(t, how)] = (b, c, bp, cp, cp - bp)
+    assert got == want
