@@ -31,7 +31,15 @@ STOPWORDS = {
 
 
 def tokens(text: Column) -> Column:
-    """Lower-cased whitespace tokens."""
+    """Lower-cased whitespace tokens.
+
+    Contract (engine-shared, hypothesis-pinned): ``trim`` strips ASCII
+    SPACES only — in Spark AND DuckDB — so text with leading/trailing
+    non-space whitespace ('\\n', '\\t') yields EMPTY edge tokens, and the
+    empty string tokenizes to [''] (never []). Callers that must not
+    count phantom tokens filter '' explicitly (``lm_score`` does); the
+    gram/stats operators keep the raw form because their oracles share
+    it bit-for-bit."""
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 

@@ -1789,3 +1789,77 @@ def test_seasonal_profile_matches_reference(spark, events):
             cp = (c * 1000) // ct if ct > 0 else 0
             want[(t, how)] = (b, c, bp, cp, cp - bp)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4 repetition rules vs a sequential reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_lines=st.lists(
+        st.lists(  # a doc = lines of tokens; "\n".join of " ".join
+            st.lists(st.sampled_from(["aa", "bb"]), min_size=0, max_size=4),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_repetition_stats_match_sequential_reference(spark, doc_lines):
+    """repetition_stats must equal the sequential reference for ANY doc:
+    bigrams/trigrams run ACROSS line boundaries (tokens split on all
+    whitespace), duplicate shares count occurrences of types with c>1,
+    blank and whitespace-only lines drop from the line census, too-short
+    docs report 0/0 -> 0 permille, and — the tokens() contract — trim is
+    SPACE-only, so leading/trailing newlines yield phantom '' edge
+    tokens that the gram census deliberately keeps."""
+    import re as _re
+    from collections import Counter
+
+    from tepsonic_database_sync_spark.operators.text import repetition_stats
+
+    texts = ["\n".join(" ".join(ln) for ln in lines) for lines in doc_lines]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["top_bigram_permille"],
+            r["dup_trigram_permille"],
+            r["dup_line_permille"],
+        )
+        for r in repetition_stats(docs).collect()
+    }
+
+    def permille(a: int, b: int) -> int:
+        return (a * 1000) // b if b > 0 else 0
+
+    want = {}
+    for d, text in enumerate(texts):
+        # Spark/DuckDB trim is SPACE-only: strip(' '), not strip()
+        toks = _re.split(r"\s+", text.strip(" ").lower())
+        big = Counter(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ) if len(toks) >= 2 else Counter()
+        tri = Counter(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ) if len(toks) >= 3 else Counter()
+        lines = Counter(
+            s for s in (ln.strip().lower() for ln in text.split("\n")) if s
+        )
+        want[d] = (
+            permille(max(big.values(), default=0), sum(big.values())),
+            permille(
+                sum(c for c in tri.values() if c > 1), sum(tri.values())
+            ),
+            permille(
+                sum(c for c in lines.values() if c > 1), sum(lines.values())
+            ),
+        )
+    assert got == want
