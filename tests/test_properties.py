@@ -1863,3 +1863,59 @@ def test_repetition_stats_match_sequential_reference(spark, doc_lines):
             ),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter similarity join: threshold-completeness on random corpora
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(
+            st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=0, max_size=8
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    tau=st.sampled_from([400, 600, 800]),
+)
+def test_jaccard_prefix_filter_complete_on_random_corpora(spark, doc_toks, tau):
+    """jaccard_pairs_prefix must emit EXACTLY the pairs with J >= tau
+    for ANY corpus and threshold — the completeness proof obligation of
+    prefix filtering, including docs too short to shingle (never paired),
+    exact duplicates (J = 1), and prefix lengths at the ceil boundary."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    texts = [" ".join(ts) for ts in doc_toks]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter_size"], r["union_size"])
+        for r in jaccard_pairs_prefix(docs, tau_permille=tau).collect()
+    }
+
+    def sh(ts):
+        return {
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        }
+
+    want = {}
+    for a in range(len(doc_toks)):
+        for b in range(a + 1, len(doc_toks)):
+            sa, sb = sh(doc_toks[a]), sh(doc_toks[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if 1000 * inter >= tau * union:
+                want[(a, b)] = (inter, union)
+    assert got == want
