@@ -1919,3 +1919,69 @@ def test_jaccard_prefix_filter_complete_on_random_corpora(spark, doc_toks, tau):
             if 1000 * inter >= tau * union:
                 want[(a, b)] = (inter, union)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (integer A-ES) vs an exact reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # key
+            st.sampled_from(["s1", "s2"]),           # stratum
+            st.integers(min_value=0, max_value=9),   # weight (0 = dropped)
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    per_stratum=st.booleans(),
+)
+def test_weighted_sample_matches_aes_reference(spark, rows, k, per_stratum):
+    """weighted_sample must equal the exact integer Efraimidis-Spirakis
+    reference for ANY weight geometry: u_micro from the content hash,
+    -ln(u) through the shared integer log, arrival = (negln*1e6) div w,
+    weight-0 rows dropped BEFORE ranking, (arrival, key) tie order, and
+    both the global top-k and the per-stratum window forms."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(rows, "k long, grp string, w long")
+    got = sorted(
+        (r["k"], r["grp"], r["w"])
+        for r in weighted_sample(
+            df,
+            F.col("w"),
+            "k",
+            k=k,
+            stratum="grp" if per_stratum else None,
+        ).collect()
+    )
+
+    def arrival(key: int, w: int) -> int:
+        u = _h60_py(f"wsample:{key}") % 1000000 + 1
+        negln = 6908 - _iln_milli_py(u)
+        return (negln * 1000000) // w  # non-negative -> trunc == floor
+
+    elig = [(key, g, w) for key, g, w in rows if w >= 1]
+    want = []
+    if per_stratum:
+        for g in {g for _, g, _ in elig}:
+            members = sorted(
+                ((arrival(key, w), key, g, w) for key, gg, w in elig if gg == g)
+            )
+            want += [(key, g, w) for _, key, g, w in members[:k]]
+    else:
+        members = sorted((arrival(key, w), key, g, w) for key, g, w in elig)
+        want = [(key, g, w) for _, key, g, w in members[:k]]
+    assert got == sorted(want)
