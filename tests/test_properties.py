@@ -1985,3 +1985,106 @@ def test_weighted_sample_matches_aes_reference(spark, rows, k, per_stratum):
         members = sorted((arrival(key, w), key, g, w) for key, g, w in elig)
         want = [(key, g, w) for _, key, g, w in members[:k]]
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions and weekly cohort retention vs sequential references
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user
+            st.integers(min_value=0, max_value=50),   # seconds
+            st.sampled_from(["A", "B", "C"]),
+        ),
+        min_size=0,
+        max_size=16,
+    ),
+)
+def test_event_transitions_match_sequential_reference(spark, events):
+    """event_transitions must equal the per-user sequential fold for ANY
+    history: (ts, event_id) total order resolves same-second events,
+    per-prev permille normalizes within the SOURCE state."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.events import (
+        event_transitions,
+    )
+
+    rows = [(i, u, es, t) for i, (u, es, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, event_type string"
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("es").alias("ts"), "event_type"
+    )
+    got = {
+        (r["prev_type"], r["event_type"]): (r["n"], r["p_permille"])
+        for r in event_transitions(df).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for i, u, es, t in rows:
+        by_user.setdefault(u, []).append((es, i, t))
+    pairs = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_ea, _ia, a), (_eb, _ib, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    want = {}
+    for (a, b), n in pairs.items():
+        tot = sum(c for (x, _), c in pairs.items() if x == a)
+        want[(a, b)] = (n, (1000 * n) // tot)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),              # user
+            st.integers(min_value=0, max_value=40 * 86400),    # seconds
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_cohort_retention_matches_reference(spark, events):
+    """cohort_retention must equal the reference for ANY activity set:
+    epoch-week cohorts anchored at each user's FIRST active week,
+    per-(user, week) activity deduplicated before counting."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.events import (
+        WEEK_SECS,
+        cohort_retention,
+    )
+
+    df = spark.createDataFrame(
+        events, "user_id long, es long"
+    ).select("user_id", F.timestamp_seconds("es").alias("ts"))
+    got = {
+        (r["cohort_ws"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+
+    uw = {(u, es // WEEK_SECS * WEEK_SECS) for u, es in events}
+    first = {}
+    for u, ws in uw:
+        first[u] = min(first.get(u, ws), ws)
+    want: dict[tuple, int] = {}
+    for u, ws in uw:
+        key = (first[u], (ws - first[u]) // WEEK_SECS)
+        want[key] = want.get(key, 0) + 1
+    assert got == want
