@@ -2088,3 +2088,144 @@ def test_cohort_retention_matches_reference(spark, events):
         key = (first[u], (ws - first[u]) // WEEK_SECS)
         want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# text_stats / lang_id / quality_score vs sequential references
+# ---------------------------------------------------------------------------
+
+_TEXT_ALPHABET = "ab1 .\n的the,of el de"  # letters, digits, punct, ws, CJK, stopwords
+
+
+def _toks_py(text: str) -> list[str]:
+    import re as _re
+
+    return _re.split(r"\s+", text.strip(" ").lower())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_TEXT_ALPHABET, min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_text_stats_match_sequential_reference(spark, texts):
+    """text_stats must equal the reference for ANY text: whitespace vs
+    BPE-ish token counts, digit RUNS (not digits), punctuation as
+    non-alnum-non-ws, per-occurrence stopword counting, permille floors,
+    and the space-only-trim tokenizer contract."""
+    import re as _re
+
+    from tepsonic_database_sync_spark.operators.text import (
+        BPE_TOKEN_RE,
+        PUNCT_RE,
+        STOPWORDS,
+        text_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: tuple(r)[1:] for r in text_stats(docs).collect()}
+
+    def permille(a: int, b: int) -> int:
+        return (a * 1000) // b if b > 0 else 0
+
+    want = {}
+    for d, text in enumerate(texts):
+        toks = _toks_py(text)
+        n_tok = len(toks)
+        chars_no_ws = len(_re.sub(r"\s", "", text))
+        n_punct = len(_re.findall(PUNCT_RE, text))
+        n_digit_runs = len(_re.findall(r"[0-9]+", text))
+        n_bpe = len(_re.findall(BPE_TOKEN_RE, text))
+        n_uniq = len(set(toks))
+        sw = sum(1 for t in toks if t in STOPWORDS["en"])
+        want[d] = (
+            len(text),
+            n_tok,
+            n_bpe,
+            n_uniq,
+            n_punct,
+            n_digit_runs,
+            permille(chars_no_ws, n_tok),
+            permille(n_uniq, n_tok),
+            permille(sw, n_tok),
+        )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_TEXT_ALPHABET, min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_lang_id_and_quality_match_references(spark, texts):
+    """lang_id's guess rule (CJK wins, then stopword argmax with the
+    en>es>de>fr tie order, 'und' on no signal) and quality_score's four
+    25-point flags must equal their references for ANY text."""
+    import re as _re
+
+    from tepsonic_database_sync_spark.operators.text import (
+        PUNCT_RE,
+        STOPWORDS,
+        lang_id,
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got_lang = {
+        r["doc_id"]: (r["lang_guess"], r["sw_en"], r["sw_es"], r["sw_de"], r["sw_fr"])
+        for r in lang_id(docs).collect()
+    }
+    got_q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+
+    def permille(a: int, b: int) -> int:
+        return (a * 1000) // b if b > 0 else 0
+
+    for d, text in enumerate(texts):
+        toks = _toks_py(text)
+        s = {
+            lang: sum(1 for t in toks if t in words)
+            for lang, words in STOPWORDS.items()
+        }
+        if _re.search(r"[一-鿿]", text):
+            guess = "zh"
+        elif s["en"] >= max(s["es"], s["de"], s["fr"]) and s["en"] > 0:
+            guess = "en"
+        elif s["es"] >= max(s["de"], s["fr"]) and s["es"] > 0:
+            guess = "es"
+        elif s["de"] >= s["fr"] and s["de"] > 0:
+            guess = "de"
+        elif s["fr"] > 0:
+            guess = "fr"
+        else:
+            guess = "und"
+        assert got_lang[d] == (guess, s["en"], s["es"], s["de"], s["fr"])
+
+        n_tok = len(toks)
+        n_chars = len(text)
+        n_punct = len(_re.findall(PUNCT_RE, text))
+        n_uniq = len(set(toks))
+        q = (
+            (25 if 10 <= n_tok <= 1000 else 0)
+            + (25 if 20 <= permille(s["en"], n_tok) <= 600 else 0)
+            + (25 if n_punct * 1000 < n_chars * 300 else 0)
+            + (25 if permille(n_uniq, n_tok) > 300 else 0)
+        )
+        assert got_q[d] == q
