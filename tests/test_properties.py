@@ -2229,3 +2229,111 @@ def test_lang_id_and_quality_match_references(spark, texts):
             + (25 if permille(n_uniq, n_tok) > 300 else 0)
         )
         assert got_q[d] == q
+
+
+# ---------------------------------------------------------------------------
+# As-of join and bucketized range join vs quadratic ground truth
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),   # key
+            st.integers(min_value=0, max_value=40),  # seconds
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_as_of_join_matches_sequential_reference(spark, lefts, rights):
+    """as_of_join must equal the sequential reference for ANY event
+    geometry: equal-timestamp right rows ARE visible (as-of <=), ties
+    among equal-ts right rows resolve to the max id, keys with no prior
+    right row yield NULL."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.asof import as_of_join
+
+    lrows = [(i, k, es) for i, (k, es) in enumerate(lefts)]
+    rrows = [(1000 + i, k, es) for i, (k, es) in enumerate(rights)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id long, user_id long, es long"
+    ).select("event_id", "user_id", F.timestamp_seconds("es").alias("ts"))
+    got = {
+        (r["user_id"], r["event_id"]): (r["epoch_s"], r["asof_rid"])
+        for r in as_of_join(mk(lrows), mk(rrows)).collect()
+    }
+
+    want = {}
+    for lid, k, es in lrows:
+        prior = [(re, rid) for rid, rk, re in rrows if rk == k and re <= es]
+        want[(k, lid)] = (es, max(prior)[1] if prior else None)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    lookback=st.sampled_from([7, 30]),
+)
+def test_range_join_matches_theta_ground_truth(spark, lefts, rights, lookback):
+    """range_join_pairs' 2-bucket equi-join rewrite must equal the
+    quadratic theta join for ANY geometry and lookback: the window is
+    [ea - L, ea) — left-closed right-OPEN — and bucket boundaries must
+    lose nothing."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.asof import (
+        range_join_pairs,
+    )
+
+    lrows = [(i, k, es) for i, (k, es) in enumerate(lefts)]
+    rrows = [(1000 + i, k, es) for i, (k, es) in enumerate(rights)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id long, user_id long, es long"
+    ).select("event_id", "user_id", F.timestamp_seconds("es").alias("ts"))
+    got = {
+        (r["user_id"], r["a_id"], r["b_id"])
+        for r in range_join_pairs(
+            mk(lrows), mk(rrows), lookback_secs=lookback
+        ).collect()
+    }
+    want = {
+        (k, a, b)
+        for a, k, ea in lrows
+        for b, rk, eb in rrows
+        if rk == k and ea - lookback <= eb < ea
+    }
+    assert got == want
