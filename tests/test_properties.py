@@ -2337,3 +2337,125 @@ def test_range_join_matches_theta_ground_truth(spark, lefts, rights, lookback):
         if rk == k and ea - lookback <= eb < ea
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Token PMI and PSI drift vs exact integer references
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    min_pair=st.sampled_from([1, 2, 5]),
+    k=st.sampled_from([3, 100]),
+)
+def test_token_pmi_matches_integer_reference(spark, doc_toks, min_pair, k):
+    """token_pmi must equal the exact integer reference for ANY corpus:
+    the five-term iln decomposition, the min_pair cut, and the
+    (pmi desc, a, b) deterministic top-k order."""
+    from collections import Counter
+
+    from tepsonic_database_sync_spark.operators.text import token_pmi
+
+    texts = [" ".join(ts) for ts in doc_toks]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["a"], r["b"], r["n_ab"], r["pmi_milli"])
+        for r in token_pmi(docs, min_pair=min_pair, k=k).collect()
+    ]
+
+    uni = Counter(t for ts in doc_toks for t in ts)
+    pairs = Counter(
+        (ts[i], ts[i + 1])
+        for ts in doc_toks
+        if len(ts) >= 2
+        for i in range(len(ts) - 1)
+    )
+    n_tok = sum(uni.values())
+    n_bi = sum(pairs.values())
+    scored = [
+        (
+            a,
+            b,
+            n_ab,
+            _iln_milli_py(n_ab * 1000)
+            - _iln_milli_py(n_bi * 1000)
+            - _iln_milli_py(uni[a] * 1000)
+            - _iln_milli_py(uni[b] * 1000)
+            + 2 * _iln_milli_py(n_tok * 1000),
+        )
+        for (a, b), n_ab in pairs.items()
+        if n_ab >= min_pair
+    ]
+    want = sorted(scored, key=lambda t: (-t[3], t[0], t[1]))[:k]
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ref=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=25),
+    cur=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=25),
+)
+def test_psi_drift_matches_integer_reference(spark, ref, cur):
+    """psi_drift must equal the exact integer reference for ANY pair of
+    integral samples: decile boundaries by the smallest-value rank rule,
+    buckets as boundaries-strictly-below, the >= 1 permille clamp for
+    empty buckets, and the milli log-ratio contribution."""
+    from tepsonic_database_sync_spark.operators.drift import (
+        PSI_QS,
+        psi_drift,
+    )
+
+    rdf = spark.createDataFrame([(v,) for v in ref], "v long")
+    cdf = spark.createDataFrame([(v,) for v in cur], "v long")
+    got = {
+        r["bucket"]: (
+            r["n_ref"],
+            r["n_cur"],
+            r["ref_permille"],
+            r["cur_permille"],
+            r["psi_contrib_milli"],
+        )
+        for r in psi_drift(rdf, cdf, "v").collect()
+    }
+
+    n = len(ref)
+    sref = sorted(ref)
+    bounds = sorted(
+        {
+            next(v for v in sref if 1000 * sum(1 for x in ref if x <= v) >= q * n)
+            for q in PSI_QS
+        }
+    )
+
+    def bucket(v: int) -> int:
+        return sum(1 for b in bounds if b < v)
+
+    from collections import Counter
+
+    nr = Counter(bucket(v) for v in ref)
+    nc = Counter(bucket(v) for v in cur)
+    tr, tc = len(ref), len(cur)
+    want = {}
+    for bk in set(nr) | set(nc):
+        r_n, c_n = nr.get(bk, 0), nc.get(bk, 0)
+        pm = max((1000 * r_n) // max(tr, 1), 1)
+        qm = max((1000 * c_n) // max(tc, 1), 1)
+        lp = _iln_milli_py(pm * 1000)
+        lq = _iln_milli_py(qm * 1000)
+        want[bk] = (r_n, c_n, pm, qm, ((pm - qm) * (lp - lq)) // 1000)
+    assert got == want
