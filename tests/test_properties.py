@@ -2459,3 +2459,123 @@ def test_psi_drift_matches_integer_reference(spark, ref, cur):
         lq = _iln_milli_py(qm * 1000)
         want[bk] = (r_n, c_n, pm, qm, ((pm - qm) * (lp - lq)) // 1000)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Z-order bucket stats and PII scrub vs exact references
+# ---------------------------------------------------------------------------
+
+def _morton32_py(x16: int, y16: int) -> int:
+    def spread(v: int) -> int:
+        v &= 0xFFFF
+        for shift, mask in [
+            (8, 0x00FF00FF),
+            (4, 0x0F0F0F0F),
+            (2, 0x33333333),
+            (1, 0x55555555),
+        ]:
+            v = (v | (v << shift)) & mask
+        return v
+
+    return spread(x16) | (spread(y16) << 1)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    bucket_bits=st.sampled_from([2, 8]),
+)
+def test_zorder_stats_match_morton_reference(spark, pts, bucket_bits):
+    """zorder_stats must equal the exact Morton reference for ANY point
+    set: min-max normalization onto the 16-bit grid (incl. degenerate
+    single-value dimensions via the greatest(...,1) guard and negative
+    coordinates), the spread-bits interleave, and top-bits bucketing."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.layout import (
+        ZORDER_DIM_BITS,
+        zorder_stats,
+    )
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        r["zbucket"]: (r["n"], r["x_min"], r["x_max"], r["y_min"], r["y_max"])
+        for r in zorder_stats(
+            df, F.col("x"), F.col("y"), bucket_bits=bucket_bits
+        ).collect()
+    }
+
+    x0, x1 = min(p[0] for p in pts), max(p[0] for p in pts)
+    y0, y1 = min(p[1] for p in pts), max(p[1] for p in pts)
+    g = (1 << ZORDER_DIM_BITS) - 1
+    shift = 2 * ZORDER_DIM_BITS - bucket_bits
+    buckets: dict[int, list] = {}
+    for x, y in pts:
+        x16 = ((x - x0) * g) // max(x1 - x0, 1)
+        y16 = ((y - y0) * g) // max(y1 - y0, 1)
+        buckets.setdefault(_morton32_py(x16, y16) >> shift, []).append((x, y))
+    want = {
+        b: (
+            len(ps),
+            min(p[0] for p in ps),
+            max(p[0] for p in ps),
+            min(p[1] for p in ps),
+            max(p[1] for p in ps),
+        )
+        for b, ps in buckets.items()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab@._-:/ \nhttp://x.co user@y.org 9",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_scrub_pii_matches_regex_reference(spark, texts):
+    """scrub_pii must equal the Python regex reference for ANY text —
+    the email/URL pattern subset is deliberately restricted to syntax
+    that behaves identically in Java regex, RE2, and Python re, and the
+    email pass runs BEFORE the URL pass."""
+    import re as _re
+
+    from tepsonic_database_sync_spark.operators.text import (
+        EMAIL_RE,
+        URL_RE,
+        scrub_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: tuple(r)[1:] for r in scrub_pii(docs).collect()}
+
+    want = {}
+    for d, t in enumerate(texts):
+        n_emails = len(_re.findall(EMAIL_RE, t))
+        n_urls = len(_re.findall(URL_RE, t))
+        scrubbed = _re.sub(URL_RE, "<URL>", _re.sub(EMAIL_RE, "<EMAIL>", t))
+        want[d] = (n_emails, n_urls, scrubbed)
+    assert got == want
