@@ -2579,3 +2579,61 @@ def test_scrub_pii_matches_regex_reference(spark, texts):
         scrubbed = _re.sub(URL_RE, "<URL>", _re.sub(EMAIL_RE, "<EMAIL>", t))
         want[d] = (n_emails, n_urls, scrubbed)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination vs a set-algebra reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["q", "r", "s"]), min_size=0, max_size=8),
+        min_size=2,
+        max_size=8,
+    ),
+    bench_pct=st.sampled_from([5, 30, 60]),
+    min_hits=st.sampled_from([1, 2]),
+)
+def test_contamination_flags_match_set_reference(spark, doc_toks, bench_pct, min_hits):
+    """contamination_flags must equal the set-algebra reference for ANY
+    corpus: the hash-bucket benchmark slice, DISTINCT per-doc shingles
+    intersected with the union of benchmark grams, the min_hits
+    threshold, and docs too short to shingle (0 hits, never flagged)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    texts = [" ".join(ts) for ts in doc_toks]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in contamination_flags(
+            docs, bench_pct=bench_pct, min_hits=min_hits
+        ).collect()
+    }
+
+    def sh(ts):
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    is_bench = {
+        d: _h60_py(f"bench:{d}") % 100 < bench_pct
+        for d in range(len(doc_toks))
+    }
+    bench_grams = set().union(
+        *(sh(doc_toks[d]) for d in is_bench if is_bench[d]), set()
+    )
+    want = {}
+    for d, ts in enumerate(doc_toks):
+        if is_bench[d]:
+            continue
+        hits = len(sh(ts) & bench_grams)
+        want[d] = (hits, hits >= min_hits)
+    assert got == want
