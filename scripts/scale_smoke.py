@@ -224,10 +224,73 @@ def _olap_ops():
     }
 
 
+def _graph_ops(spark, factor: int):
+    """Iterative graph ops over the ×factor-amplified part↔supplier
+    graph (key-shifted disjoint copies: edges and nodes grow linearly,
+    structure and DIAMETER stay constant — so round COUNT is fixed and
+    the curve isolates per-round cost growth, which SCALE.md's r9
+    profile showed is scheduling-bound locally; expect strongly
+    sub-linear wall until per-round shuffles dominate)."""
+    from tepsonic_database_sync_spark.operators.graph import bfs_hops, pagerank
+
+    pairs = (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    shift = 10_000_000
+    copies = [
+        pairs.select(
+            (F.col("l_partkey") + F.lit(i * shift)).alias("pk"),
+            (F.col("l_suppkey") + F.lit(i * shift)).alias("sk"),
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    p = F.concat(F.lit("p"), F.col("pk").cast("string"))
+    s = F.concat(F.lit("s"), F.col("sk").cast("string"))
+    edges = out.select(p.alias("src"), s.alias("dst")).unionAll(
+        out.select(s.alias("src"), p.alias("dst"))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        out.filter(F.col("pk") % 97 == 0)
+        .select(F.concat(F.lit("p"), F.col("pk").cast("string")).alias("node"))
+        .distinct()
+    )
+
+    def run_pagerank():
+        pagerank(edges).write.format("noop").mode("overwrite").save()
+
+    def run_bfs():
+        bfs_hops(edges, seeds).write.format("noop").mode("overwrite").save()
+
+    return {"pagerank": run_pagerank, "bfs_hops": run_bfs}
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--docs", "--olap")]
+    args = [a for a in sys.argv[1:] if a not in ("--docs", "--olap", "--graph")]
     docs_mode = "--docs" in sys.argv[1:]
     olap_mode = "--olap" in sys.argv[1:]
+    graph_mode = "--graph" in sys.argv[1:]
+    if graph_mode:
+        factors = [int(a) for a in args] or [1, 2, 4, 8]
+        spark = build_session(app_name="scale_smoke")
+        spark.range(1).count()
+        results: dict[str, list] = {}
+        for f in factors:
+            for name, run in _graph_ops(spark, f).items():
+                t0 = time.time()
+                run()
+                dt = time.time() - t0
+                results.setdefault(name, []).append((f, dt))
+                f0, base = results[name][0]
+                print(
+                    f"{name:18s} factor {f:2d}: {dt:6.2f}s  "
+                    f"vs linear×{f}: {dt/(base*f/f0):.2f}"
+                )
+        return
     if olap_mode:
         import tempfile
 
