@@ -2637,3 +2637,71 @@ def test_contamination_flags_match_set_reference(spark, doc_toks, bench_pct, min
         hits = len(sh(ts) & bench_grams)
         want[d] = (hits, hits >= min_hits)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Cross-source content overlap vs a set-algebra reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs_gen=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB", "sC"]),
+            st.lists(st.sampled_from(["t1", "t2", "t3"]), min_size=0, max_size=7),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_source_overlap_matches_set_reference(spark, docs_gen):
+    """source_overlap must equal the set-algebra reference for ANY
+    corpus: per-source DISTINCT shingle sets (duplicates within and
+    across a source's docs collapse), zero-overlap pairs omitted, and
+    Jaccard/containment permille floors."""
+    from tepsonic_database_sync_spark.operators.dedup import source_overlap
+
+    rows = [
+        (i, src, " ".join(ts)) for i, (src, ts) in enumerate(docs_gen)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"],
+            r["n_b"],
+            r["n_common"],
+            r["jaccard_permille"],
+            r["containment_a_permille"],
+            r["containment_b_permille"],
+        )
+        for r in source_overlap(docs).collect()
+    }
+
+    per_src: dict[str, set] = {}
+    for _i, (src, ts) in enumerate(docs_gen):
+        per_src.setdefault(src, set()).update(
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        )
+    want = {}
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            common = per_src[a] & per_src[b]
+            if not common:
+                continue
+            na, nb, nc = len(per_src[a]), len(per_src[b]), len(common)
+            want[(a, b)] = (
+                na,
+                nb,
+                nc,
+                (1000 * nc) // (na + nb - nc),
+                (1000 * nc) // na,
+                (1000 * nc) // nb,
+            )
+    assert got == want
