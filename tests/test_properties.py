@@ -2705,3 +2705,74 @@ def test_source_overlap_matches_set_reference(spark, docs_gen):
                 (1000 * nc) // nb,
             )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding vs an exact integer reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["k1", "k2", "k3"]), min_size=0, max_size=8),
+        min_size=2,
+        max_size=6,
+    ),
+)
+def test_minhash_lsh_candidates_match_integer_reference(spark, doc_toks):
+    """The default dedup candidate generator must equal the exact
+    reference end-to-end: h31 = h60 mod 2^31-1 per DISTINCT 3-gram
+    shingle, k=16 affine min-maps folded per doc, 4-wide bands keyed by
+    the SORTED slice, candidates = bucket-sharing pairs. Docs too short
+    to shingle have no signature and can never pair."""
+    from tepsonic_database_sync_spark.functions.hashing import (
+        MERSENNE31,
+        affine_coeffs,
+    )
+    from tepsonic_database_sync_spark.operators.dedup import (
+        LSH_BAND_SIZE,
+        MINHASH_K,
+        lsh_candidate_pairs,
+        minhash_sig_array,
+    )
+
+    texts = [" ".join(ts) for ts in doc_toks]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    sigs = minhash_sig_array(docs)
+    got_sigs = {r["doc_id"]: list(r["sigs"]) for r in sigs.collect()}
+    got_pairs = {
+        (r["a_id"], r["b_id"]) for r in lsh_candidate_pairs(sigs).collect()
+    }
+
+    coeffs = affine_coeffs(MINHASH_K)
+    want_sigs = {}
+    for d, ts in enumerate(doc_toks):
+        sh = {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+        if not sh:
+            continue
+        hs = [_h60_py(g) % MERSENNE31 for g in sh]
+        want_sigs[d] = [
+            min((a * h + b) % MERSENNE31 for h in hs) for a, b in coeffs
+        ]
+    assert got_sigs == want_sigs
+
+    buckets: dict[tuple, set] = {}
+    for d, sig in want_sigs.items():
+        for b in range(MINHASH_K // LSH_BAND_SIZE):
+            key = (b, tuple(sorted(sig[b * LSH_BAND_SIZE : (b + 1) * LSH_BAND_SIZE])))
+            buckets.setdefault(key, set()).add(d)
+    want_pairs = {
+        (a, b)
+        for mem in buckets.values()
+        for a in mem
+        for b in mem
+        if a < b
+    }
+    assert got_pairs == want_pairs
