@@ -2776,3 +2776,86 @@ def test_minhash_lsh_candidates_match_integer_reference(spark, doc_toks):
         if a < b
     }
     assert got_pairs == want_pairs
+
+
+# ---------------------------------------------------------------------------
+# Integer spherical k-means vs an exact Lloyd reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=4, max_size=4),
+        min_size=3,
+        max_size=8,
+    ),
+    n_cells=st.sampled_from([2, 3]),
+)
+def test_kmeans_train_matches_lloyd_reference(spark, vecs, n_cells):
+    """kmeans_train must equal the exact integer Lloyd reference for ANY
+    positive vector set: lowest-id init, cosine assignment through
+    sim_e6_sep's double pipeline (identical IEEE ops), min-cent_id ties,
+    the (1000·s) DIV n fixed-point mean, and cells that lose every
+    member DROPPING from the codebook."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.similarity import (
+        kmeans_train,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, 0, [x / 1000 for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    got = {
+        (r["cent_id"], r["dim"]): (r["c_mil"], r["n_members"])
+        for r in kmeans_train(emb, n_cells=n_cells, iters=3).collect()
+    }
+
+    def half_up(x: float) -> int:
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    ivs = {i: v for i, v in enumerate(vecs)}  # int_vec is exact here
+    cents = {
+        cid: ([x * 1000 for x in ivs[cid]], 1)
+        for cid in range(n_cells)
+        if cid in ivs
+    }
+    for _ in range(3):
+        assign: dict[int, list] = {}
+        for vid, iv in ivs.items():
+            n2 = dot(iv, iv)
+            best = None
+            for cid, (c_mil, _n) in cents.items():
+                c_n2 = dot(c_mil, c_mil)
+                sim = half_up(
+                    dot(iv, c_mil) / math.sqrt(n2) / math.sqrt(c_n2) * 1e6
+                )
+                if best is None or (sim, -cid) > (best[0], -best[1]):
+                    best = (sim, cid)
+            assign.setdefault(best[1], []).append(iv)
+        cents = {
+            cid: (
+                [
+                    (1000 * sum(m[d] for m in members)) // len(members)
+                    for d in range(len(members[0]))
+                ],
+                len(members),
+            )
+            for cid, members in assign.items()
+        }
+    want = {
+        (cid, d): (c_mil[d], n)
+        for cid, (c_mil, n) in cents.items()
+        for d in range(len(c_mil))
+    }
+    assert got == want
