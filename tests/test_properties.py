@@ -2859,3 +2859,77 @@ def test_kmeans_train_matches_lloyd_reference(spark, vecs, n_cells):
         for d in range(len(c_mil))
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Item co-occurrence (lift/confidence top-k) vs an exact reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # basket
+            st.integers(min_value=1, max_value=6),  # item
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    max_basket=st.sampled_from([2, 4, 20]),
+    min_support=st.sampled_from([1, 2]),
+    k=st.sampled_from([2, 10]),
+)
+def test_item_cooccur_matches_exact_reference(spark, rows, max_basket, min_support, k):
+    """item_cooccur_topk must equal the exact reference for ANY basket
+    set: duplicate (basket, item) rows collapse first, oversized baskets
+    drop BEFORE any count (item counts and N shrink with them), both
+    pair directions emitted, the _milli_scale lift split, truncating
+    confidence, and the (lift desc, support desc, item asc) top-k."""
+    from collections import Counter
+
+    from tepsonic_database_sync_spark.operators.recommend import (
+        item_cooccur_topk,
+    )
+
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = sorted(
+        (r["item_a"], r["item_b"], r["support"], r["lift_milli"], r["conf_milli"])
+        for r in item_cooccur_topk(
+            df, "basket", "item",
+            max_basket=max_basket, min_support=min_support, k=k,
+        ).collect()
+    )
+
+    bi = set(rows)
+    sizes = Counter(b for b, _ in bi)
+    capped = {(b, i) for b, i in bi if sizes[b] <= max_basket}
+    nb = len({b for b, _ in capped})
+    item_n = Counter(i for _, i in capped)
+    sup = Counter()
+    for b1, i1 in capped:
+        for b2, i2 in capped:
+            if b1 == b2 and i1 != i2:
+                sup[(i1, i2)] += 1
+    scored = [
+        (
+            a,
+            b,
+            s,
+            _milli_scale_py(s * nb, item_n[a] * item_n[b]),
+            (1000 * s) // item_n[a],
+        )
+        for (a, b), s in sup.items()
+        if s >= min_support
+    ]
+    want = []
+    for a in {t[0] for t in scored}:
+        mine = sorted(
+            (t for t in scored if t[0] == a),
+            key=lambda t: (-t[3], -t[2], t[1]),
+        )
+        want += mine[:k]
+    assert got == sorted(want)
