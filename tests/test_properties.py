@@ -2933,3 +2933,108 @@ def test_item_cooccur_matches_exact_reference(spark, rows, max_basket, min_suppo
         )
         want += mine[:k]
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank and triangle census vs exact references
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.integers(min_value=1, max_value=6),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_pagerank_matches_integer_reference(spark, edges):
+    """pagerank must equal the exact integer reference for ANY directed
+    edge list: duplicate edges count in BOTH out-degree and
+    contributions, source-only nodes keep contributing while receiving
+    the base mass, dangling nodes receive without emitting, self-loops
+    feed back, and the truncating div pipeline is replayed exactly."""
+    from tepsonic_database_sync_spark.operators.graph import (
+        PR_BASE_MILLI,
+        PR_DAMPING_PERMILLE,
+        PR_ITERS,
+        pagerank,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_milli"] for r in pagerank(df).collect()}
+
+    from collections import Counter
+
+    deg = Counter(s for s, _ in edges)
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    rank = {n: 1000 for n in nodes}
+    for _ in range(PR_ITERS):
+        sums = {n: 0 for n in nodes}
+        for s, d in edges:
+            sums[d] += rank[s] // deg[s]
+        rank = {
+            n: PR_BASE_MILLI + (PR_DAMPING_PERMILLE * c) // 1000
+            for n, c in sums.items()
+        }
+    assert got == rank
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=7),
+            st.integers(min_value=1, max_value=7),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_triangle_stats_match_exact_census(spark, edges):
+    """triangle_stats must equal the exact census for ANY edge list:
+    self-loops and duplicates collapse in normalization, each triangle
+    credits all three corners exactly once, degree counts the
+    normalized neighborhood, and clustering = 2T/(d(d-1)) permille with
+    the d<2 zero."""
+    from itertools import combinations
+
+    from tepsonic_database_sync_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_permille"])
+        for r in triangle_stats(df).collect()
+    }
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        assert got == {}
+        return
+    nodes = {n for e in und for n in e}
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {n: 0 for n in nodes}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    want = {}
+    for n in nodes:
+        d = len(adj[n])
+        cc = (2000 * tri[n]) // (d * (d - 1)) if d >= 2 else 0
+        want[n] = (d, tri[n], cc)
+    assert got == want
