@@ -3038,3 +3038,101 @@ def test_triangle_stats_match_exact_census(spark, edges):
         cc = (2000 * tri[n]) // (d * (d - 1)) if d >= 2 else 0
         want[n] = (d, tri[n], cc)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS and star-contraction components vs exact references
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=7),
+            st.integers(min_value=1, max_value=7),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    seeds=st.lists(st.integers(min_value=1, max_value=7), min_size=1, max_size=3),
+    max_hops=st.sampled_from([1, 2, 4]),
+)
+def test_bfs_hops_matches_min_distance_reference(spark, edges, seeds, max_hops):
+    """bfs_hops must equal min directed distance <= max_hops for ANY
+    graph and seed set: seeds at 0, cycles and diamond multipaths
+    resolve to the minimum, unreachable-within-bound nodes absent."""
+    from tepsonic_database_sync_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {
+        r["node"]: r["hops"] for r in bfs_hops(e, s, max_hops=max_hops).collect()
+    }
+
+    dist = {x: 0 for x in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {d for sN, d in edges if sN in frontier}
+        frontier = {n for n in nxt if n not in dist}
+        for n in frontier:
+            dist[n] = h
+        # nodes already seen at a lower hop keep their minimum
+    assert got == dist
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10),
+            st.integers(min_value=1, max_value=10),
+        ),
+        min_size=0,
+        max_size=14,
+    ),
+    n_nodes=st.integers(min_value=10, max_value=12),
+)
+def test_connected_components_star_matches_union_find(spark, pairs, n_nodes):
+    """connected_components_star must equal union-find for ANY pair set
+    — chains, cycles, self-loops (ignored), duplicate and reversed
+    edges — with comp = the component's minimum node and singletons
+    mapping to themselves."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    e = spark.createDataFrame(
+        pairs or [(1, 1)], "a_id long, b_id long"
+    )
+    nodes = spark.range(1, n_nodes + 1).select(F.col("id").alias("node"))
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(e, nodes).collect()
+    }
+
+    parent = {n: n for n in range(1, n_nodes + 1)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs or []:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in range(1, n_nodes + 1)}
+    assert got == want
