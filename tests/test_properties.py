@@ -3136,3 +3136,95 @@ def test_connected_components_star_matches_union_find(spark, pairs, n_nodes):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in range(1, n_nodes + 1)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ANN ladder: brute-force and hyperplane-LSH top-k vs exact references
+# ---------------------------------------------------------------------------
+
+def _half_up(x: float) -> int:
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+
+def _sim_e6_py(dot: int, na2: int, nb2: int) -> int:
+    import math
+
+    return _half_up(dot / math.sqrt(na2 * nb2) * 1e6)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=4, max_size=4),
+        min_size=2,
+        max_size=8,
+    ),
+)
+def test_ann_topk_brute_and_lsh_match_references(spark, vecs):
+    """brute_force_topk and lsh_topk must equal their exact references
+    for ANY vector set: the sim_e6 double pipeline (one sqrt of the
+    norm product), (sim desc, neighbor asc) ranking, self-exclusion,
+    and — for LSH — candidates restricted to the query's EXACT
+    hyperplane sign-bucket."""
+    from tepsonic_database_sync_spark.operators.similarity import (
+        brute_force_topk,
+        hyperplanes,
+        lsh_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, 0, [x / 1000 for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    n_q, k = 3, 3
+    got_bf = {
+        (r["q_id"], r["rank"]): (r["neighbor_id"], r["sim_e6"])
+        for r in brute_force_topk(emb, n_queries=n_q, k=k).collect()
+    }
+    got_lsh = {
+        (r["q_id"], r["rank"]): (r["neighbor_id"], r["sim_e6"])
+        for r in lsh_topk(emb, n_queries=n_q, k=k, dim=4).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    planes = hyperplanes(dim=4)
+    bucket = {
+        i: sum(1 << p for p, pl in enumerate(planes) if dot(v, pl) > 0)
+        for i, v in enumerate(vecs)
+    }
+
+    def topk(q, candidates):
+        qv = vecs[q]
+        scored = sorted(
+            (
+                (-_sim_e6_py(dot(vecs[n], qv), dot(vecs[n], vecs[n]), dot(qv, qv)), n)
+                for n in candidates
+            ),
+        )[:k]
+        return {
+            (q, r + 1): (n, -s) for r, (s, n) in enumerate(scored)
+        }
+
+    want_bf, want_lsh = {}, {}
+    for q in range(min(n_q, len(vecs))):
+        want_bf.update(topk(q, [n for n in range(len(vecs)) if n != q]))
+        want_lsh.update(
+            topk(
+                q,
+                [
+                    n
+                    for n in range(len(vecs))
+                    if n != q and bucket[n] == bucket[q]
+                ],
+            )
+        )
+    assert got_bf == want_bf
+    assert got_lsh == want_lsh
