@@ -3228,3 +3228,73 @@ def test_ann_topk_brute_and_lsh_match_references(spark, vecs):
         )
     assert got_bf == want_bf
     assert got_lsh == want_lsh
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=4, max_size=4),
+        min_size=3,
+        max_size=9,
+    ),
+    n_cells=st.sampled_from([2, 3]),
+    n_probe=st.sampled_from([1, 2]),
+)
+def test_ivf_topk_matches_cell_probe_reference(spark, vecs, n_cells, n_probe):
+    """ivf_topk must equal the exact cell-probe reference for ANY vector
+    set: lowest-id seed centroids, nearest-cell assignment with
+    min-cell-id ties, queries probing their n_probe nearest cells, and
+    scoring ONLY vectors inverted under a probed cell (self excluded) —
+    including queries whose own cell is not among their probes by tie
+    order."""
+    from tepsonic_database_sync_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, 0, [x / 1000 for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    n_q, k = 3, 3
+    got = {
+        (r["q_id"], r["rank"]): (r["neighbor_id"], r["sim_e6"])
+        for r in ivf_topk(
+            emb, n_queries=n_q, k=k, n_cells=n_cells, n_probe=n_probe
+        ).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    cents = list(range(min(n_cells, len(vecs))))
+
+    def nearest(vid, n):
+        qv = vecs[vid]
+        scored = sorted(
+            (
+                (-_sim_e6_py(dot(qv, vecs[c]), dot(qv, qv), dot(vecs[c], vecs[c])), c)
+                for c in cents
+            )
+        )
+        return [c for _s, c in scored[:n]]
+
+    cell = {i: nearest(i, 1)[0] for i in range(len(vecs))}
+    want = {}
+    for q in range(min(n_q, len(vecs))):
+        probed = set(nearest(q, n_probe))
+        cand = [
+            n for n in range(len(vecs)) if n != q and cell[n] in probed
+        ]
+        qv = vecs[q]
+        scored = sorted(
+            (
+                (-_sim_e6_py(dot(vecs[n], qv), dot(vecs[n], vecs[n]), dot(qv, qv)), n)
+                for n in cand
+            )
+        )[:k]
+        want.update(
+            {(q, r + 1): (n, -s) for r, (s, n) in enumerate(scored)}
+        )
+    assert got == want
