@@ -3298,3 +3298,98 @@ def test_ivf_topk_matches_cell_probe_reference(spark, vecs, n_cells, n_probe):
             {(q, r + 1): (n, -s) for r, (s, n) in enumerate(scored)}
         )
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=8, max_size=8),
+        min_size=3,
+        max_size=8,
+    ),
+    k_codes=st.sampled_from([2, 3]),
+    shortlist=st.sampled_from([2, 50]),
+)
+def test_pq_topk_matches_adc_reference(spark, vecs, k_codes, shortlist):
+    """pq_topk must equal the exact PQ reference for ANY vector set:
+    subspace slicing, the single integer Lloyd round (argmin-L2 with
+    (d2, cent_id) ties, fixed-point DIV means, dropped empty cells),
+    re-encoding against the TRAINED codebook, per-query ADC tables
+    summed by code lookup, the (adc, vec_id) shortlist cut, and the
+    exact squared-L2 re-rank."""
+    from tepsonic_database_sync_spark.operators.similarity import pq_topk
+
+    dim, m_sub = 8, 2
+    dsub = dim // m_sub
+    emb = spark.createDataFrame(
+        [(i, 0, [x / 1000 for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    n_q, k = 2, 3
+    got = {
+        (r["q_id"], r["rank"]): (r["neighbor_id"], r["l2_d2"])
+        for r in pq_topk(
+            emb, n_queries=n_q, k=k,
+            m_sub=m_sub, k_codes=k_codes, dim=dim, shortlist=shortlist,
+        ).collect()
+    }
+
+    def l2m(siv, c):  # milli-scaled subvector vs milli codeword
+        return sum((x * 1000 - cc) ** 2 for x, cc in zip(siv, c))
+
+    subs = {
+        (i, m): vecs[i][m * dsub : (m + 1) * dsub]
+        for i in range(len(vecs))
+        for m in range(m_sub)
+    }
+    # init: lowest-id seeds, milli units
+    cents = {
+        (m, cid): [x * 1000 for x in subs[(cid, m)]]
+        for m in range(m_sub)
+        for cid in range(min(k_codes, len(vecs)))
+    }
+    # one Lloyd round
+    members: dict[tuple, list] = {}
+    for (i, m), siv in subs.items():
+        best = min(
+            (l2m(siv, c), cid) for (mm, cid), c in cents.items() if mm == m
+        )
+        members.setdefault((m, best[1]), []).append(siv)
+    cents = {
+        (m, cid): [
+            (1000 * sum(s[d] for s in mem)) // len(mem) for d in range(dsub)
+        ]
+        for (m, cid), mem in members.items()
+    }
+    # encode against the trained codebook
+    code = {}
+    for (i, m), siv in subs.items():
+        code[(i, m)] = min(
+            (l2m(siv, c), cid) for (mm, cid), c in cents.items() if mm == m
+        )[1]
+
+    want = {}
+    for q in range(min(n_q, len(vecs))):
+        qd2 = {
+            (m, cid): l2m(subs[(q, m)], c) for (m, cid), c in cents.items()
+        }
+        adc = {
+            n: sum(qd2[(m, code[(n, m)])] for m in range(m_sub))
+            for n in range(len(vecs))
+            if n != q
+        }
+        short = sorted(adc, key=lambda n: (adc[n], n))[:shortlist]
+        exact = sorted(
+            (
+                (sum((a - b) ** 2 for a, b in zip(vecs[n], vecs[q])), n)
+                for n in short
+            )
+        )[:k]
+        want.update(
+            {(q, r + 1): (n, d) for r, (d, n) in enumerate(exact)}
+        )
+    assert got == want
