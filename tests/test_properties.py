@@ -3393,3 +3393,76 @@ def test_pq_topk_matches_adc_reference(spark, vecs, k_codes, shortlist):
             {(q, r + 1): (n, d) for r, (d, n) in enumerate(exact)}
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Winnowing partial-overlap pairs vs a set-algebra reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    frag_picks=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=3),
+        min_size=2,
+        max_size=6,
+    ),
+    min_shared=st.sampled_from([1, 2]),
+    min_contain=st.sampled_from([0, 200, 500]),
+    max_fanout=st.sampled_from([2, 64]),
+)
+def test_winnow_overlap_pairs_match_set_reference(
+    spark, frag_picks, min_shared, min_contain, max_fanout
+):
+    """winnow_overlap_pairs must equal the set-algebra reference for ANY
+    corpus built from shared passages: the stop-fingerprint cap removes
+    boilerplate fps from BOTH the shared counts and the per-doc totals,
+    min_shared cuts before the totals rejoin, and max(contain_a,
+    contain_b) gates the output."""
+    from collections import Counter
+
+    from tepsonic_database_sync_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_overlap_pairs,
+    )
+
+    pool = ["abcabcabcabcabc", "xyzxyzxyzxyzxyz", "mnopmnopmnopmnop", "qrsqrsqrsqrsqrs"]
+    texts = [" ".join(pool[j] for j in picks) for picks in frag_picks]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (
+            r["n_shared"], r["n_a"], r["n_b"],
+            r["contain_a_permille"], r["contain_b_permille"],
+        )
+        for r in winnow_overlap_pairs(
+            docs,
+            min_shared=min_shared,
+            min_contain_permille=min_contain,
+            max_fanout=max_fanout,
+        ).collect()
+    }
+
+    fps = {}
+    for d, t in enumerate(texts):
+        _n, joined = _winnow_py(t, WINNOW_K, WINNOW_W)
+        fps[d] = {int(x) for x in joined.split("|")} if joined else set()
+    fanout = Counter(fp for s in fps.values() for fp in s)
+    kept = {d: {fp for fp in s if fanout[fp] <= max_fanout} for d, s in fps.items()}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            shared = len(kept[a] & kept[b])
+            if shared < min_shared:
+                continue
+            na, nb = len(kept[a]), len(kept[b])
+            ca = (1000 * shared) // na
+            cb = (1000 * shared) // nb
+            if max(ca, cb) >= min_contain:
+                want[(a, b)] = (shared, na, nb, ca, cb)
+    assert got == want
