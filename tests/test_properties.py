@@ -3466,3 +3466,117 @@ def test_winnow_overlap_pairs_match_set_reference(
             if max(ca, cb) >= min_contain:
                 want[(a, b)] = (shared, na, nb, ca, cb)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking and quality-aware exact dedup vs references
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["w", "v"]), min_size=0, max_size=20),
+        min_size=1,
+        max_size=4,
+    ),
+    chunk_tokens=st.sampled_from([4, 8]),
+    overlap=st.sampled_from([0, 2]),
+)
+def test_chunk_documents_match_window_reference(spark, doc_toks, chunk_tokens, overlap):
+    """chunk_documents must equal the sliding-window reference for ANY
+    doc: windows every (chunk - overlap) tokens, the short final
+    remainder, the ceil chunk count at exact boundaries, and zero chunks
+    for whitespace-only texts."""
+    import math
+
+    from tepsonic_database_sync_spark.operators.text import chunk_documents
+
+    texts = [" ".join(ts) for ts in doc_toks]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            docs, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+    }
+
+    step = chunk_tokens - overlap
+    want = {}
+    for d, ts in enumerate(doc_toks):
+        if not ts:
+            continue
+        n = len(ts)
+        n_chunks = (
+            1 if n <= chunk_tokens else math.ceil((n - chunk_tokens) / step) + 1
+        )
+        for i in range(n_chunks):
+            ct = ts[i * step : i * step + chunk_tokens]
+            want[(d, i)] = (len(ct), " ".join(ct))
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab the of. ", min_size=0, max_size=25),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_keep_best_dedup_matches_reference(spark, texts):
+    """keep_best_dedup must equal the reference for ANY corpus: clusters
+    keyed by md5 of the normalized text (lower + collapse whitespace +
+    space-trim), the keeper = max quality with min-doc_id ties, and
+    n_copies = full cluster size."""
+    import hashlib
+    import re as _re
+
+    from tepsonic_database_sync_spark.operators.dedup import keep_best_dedup
+    from tepsonic_database_sync_spark.operators.text import (
+        PUNCT_RE,
+        STOPWORDS,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["fp"]: (r["keeper_doc_id"], r["quality"], r["n_copies"])
+        for r in keep_best_dedup(docs).collect()
+    }
+
+    def quality(text: str) -> int:
+        toks = _toks_py(text)
+        n_tok, n_chars = len(toks), len(text)
+        sw = sum(1 for t in toks if t in STOPWORDS["en"])
+        n_punct = len(_re.findall(PUNCT_RE, text))
+        n_uniq = len(set(toks))
+        pm = lambda a, b: (a * 1000) // b if b > 0 else 0  # noqa: E731
+        return (
+            (25 if 10 <= n_tok <= 1000 else 0)
+            + (25 if 20 <= pm(sw, n_tok) <= 600 else 0)
+            + (25 if n_punct * 1000 < n_chars * 300 else 0)
+            + (25 if pm(n_uniq, n_tok) > 300 else 0)
+        )
+
+    clusters: dict[str, list] = {}
+    for d, t in enumerate(texts):
+        norm = _re.sub(r"\s+", " ", t.lower()).strip(" ")
+        clusters.setdefault(
+            hashlib.md5(norm.encode()).hexdigest(), []
+        ).append((d, quality(t)))
+    want = {}
+    for fp, members in clusters.items():
+        keeper = min(members, key=lambda m: (-m[1], m[0]))
+        want[fp] = (keeper[0], keeper[1], len(members))
+    assert got == want
