@@ -3580,3 +3580,65 @@ def test_keep_best_dedup_matches_reference(spark, texts):
         keeper = min(members, key=lambda m: (-m[1], m[0]))
         want[fp] = (keeper[0], keeper[1], len(members))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hash-bucket membership samplers vs the h60 reference
+# ---------------------------------------------------------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=20,
+        unique=True,
+    ),
+    groups=st.data(),
+    train_pct=st.sampled_from([0, 50, 80, 100]),
+    val_pct=st.sampled_from([0, 10]),
+)
+def test_split_and_mixture_membership_match_h60_reference(
+    spark, keys, groups, train_pct, val_pct
+):
+    """dataset_split and mixture_sample membership must be the pure hash
+    function the reproducibility contract promises: split by
+    h60('split:'||key)%100 against the pct fences (incl. 0 and 100
+    degenerate fences), mixture keep-set by h60('mix:'||key)%100 < pct
+    with the default-0 drop for unmapped groups."""
+    from tepsonic_database_sync_spark.operators.sampling import (
+        dataset_split,
+        mixture_sample,
+    )
+
+    grp = [groups.draw(st.sampled_from(["g1", "g2", "g3"])) for _ in keys]
+    df = spark.createDataFrame(
+        list(zip(keys, grp)), "doc_id long, lang string"
+    )
+    got_split = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(
+            df, "doc_id", train_pct=train_pct, val_pct=val_pct
+        ).collect()
+    }
+    pcts = {"g1": 100, "g2": 37}  # g3 unmapped -> default 0
+    got_mix = {
+        r["doc_id"]
+        for r in mixture_sample(df, "lang", "doc_id", pcts).collect()
+    }
+
+    want_split = {}
+    want_mix = set()
+    for k, g in zip(keys, grp):
+        b_split = _h60_py(f"split:{k}") % 100
+        want_split[k] = (
+            "train"
+            if b_split < train_pct
+            else ("val" if b_split < train_pct + val_pct else "test")
+        )
+        if _h60_py(f"mix:{k}") % 100 < pcts.get(g, 0):
+            want_mix.add(k)
+    assert got_split == want_split
+    assert got_mix == want_mix
