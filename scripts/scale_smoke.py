@@ -74,6 +74,7 @@ def _doc_ops(docs, factor: int = 1):
     fixed-size sample and only the hash-filter scan grows with the
     corpus)."""
     from tepsonic_database_sync_spark.operators.dedup import (
+        PREFIX_TAU_PERMILLE,
         blocking_quality_sampled,
         connected_components_star,
         jaccard_pairs_prefix,
@@ -95,11 +96,12 @@ def _doc_ops(docs, factor: int = 1):
         ).save()
 
     def run_blocking_audit():
-        # tau matches registry.PREFIX_TAU_PERMILLE (not imported: pulling
-        # in the registry module compiles all 183 entries)
+        # PREFIX_TAU_PERMILLE is the shared constant from operators.dedup
+        # (the registry re-exports it) — one source of truth, and this
+        # script never compiles the 183-entry registry
         blocking_quality_sampled(
             docs,
-            lambda d: jaccard_pairs_prefix(d, tau_permille=600),
+            lambda d: jaccard_pairs_prefix(d, tau_permille=PREFIX_TAU_PERMILLE),
             lambda d: lsh_candidate_pairs(minhash_sig_array(d)),
             sample_permille=max(1, 250 // factor),
         ).write.format("noop").mode("overwrite").save()

@@ -863,8 +863,16 @@ def keep_best_dedup(docs: DataFrame, fingerprint: Column | None = None) -> DataF
     )
 
 
+# Canonical prefix-filter similarity threshold. Lives HERE (not in the
+# registry) so measurement scripts can share it without compiling all
+# 183 registry entries; the registry and its DuckDB oracles import this
+# single constant (ADVICE r9 — a registry-side copy would silently
+# desynchronize scripts/scale_smoke.py from the audited operator).
+PREFIX_TAU_PERMILLE = 600
+
+
 def jaccard_pairs_prefix(
-    docs: DataFrame, n: int = 3, tau_permille: int = 600
+    docs: DataFrame, n: int = 3, tau_permille: int = PREFIX_TAU_PERMILLE
 ) -> DataFrame:
     """EXACT similarity self-join via prefix filtering (AllPairs /
     PPJoin candidate generation, Bayardo et al. / Xiao et al.) — the

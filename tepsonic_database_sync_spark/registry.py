@@ -811,8 +811,12 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(old, new, "cents")
 
 
-# prefix-filter similarity-join threshold, shared with the oracle
-PREFIX_TAU_PERMILLE = 600
+# prefix-filter similarity-join threshold, shared with the oracle.
+# Canonical home is operators/dedup.py (ADVICE r9); re-exported here for
+# the oracle f-strings below and existing test imports.
+from tepsonic_database_sync_spark.operators.dedup import (  # noqa: E402
+    PREFIX_TAU_PERMILLE,
+)
 
 
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7395,7 +7399,7 @@ FROM pred GROUP BY 1, 2
 
 # name → (spark callable, oracle sql | None) — the CATALOG. Definition
 # order here is historical; the driver-facing order (window contract)
-# is rebuilt below from _R9_WINDOW + _TAIL_FRESHNESS.
+# is rebuilt below from _R10_WINDOW + _TAIL_FRESHNESS.
 #
 # Historical allocation notes (r8): Round-8 allocation: the 19 new r8
 # operators (batch 1 bfs_hops … layout_prune, batch 2
@@ -7634,59 +7638,41 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # asserts so a rotation edit can never silently drop or duplicate an
 # entry (the r8 regex rebuild lost one — never again).
 #
-# r9 window allocation (VERDICT r8 item 1): the FULL 35-entry block whose
-# last green driver row is r05 — the reference spine (sync/s8/j2/j3/a3/
-# a4/s2/s10/x2) plus the r05 tpch/dedup/ann fills — then the entries
-# whose impl or oracle CHANGED in r9 (window_funnel — ClickHouse <=
-# boundary fix; item_cooccur — lift overflow guard; graph_components +
-# dedup_clusters_star — star-contraction orientation invariant;
-# bfs_hops — final-round fusion), the NEW r9 entry
-# (blocking_quality_sampled), then the stalest r06-green entries as
-# fill. The remaining r06 block is the r10 rotation queue head
-# (j1_match_exact, s3_filtered_scan, s9_backfill lead it — displaced
-# from the fill by the r9 changes); VERDICT r8 confirmed the one-round
-# freshness invariant was unreachable, so the schedule is two-round:
-# r9 retires the r05 block, r10 the r06 block.
-_R9_WINDOW = [
-    "tpch_q2_min_cost", "tpch_q4_order_priority", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt", "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting", "a3_merge_idempotent", "a4_stock_totals",
-    "ann_bruteforce_topk", "ann_ivf_topk", "decontaminate",
-    "dedup_canonicalize", "dedup_clusters", "dedup_clusters_star",
-    "dedup_jaccard_banded", "dedup_minhash_lsh", "dedup_simhash",
-    "embed_neardup", "j2_match_partial", "j3_item_lookup",
-    "kmeans_train", "mixture_sample", "pack_sequences",
-    "s10_report", "s2_full_scan", "s8_upsert",
-    "scd2_history", "sync_merge_resync", "sync_pipeline",
-    "sync_summary", "x2_quarantine", "window_funnel",
-    "item_cooccur", "s1_rest_ingest", "model_score",
-    "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
-    "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
-    "p1_norm_name", "f1_status_filter", "graph_components",
-    "bfs_hops", "blocking_quality_sampled",
+# r10 window allocation (VERDICT r9 item 2): the FULL 40-entry block whose
+# last green driver row is r06 (the entire remaining freshness debt from
+# the two-round retirement schedule — r9 retired the r05 block, this
+# retires r06), then the 4 entries whose implementation CHANGED in r10
+# (graph_components, dedup_clusters_star, embed_dedup_clusters,
+# dedup_canonicalize — all transitive consumers of the star-contraction
+# round fusion; the ADVICE r9 exemption question is moot because the
+# change is in-window), then 6 stalest-r07 fills (time_resample …
+# cdc_incremental_agg — the r11 queue head, pulled forward). After r10
+# the r07 remainder (41 entries) is the r11 queue, then the r08 block.
+_R10_WINDOW = [
+    "j1_match_exact", "s3_filtered_scan", "s9_backfill",
+    "x1_dispatch", "dedup_exact", "text_stats",
+    "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
+    "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
+    "set_except", "events_json", "stream_sliding",
+    "stream_sessions", "stream_dedup", "stream_enrich",
+    "rollup_multires", "tpch_q5_region_revenue", "tpch_q12_priority_counts",
+    "tpch_q13_custdist", "tpch_q18_big_orders", "skew_salted_agg",
+    "skew_salted_join", "dq_checks", "dataset_split",
+    "outliers_p99", "mom_growth", "cohort_retention",
+    "stratified_sample", "percentiles", "text_lang_id",
+    "text_quality", "text_fingerprint", "text_top_terms",
+    "text_winnow", "text_chunks", "text_scrub",
+    "decontaminate_bloom", "graph_components", "dedup_clusters_star",
+    "embed_dedup_clusters", "dedup_canonicalize", "time_resample",
+    "runtime_filter_join", "token_pmi", "zorder_stats",
+    "weighted_sample", "cdc_incremental_agg",
 ]
 
 # Tail order = rotation-queue priority for future rounds: stalest green
 # round first (r06 remainder, then r07, then r08). Window members are
-# excluded automatically, so editing _R9_WINDOW is the ONLY step a
+# excluded automatically, so editing _R10_WINDOW is the ONLY step a
 # rotation needs.
 _TAIL_FRESHNESS = [
-    "tpch_q2_min_cost", "tpch_q4_order_priority", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt", "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting", "a3_merge_idempotent", "a4_stock_totals",
-    "ann_bruteforce_topk", "ann_ivf_topk", "decontaminate",
-    "dedup_canonicalize", "dedup_clusters", "dedup_clusters_star",
-    "dedup_jaccard_banded", "dedup_minhash_lsh", "dedup_simhash",
-    "embed_neardup", "j2_match_partial", "j3_item_lookup",
-    "kmeans_train", "mixture_sample", "pack_sequences",
-    "s10_report", "s2_full_scan", "s8_upsert",
-    "scd2_history", "sync_merge_resync", "sync_pipeline",
-    "sync_summary", "x2_quarantine", "s1_rest_ingest",
-    "model_score", "model_score_hist", "tpch_q15_top_supplier",
-    "stream_stream_join", "stream_conversion", "j5_valid_skip_split",
-    "stream_tumbling", "p1_norm_name", "f1_status_filter",
     "j1_match_exact", "s3_filtered_scan", "s9_backfill",
     "x1_dispatch", "dedup_exact", "text_stats",
     "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
@@ -7716,36 +7702,58 @@ _TAIL_FRESHNESS = [
     "active_users", "quantile_bucketize", "dedup_keep_best",
     "growth_accounting", "dedup_ngram_jaccard", "p_nested_project",
     "topk_orders", "set_union", "ann_lsh_topk",
-    "bfs_hops", "linear_interp", "seasonal_profile",
-    "grouped_regression", "chi_square", "class_balance",
-    "item_cooccur", "negative_sample", "inverted_index",
-    "tfidf_doc_sim", "chunk_dedup", "layout_prune",
-    "graph_components", "interval_join", "rrf_fusion",
-    "window_funnel", "embed_outliers", "domain_cap",
-    "lsh_quality", "epoch_order", "event_paths",
-    "pagerank", "ohlc_bars", "dedup_prefix_filter",
-    "cube_sales", "exists_subquery", "tpch_q1_pricing",
-    "tpch_q3_topk", "tpch_q10_returns", "tpch_q6_sql",
-    "tpch_q17_small_qty", "tpch_q22_idle_custs", "rollup_sales",
-    "pivot_segment_priority", "unpivot", "count_distinct",
-    "window_running_total", "multimodal_stats", "multimodal_frames",
-    "multimodal_features", "multimodal_resize", "text_bm25",
-    "text_repetition", "sketch_distinct", "sketch_percentile",
-    "sketch_topk", "asof_join", "range_join",
-    "sessionize_batch", "set_intersect",
+    "linear_interp", "seasonal_profile", "grouped_regression",
+    "chi_square", "class_balance", "negative_sample",
+    "inverted_index", "tfidf_doc_sim", "chunk_dedup",
+    "layout_prune", "interval_join", "rrf_fusion",
+    "embed_outliers", "domain_cap", "lsh_quality",
+    "epoch_order", "event_paths", "pagerank",
+    "ohlc_bars", "dedup_prefix_filter", "cube_sales",
+    "exists_subquery", "tpch_q1_pricing", "tpch_q3_topk",
+    "tpch_q10_returns", "tpch_q6_sql", "tpch_q17_small_qty",
+    "tpch_q22_idle_custs", "rollup_sales", "pivot_segment_priority",
+    "unpivot", "count_distinct", "window_running_total",
+    "multimodal_stats", "multimodal_frames", "multimodal_features",
+    "multimodal_resize", "text_bm25", "text_repetition",
+    "sketch_distinct", "sketch_percentile", "sketch_topk",
+    "asof_join", "range_join", "sessionize_batch",
+    "set_intersect", "tpch_q2_min_cost", "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit",
+    "tpch_q14_promo_share", "tpch_q16_supplier_cnt", "tpch_q19_disjunctive",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting", "a3_merge_idempotent",
+    "a4_stock_totals", "ann_bruteforce_topk", "ann_ivf_topk",
+    "decontaminate", "dedup_canonicalize", "dedup_clusters",
+    "dedup_clusters_star", "dedup_jaccard_banded", "dedup_minhash_lsh",
+    "dedup_simhash", "embed_neardup", "j2_match_partial",
+    "j3_item_lookup", "kmeans_train", "mixture_sample",
+    "pack_sequences", "s10_report", "s2_full_scan",
+    "s8_upsert", "scd2_history", "sync_merge_resync",
+    "sync_pipeline", "sync_summary", "x2_quarantine",
+    "window_funnel", "item_cooccur", "s1_rest_ingest",
+    "model_score", "model_score_hist", "tpch_q15_top_supplier",
+    "stream_stream_join", "stream_conversion", "j5_valid_skip_split",
+    "stream_tumbling", "p1_norm_name", "f1_status_filter",
+    "graph_components", "bfs_hops", "blocking_quality_sampled",
 ]
 
-assert len(_R9_WINDOW) == 50, f"window must be exactly 50, got {len(_R9_WINDOW)}"
-assert len(set(_R9_WINDOW)) == 50, "duplicate name in window"
-_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R9_WINDOW)]
+# Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the
+# guard against the r8 silent-drop failure mode and must survive
+# ``python -O`` (which strips asserts) (ADVICE r9).
+if len(_R10_WINDOW) != 50:
+    raise RuntimeError(f"window must be exactly 50, got {len(_R10_WINDOW)}")
+if len(set(_R10_WINDOW)) != 50:
+    raise RuntimeError("duplicate name in window")
+_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R10_WINDOW)]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    n: _REGISTRY_DEF[n] for n in (*_R9_WINDOW, *_tail)
+    n: _REGISTRY_DEF[n] for n in (*_R10_WINDOW, *_tail)
 }
-assert set(REGISTRY) == set(_REGISTRY_DEF), (
-    "rotation dropped/invented entries: "
-    f"{set(REGISTRY) ^ set(_REGISTRY_DEF)}"
-)
-assert len(REGISTRY) == len(_REGISTRY_DEF)
+if set(REGISTRY) != set(_REGISTRY_DEF):
+    raise RuntimeError(
+        "rotation dropped/invented entries: "
+        f"{set(REGISTRY) ^ set(_REGISTRY_DEF)}"
+    )
+if len(REGISTRY) != len(_REGISTRY_DEF):
+    raise RuntimeError("rotation changed entry count")
 
 
 def queries() -> dict[str, QueryFn]:
