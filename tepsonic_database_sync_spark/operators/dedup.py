@@ -329,11 +329,15 @@ def connected_components_star(
     components, where plain min-label propagation would need one round
     per hop.
 
-    Each round is two (groupBy + join) passes over the shrinking edge
-    list; the fixpoint test compares an order-insensitive edge-set
-    signature (count + XOR of per-edge hashes — XOR, not SUM, so the
-    fold can't overflow under ANSI mode), one tiny driver-side row per
-    round computed on the already-checkpointed output.
+    Each round is two window-aggregate passes over the shrinking edge
+    list (r10 — one exchange per star; see the inline comment); the
+    fixpoint test compares an order-insensitive edge-set signature
+    (count + XOR of per-edge hashes — XOR, not SUM, so the fold can't
+    overflow under ANSI mode). r10 also folds the signature into the
+    materializing job (lazy localCheckpoint triggered by the sig
+    aggregate), so the driver schedules ONE job per round where r9 ran
+    two; see the inline comment for why rounds must NOT be stacked
+    without a materialization boundary.
 
     - large-star: every node links its LARGER neighbors to the minimum of
       its whole neighborhood (including itself);
@@ -375,13 +379,24 @@ def connected_components_star(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
 
-    sig = None
-    for _ in range(max_iter):
-        sym = _sym(E)
+    # r10: each star computes its neighborhood minimum with a WINDOW
+    # aggregate over partitionBy(u) instead of groupBy(u) + self-join —
+    # one exchange per star instead of two, and no join. Skew profile is
+    # UNCHANGED: the old join already co-located every edge of a hub
+    # node in one task (the groupBy's map-side combine only slimmed the
+    # tiny mins side, never the edge side), so the window moves exactly
+    # the data the join moved, minus the extra mins exchange. Measured
+    # at sf0.1 (SCALE.md r10): −25% Spark jobs, −22% wall vs the
+    # lazy-checkpoint groupBy+join form, output bit-identical.
+    from pyspark.sql import Window
+
+    w_u = Window.partitionBy("u")
+
+    def _round(e: DataFrame) -> DataFrame:
+        sym = _sym(e)
         # large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
-        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         ls = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -390,18 +405,40 @@ def connected_components_star(
         # small-star over the large-star output:
         # S = {v ∈ Γ(u): v ≤ u}; m = min(S ∪ {u}); emit (w, m) for w ∈ S ∪ {u}
         sym2 = _sym(ls)
-        small = sym2.filter(F.col("v") <= F.col("u"))
-        mins2 = small.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        emitted = (
-            small.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+        sm = sym2.filter(F.col("v") <= F.col("u")).withColumn(
+            "m", F.least(F.min("v").over(w_u), F.col("u"))
+        )
+        return (
+            sm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                # one (u, m) row per group, not per edge — dedup before
+                # the union so the final distinct sees a smaller frame
+                sm.select(F.col("u"), F.col("m").alias("v")).distinct()
+            )
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # materialize the round eagerly (the signature and the next round
-        # both consume it) without leaving a CacheManager entry
-        new_e = emitted.localCheckpoint(eager=True)
+
+    # Job fusion (r10, the bfs_hops treatment): the per-round
+    # materialization is LAZY (``localCheckpoint(eager=False)``), so the
+    # signature aggregate — the first action over the frame — triggers
+    # it: ONE Spark job per round where the r9 shape ran two (eager
+    # checkpoint, then sig read-back). Round time at sf0.1 is
+    # scheduling-dominated (SCALE.md r9 graph curve, factors 1-2 flat),
+    # so job COUNT is the latency lever; shuffle volume is unchanged.
+    #
+    # Measured dead end, kept out deliberately (SCALE.md r10): fusing
+    # TWO contraction rounds per materialization. Each round references
+    # its input ~8-12× (the two _sym unions and the star joins each
+    # duplicate the subtree in the LOGICAL plan — exchange reuse dedups
+    # execution, not planning), so an unfused double round squares that
+    # into ~100 copies of the base subtree and Catalyst planning alone
+    # took 30 s on a 199-edge sf0.001 graph. The checkpoint-per-round
+    # LogicalRDD leaf is what keeps planning O(1) per round; never stack
+    # rounds without a materialization boundary between them.
+    sig = None
+    for _ in range(max_iter):
+        new_e = _round(E).localCheckpoint(eager=False)
         new_sig = _sig(new_e)
         E = new_e
         if new_sig == sig:
