@@ -1263,3 +1263,257 @@ def test_window_funnel_stream_resumes_from_checkpoint(spark, tmp_path):
     # the first half was not re-read (no batch_id collision/reset)
     n_batches = {r["batch_id"] for r in rows}
     assert max(n_batches) >= half  # second run extended, not restarted
+
+
+# --- commit-protocol crash/replay properties (VERDICT r9 item 5) -----------
+#
+# The appliers' docstrings state the law: a crash at ANY window boundary
+# of the commit protocol, followed by Structured Streaming's redelivery
+# of the same (batch_df, batch_id), converges to the one-shot result.
+# The deterministic tests above pin one window each; these properties
+# drive RANDOM snapshot/batch sequences with a RANDOM crash plan — one
+# injected fault per batch drawn from every boundary the protocol has —
+# and assert the law after every batch, not just at the end.
+
+
+class _SimCrash(Exception):
+    """Injected fault standing in for a process kill."""
+
+
+class _CrashReplace:
+    """Monkeypatch ``os.replace`` to raise on a destination whose
+    basename matches, simulating a kill exactly BEFORE that atomic
+    rename (the state the protocol must recover from)."""
+
+    def __init__(self, basename_prefix: str):
+        self.prefix = basename_prefix
+
+    def __enter__(self):
+        import os
+
+        self._real = os.replace
+
+        def patched(src, dst, *a, **kw):
+            if os.path.basename(str(dst)).startswith(self.prefix):
+                raise _SimCrash(dst)
+            return self._real(src, dst, *a, **kw)
+
+        os.replace = patched
+        return self
+
+    def __exit__(self, *exc):
+        import os
+
+        os.replace = self._real
+        return False
+
+
+def _rollup_want(rows):
+    agg = {}
+    for _, s, c in rows:
+        n, t = agg.get(s, (0, 0))
+        agg[s] = (n + 1, t + c)
+    return {(s, n, t) for s, (n, t) in agg.items()}
+
+
+import pytest  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# snapshot version: small key/group alphabets maximize insert/update/
+# delete collisions between consecutive versions; values small longs.
+# Keys unique within a version (a snapshot is keyed).
+_snap_version = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda r: r[0],
+)
+
+# one crash decision per batch, drawn from every boundary the rollup
+# protocol has: no fault; kill before the _COMMIT rename (work written,
+# commit lost); duplicate delivery after success (at-least-once source).
+_rollup_crash = st.sampled_from(["none", "pre_commit", "double"])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    versions=st.lists(_snap_version, min_size=1, max_size=4),
+    crashes=st.lists(_rollup_crash, min_size=4, max_size=4),
+)
+def test_rollup_cdc_commit_protocol_crash_replay_property(
+    spark, versions, crashes
+):
+    """After any prefix of batches — each possibly killed before its
+    atomic commit and redelivered, or delivered twice — the committed
+    rollup equals a full groupBy over the latest NON-EMPTY snapshot
+    version (empty batches are idle triggers and commit nothing)."""
+    import shutil
+    import tempfile
+
+    from tepsonic_database_sync_spark.streaming.ops import (
+        rollup_cdc_applier,
+        rollup_read,
+    )
+
+    schema = "k long, status string, cents long"
+    root = tempfile.mkdtemp(prefix="rollup_prop_")
+    try:
+        mk = lambda: rollup_cdc_applier(  # noqa: E731
+            spark, root, keys=["k"], group="status", value="cents"
+        )
+        apply_batch = mk()
+        last_nonempty = None
+        for batch_id, snap in enumerate(versions):
+            df = spark.createDataFrame(snap, schema) if snap else (
+                spark.createDataFrame([], schema)
+            )
+            mode = crashes[batch_id]
+            if mode == "pre_commit" and snap:
+                with _CrashReplace("_COMMIT"):
+                    with pytest.raises(_SimCrash):
+                        apply_batch(df, batch_id)
+                # restart: a fresh applier instance redelivers the batch
+                apply_batch = mk()
+            apply_batch(df, batch_id)
+            if mode == "double":
+                apply_batch(df, batch_id)
+            if snap:
+                last_nonempty = snap
+            got = rollup_read(spark, root)
+            if last_nonempty is None:
+                assert got is None
+            else:
+                assert {tuple(r) for r in got.collect()} == _rollup_want(
+                    last_nonempty
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _block_text(bid: int) -> str:
+    """One exact dedup chunk (CHUNK_DEDUP_TOKENS tokens) derived from a
+    block id — duplicate block ids across docs/batches are duplicate
+    chunks by construction."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        CHUNK_DEDUP_TOKENS,
+    )
+
+    return " ".join(f"b{bid}w{i}" for i in range(CHUNK_DEDUP_TOKENS))
+
+
+# a document = 1-3 chunk blocks drawn from a 4-symbol alphabet (dense
+# cross-batch duplication); batches of 1-2 docs; 1-3 batches.
+_doc_blocks = st.lists(
+    st.integers(min_value=0, max_value=3), min_size=1, max_size=3
+)
+_chunk_batches = st.lists(
+    st.lists(_doc_blocks, min_size=1, max_size=2), min_size=1, max_size=3
+)
+
+# every boundary of the three-step chunk protocol: kill before the
+# output-dir rename (step 1), after output but before the index merge
+# (step 2), before the _BATCHES marker rename (step 3), duplicate
+# delivery after success, or no fault.
+_chunk_crash = st.sampled_from(
+    ["none", "pre_output", "post_output_pre_merge", "pre_marker", "double"]
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_chunk_batches, crashes=st.lists(_chunk_crash, min_size=3, max_size=3))
+def test_chunk_dedup_commit_protocol_crash_replay_property(
+    spark, batches, crashes
+):
+    """Random batch sequences through the chunk-dedup applier with one
+    injected fault per batch at a random protocol boundary: after all
+    redeliveries the committed per-batch outputs equal the ONE-SHOT
+    ``chunk_dedup`` over the concatenated corpus, and the fingerprint
+    store admits each chunk exactly once (min-merge idempotence)."""
+    import shutil
+    import tempfile
+
+    from tepsonic_database_sync_spark.operators.dedup import chunk_dedup
+    from tepsonic_database_sync_spark.sources.jdbc import (
+        BucketedParquetStateStore,
+    )
+    from tepsonic_database_sync_spark.streaming.ops import (
+        chunk_dedup_applier,
+    )
+
+    schema = "doc_id long, text string"
+    work = tempfile.mkdtemp(prefix="chunk_prop_")
+    try:
+        store = BucketedParquetStateStore(
+            spark, work + "/fpidx", keys=["fp"], n_buckets=4
+        )
+        out_dir = work + "/out"
+        mk = lambda: chunk_dedup_applier(store, out_dir)  # noqa: E731
+        apply_batch = mk()
+        all_docs, next_id = [], 1
+        for batch_id, docs_blocks in enumerate(batches):
+            rows = []
+            for blocks in docs_blocks:
+                rows.append(
+                    (next_id, " ".join(_block_text(b) for b in blocks))
+                )
+                next_id += 1
+            all_docs.extend(rows)
+            df = spark.createDataFrame(rows, schema)
+            mode = crashes[batch_id]
+            if mode == "pre_output":
+                with _CrashReplace(f"batch_id={batch_id}"):
+                    with pytest.raises(_SimCrash):
+                        apply_batch(df, batch_id)
+                apply_batch = mk()
+            elif mode == "post_output_pre_merge":
+                real_merge = store.merge
+
+                def crashing_merge(*a, **kw):
+                    raise _SimCrash("merge")
+
+                store.merge = crashing_merge
+                try:
+                    with pytest.raises(_SimCrash):
+                        apply_batch(df, batch_id)
+                finally:
+                    store.merge = real_merge
+                apply_batch = mk()
+            elif mode == "pre_marker":
+                with _CrashReplace("_BATCHES"):
+                    with pytest.raises(_SimCrash):
+                        apply_batch(df, batch_id)
+                apply_batch = mk()
+            apply_batch(df, batch_id)
+            if mode == "double":
+                apply_batch(df, batch_id)
+
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+            for r in spark.read.parquet(out_dir + "/docs").collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+            for r in chunk_dedup(
+                spark.createDataFrame(all_docs, schema)
+            ).collect()
+        }
+        assert got == want
+        # exactly-once admission: every distinct chunk fingerprint in
+        # the store exactly once
+        idx = store.read()
+        assert idx.count() == idx.select("fp").distinct().count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
