@@ -271,11 +271,112 @@ def _graph_ops(spark, factor: int):
     return {"pagerank": run_pagerank, "bfs_hops": run_bfs}
 
 
+def _skew_graph_ops(spark, factor: int):
+    """HUB-SKEW graph amplification (VERDICT r9 item 7): ×factor
+    key-shifted copies of the part↔supplier graph, but 10% of every
+    copy's edges are REDIRECTED to one global hub node (id 0). Hub
+    degree therefore grows linearly with the factor while every other
+    node's degree stays constant — the disjoint-copy curve (SCALE.md
+    r9) holds per-node load flat, so this is the complementary probe:
+    what does one monster key cost the iterative ops?
+
+    What each op does with the hub:
+    - ``connected_components_star`` (the r10 window-star form): the
+      window over partitionBy(u) co-locates the hub's whole
+      neighborhood in ONE task — exactly the data the r9 join form
+      also moved to one task, so the curve measures the engine's skew
+      tax, not a regression introduced by the window rewrite. The hub
+      also fuses all copies into one giant component, so round count
+      can GROW with factor here (log of component size) — expected,
+      part of the probe.
+    - ``pagerank``: contributions aggregate per dst with partial
+      aggregation (map-side combine), the skew-resilient shape — its
+      curve should stay near the disjoint-copy one.
+    """
+    from tepsonic_database_sync_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from tepsonic_database_sync_spark.operators.graph import pagerank
+
+    pairs = (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    shift = 10_000_000
+    supp_base = 5_000_000_000  # disjoint long ranges for the two sides
+    copies = [
+        pairs.select(
+            (F.col("l_partkey") + F.lit(i * shift)).alias("pk"),
+            (F.col("l_suppkey") + F.lit(supp_base + i * shift)).alias("sk"),
+        )
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    edges = out.select(
+        F.col("pk").alias("a_id"),
+        # 10% of edges from every copy land on the one global hub
+        F.when(F.col("pk") % 10 == 0, F.lit(0))
+        .otherwise(F.col("sk"))
+        .alias("b_id"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("a_id").alias("node"))
+        .unionByName(edges.select(F.col("b_id").alias("node")))
+        .distinct()
+    )
+    hub_deg = edges.filter(F.col("b_id") == 0).count()
+    print(f"  [skew factor {factor}] edges={edges.count()} hub_degree={hub_deg}")
+
+    pr_edges = edges.select(
+        F.col("a_id").cast("string").alias("src"),
+        F.col("b_id").cast("string").alias("dst"),
+    )
+
+    def run_star():
+        connected_components_star(edges, nodes).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def run_pagerank():
+        pagerank(
+            pr_edges.unionAll(
+                pr_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        ).write.format("noop").mode("overwrite").save()
+
+    return {"star_components": run_star, "pagerank_hub": run_pagerank}
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--docs", "--olap", "--graph")]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--docs", "--olap", "--graph", "--skew")
+    ]
     docs_mode = "--docs" in sys.argv[1:]
     olap_mode = "--olap" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
+    skew_mode = "--skew" in sys.argv[1:]
+    if skew_mode:
+        factors = [int(a) for a in args] or [1, 2, 4, 8]
+        spark = build_session(app_name="scale_smoke")
+        spark.range(1).count()
+        results: dict[str, list] = {}
+        for f in factors:
+            for name, run in _skew_graph_ops(spark, f).items():
+                t0 = time.time()
+                run()
+                dt = time.time() - t0
+                results.setdefault(name, []).append((f, dt))
+                f0, base = results[name][0]
+                print(
+                    f"{name:18s} factor {f:2d}: {dt:6.2f}s  "
+                    f"vs linear×{f}: {dt/(base*f/f0):.2f}"
+                )
+        return
     if graph_mode:
         factors = [int(a) for a in args] or [1, 2, 4, 8]
         spark = build_session(app_name="scale_smoke")
