@@ -504,8 +504,16 @@ def canonicalize(docs: DataFrame) -> DataFrame:
     pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(eager=True)
     nodes = docs.select(F.col("doc_id").alias("node"))
     comp = connected_components_star(pairs, nodes)
-    sizes = comp.groupBy("comp").agg(F.count("*").cast("long").alias("cluster_size"))
-    keepers = comp.filter(F.col("node") == F.col("comp")).join(sizes, "comp")
+    # cluster_size via a window over the labels (one exchange) instead
+    # of groupBy + rejoin (two) — near-dup clusters are small, so the
+    # per-comp window partition is bounded (r10, same rationale as the
+    # window-star rewrite above)
+    from pyspark.sql import Window
+
+    keepers = comp.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("comp")).cast("long"),
+    ).filter(F.col("node") == F.col("comp"))
     return keepers.join(
         docs.select("doc_id", "lang", "source", "n_chars"),
         keepers.node == F.col("doc_id"),
