@@ -350,6 +350,74 @@ def _skew_graph_ops(spark, factor: int):
     return {"star_components": run_star, "pagerank_hub": run_pagerank}
 
 
+def _skew_join_ops(spark, factor: int):
+    """The salted-family probe on HUB-SKEW relational data (the second
+    half of VERDICT r9 item 7): events × factor with 30% of every
+    copy's rows redirected to ONE hub user — the hot key grows linearly
+    (30k → 30k·factor rows) while the dim side stays fixed. Measures
+    the PLAIN shapes (AQE skew handling on) against the repo's salted
+    operators on identical inputs; the salted outputs equal the plain
+    ones by construction (that equality is the registry oracle), so
+    this probe is pure wall-clock — where is the crossover where manual
+    salting beats AQE, if anywhere at this scale?"""
+    from tepsonic_database_sync_spark.operators.skew import (
+        salted_join,
+        salted_two_phase_agg,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    shift = 50_000_000
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * shift)).alias("event_id"),
+            F.when(F.col("event_id") % 10 < 3, F.lit(1))
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            "value_cents",
+        )
+        for i in range(factor)
+    ]
+    fact = copies[0]
+    for c in copies[1:]:
+        fact = fact.unionByName(c)
+    fact = fact.localCheckpoint(eager=True)
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    hot = fact.filter(F.col("user_id") == 1).count()
+    print(f"  [skewjoin factor {factor}] rows={fact.count()} hot_key_rows={hot}")
+
+    def run_plain_join():
+        fact.join(dim, "user_id").write.format("noop").mode("overwrite").save()
+
+    def run_salted_join():
+        salted_join(fact, dim, "user_id", n_salts=32).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def run_plain_agg():
+        fact.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value_cents").alias("s")
+        ).write.format("noop").mode("overwrite").save()
+
+    def run_salted_agg():
+        salted_two_phase_agg(
+            fact, "user_id", n_salts=32, sum_cols=("value_cents",)
+        ).write.format("noop").mode("overwrite").save()
+
+    return {
+        "join_plain(AQE)": run_plain_join,
+        "join_salted(32)": run_salted_join,
+        "agg_plain": run_plain_agg,
+        "agg_salted(32)": run_salted_agg,
+    }
+
+
 def main() -> None:
     args = [
         a
@@ -366,7 +434,10 @@ def main() -> None:
         spark.range(1).count()
         results: dict[str, list] = {}
         for f in factors:
-            for name, run in _skew_graph_ops(spark, f).items():
+            for name, run in {
+                **_skew_graph_ops(spark, f),
+                **_skew_join_ops(spark, f),
+            }.items():
                 t0 = time.time()
                 run()
                 dt = time.time() - t0
