@@ -989,3 +989,120 @@ def tfidf_doc_sim(
         .filter(F.col("cos_permille") >= min_cos_permille)
         .select("a_id", "b_id", "dot", "cos_permille")
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 512,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every doc in the RAW pool by how much its hashed-n-gram feature
+    distribution looks like the TARGET corpus, in engine-exact integer
+    milli-nats, and keep the top-k. The reference has no selection
+    surface (its scoring is exact field matching, src/routes/
+    products.js:23-63); this is an extension operator of the
+    training-data family.
+
+    Model: features z(x) = occurrences of unigrams + bigrams hashed
+    into ``n_buckets`` buckets (the paper's hashed n-gram
+    parametrization). Bucket-unigram language models with Laplace
+    smoothing on each side:
+
+        p(b) = (t_b + 1) / (T + B)      q(b) = (r_b + 1) / (R + B)
+
+    (t_b/r_b = bucket occurrence counts over the target = ``lang ==
+    target_lang`` docs / the pool = every other doc; T/R their totals,
+    B = n_buckets). Importance weight of a pool doc =
+    Σ_g ln p(b(g)) − ln q(b(g)) over its gram OCCURRENCES =
+    Σ_g [iln(t+1) − iln(r+1)] + n_g·(iln(R+B) − iln(T+B)), every log
+    the shared ``iln_milli`` so the DuckDB oracle matches bit-for-bit.
+    The paper resamples with Gumbel noise; this operator takes the
+    deterministic top-k variant (its "top-k selection" baseline) —
+    selection must be reproducible and oracle-checkable. Pool docs with
+    zero grams (empty text) carry no evidence and are excluded.
+
+    Scale shape (the reason hashed n-grams work at 100 TB): the only
+    wide aggregations are gram→bucket counts with map-side combine onto
+    a FIXED key space of ``n_buckets`` rows; the λ table (one row per
+    bucket) and the 1-row totals BROADCAST back, so pool grams score
+    with a broadcast join — zero wide shuffles besides the per-doc
+    aggregate on uniform doc_id, and the hot-token skew problem never
+    exists (buckets are md5-uniform). Top-k compiles to
+    TakeOrderedAndProject.
+
+    Returns (doc_id, lang, source, n_grams, weight_milli), weight
+    descending, doc_id ascending within ties.
+    """
+    from tepsonic_database_sync_spark.functions.hashing import h60
+
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("lang") == target_lang).alias("is_t"),
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
+    )
+    uni = toked.select(
+        "doc_id", "is_t", F.explode("t").alias("g")
+    )
+    big = (
+        toked.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "is_t",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i - 1], ' ', t[i]))"
+                )
+            ).alias("g"),
+        )
+    )
+    grams = uni.unionByName(big).select(
+        "doc_id",
+        "is_t",
+        F.pmod(h60(F.col("g")), F.lit(n_buckets)).alias("b"),
+    )
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("t_b"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("r_b"),
+    )
+    lam = counts.select(
+        "b",
+        (
+            iln_milli((F.col("t_b") + 1) * 1000)
+            - iln_milli((F.col("r_b") + 1) * 1000)
+        ).alias("lam_milli"),
+    )
+    tot = counts.agg(
+        (
+            iln_milli((F.sum("r_b").cast("long") + n_buckets) * 1000)
+            - iln_milli((F.sum("t_b").cast("long") + n_buckets) * 1000)
+        ).alias("c_milli")
+    )
+    scored = (
+        grams.filter(~F.col("is_t"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("lam_milli").cast("long").alias("s_milli"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("s_milli") + F.col("n_grams") * F.col("c_milli"))
+            .cast("long")
+            .alias("weight_milli"),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_grams", "weight_milli")
+        .orderBy(F.col("weight_milli").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

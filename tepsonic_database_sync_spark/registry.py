@@ -4035,6 +4035,74 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (Xie et al. 2023): hashed-n-gram bucket
+    LMs over target (lang='en') vs pool docs, Laplace-smoothed log-ratio
+    importance weight per pool doc in exact integer milli-nats, top-100.
+    The deterministic top-k variant of the paper's resampler — full
+    formula and 100 TB shape in operators/text.py::dsir_select. Oracle
+    recomputes the identical integer pipeline (same h60 buckets, same
+    iln_milli log) in DuckDB."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import dsir_select
+
+    return dsir_select(load_table(spark, sf_dir, "documents"))
+
+
+def _dsir_oracle(n_buckets: int = 512, k: int = 100) -> str:
+    """DuckDB twin of operators.text.dsir_select: same tokenization as
+    the lm_score oracle, same h60 bucket hash, same iln_milli log."""
+    from tepsonic_database_sync_spark.functions.hashing import h60_sql
+
+    b_expr = f"({h60_sql('g')}) % {n_buckets}"
+    lam_t = _d_iln("(t_b + 1) * 1000")
+    lam_r = _d_iln("(r_b + 1) * 1000")
+    c_r = _d_iln(f"(sr + {n_buckets}) * 1000")
+    c_t = _d_iln(f"(st + {n_buckets}) * 1000")
+    return f"""
+WITH toked AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+uni AS (SELECT doc_id, is_t, unnest(t) AS g FROM toked),
+big AS (
+  SELECT doc_id, is_t, t[i] || ' ' || t[i + 1] AS g
+  FROM toked, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+grams AS (
+  SELECT doc_id, is_t, {b_expr} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+),
+counts AS (
+  SELECT b,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS r_b
+  FROM grams GROUP BY b
+),
+lam AS (SELECT b, ({lam_t}) - ({lam_r}) AS lam_milli FROM counts),
+tots AS (
+  SELECT CAST(sum(t_b) AS BIGINT) AS st, CAST(sum(r_b) AS BIGINT) AS sr
+  FROM counts
+),
+tot AS (SELECT ({c_r}) - ({c_t}) AS c_milli FROM tots),
+scored AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(l.lam_milli) AS BIGINT) AS s_milli
+  FROM grams g JOIN lam l ON g.b = l.b
+  WHERE NOT g.is_t
+  GROUP BY g.doc_id
+)
+SELECT s.doc_id, d.lang, d.source, s.n_grams,
+       CAST(s.s_milli + s.n_grams * t.c_milli AS BIGINT) AS weight_milli
+FROM scored s CROSS JOIN tot t JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY weight_milli DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
 _INTERVAL_CONCURRENCY_ORACLE = """
 WITH iv AS (
   SELECT event_type AS key,
@@ -7436,6 +7504,7 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     # --- NEW in r8, batch 2 (5) — displaced the last five r05-green
     # fill entries (tpch q9/q14/q16/q19/q20, now the tail/r9-queue head)
     "graph_components": (q_graph_components, _graph_components_oracle()),
+    "dsir_select": (q_dsir_select, _dsir_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -7665,7 +7734,7 @@ _R10_WINDOW = [
     "decontaminate_bloom", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "time_resample",
     "runtime_filter_join", "token_pmi", "zorder_stats",
-    "weighted_sample", "cdc_incremental_agg",
+    "weighted_sample", "dsir_select",
 ]
 
 # Tail order = rotation-queue priority for future rounds: stalest green
@@ -7734,6 +7803,7 @@ _TAIL_FRESHNESS = [
     "stream_stream_join", "stream_conversion", "j5_valid_skip_split",
     "stream_tumbling", "p1_norm_name", "f1_status_filter",
     "graph_components", "bfs_hops", "blocking_quality_sampled",
+    "dsir_select",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

@@ -3642,3 +3642,85 @@ def test_split_and_mixture_membership_match_h60_reference(
             want_mix.add(k)
     assert got_split == want_split
     assert got_mix == want_mix
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection vs an exact integer reference
+# ---------------------------------------------------------------------------
+
+
+def _dsir_ref(docs, n_buckets: int, k: int, target_lang: str = "en"):
+    """Pure-Python integer twin of text.dsir_select: same md5-h60
+    buckets, same Laplace counts, same iln_milli arithmetic, same
+    (weight desc, doc_id asc) top-k."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    grams = []
+    for did, lang, toks in docs:
+        toks = [t for t in toks if t != ""]
+        gs = list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        for g in gs:
+            grams.append((did, lang == target_lang, h60(g) % n_buckets))
+    t_cnt: Counter = Counter()
+    r_cnt: Counter = Counter()
+    for _, is_t, b in grams:
+        (t_cnt if is_t else r_cnt)[b] += 1
+    lam = {
+        b: _iln_milli_py((t_cnt[b] + 1) * 1000)
+        - _iln_milli_py((r_cnt[b] + 1) * 1000)
+        for b in set(t_cnt) | set(r_cnt)
+    }
+    c = _iln_milli_py((sum(r_cnt.values()) + n_buckets) * 1000) - _iln_milli_py(
+        (sum(t_cnt.values()) + n_buckets) * 1000
+    )
+    per: dict = defaultdict(lambda: [0, 0])
+    for did, is_t, b in grams:
+        if not is_t:
+            per[did][0] += 1
+            per[did][1] += lam[b]
+    rows = [(did, n, s + n * c) for did, (n, s) in per.items()]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return rows[:k]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.lists(
+                st.sampled_from(["x", "y", "zz", "q"]), min_size=0, max_size=6
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dsir_select_matches_integer_reference(spark, doc_toks):
+    """dsir_select == the pure-Python integer reference on random tiny
+    corpora — n_buckets=8 forces dense hash-bucket collisions, k=5
+    exercises the LIMIT inside weight-tie runs (duplicate docs tie on
+    weight; doc_id breaks them)."""
+    from tepsonic_database_sync_spark.operators.text import dsir_select
+
+    docs = [
+        (i + 1, lang, toks) for i, (lang, toks) in enumerate(doc_toks)
+    ]
+    df = spark.createDataFrame(
+        [(did, " ".join(toks), lang, "s", 0) for did, lang, toks in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        (r["doc_id"], r["n_grams"], r["weight_milli"])
+        for r in dsir_select(df, n_buckets=8, k=5).collect()
+    ]
+    got.sort(key=lambda r: (-r[2], r[0]))
+    assert got == _dsir_ref(docs, n_buckets=8, k=5)
