@@ -183,6 +183,8 @@ HEADLINE = [
     "blocking_quality_sampled",
     # r8 batch 5: the between-epoch dataloader shuffle as an operator
     "epoch_order",
+    # r10: DSIR importance selection — tracked from birth
+    "dsir_select",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",
