@@ -7714,7 +7714,9 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # (graph_components, dedup_clusters_star, embed_dedup_clusters,
 # dedup_canonicalize — all transitive consumers of the star-contraction
 # round fusion; the ADVICE r9 exemption question is moot because the
-# change is in-window), then 6 stalest-r07 fills (time_resample …
+# change is in-window), then the NEW r10 entry (dsir_select — it took
+# what was cdc_incremental_agg's fill slot; that entry returns to the
+# r11 queue head), then 5 stalest-r07 fills (time_resample …
 # cdc_incremental_agg — the r11 queue head, pulled forward). After r10
 # the r07 remainder (41 entries) is the r11 queue, then the r08 block.
 _R10_WINDOW = [
