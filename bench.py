@@ -183,8 +183,10 @@ HEADLINE = [
     "blocking_quality_sampled",
     # r8 batch 5: the between-epoch dataloader shuffle as an operator
     "epoch_order",
-    # r10: DSIR importance selection — tracked from birth
+    # r10: DSIR importance selection + the deterministic MG heavy-hitters
+    # summary — tracked from birth
     "dsir_select",
+    "mg_summary",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -292,3 +292,77 @@ def hll_estimate(registers, m: int = HLL_M) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+def _mg_compress(counts: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """The Misra-Gries decrement step over an exact (key, cnt) frame:
+    subtract the (capacity+1)-th largest count from every key and keep
+    the strictly-positive survivors — at most ``capacity`` rows by
+    construction (only keys ABOVE the offset survive). The offset is a
+    VALUE (min over the top capacity+1), so ties at the boundary drop
+    deterministically and the result is hash-exact regardless of row
+    order — what makes the summary oracle-checkable where a
+    counter-eviction formulation would not be."""
+    top = counts.select("cnt").orderBy(F.col("cnt").desc()).limit(capacity + 1)
+    off = top.agg(
+        F.when(F.count("*") > capacity, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("off")
+    )
+    return (
+        counts.crossJoin(F.broadcast(off))
+        .select(
+            key_col,
+            (F.col("cnt") - F.col("off")).cast("long").alias("est_cnt"),
+        )
+        .filter(F.col("est_cnt") > 0)
+    )
+
+
+def mg_summary(
+    items: DataFrame, key_col: str, capacity: int = 32
+) -> DataFrame:
+    """Misra-Gries frequency summary (the deterministic heavy-hitters
+    sketch; Misra & Gries 1982, merge form per Agarwal et al.,
+    "Mergeable Summaries", PODS 2012) — at most ``capacity`` (key,
+    est_cnt) rows with the one-sided guarantee
+
+        est ≤ true   and   true − est ≤ (N − S) / (capacity + 1)
+
+    (N = total occurrences, S = sum of retained estimates), so every key
+    with true count above that bound is RETAINED. The deterministic
+    counterpart of ``topk_with_cms_check``'s randomized CMS: no hash
+    collisions, under-estimates instead of over-estimates, and a summary
+    whose exact content is reproducible — hence a full DuckDB oracle
+    rather than a within-bound flag.
+
+    Scale shape: one map-side-combined count aggregation over the keys,
+    a TakeOrdered over capacity+1 rows for the offset, and a broadcast
+    of the 1-row offset — the summary never exceeds ``capacity`` rows,
+    which is the point: heavy hitters at 100 TB with KB-sized state.
+    ``streaming/ops.mg_topk_stream`` maintains the same summary
+    incrementally (sum-merge then the same compress step — the error
+    bound is preserved under arbitrary merges, the PODS'12 result).
+    """
+    counts = items.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return _mg_compress(counts, key_col, capacity)
+
+
+def mg_merge(
+    state: DataFrame, batch: DataFrame, key_col: str, capacity: int
+) -> DataFrame:
+    """Merge two MG summaries (or a summary and an exact batch count
+    frame — exact counts ARE a valid summary): sum per key, then one
+    compress step. Deterministic, error-bound-preserving; NOT idempotent
+    (sums double-count a replayed batch), which is why the streaming
+    applier needs the atomic-commit protocol where the HLL applier needs
+    none."""
+    u = (
+        state.unionByName(batch)
+        .groupBy(key_col)
+        .agg(F.sum("est_cnt").cast("long").alias("cnt"))
+    )
+    return _mg_compress(u, key_col, capacity)

@@ -4035,6 +4035,48 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def q_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitters summary over document terms (capacity
+    32) — the DETERMINISTIC member of the sketch family next to the
+    randomized CMS (`sketch_topk`): under-estimates only, no collisions,
+    content reproducible, hence a full hash oracle instead of a
+    within_bound flag. Streaming twin: streaming/ops.mg_topk_stream
+    (exactly-once sum-merge; crash/replay property-tested)."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sketches import mg_summary
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.explode(tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return mg_summary(t, "term", capacity=32)
+
+
+def _mg_summary_oracle(capacity: int = 32) -> str:
+    """DuckDB twin of sketches.mg_summary over document terms: exact
+    counts, offset = min of the top capacity+1 counts (0 when the key
+    set fits), strictly-positive survivors."""
+    return f"""
+WITH occ AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+  FROM occ WHERE term <> '' GROUP BY term
+),
+off AS (
+  SELECT CAST(CASE WHEN count(*) > {capacity} THEN min(cnt) ELSE 0 END
+              AS BIGINT) AS off
+  FROM (SELECT cnt FROM counts ORDER BY cnt DESC LIMIT {capacity + 1})
+)
+SELECT term, CAST(cnt - off AS BIGINT) AS est_cnt
+FROM counts, off
+WHERE cnt - off > 0
+"""
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection (Xie et al. 2023): hashed-n-gram bucket
     LMs over target (lang='en') vs pool docs, Laplace-smoothed log-ratio
@@ -7505,6 +7547,7 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     # fill entries (tpch q9/q14/q16/q19/q20, now the tail/r9-queue head)
     "graph_components": (q_graph_components, _graph_components_oracle()),
     "dsir_select": (q_dsir_select, _dsir_oracle()),
+    "mg_summary": (q_mg_summary, _mg_summary_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -7716,7 +7759,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # round fusion; the ADVICE r9 exemption question is moot because the
 # change is in-window), then the NEW r10 entry (dsir_select — it took
 # what was cdc_incremental_agg's fill slot; that entry returns to the
-# r11 queue head), then 5 stalest-r07 fills (time_resample …
+# r11 queue head; mg_summary likewise took weighted_sample's slot),
+# then 4 stalest-r07 fills (time_resample …
 # cdc_incremental_agg — the r11 queue head, pulled forward). After r10
 # the r07 remainder (41 entries) is the r11 queue, then the r08 block.
 _R10_WINDOW = [
@@ -7736,7 +7780,7 @@ _R10_WINDOW = [
     "decontaminate_bloom", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "time_resample",
     "runtime_filter_join", "token_pmi", "zorder_stats",
-    "weighted_sample", "dsir_select",
+    "mg_summary", "dsir_select",
 ]
 
 # Tail order = rotation-queue priority for future rounds: stalest green
@@ -7806,6 +7850,7 @@ _TAIL_FRESHNESS = [
     "stream_tumbling", "p1_norm_name", "f1_status_filter",
     "graph_components", "bfs_hops", "blocking_quality_sampled",
     "dsir_select",
+    "mg_summary",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

@@ -985,3 +985,103 @@ def window_funnel_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def mg_topk_applier(spark, root: str, key_col: str, capacity: int):
+    """foreachBatch callable behind ``mg_topk_stream``: count the
+    micro-batch's keys exactly, ``sketches.mg_merge`` them into the
+    committed Misra-Gries summary, and swap the commit pointer
+    atomically.
+
+    Fourth point in the streaming-state design space the sibling
+    appliers stake out: HLL merges are idempotent CRDT joins (no
+    protocol at all), the leaderboard reduce is an idempotent max (no
+    protocol), the rollup and chunk-dedup outputs need commit protocols
+    because their applies are NOT idempotent. MG is the minimal
+    sum-based case: a replayed batch would DOUBLE-COUNT its keys, so the
+    summary + batch_id commit as one atomic unit — the exact
+    ``rollup_cdc_applier`` pointer-swap (fresh path per batch, single
+    ``_COMMIT`` os.replace; a crash anywhere before the swap leaves the
+    previous commit intact and the replay recomputes from it).
+
+    Empty micro-batches are ignored (idle triggers commit nothing),
+    mirroring the rollup applier's documented empty-batch semantics.
+    """
+    import json
+    import os
+
+    from tepsonic_database_sync_spark.operators.sketches import mg_merge
+
+    os.makedirs(root, exist_ok=True)
+    commit_file = os.path.join(root, "_COMMIT")
+
+    def _commit() -> dict | None:
+        try:
+            with open(commit_file) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cm = _commit()
+        if cm is not None and batch_id <= cm["batch_id"]:
+            return
+        if batch_df.isEmpty():
+            return
+        batch_counts = batch_df.groupBy(key_col).agg(
+            F.count("*").cast("long").alias("est_cnt")
+        )
+        if cm is None:
+            state = batch_counts.limit(0)
+        else:
+            state = spark.read.parquet(cm["state"])
+        merged = mg_merge(state, batch_counts, key_col, capacity)
+        state_path = os.path.join(root, f"b{batch_id}", "state")
+        merged.write.mode("overwrite").parquet(state_path)
+        tmp = commit_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "state": state_path}, f)
+        os.replace(tmp, commit_file)
+
+    return apply_batch
+
+
+def mg_read(spark, root: str) -> DataFrame | None:
+    """The committed MG summary of a ``mg_topk_stream`` (None before the
+    first commit)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(root, "_COMMIT")) as f:
+            return spark.read.parquet(json.load(f)["state"])
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def mg_topk_stream(
+    stream: DataFrame,
+    spark,
+    root: str,
+    checkpoint_dir: str,
+    key_col: str,
+    capacity: int = 32,
+    available_now: bool = True,
+):
+    """Continuously-maintained Misra-Gries heavy-hitters summary: each
+    micro-batch's exact key counts sum-merge into the committed summary
+    (≤ ``capacity`` rows of state, ever), exactly-once via the atomic
+    pointer swap. The guarantee after ANY prefix of batches, crashes and
+    redeliveries included: est ≤ true and true − est ≤ (N − S)/(capacity
+    + 1) over everything delivered so far (Agarwal et al., PODS 2012 —
+    the bound survives arbitrary merge trees; pinned by a hypothesis
+    property with injected crashes). Returns the started
+    StreamingQuery."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            mg_topk_applier(spark, root, key_col, capacity)
+        ).option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1517,3 +1517,123 @@ def test_chunk_dedup_commit_protocol_crash_replay_property(
         assert idx.count() == idx.select("fp").distinct().count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_mg_batches = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=12),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=_mg_batches,
+    crashes=st.lists(
+        st.sampled_from(["none", "pre_commit", "double"]), min_size=4, max_size=4
+    ),
+)
+def test_mg_topk_commit_protocol_crash_replay_property(spark, batches, crashes):
+    """The streaming Misra-Gries summary under injected faults: (a) a
+    crashed-and-redelivered or doubly-delivered batch sequence commits
+    the EXACT state of the clean run (sum-merge is not idempotent — the
+    pointer-swap protocol is what makes this hold); (b) the committed
+    summary obeys the mergeable-summaries bound est ≤ true and
+    (true − est)·(capacity+1) ≤ N − S for every key, with every key
+    above the bound retained (Agarwal et al., PODS 2012)."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from tepsonic_database_sync_spark.streaming.ops import (
+        mg_read,
+        mg_topk_applier,
+    )
+
+    cap = 3
+    schema = "k string"
+    work = tempfile.mkdtemp(prefix="mg_prop_")
+    try:
+        roots = {"faulty": work + "/a", "clean": work + "/b"}
+        for mode_name, root in roots.items():
+            mk = lambda: mg_topk_applier(spark, root, "k", cap)  # noqa: E731
+            apply_batch = mk()
+            for batch_id, keys in enumerate(batches):
+                df = spark.createDataFrame([(x,) for x in keys], schema)
+                mode = crashes[batch_id] if mode_name == "faulty" else "none"
+                if mode == "pre_commit" and keys:
+                    with _CrashReplace("_COMMIT"):
+                        with pytest.raises(_SimCrash):
+                            apply_batch(df, batch_id)
+                    apply_batch = mk()
+                apply_batch(df, batch_id)
+                if mode == "double":
+                    apply_batch(df, batch_id)
+
+        def final(root):
+            got = mg_read(spark, root)
+            return {} if got is None else {
+                r["k"]: r["est_cnt"] for r in got.collect()
+            }
+
+        faulty, clean = final(roots["faulty"]), final(roots["clean"])
+        assert faulty == clean  # exactly-once despite the fault plan
+
+        true = Counter(x for keys in batches for x in keys)
+        n, s = sum(true.values()), sum(clean.values())
+        assert len(clean) <= cap
+        for key, t in true.items():
+            est = clean.get(key, 0)
+            assert est <= t
+            assert (t - est) * (cap + 1) <= n - s
+        for key, est in clean.items():
+            assert key in true and est > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_mg_topk_stream_end_to_end(spark, tmp_path):
+    """mg_topk_stream over a file-per-trigger feed equals driving the
+    applier with the same batch partition by hand, and a full
+    redelivery with a fresh checkpoint is a no-op (batch_id guard)."""
+    from tepsonic_database_sync_spark.streaming.ops import (
+        mg_read,
+        mg_topk_applier,
+        mg_topk_stream,
+    )
+
+    schema = "k string"
+    feeds = [list("aab"), list("abbbc"), list("ccccd")]
+    src = str(tmp_path / "src")
+    for keys in feeds:
+        spark.createDataFrame([(x,) for x in keys], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "mg")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = mg_topk_stream(stream, spark, root, str(tmp_path / "ckpt"), "k", capacity=3)
+    q.awaitTermination(180)
+    got = {r["k"]: r["est_cnt"] for r in mg_read(spark, root).collect()}
+
+    ref_root = str(tmp_path / "ref")
+    apply_batch = mg_topk_applier(spark, ref_root, "k", 3)
+    # NOTE: file order == ingestion order under availableNow + one file
+    # per trigger; the reference replays the identical batching
+    for i, keys in enumerate(feeds):
+        apply_batch(spark.createDataFrame([(x,) for x in keys], schema), i)
+    want = {r["k"]: r["est_cnt"] for r in mg_read(spark, ref_root).collect()}
+    assert got == want and len(got) <= 3
+
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = mg_topk_stream(stream2, spark, root, str(tmp_path / "ckpt2"), "k", capacity=3)
+    q2.awaitTermination(180)
+    assert {r["k"]: r["est_cnt"] for r in mg_read(spark, root).collect()} == got
