@@ -991,6 +991,30 @@ def test_embed_outliers_vector_sums_are_generated_not_joined(spark, registry_pla
     assert "partial_sum" in plan
 
 
+def test_dsir_select_is_broadcast_only_take_ordered(spark, registry_plans):
+    """DSIR selection's 100 TB shape: gram→bucket counts partial-agg
+    onto the fixed 512-bucket key space, the λ table and 1-row totals
+    broadcast back, final top-k a TakeOrderedAndProject — never a
+    SortMergeJoin (a shuffle join on grams would move the whole corpus)
+    and never a full sort."""
+    plan = registry_plans["dsir_select"]
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # λ table + doc metadata
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_mg_summary_offset_is_take_ordered_and_broadcast(spark, registry_plans):
+    """The MG offset must come from a TakeOrderedAndProject over
+    capacity+1 rows (never a global sort of the term dictionary) and
+    re-attach as a broadcast single-row frame; the term counts aggregate
+    with map-side combine."""
+    plan = registry_plans["mg_summary"]
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
 def test_no_cartesian_product_in_any_registry_query(registry_plans):
     """Blanket invariant over the ENTIRE registry: no query may compile
     to a CartesianProduct — the non-broadcast cross join that dies
