@@ -187,6 +187,7 @@ HEADLINE = [
     # summary — tracked from birth
     "dsir_select",
     "mg_summary",
+    "dup_substring_rate",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -1336,3 +1336,86 @@ def incremental_chunk_dedup_plan(
         ).alias("kept_text"),
     )
     return fresh, out
+
+
+def substring_dup_rate(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Per-document substring-duplication rate — the corpus-health
+    metric of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ACL 2022): the fraction of token positions covered
+    by some n-gram that occurs MORE THAN ONCE in the corpus (their
+    NearDup/ExactSubstr diagnostic, here over whitespace tokens with
+    n = ``n``). This is the measurement that motivates the dedup
+    family; the operators above remove duplication, this one reports
+    how much there is and where.
+
+    Exact by construction: grams are compared as strings (no hashing,
+    so no collision caveat), coverage is the distinct-position union of
+    all duplicated grams' [i, i+n) spans, and the rate is integer
+    permille — hence a full DuckDB oracle.
+
+    Scale shape: the gram-count aggregation shuffles ~token-count keys
+    with map-side combine — the intrinsic cost of the EXACT metric (the
+    paper spends a suffix-array cluster job on the same information);
+    the coverage join is gram-keyed (wide key space, no hot key), and
+    the position union stays per-doc. At 100 TB run it on a hash-sample
+    of docs (the rate is a corpus statistic — sampling error is
+    binomial) or fall back to ``winnow_overlap``'s fingerprint
+    approximation; the exact form IS the published metric, so it is
+    what the oracle pins.
+
+    Returns (doc_id, n_tokens, dup_covered, dup_rate_permille) for
+    EVERY doc (docs shorter than ``n`` tokens have rate 0).
+    """
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    toked = docs.select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
+    )
+    grams = (
+        toked.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n} + 1),"
+                    f" i -> struct(i AS i, concat_ws(' ', slice(t, i, {n})) AS g))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.i", "x.g")
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup, "g")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("dup_covered"))
+    )
+    return (
+        toked.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_covered"), F.lit(0)).cast("long").alias(
+                "dup_covered"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(1000 * coalesce(dup_covered, 0)) div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_rate_permille"),
+        )
+    )

@@ -4035,6 +4035,57 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def q_dup_substring_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. (ACL 2022) substring-duplication rate per document:
+    fraction of token positions covered by a corpus-duplicated 8-gram,
+    exact integer permille — the corpus-health metric that motivates
+    the dedup family. Grams compared as exact strings (no hash, no
+    collision caveat); full design + 100 TB sampling note in
+    operators/dedup.py::substring_dup_rate."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        substring_dup_rate,
+    )
+
+    return substring_dup_rate(load_table(spark, sf_dir, "documents"), n=8)
+
+
+def _dup_substring_rate_oracle(n: int = 8) -> str:
+    """DuckDB twin of dedup.substring_dup_rate: same tokenization,
+    1-based gram starts, inclusive list_slice, distinct covered
+    positions, integer permille."""
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS g
+  FROM toked, unnest(range(1, len(t) - {n} + 2)) AS r(i)
+  WHERE len(t) >= {n}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+cov AS (
+  SELECT DISTINCT gm.doc_id, p.pos
+  FROM grams gm JOIN dup d ON gm.g = d.g,
+       unnest(range(gm.i, gm.i + {n})) AS p(pos)
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_covered
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.dup_covered, 0) AS BIGINT) AS dup_covered,
+       CAST(CASE WHEN len(t.t) > 0
+                 THEN (1000 * coalesce(p.dup_covered, 0)) // len(t.t)
+                 ELSE 0 END AS BIGINT) AS dup_rate_permille
+FROM toked t LEFT JOIN per p ON t.doc_id = p.doc_id
+"""
+
+
 def q_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitters summary over document terms (capacity
     32) — the DETERMINISTIC member of the sketch family next to the
@@ -7548,6 +7599,7 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "graph_components": (q_graph_components, _graph_components_oracle()),
     "dsir_select": (q_dsir_select, _dsir_oracle()),
     "mg_summary": (q_mg_summary, _mg_summary_oracle()),
+    "dup_substring_rate": (q_dup_substring_rate, _dup_substring_rate_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -7759,8 +7811,9 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # round fusion; the ADVICE r9 exemption question is moot because the
 # change is in-window), then the NEW r10 entry (dsir_select — it took
 # what was cdc_incremental_agg's fill slot; that entry returns to the
-# r11 queue head; mg_summary likewise took weighted_sample's slot),
-# then 4 stalest-r07 fills (time_resample …
+# r11 queue head; mg_summary took weighted_sample's slot and
+# dup_substring_rate took zorder_stats'), then 3 stalest-r07 fills
+# (time_resample …
 # cdc_incremental_agg — the r11 queue head, pulled forward). After r10
 # the r07 remainder (41 entries) is the r11 queue, then the r08 block.
 _R10_WINDOW = [
@@ -7779,7 +7832,7 @@ _R10_WINDOW = [
     "text_winnow", "text_chunks", "text_scrub",
     "decontaminate_bloom", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "time_resample",
-    "runtime_filter_join", "token_pmi", "zorder_stats",
+    "runtime_filter_join", "token_pmi", "dup_substring_rate",
     "mg_summary", "dsir_select",
 ]
 
@@ -7851,6 +7904,7 @@ _TAIL_FRESHNESS = [
     "graph_components", "bfs_hops", "blocking_quality_sampled",
     "dsir_select",
     "mg_summary",
+    "dup_substring_rate",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

@@ -1015,6 +1015,16 @@ def test_mg_summary_offset_is_take_ordered_and_broadcast(spark, registry_plans):
     assert "partial_count" in plan
 
 
+def test_dup_substring_rate_aggregates_map_side(spark, registry_plans):
+    """The exact duplication metric's one wide aggregation (gram counts)
+    must partial-combine map-side, and the coverage join must be a
+    gram-keyed equi-join — no Cartesian, no nested loop over docs."""
+    plan = registry_plans["dup_substring_rate"]
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_cartesian_product_in_any_registry_query(registry_plans):
     """Blanket invariant over the ENTIRE registry: no query may compile
     to a CartesianProduct — the non-broadcast cross join that dies

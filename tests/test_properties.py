@@ -3724,3 +3724,68 @@ def test_dsir_select_matches_integer_reference(spark, doc_toks):
     ]
     got.sort(key=lambda r: (-r[2], r[0]))
     assert got == _dsir_ref(docs, n_buckets=8, k=5)
+
+
+# ---------------------------------------------------------------------------
+# substring duplication rate vs an exact set-algebra reference
+# ---------------------------------------------------------------------------
+
+
+def _dup_rate_ref(docs, n):
+    """Pure-Python twin of dedup.substring_dup_rate: corpus n-gram
+    counts, per-doc union of duplicated grams' [i, i+n) spans."""
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for did, toks in docs:
+        toks = [t for t in toks if t != ""]
+        gs = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        per_doc[did] = (toks, gs)
+        grams.update(gs)
+    out = []
+    for did, (toks, gs) in per_doc.items():
+        cov = set()
+        for i, g in enumerate(gs):
+            if grams[g] > 1:
+                cov.update(range(i, i + n))
+        nt = len(toks)
+        rate = (1000 * len(cov)) // nt if nt > 0 else 0
+        out.append((did, nt, len(cov), rate))
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=9),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_substring_dup_rate_matches_reference(spark, doc_toks, n):
+    """substring_dup_rate == the exact set-algebra reference on random
+    tiny corpora — the 3-symbol alphabet makes cross-doc duplicated
+    grams and overlapping covered spans dense; n spans the
+    shorter-than-n, equal-to-n and longer cases."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        substring_dup_rate,
+    )
+
+    docs = [(i + 1, toks) for i, toks in enumerate(doc_toks)]
+    df = spark.createDataFrame(
+        [(did, " ".join(toks)) for did, toks in docs],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["dup_covered"], r["dup_rate_permille"])
+        for r in substring_dup_rate(df, n=n).collect()
+    )
+    assert got == _dup_rate_ref(docs, n)
