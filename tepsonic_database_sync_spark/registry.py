@@ -7560,7 +7560,7 @@ FROM pred GROUP BY 1, 2
 
 # name → (spark callable, oracle sql | None) — the CATALOG. Definition
 # order here is historical; the driver-facing order (window contract)
-# is rebuilt below from _R10_WINDOW + _TAIL_FRESHNESS.
+# is rebuilt below from _R11_WINDOW + _TAIL_FRESHNESS.
 #
 # Historical allocation notes (r8): Round-8 allocation: the 19 new r8
 # operators (batch 1 bfs_hops … layout_prune, batch 2
@@ -7802,21 +7802,22 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # asserts so a rotation edit can never silently drop or duplicate an
 # entry (the r8 regex rebuild lost one — never again).
 #
-# r10 window allocation (VERDICT r9 item 2): the FULL 40-entry block whose
-# last green driver row is r06 (the entire remaining freshness debt from
-# the two-round retirement schedule — r9 retired the r05 block, this
-# retires r06), then the 4 entries whose implementation CHANGED in r10
-# (graph_components, dedup_clusters_star, embed_dedup_clusters,
-# dedup_canonicalize — all transitive consumers of the star-contraction
-# round fusion; the ADVICE r9 exemption question is moot because the
-# change is in-window), then the NEW r10 entry (dsir_select — it took
-# what was cdc_incremental_agg's fill slot; that entry returns to the
-# r11 queue head; mg_summary took weighted_sample's slot and
-# dup_substring_rate took zorder_stats'), then 3 stalest-r07 fills
-# (time_resample …
-# cdc_incremental_agg — the r11 queue head, pulled forward). After r10
-# the r07 remainder (41 entries) is the r11 queue, then the r08 block.
-_R10_WINDOW = [
+# r11 window allocation: a RE-RUN of the r10 window, because no
+# CORRECTNESS_r10.json was ever recorded — the r10 rotation (40-entry
+# r06-stale block + 4 star-contraction-changed entries + the 3 r10
+# additions dsir_select/mg_summary/dup_substring_rate, none of which
+# have ANY official green row yet) never took effect officially, so
+# re-submitting the same debt-retirement window is the contract-correct
+# move (tests/test_driver_contract.py::
+# test_registry_tail_entries_have_prior_green_rows would fail on any
+# window that pushes the three never-green r10 additions to the tail).
+# The only change vs r10: new r11 entries take the three r07-fill
+# slots (time_resample, runtime_filter_join, token_pmi return to the
+# r07 queue, which remains the r12 rotation queue: zorder_stats,
+# weighted_sample, cdc_incremental_agg, time_resample,
+# runtime_filter_join, token_pmi, match_fuzzy, ..., ann_lsh_topk; then
+# the r08 block, then r09, then the r10/r11-green window).
+_R11_WINDOW = [
     "j1_match_exact", "s3_filtered_scan", "s9_backfill",
     "x1_dispatch", "dedup_exact", "text_stats",
     "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
@@ -7838,7 +7839,7 @@ _R10_WINDOW = [
 
 # Tail order = rotation-queue priority for future rounds: stalest green
 # round first (r06 remainder, then r07, then r08). Window members are
-# excluded automatically, so editing _R10_WINDOW is the ONLY step a
+# excluded automatically, so editing _R11_WINDOW is the ONLY step a
 # rotation needs.
 _TAIL_FRESHNESS = [
     "j1_match_exact", "s3_filtered_scan", "s9_backfill",
@@ -7910,13 +7911,13 @@ _TAIL_FRESHNESS = [
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the
 # guard against the r8 silent-drop failure mode and must survive
 # ``python -O`` (which strips asserts) (ADVICE r9).
-if len(_R10_WINDOW) != 50:
-    raise RuntimeError(f"window must be exactly 50, got {len(_R10_WINDOW)}")
-if len(set(_R10_WINDOW)) != 50:
+if len(_R11_WINDOW) != 50:
+    raise RuntimeError(f"window must be exactly 50, got {len(_R11_WINDOW)}")
+if len(set(_R11_WINDOW)) != 50:
     raise RuntimeError("duplicate name in window")
-_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R10_WINDOW)]
+_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R11_WINDOW)]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    n: _REGISTRY_DEF[n] for n in (*_R10_WINDOW, *_tail)
+    n: _REGISTRY_DEF[n] for n in (*_R11_WINDOW, *_tail)
 }
 if set(REGISTRY) != set(_REGISTRY_DEF):
     raise RuntimeError(
