@@ -1419,3 +1419,110 @@ def substring_dup_rate(docs: DataFrame, n: int = 8) -> DataFrame:
             .alias("dup_rate_permille"),
         )
     )
+
+
+def substring_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Exact-substring deduplication — the REMOVAL transformation of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022, their ExactSubstr pass): wherever an n-gram
+    occurs more than once in the corpus, every occurrence except one
+    canonical one is deleted, leaving a single copy of each duplicated
+    span. ``substring_dup_rate`` above MEASURES the duplication; this
+    operator removes it (the paper's actual training-data treatment).
+
+    Deterministic semantics (both engines, bit-identical):
+
+    - tokens = lowercased whitespace split, empties dropped (the shared
+      ``text.tokens`` normalization — the output text is therefore the
+      NORMALIZED-token reconstruction, not the raw string);
+    - for each gram string that occurs > 1 time corpus-wide, the
+      canonical occurrence is the (doc_id, position)-lexicographic
+      minimum ("keep the first occurrence"); all other occurrences
+      contribute their [i, i+n) span to the doc's removal set;
+    - removed positions are the distinct union of those spans (a
+      position inside BOTH a canonical and a removed span is removed —
+      span-union removal, the same union rule the rate metric uses);
+    - kept_text = the surviving tokens in original order, space-joined.
+
+    Scale shape: identical to ``substring_dup_rate`` — one map-side-
+    combined aggregation over gram strings (min(struct(doc_id, i)) and
+    count are both algebraic, so the canonical-occurrence choice needs
+    no window and no second pass), one gram-keyed equi-join (wide key
+    space, no hot key), then per-doc array ops. The per-doc removal
+    array is bounded by the doc's own token count. At 100 TB the gram
+    aggregation IS the published cost (the paper spends a suffix-array
+    cluster job on it); shard the corpus and union if one job's shuffle
+    is too large — min/count merge across shards exactly.
+
+    Returns (doc_id, n_tokens, removed_tokens, kept_tokens, kept_text)
+    for EVERY doc.
+    """
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    toked = docs.select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
+    )
+    grams = (
+        toked.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n} + 1),"
+                    f" i -> struct(i AS i, concat_ws(' ', slice(t, i, {n})) AS g))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.i", "x.g")
+    )
+    canon = (
+        grams.groupBy("g")
+        .agg(
+            F.min(F.struct("doc_id", "i")).alias("can"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("g", F.col("can.doc_id").alias("c_doc"), F.col("can.i").alias("c_i"))
+    )
+    removed = (
+        grams.join(canon, "g")
+        .filter(~((F.col("doc_id") == F.col("c_doc")) & (F.col("i") == F.col("c_i"))))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("rp"))
+    )
+    return (
+        toked.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.when(F.col("rp").isNull(), F.lit(0))
+            .otherwise(F.size("rp"))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.when(F.col("rp").isNull(), F.size("t"))
+            .otherwise(F.size("t") - F.size("rp"))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.when(
+                F.col("rp").isNull(), F.concat_ws(" ", F.col("t"))
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        F.col("t"),
+                        lambda x, idx: ~F.array_contains(
+                            F.col("rp"), idx + F.lit(1)
+                        ),
+                    ),
+                )
+            )
+            .alias("kept_text"),
+        )
+    )

@@ -4086,6 +4086,74 @@ FROM toked t LEFT JOIN per p ON t.doc_id = p.doc_id
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. (ACL 2022) ExactSubstr REMOVAL — the treatment whose
+    magnitude `dup_substring_rate` measures: every non-canonical
+    occurrence of a corpus-duplicated 8-gram is deleted (canonical =
+    first by (doc_id, position)), and the surviving tokens are
+    reconstructed per document. Exact string grams, distinct-position
+    span union, deterministic canonical choice — full hash oracle incl.
+    the reconstructed text. Design + 100 TB note in
+    operators/dedup.py::substring_dedup."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(load_table(spark, sf_dir, "documents"), n=8)
+
+
+def _substring_dedup_oracle(n: int = 8) -> str:
+    """DuckDB twin of dedup.substring_dedup: same tokenization and
+    1-based grams as the dup-rate oracle; canonical occurrence via
+    row_number over (doc_id, i) per gram; kept_text re-assembled with
+    an ordered string_agg over surviving positions."""
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS g
+  FROM toked, unnest(range(1, len(t) - {n} + 2)) AS r(i)
+  WHERE len(t) >= {n}
+),
+occ AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+         count(*) OVER (PARTITION BY g) AS cnt
+  FROM grams
+),
+rem_pos AS (
+  SELECT DISTINCT o.doc_id, p.pos
+  FROM occ o, unnest(range(o.i, o.i + {n})) AS p(pos)
+  WHERE o.cnt > 1 AND o.rn > 1
+),
+tok_pos AS (
+  SELECT doc_id, pos, t[pos] AS tok
+  FROM toked, unnest(range(1, len(t) + 1)) AS p(pos)
+),
+kept AS (
+  SELECT tp.doc_id,
+         CAST(count(r.pos) AS BIGINT) AS removed_tokens,
+         coalesce(
+           string_agg(tok, ' ' ORDER BY tp.pos)
+             FILTER (WHERE r.pos IS NULL),
+           '') AS kept_text
+  FROM tok_pos tp
+  LEFT JOIN rem_pos r ON tp.doc_id = r.doc_id AND tp.pos = r.pos
+  GROUP BY tp.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(t.t) - coalesce(k.removed_tokens, 0) AS BIGINT)
+         AS kept_tokens,
+       coalesce(k.kept_text, '') AS kept_text
+FROM toked t LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
+
+
 def q_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitters summary over document terms (capacity
     32) — the DETERMINISTIC member of the sketch family next to the
@@ -7600,6 +7668,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "dsir_select": (q_dsir_select, _dsir_oracle()),
     "mg_summary": (q_mg_summary, _mg_summary_oracle()),
     "dup_substring_rate": (q_dup_substring_rate, _dup_substring_rate_oracle()),
+    # --- NEW in r11 (took the time_resample fill slot) ------------------
+    "substring_dedup": (q_substring_dedup, _substring_dedup_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -7832,7 +7902,7 @@ _R11_WINDOW = [
     "text_quality", "text_fingerprint", "text_top_terms",
     "text_winnow", "text_chunks", "text_scrub",
     "decontaminate_bloom", "graph_components", "dedup_clusters_star",
-    "embed_dedup_clusters", "dedup_canonicalize", "time_resample",
+    "embed_dedup_clusters", "dedup_canonicalize", "substring_dedup",
     "runtime_filter_join", "token_pmi", "dup_substring_rate",
     "mg_summary", "dsir_select",
 ]
@@ -7906,6 +7976,7 @@ _TAIL_FRESHNESS = [
     "dsir_select",
     "mg_summary",
     "dup_substring_rate",
+    "substring_dedup",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

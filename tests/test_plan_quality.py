@@ -1043,3 +1043,15 @@ def test_no_cartesian_product_in_any_registry_query(registry_plans):
             offenders.append(f"{name}: {plan[:80]}" if "FAILED" in plan
                              else name)
     assert not offenders, offenders
+
+
+def test_substring_dedup_aggregates_map_side(spark, registry_plans):
+    """ExactSubstr removal must pick the canonical occurrence inside the
+    ONE gram-count aggregation (min(struct) + count are both algebraic
+    → partial-combined map-side, no per-gram window over the corpus),
+    and the removal join must stay a gram-keyed equi-join."""
+    plan = registry_plans["substring_dedup"]
+    assert "partial_count" in plan
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -3789,3 +3789,74 @@ def test_substring_dup_rate_matches_reference(spark, doc_toks, n):
         for r in substring_dup_rate(df, n=n).collect()
     )
     assert got == _dup_rate_ref(docs, n)
+
+
+# ---------------------------------------------------------------------------
+# substring dedup (ExactSubstr removal) vs an exact reference
+# ---------------------------------------------------------------------------
+
+
+def _substring_dedup_ref(docs, n):
+    """Pure-Python twin of dedup.substring_dedup: corpus n-gram counts,
+    canonical occurrence = (doc_id, i)-lexicographic min, per-doc union
+    of the NON-canonical occurrences' [i, i+n) spans removed."""
+    from collections import defaultdict
+
+    occs = defaultdict(list)
+    per_doc = {}
+    for did, toks in docs:
+        toks = [t for t in toks if t != ""]
+        per_doc[did] = toks
+        for i in range(len(toks) - n + 1):
+            occs[" ".join(toks[i : i + n])].append((did, i))
+    removed = defaultdict(set)
+    for g, os_ in occs.items():
+        if len(os_) > 1:
+            canon = min(os_)
+            for did, i in os_:
+                if (did, i) != canon:
+                    removed[did].update(range(i, i + n))
+    out = []
+    for did, toks in per_doc.items():
+        rm = removed[did]
+        kept = [t for i, t in enumerate(toks) if i not in rm]
+        out.append((did, len(toks), len(rm), len(kept), " ".join(kept)))
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=9),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_substring_dedup_matches_reference(spark, doc_toks, n):
+    """substring_dedup == the exact removal reference on random tiny
+    corpora — the 3-symbol alphabet makes duplicated grams dense, so
+    within-doc repeats, cross-doc repeats and overlapping removal spans
+    all occur; the reconstruction (kept_text) is compared verbatim."""
+    from tepsonic_database_sync_spark.operators.dedup import substring_dedup
+
+    docs = [(i + 1, toks) for i, toks in enumerate(doc_toks)]
+    df = spark.createDataFrame(
+        [(did, " ".join(toks)) for did, toks in docs],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (
+            r["doc_id"],
+            r["n_tokens"],
+            r["removed_tokens"],
+            r["kept_tokens"],
+            r["kept_text"],
+        )
+        for r in substring_dedup(df, n=n).collect()
+    )
+    assert got == _substring_dedup_ref(docs, n)
