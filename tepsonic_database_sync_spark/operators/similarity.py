@@ -750,3 +750,133 @@ def embed_outliers(emb: DataFrame, k: int = EMBOUT_TOPK) -> DataFrame:
         d2.withColumn("out_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("out_rank") <= k)
     )
+
+
+SEMDEDUP_EPS_E6 = 990000
+
+
+def semdedup(
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    iters: int = 2,
+    eps_e6: int = SEMDEDUP_EPS_E6,
+) -> DataFrame:
+    """SemDeDup — semantic deduplication via cluster-blocked embedding
+    cosine (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): k-means-cluster
+    the embeddings, compare pairs ONLY within a cluster, and inside
+    each near-duplicate relation keep the example with the LOWEST
+    cosine similarity to its cluster centroid (the paper's keep rule —
+    the retained point is the most "extreme" member, preserving
+    coverage of the cluster boundary).
+
+    Engine-exact composition of this module's pieces:
+
+    - coarse partition: ``kmeans_train`` (integer Lloyd, ``iters``
+      rounds — the coarse blocking needs no convergence) →
+      ``codebook_from_kmeans`` → broadcast assignment by
+      ``sim_e6_sep`` cosine, ties to the lower cent_id;
+    - within-cluster pairs: equi-join on cent_id (the paper's whole
+      point — cost is Σ|cluster|², never corpus²), pair cosine via the
+      product-form ``sim_e6``;
+    - removal rule, fully deterministic: x is a duplicate iff some
+      same-cluster y with pair-sim ≥ ``eps_e6`` has (cent_sim(y),
+      y_id) < (cent_sim(x), x_id) lexicographically — i.e. each
+      near-dup group survives through its farthest-from-centroid
+      member, exact ties through the lowest vec_id.
+
+    100 TB shape: the codebook is driver-tiny and broadcast (k·d
+    longs); the only corpus shuffle is the cent_id-keyed self-join.
+    Cluster skew is the known failure mode — the paper caps cluster
+    population; here AQE's skew split handles moderate imbalance, and
+    the cap (resample oversized cells into sub-cells with one more
+    Lloyd round) is the documented escalation.
+
+    Returns (vec_id, cent_id, cent_sim_e6, is_dup∈{0,1}) for every
+    input vector.
+    """
+    v = _quantized(emb)
+    book = codebook_from_kmeans(
+        kmeans_train(emb, n_cells=n_cells, iters=iters)
+    ).select(
+        "cent_id",
+        F.col("c_iv").alias("c_mil"),
+        F.col("c_n2").alias("c_n2"),
+    )
+    scored = v.join(F.broadcast(book)).select(
+        "vec_id",
+        "iv",
+        "n2",
+        "cent_id",
+        sim_e6_sep(
+            int_dot(F.col("iv"), F.col("c_mil")), F.col("n2"), F.col("c_n2")
+        ).alias("cent_sim_e6"),
+    )
+    # argmax centroid per vector as ONE map-side-combined aggregation
+    # (max over struct(sim, -cent_id) == row_number ORDER BY sim DESC,
+    # cent_id — the k candidate rows per vector collapse map-side, so
+    # the shuffle moves one row per vector, not k), then a LAZY local
+    # checkpoint: the removal step consumes `assign` three times (pair
+    # side a, pair side b, final re-attach) and without the cut Spark
+    # would re-scan and re-assign the corpus three times.
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cent_sim_e6"),
+                    (-F.col("cent_id")).alias("neg_cent"),
+                    F.col("cent_id"),
+                    F.col("iv"),
+                    F.col("n2"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cent_id").alias("cent_id"),
+            F.col("m.iv").alias("iv"),
+            F.col("m.n2").alias("n2"),
+            F.col("m.cent_sim_e6").alias("cent_sim_e6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = assign.select(
+        F.col("vec_id").alias("a_id"),
+        "cent_id",
+        F.col("iv").alias("a_iv"),
+        F.col("n2").alias("a_n2"),
+        F.col("cent_sim_e6").alias("a_cs"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("b_id"),
+        "cent_id",
+        F.col("iv").alias("b_iv"),
+        F.col("n2").alias("b_n2"),
+        F.col("cent_sim_e6").alias("b_cs"),
+    )
+    removed = (
+        a.join(b, "cent_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(
+            (F.col("b_cs") < F.col("a_cs"))
+            | ((F.col("b_cs") == F.col("a_cs")) & (F.col("b_id") < F.col("a_id")))
+        )
+        .filter(
+            sim_e6(
+                int_dot(F.col("a_iv"), F.col("b_iv")),
+                F.col("a_n2"),
+                F.col("b_n2"),
+            )
+            >= eps_e6
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1).cast("long"))
+    )
+    return assign.join(removed, "vec_id", "left").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cent_id").cast("long").alias("cent_id"),
+        F.col("cent_sim_e6").cast("long").alias("cent_sim_e6"),
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("is_dup"),
+    )

@@ -4154,6 +4154,113 @@ FROM toked t LEFT JOIN kept k ON t.doc_id = k.doc_id
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-blocked embedding-cosine
+    dedup — cluster, compare only within a cluster, keep each near-dup
+    group's farthest-from-centroid member. Runs over the corpus with an
+    id-shifted copy (known true dups, the embed_neardup convention), so
+    every original survives and every copy is flagged unless a natural
+    near-dup outranks it. Integer Lloyd rounds + micro-unit cosines →
+    full hash oracle. Design + skew note in
+    operators/similarity.py::semdedup."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    copy = emb.select(
+        (F.col("vec_id") + 10000000).alias("vec_id"), "label", "embedding"
+    )
+    return semdedup(emb.unionByName(copy), n_cells=16, iters=2)
+
+
+def _semdedup_oracle(
+    n_cells: int = 16, iters: int = 2, eps_e6: int = 990000
+) -> str:
+    """DuckDB twin of similarity.semdedup over the copy-augmented
+    corpus: the same fixed Lloyd rounds unrolled (kmeans-oracle
+    pattern over the union corpus), final broadcast assignment, within-
+    cluster pair filter and the keep-lowest-(cent_sim, id) rule."""
+    union = """u AS (
+  SELECT vec_id, label, iv, n2 FROM v
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, label, iv, n2 FROM v
+)"""
+    parts = [
+        union,
+        f"""c0 AS (
+  SELECT vec_id AS cent_id, list_transform(iv, x -> x * 1000) AS c_mil
+  FROM u WHERE vec_id < {n_cells}
+)""",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sim = _D_SIM_SEP.format(
+            dot=_D_IDOT.format(a="u.iv", b="c.c_mil"), na2="u.n2", nb2="c.c_n2"
+        )
+        parts += [
+            f"""cn{t} AS (
+  SELECT cent_id, c_mil, {_D_IDOT.format(a="c_mil", b="c_mil")} AS c_n2
+  FROM {prev}
+)""",
+            f"""a{t} AS (
+  SELECT vec_id, iv, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS rn
+  FROM (SELECT u.vec_id, u.iv, c.cent_id, {sim} AS sim
+        FROM u CROSS JOIN cn{t} c)
+)""",
+            f"""g{t} AS (
+  SELECT cent_id, t.i - 1 AS dim, sum(iv[t.i]) AS s, count(*) AS n
+  FROM a{t}, unnest(range(1, len(iv) + 1)) AS t(i)
+  WHERE rn = 1 GROUP BY cent_id, t.i
+)""",
+            f"""c{t} AS (
+  SELECT cent_id, list((1000 * s) // n ORDER BY dim) AS c_mil
+  FROM g{t} GROUP BY cent_id
+)""",
+        ]
+        prev = f"c{t}"
+    fsim = _D_SIM_SEP.format(
+        dot=_D_IDOT.format(a="u.iv", b="c.c_mil"), na2="u.n2", nb2="c.c_n2"
+    )
+    psim = _D_SIM.format(
+        dot=_D_IDOT.format(a="a.iv", b="b.iv"), na2="a.n2", nb2="b.n2"
+    )
+    parts += [
+        f"""cnf AS (
+  SELECT cent_id, c_mil, {_D_IDOT.format(a="c_mil", b="c_mil")} AS c_n2
+  FROM {prev}
+)""",
+        f"""asg AS (
+  SELECT vec_id, iv, n2, cent_id, sim AS cent_sim_e6,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS rn
+  FROM (SELECT u.vec_id, u.iv, u.n2, c.cent_id, {fsim} AS sim
+        FROM u CROSS JOIN cnf c)
+)""",
+        """af AS (SELECT * FROM asg WHERE rn = 1)""",
+        f"""rem AS (
+  SELECT DISTINCT a.vec_id
+  FROM af a JOIN af b
+    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+  WHERE (b.cent_sim_e6 < a.cent_sim_e6
+         OR (b.cent_sim_e6 = a.cent_sim_e6 AND b.vec_id < a.vec_id))
+    AND {psim} >= {eps_e6}
+)""",
+    ]
+    body = ",\n".join([_D_QUANT] + parts)
+    return f"""WITH {body}
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.cent_id AS BIGINT) AS cent_id,
+       CAST(a.cent_sim_e6 AS BIGINT) AS cent_sim_e6,
+       CAST(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_dup
+FROM af a LEFT JOIN rem r ON a.vec_id = r.vec_id
+"""
+
+
 def q_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitters summary over document terms (capacity
     32) — the DETERMINISTIC member of the sketch family next to the
@@ -7670,6 +7777,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "dup_substring_rate": (q_dup_substring_rate, _dup_substring_rate_oracle()),
     # --- NEW in r11 (took the time_resample fill slot) ------------------
     "substring_dedup": (q_substring_dedup, _substring_dedup_oracle()),
+    # --- NEW in r11 (took the runtime_filter_join fill slot) ------------
+    "semdedup": (q_semdedup, _semdedup_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -7903,7 +8012,7 @@ _R11_WINDOW = [
     "text_winnow", "text_chunks", "text_scrub",
     "decontaminate_bloom", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "substring_dedup",
-    "runtime_filter_join", "token_pmi", "dup_substring_rate",
+    "semdedup", "token_pmi", "dup_substring_rate",
     "mg_summary", "dsir_select",
 ]
 
@@ -7977,6 +8086,7 @@ _TAIL_FRESHNESS = [
     "mg_summary",
     "dup_substring_rate",
     "substring_dedup",
+    "semdedup",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

@@ -1055,3 +1055,26 @@ def test_substring_dedup_aggregates_map_side(spark, registry_plans):
     assert "partial_min" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_are_cluster_equijoin(spark, registry_plans):
+    """SemDeDup's whole point is cluster-blocked comparison: the pair
+    step must be a cent_id-keyed equi-join over the (checkpointed)
+    assignment — never a corpus×corpus product — and the final flag
+    re-attach joins on vec_id. The assignment subtree sits behind a
+    lazy localCheckpoint (it is consumed three times), so the visible
+    plan must contain NO nested-loop join at all."""
+    import re
+
+    plan = registry_plans["semdedup"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = [
+        m.group(1)
+        for m in re.finditer(
+            r"(?:SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan
+        )
+    ]
+    assert keys, "expected equi-joins in the removal step"
+    for k in keys:
+        assert k.startswith("cent_id#") or k.startswith("vec_id#"), k

@@ -3860,3 +3860,101 @@ def test_substring_dedup_matches_reference(spark, doc_toks, n):
         for r in substring_dedup(df, n=n).collect()
     )
     assert got == _substring_dedup_ref(docs, n)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup vs an exact integer reference
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_ref(vecs, n_cells, iters, eps):
+    """Pure-Python twin of similarity.semdedup: integer Lloyd rounds
+    (lowest-id seed, sim_e6_sep doubles, min-cent_id ties, truncating
+    fixed-point means), final argmax assignment, then the
+    keep-lowest-(cent_sim, id) removal rule with product-form pair
+    cosine."""
+    import math
+
+    def half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def sim_sep(d, na2, nb2):
+        return half_up(d / math.sqrt(na2) / math.sqrt(nb2) * 1e6)
+
+    def sim_prod(d, na2, nb2):
+        return half_up(d / math.sqrt(na2 * nb2) * 1e6)
+
+    ivs = dict(enumerate(vecs))
+    n2 = {i: dot(v, v) for i, v in ivs.items()}
+    cents = {c: [x * 1000 for x in ivs[c]] for c in ivs if c < n_cells}
+    for _ in range(iters):
+        cn2 = {c: dot(m, m) for c, m in cents.items()}
+        members = {}
+        for i, v in ivs.items():
+            _, negc = max(
+                (sim_sep(dot(v, cents[c]), n2[i], cn2[c]), -c) for c in cents
+            )
+            members.setdefault(-negc, []).append(i)
+        cents = {
+            c: [
+                (1000 * sum(ivs[i][d] for i in mem)) // len(mem)
+                for d in range(len(vecs[0]))
+            ]
+            for c, mem in members.items()
+        }
+    cn2 = {c: dot(m, m) for c, m in cents.items()}
+    assign = {}
+    for i, v in ivs.items():
+        s, negc = max(
+            (sim_sep(dot(v, cents[c]), n2[i], cn2[c]), -c) for c in cents
+        )
+        assign[i] = (-negc, s)
+    out = []
+    for i, (ci, si) in assign.items():
+        dup = 0
+        for j, (cj, sj) in assign.items():
+            if j == i or cj != ci:
+                continue
+            if (sj, j) < (si, i) and sim_prod(
+                dot(ivs[i], ivs[j]), n2[i], n2[j]
+            ) >= eps:
+                dup = 1
+                break
+        out.append((i, ci, si, dup))
+    return sorted(out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=4, max_size=4),
+        min_size=3,
+        max_size=8,
+    ),
+    n_cells=st.sampled_from([2, 3]),
+    eps=st.sampled_from([900000, 990000, 1000000]),
+)
+def test_semdedup_matches_integer_reference(spark, vecs, n_cells, eps):
+    """semdedup == the exact integer reference for ANY positive vector
+    set: Lloyd blocking, argmax-by-struct assignment (ties to the lower
+    cent_id), and the keep-lowest-(cent_sim, id) removal rule. The
+    4-dim 1..9 vectors make high-cosine pairs dense at every eps tier;
+    duplicate vectors in the list exercise the exact-tie id rule."""
+    from tepsonic_database_sync_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, 0, [x / 1000 for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    got = sorted(
+        (r["vec_id"], r["cent_id"], r["cent_sim_e6"], r["is_dup"])
+        for r in semdedup(emb, n_cells=n_cells, iters=2, eps_e6=eps).collect()
+    )
+    assert got == _semdedup_ref(vecs, n_cells, 2, eps)
