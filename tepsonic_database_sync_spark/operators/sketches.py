@@ -366,3 +366,144 @@ def mg_merge(
         .agg(F.sum("est_cnt").cast("long").alias("cnt"))
     )
     return _mg_compress(u, key_col, capacity)
+
+
+KMV_K = 64
+KMV_SPACE = float(1 << 60)  # h60 hash space as an exact double (2^60)
+
+
+def kmv_summary(items: DataFrame, set_col: str, value_col: str, k: int = KMV_K) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count summary per set
+    — Bar-Yossef et al. (RANDOM 2002); the mergeable bottom-k form and
+    the multi-set estimators follow Beyer et al., "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations" (SIGMOD 2007)
+    — the deterministic-given-h60 member of the cardinality family next
+    to the register-based HLL (`hll_register_table`): the summary
+    CONTENT is the k smallest distinct h60 hash values, so it is
+    hash-exact and fully oracle-checkable, and two summaries merge by
+    "union then keep k smallest" (the theta-sketch mechanic).
+
+    Estimator, integer-deterministic in both engines: if the set holds
+    fewer than k distinct values the summary IS the set (est = size,
+    exact); otherwise est = ROUND((k-1) / h_(k) · 2^60) through the
+    shared correctly-rounded double pipeline (h_(k) = k-th smallest
+    hash; both engines evaluate the identical expression tree, so the
+    bits match even though h_(k) exceeds 2^53).
+
+    100 TB shape — the two-level tournament, never a per-set global
+    sort: after the distinct on (set, hash) (wide keys, map-side
+    partial), each of 64 hash-derived sub-buckets keeps its own k
+    smallest (collect_list is bounded by the bucket's distinct count;
+    the SORT is per-bucket), then the per-set merge sorts ≤ 64·k
+    values. The set key alone is never a shuffle key for the raw
+    stream, so two sets ≠ two reducers.
+
+    Returns (``set_col``, kmv array<long>, n_kept, kth_hash, est).
+    """
+    from tepsonic_database_sync_spark.functions.hashing import h60
+
+    d = items.select(
+        F.col(set_col), h60(F.col(value_col).cast("string")).alias("h")
+    ).distinct()
+    lvl1 = (
+        d.groupBy(set_col, (F.col("h") % 64).alias("__b"))
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs"))
+    )
+    lvl2 = (
+        lvl1.select(set_col, F.explode("hs").alias("h"))
+        .groupBy(set_col)
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("kmv"))
+    )
+    return lvl2.select(
+        set_col,
+        "kmv",
+        F.size("kmv").cast("long").alias("n_kept"),
+        F.element_at("kmv", F.size("kmv")).cast("long").alias("kth_hash"),
+        kmv_estimate(F.col("kmv"), k).alias("est"),
+    )
+
+
+def kmv_estimate(kmv: Column, k: int = KMV_K) -> Column:
+    """The KMV cardinality estimate from a bottom-k array (see
+    ``kmv_summary`` for the exact integer/double contract)."""
+    return (
+        F.when(F.size(kmv) < k, F.size(kmv).cast("long"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                / F.element_at(kmv, k).cast("double")
+                * F.lit(KMV_SPACE),
+                0,
+            ).cast("long")
+        )
+    )
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Distinct-count set algebra over two KMV summaries (Beyer et al.
+    2007): merge = k smallest of the union of the two bottom-k arrays;
+    intersection via the ρ/k fraction of the merged summary present in
+    BOTH inputs, scaled by the union estimate ((ρ · est_union) DIV k —
+    exact ρ itself when the merged summary holds the whole union).
+    Everything happens on two single-row frames (array ops on ≤ 2k
+    longs) — the corpus is never touched again.
+
+    Returns 4 rows: (set_key ∈ {a, b, union, intersect}, n_kept,
+    kth_hash, est).
+    """
+    ja = a.select(
+        F.col("kmv").alias("kmv_a"),
+        F.col("n_kept").alias("n_a"),
+        F.col("kth_hash").alias("kth_a"),
+        F.col("est").alias("est_a"),
+    )
+    jb = b.select(
+        F.col("kmv").alias("kmv_b"),
+        F.col("n_kept").alias("n_b"),
+        F.col("kth_hash").alias("kth_b"),
+        F.col("est").alias("est_b"),
+    )
+    j = ja.join(F.broadcast(jb))  # 1 row × 1 row
+    u = F.slice(F.array_sort(F.array_union(F.col("kmv_a"), F.col("kmv_b"))), 1, k)
+    j = j.withColumn("kmv_u", u).withColumn(
+        "rho",
+        F.size(
+            F.filter(
+                F.col("kmv_u"),
+                lambda x: F.array_contains(F.col("kmv_a"), x)
+                & F.array_contains(F.col("kmv_b"), x),
+            )
+        ).cast("long"),
+    ).withColumn("est_u", kmv_estimate(F.col("kmv_u"), k))
+    rows = F.array(
+        F.struct(
+            F.lit("a").alias("set_key"),
+            F.col("n_a").alias("n_kept"),
+            F.col("kth_a").alias("kth_hash"),
+            F.col("est_a").alias("est"),
+        ),
+        F.struct(
+            F.lit("b").alias("set_key"),
+            F.col("n_b").alias("n_kept"),
+            F.col("kth_b").alias("kth_hash"),
+            F.col("est_b").alias("est"),
+        ),
+        F.struct(
+            F.lit("union").alias("set_key"),
+            F.size("kmv_u").cast("long").alias("n_kept"),
+            F.element_at("kmv_u", F.size("kmv_u")).cast("long").alias("kth_hash"),
+            F.col("est_u").alias("est"),
+        ),
+        F.struct(
+            F.lit("intersect").alias("set_key"),
+            F.col("rho").alias("n_kept"),
+            F.element_at("kmv_u", F.size("kmv_u")).cast("long").alias("kth_hash"),
+            F.when(F.size("kmv_u") < k, F.col("rho"))
+            .otherwise(F.expr(f"(rho * est_u) DIV {k}"))
+            .cast("long")
+            .alias("est"),
+        ),
+    )
+    return j.select(F.explode(rows).alias("r")).select(
+        "r.set_key", "r.n_kept", "r.kth_hash", "r.est"
+    )

@@ -4154,6 +4154,112 @@ FROM toked t LEFT JOIN kept k ON t.doc_id = k.doc_id
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch with multiset estimators
+    (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007): bottom-64
+    summaries of the distinct-term sets of the even- and odd-doc_id
+    corpus halves, merged for a union estimate and intersected via the
+    ρ/k rule — the deterministic-given-h60 cardinality sketch next to
+    HLL's register table, so summary CONTENT and estimates are both
+    hash-oracle-checked. Tournament build + 100 TB note in
+    operators/sketches.py::kmv_summary."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sketches import (
+        kmv_set_ops,
+        kmv_summary,
+    )
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # distinct TRIGRAMS (the corpus vocabulary is only ~31 words, which
+    # is below k — unigrams would leave the estimator path dead; the
+    # trigram space is thousands of values, so both the (k-1)/h_(k)
+    # estimator and a non-trivial intersection actually execute)
+    toked = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
+    )
+    terms = toked.filter(F.size("t") >= 3).select(
+        "half",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', slice(t, i, 3)))"
+            )
+        ).alias("term"),
+    )
+    km = kmv_summary(terms, "half", "term", k=64)
+    return kmv_set_ops(
+        km.filter(F.col("half") == 0), km.filter(F.col("half") == 1), k=64
+    )
+
+
+def _kmv_distinct_oracle(k: int = 64) -> str:
+    """DuckDB twin of sketches.kmv_summary + kmv_set_ops over the two
+    corpus halves: bottom-k of the distinct h60 term hashes, the same
+    (k-1)/h_(k)·2^60 double pipeline, union-merge and the ρ/k
+    intersection rule."""
+    from tepsonic_database_sync_spark.functions.hashing import h60_sql
+
+    def est(kmv: str) -> str:
+        return (
+            f"CASE WHEN len({kmv}) < {k} THEN CAST(len({kmv}) AS BIGINT) "
+            f"ELSE CAST(ROUND(CAST({k - 1} AS DOUBLE)"
+            f" / CAST({kmv}[{k}] AS DOUBLE)"
+            f" * 1152921504606846976.0, 0) AS BIGINT) END"
+        )
+
+    return f"""
+WITH toked AS (
+  SELECT doc_id % 2 AS half,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT DISTINCT half, {h60_sql("term")} AS h
+  FROM (SELECT half,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS term
+        FROM toked, unnest(range(1, len(t) - 1)) AS r(i)
+        WHERE len(t) >= 3)
+),
+km AS (
+  SELECT half, list_slice(list(h ORDER BY h), 1, {k}) AS kmv
+  FROM occ GROUP BY half
+),
+j AS (
+  SELECT a.kmv AS kmv_a, b.kmv AS kmv_b,
+         list_slice(list_sort(list_distinct(list_concat(a.kmv, b.kmv))),
+                    1, {k}) AS kmv_u
+  FROM (SELECT kmv FROM km WHERE half = 0) a,
+       (SELECT kmv FROM km WHERE half = 1) b
+),
+j2 AS (
+  SELECT *,
+         len(list_filter(kmv_u,
+             x -> list_contains(kmv_a, x) AND list_contains(kmv_b, x)))
+           AS rho,
+         {est("kmv_u")} AS est_u
+  FROM j
+)
+SELECT 'a' AS set_key, CAST(len(kmv_a) AS BIGINT) AS n_kept,
+       CAST(kmv_a[len(kmv_a)] AS BIGINT) AS kth_hash,
+       {est("kmv_a")} AS est FROM j2
+UNION ALL
+SELECT 'b', CAST(len(kmv_b) AS BIGINT),
+       CAST(kmv_b[len(kmv_b)] AS BIGINT), {est("kmv_b")} FROM j2
+UNION ALL
+SELECT 'union', CAST(len(kmv_u) AS BIGINT),
+       CAST(kmv_u[len(kmv_u)] AS BIGINT), est_u FROM j2
+UNION ALL
+SELECT 'intersect', CAST(rho AS BIGINT),
+       CAST(kmv_u[len(kmv_u)] AS BIGINT),
+       CASE WHEN len(kmv_u) < {k} THEN CAST(rho AS BIGINT)
+            ELSE CAST((rho * est_u) // {k} AS BIGINT) END
+FROM j2
+"""
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-blocked embedding-cosine
     dedup — cluster, compare only within a cluster, keep each near-dup
@@ -7779,6 +7885,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "substring_dedup": (q_substring_dedup, _substring_dedup_oracle()),
     # --- NEW in r11 (took the runtime_filter_join fill slot) ------------
     "semdedup": (q_semdedup, _semdedup_oracle()),
+    # --- NEW in r11 (took the token_pmi fill slot) ----------------------
+    "kmv_distinct": (q_kmv_distinct, _kmv_distinct_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -8012,7 +8120,7 @@ _R11_WINDOW = [
     "text_winnow", "text_chunks", "text_scrub",
     "decontaminate_bloom", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "substring_dedup",
-    "semdedup", "token_pmi", "dup_substring_rate",
+    "semdedup", "kmv_distinct", "dup_substring_rate",
     "mg_summary", "dsir_select",
 ]
 
@@ -8087,6 +8195,7 @@ _TAIL_FRESHNESS = [
     "dup_substring_rate",
     "substring_dedup",
     "semdedup",
+    "kmv_distinct",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

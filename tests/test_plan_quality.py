@@ -1078,3 +1078,16 @@ def test_semdedup_pairs_are_cluster_equijoin(spark, registry_plans):
     assert keys, "expected equi-joins in the removal step"
     for k in keys:
         assert k.startswith("cent_id#") or k.startswith("vec_id#"), k
+
+
+def test_kmv_tournament_has_no_per_set_sort_shuffle(spark, registry_plans):
+    """The KMV build must be the two-level tournament: distinct on the
+    wide (set, hash) key with partial aggregation, bounded per-bucket
+    collect_lists — never a global or per-set sort of the hash stream
+    (no SortMergeJoin, no per-set window). The only join is the 1-row
+    summary-vs-summary broadcast (one BNLJ)."""
+    plan = registry_plans["kmv_distinct"]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "partial_" in plan

@@ -3958,3 +3958,75 @@ def test_semdedup_matches_integer_reference(spark, vecs, n_cells, eps):
         for r in semdedup(emb, n_cells=n_cells, iters=2, eps_e6=eps).collect()
     )
     assert got == _semdedup_ref(vecs, n_cells, 2, eps)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch vs an exact reference
+# ---------------------------------------------------------------------------
+
+
+def _kmv_ref(va, vb, k):
+    """Pure-Python twin of sketches.kmv_summary + kmv_set_ops: bottom-k
+    of the distinct h60 hashes per set, the (k-1)/h_(k)·2^60 double
+    pipeline, union-merge, and the ρ/k intersection rule."""
+    import math
+
+    def half_up(x):
+        return math.floor(x + 0.5)
+
+    def est(lst):
+        if len(lst) < k:
+            return len(lst)
+        return half_up((k - 1) / lst[k - 1] * float(1 << 60))
+
+    ha = sorted({_h60_py(x) for x in va})[:k]
+    hb = sorted({_h60_py(x) for x in vb})[:k]
+    u = sorted(set(ha) | set(hb))[:k]
+    sa, sb = set(ha), set(hb)
+    rho = sum(1 for x in u if x in sa and x in sb)
+    eu = est(u)
+    ei = rho if len(u) < k else (rho * eu) // k
+    return sorted(
+        [
+            ("a", len(ha), ha[-1], est(ha)),
+            ("b", len(hb), hb[-1], est(hb)),
+            ("union", len(u), u[-1], eu),
+            ("intersect", rho, u[-1], ei),
+        ]
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    va=st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=10
+    ),
+    vb=st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=10
+    ),
+)
+def test_kmv_matches_reference(spark, va, vb):
+    """kmv_summary + kmv_set_ops == the exact bottom-k reference for
+    ANY two small multisets — k=4 against a 12-symbol alphabet drives
+    both estimator branches (set smaller than k → exact size; ≥ k →
+    the double-pipeline estimate), overlapping and disjoint summaries,
+    and ρ from 0 to k."""
+    from tepsonic_database_sync_spark.operators.sketches import (
+        kmv_set_ops,
+        kmv_summary,
+    )
+
+    rows = [(0, v) for v in va] + [(1, v) for v in vb]
+    items = spark.createDataFrame(rows, "half long, term string")
+    km = kmv_summary(items, "half", "term", k=4)
+    got = sorted(
+        (r["set_key"], r["n_kept"], r["kth_hash"], r["est"])
+        for r in kmv_set_ops(
+            km.filter(km.half == 0), km.filter(km.half == 1), k=4
+        ).collect()
+    )
+    assert got == _kmv_ref(va, vb, 4)
