@@ -1085,3 +1085,72 @@ def mg_topk_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def kmv_merge_applier(store, value_col: str, k: int = 64):
+    """foreachBatch callable behind ``kmv_distinct_stream``: reduce the
+    micro-batch to its own bottom-k of distinct h60 hashes (the
+    ``sketches.kmv_summary`` tournament) and merge into the stored
+    summary by "union, dedup, keep k smallest".
+
+    Fifth point in the streaming-state design space the appliers stake
+    out, and the second CRDT one: like the HLL register max-merge (and
+    unlike Misra-Gries' load-bearing sum), bottom-k union is
+    commutative, associative and IDEMPOTENT — a replayed batch re-unions
+    hashes that are already present (or already displaced by smaller
+    ones), so exactly-once falls out of the algebra and NO marker
+    protocol exists. State is ≤ k rows (h BIGINT), period; the merge
+    sorts ≤ 2k values.
+    """
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.sketches import kmv_summary
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        km = kmv_summary(
+            batch_df.select(F.lit(0).alias("__s"), F.col(value_col)),
+            "__s",
+            value_col,
+            k,
+        )
+        batch_rows = km.select(F.explode("kmv").alias("h"))
+        state = store.read()
+        u = (
+            batch_rows
+            if state is None
+            else state.unionByName(batch_rows).distinct()
+        )
+        merged = u.agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("kmv")
+        ).select(F.explode("kmv").alias("h"))
+        store.overwrite(merged)
+
+    return apply_batch
+
+
+def kmv_distinct_stream(
+    stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    value_col: str,
+    k: int = 64,
+    available_now: bool = True,
+):
+    """Continuously-maintained KMV bottom-k distinct-count summary —
+    the streaming face of ``sketches.kmv_summary``: each micro-batch's
+    bottom-k CRDT-merges into the store, so the running cardinality
+    estimate (``sketches.kmv_estimate`` over the ≤ k stored hashes) is
+    available at any time. Replay-safe by ALGEBRA (idempotent bottom-k
+    union), not by commit protocol — the HLL contrast to Misra-Gries'
+    marker-protected sum; streamed state == the one-shot batch summary
+    EXACTLY (merge is exact at the hash level), pinned in tests."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            kmv_merge_applier(store, value_col, k)
+        ).option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

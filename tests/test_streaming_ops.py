@@ -1637,3 +1637,103 @@ def test_mg_topk_stream_end_to_end(spark, tmp_path):
     q2 = mg_topk_stream(stream2, spark, root, str(tmp_path / "ckpt2"), "k", capacity=3)
     q2.awaitTermination(180)
     assert {r["k"]: r["est_cnt"] for r in mg_read(spark, root).collect()} == got
+
+
+def test_kmv_stream_equals_batch_bottom_k_and_replays_by_algebra(
+    spark, tmp_path
+):
+    """The streamed KMV store after all micro-batches must equal the
+    one-shot batch bottom-k over the full feed EXACTLY (bottom-k union
+    is exact at the hash level, unlike the estimate it feeds), and a
+    full redelivery with a fresh checkpoint must be a no-op purely
+    because the merge is idempotent — no marker protocol exists (the
+    HLL contrast to Misra-Gries' marker-protected sum)."""
+    from pyspark.sql import functions as FF
+
+    from tepsonic_database_sync_spark.operators.sketches import kmv_summary
+    from tepsonic_database_sync_spark.sources.jdbc import ParquetStateStore
+    from tepsonic_database_sync_spark.streaming.ops import kmv_distinct_stream
+
+    schema = "uid long"
+    chunks = [range(0, 400), range(200, 700), range(500, 1000)]
+    src = str(tmp_path / "src")
+    for ch in chunks:
+        spark.createDataFrame([(i,) for i in ch], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = ParquetStateStore(spark, str(tmp_path / "kmv"))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = kmv_distinct_stream(stream, store, str(tmp_path / "ckpt"), "uid", k=16)
+    q.awaitTermination(180)
+
+    batch = kmv_summary(
+        spark.read.parquet(src).select(FF.lit(0).alias("__s"), "uid"),
+        "__s",
+        "uid",
+        k=16,
+    ).collect()
+    want = set(batch[0]["kmv"])
+    assert len(want) == 16  # 1000 distinct uids >> k: estimator regime
+    assert {r["h"] for r in store.read().collect()} == want
+
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = kmv_distinct_stream(stream2, store, str(tmp_path / "ckpt2"), "uid", k=16)
+    q2.awaitTermination(180)
+    assert {r["h"] for r in store.read().collect()} == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+    replay_at=st.integers(min_value=0, max_value=3),
+)
+def test_kmv_applier_batching_and_replay_invariance(
+    spark, tmp_path_factory, batches, replay_at
+):
+    """For ANY partition of the feed into micro-batches, and ANY single
+    batch double-delivered, the applier's final state equals the
+    one-shot bottom-k of the union — the associativity/commutativity/
+    idempotence claim the CRDT design rests on, checked directly at the
+    applier level (no stream machinery)."""
+    from pyspark.sql import functions as FF
+
+    from tepsonic_database_sync_spark.operators.sketches import kmv_summary
+    from tepsonic_database_sync_spark.sources.jdbc import ParquetStateStore
+    from tepsonic_database_sync_spark.streaming.ops import kmv_merge_applier
+
+    store = ParquetStateStore(
+        spark, str(tmp_path_factory.mktemp("kmvprop") / "state")
+    )
+    apply_batch = kmv_merge_applier(store, "uid", k=4)
+    bid = 0
+    for i, ch in enumerate(batches):
+        df = spark.createDataFrame([(v,) for v in ch], "uid long")
+        apply_batch(df, bid)
+        bid += 1
+        if i == replay_at % len(batches):  # double delivery
+            apply_batch(df, bid)
+            bid += 1
+
+    allv = [v for ch in batches for v in ch]
+    want = kmv_summary(
+        spark.createDataFrame([(v,) for v in allv], "uid long").select(
+            FF.lit(0).alias("__s"), "uid"
+        ),
+        "__s",
+        "uid",
+        k=4,
+    ).collect()
+    assert {r["h"] for r in store.read().collect()} == set(want[0]["kmv"])
