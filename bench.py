@@ -188,6 +188,11 @@ HEADLINE = [
     "dsir_select",
     "mg_summary",
     "dup_substring_rate",
+    # r11: ExactSubstr removal, cluster-blocked semantic dedup, and the
+    # KMV bottom-k sketch — tracked from birth
+    "substring_dedup",
+    "semdedup",
+    "kmv_distinct",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -80,11 +80,20 @@ def _doc_ops(docs, factor: int = 1):
         jaccard_pairs_prefix,
         lsh_candidate_pairs,
         minhash_sig_array,
+        substring_dedup,
     )
     from tepsonic_database_sync_spark.operators.text import repetition_stats
 
     def run_repetition():
         repetition_stats(docs).write.format("noop").mode("overwrite").save()
+
+    def run_substring_dedup():
+        # the exact ExactSubstr removal: gram aggregation is the cost;
+        # per-copy token suffixes keep duplication within-copy, so work
+        # should scale ~linearly (no cross-copy gram collisions)
+        substring_dedup(docs, n=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     def run_lsh_clusters():
         pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(
@@ -108,6 +117,7 @@ def _doc_ops(docs, factor: int = 1):
 
     return {
         "text_repetition": run_repetition,
+        "substring_dedup": run_substring_dedup,
         "lsh+star_clusters": run_lsh_clusters,
         "blocking_audit(n≈const)": run_blocking_audit,
     }
