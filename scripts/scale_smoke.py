@@ -428,16 +428,91 @@ def _skew_join_ops(spark, factor: int):
     }
 
 
+
+def amplified_embeddings(spark, factor: int):
+    """embeddings × factor for the SemDeDup scale smoke: vec_ids are
+    INTERLEAVED (orig·factor + copy) so the kmeans lowest-id seed rule
+    draws seeds from every copy, and each copy's vectors get a per-copy
+    CYCLIC DIMENSION ROTATION — cosine is invariant under a permutation
+    applied to both sides, so within-copy geometry (and its near-dup
+    structure) is EXACTLY preserved, while cross-copy pairs compare
+    differently-rotated vectors and land far below the 0.99 threshold.
+    Same construction idea as amplified_docs' per-copy token suffixes:
+    amplify rows, not near-dup structure."""
+    e = load_table(spark, SF, "embeddings")
+    copies = []
+    for i in range(factor):
+        c = e.select(
+            (F.col("vec_id") * factor + F.lit(i)).alias("vec_id"),
+            "label",
+            "embedding",
+        )
+        r = i % 64
+        if r:
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {r + 1}, {64 - r}),"
+                    f" slice(embedding, 1, {r}))"
+                ),
+            )
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _embed_ops(spark, emb, factor: int):
+    """SemDeDup at scale, both cell policies: k ∝ corpus (the documented
+    design rule — cluster population constant, pair cost Σ|cluster|²
+    linear in the corpus) vs k FIXED (the trap — cluster population ∝
+    corpus, pair cost quadratic). The gap between the two curves IS the
+    rule's measured value."""
+    from tepsonic_database_sync_spark.operators.similarity import semdedup
+
+    def run_k_scaled():
+        semdedup(emb, n_cells=16 * factor, iters=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def run_k_fixed():
+        semdedup(emb, n_cells=16, iters=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    return {"semdedup_k∝N": run_k_scaled, "semdedup_k16": run_k_fixed}
+
+
 def main() -> None:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--docs", "--olap", "--graph", "--skew")
+        if a not in ("--docs", "--olap", "--graph", "--skew", "--embed")
     ]
     docs_mode = "--docs" in sys.argv[1:]
+    embed_mode = "--embed" in sys.argv[1:]
     olap_mode = "--olap" in sys.argv[1:]
     graph_mode = "--graph" in sys.argv[1:]
     skew_mode = "--skew" in sys.argv[1:]
+    if embed_mode:
+        factors = [int(a) for a in args] or [1, 2, 4]
+        spark = build_session(app_name="scale_smoke")
+        spark.range(1).count()
+        results: dict[str, list] = {}
+        for f in factors:
+            emb = amplified_embeddings(spark, f).localCheckpoint(eager=True)
+            for name, run in _embed_ops(spark, emb, f).items():
+                t0 = time.time()
+                run()
+                dt = time.time() - t0
+                results.setdefault(name, []).append((f, dt))
+                f0, base = results[name][0]
+                print(
+                    f"{name:18s} factor {f:2d}: {dt:6.2f}s  "
+                    f"vs linear×{f}: {dt/(base*f/f0):.2f}"
+                )
+        return
     if skew_mode:
         factors = [int(a) for a in args] or [1, 2, 4, 8]
         spark = build_session(app_name="scale_smoke")
