@@ -1526,3 +1526,154 @@ def substring_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
             .alias("kept_text"),
         )
     )
+
+
+def _gram_index_merge(state: DataFrame, new: DataFrame) -> DataFrame:
+    u = state.unionByName(new)
+    return (
+        u.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "i")).alias("m"))
+        .select(
+            "fp",
+            F.col("m.doc_id").cast("long").alias("doc_id"),
+            F.col("m.i").cast("long").alias("i"),
+        )
+    )
+
+
+def incremental_substring_dedup(new_docs: DataFrame, store, n: int = 8) -> DataFrame:
+    """``substring_dedup``'s operational form: remove an INCREMENT's
+    duplicated n-gram spans against a persistent gram-fingerprint index
+    (the ``incremental_chunk_dedup`` mechanic at overlapping-gram
+    granularity) — a daily crawl drop loses its duplicated substrings
+    against EVERYTHING already ingested at O(increment) cost, never by
+    re-gramming the corpus.
+
+    Per batch: gram (h60 fingerprint of the gram STRING — the index
+    stores 8-byte fps, not 8-token strings; collision probability
+    < |grams|²/2⁶¹, the documented exactness trade the chunk index
+    already makes) → within-batch canonical per fp (min (doc_id, i),
+    one map-side-combined aggregation) → anti-join against the
+    partition-pruned index probe → admit fresh fps with their canonical
+    occurrence → an occurrence SURVIVES iff it is the batch canonical
+    AND its gram is fresh; all other occurrences' [i, i+n) spans union
+    into the doc's removal set, and the batch documents reconstruct
+    exactly as in the one-shot operator.
+
+    The INDEX is replay-idempotent (min-merge); the EMITTED output is
+    first-delivery-wins (a replayed batch's grams sit in the index, so
+    it reconstructs as heavily-removed text) — the output sink must be
+    append-once per batch_id, exactly the ``chunk_dedup_applier``
+    protocol, which ``streaming.ops.substring_dedup_stream`` applies.
+
+    Equivalence law (pinned in tests): feeding batches in doc_id order
+    and concatenating the emissions equals one-shot ``substring_dedup``
+    over the union — keep-the-first-occurrence and arrival order
+    coincide exactly then (an occurrence kept at emission time can
+    never be demoted by later, larger (doc_id, i) arrivals, because
+    removal only ever points backward).
+
+    Returns (doc_id, n_tokens, removed_tokens, kept_tokens, kept_text)
+    for the batch's docs.
+    """
+    fresh, out = incremental_substring_dedup_plan(new_docs, store, n)
+    store.merge(fresh, _gram_index_merge)
+    return out
+
+
+def incremental_substring_dedup_plan(
+    new_docs: DataFrame, store, n: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """``incremental_substring_dedup`` WITHOUT the index merge — the
+    ``(fresh, out)`` split ``incremental_chunk_dedup_plan`` defines,
+    and for the same reason: ``out`` depends only on the batch's grams
+    and the materialized ``fresh``, so a crash-recovery protocol may
+    order output-commit and index-merge as it needs."""
+    from tepsonic_database_sync_spark.functions.hashing import h60
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    toked = new_docs.select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
+    )
+    grams = (
+        toked.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n} + 1),"
+                    f" i -> struct(i AS i, concat_ws(' ', slice(t, i, {n})) AS g))"
+                )
+            ).alias("x"),
+        )
+        .select(
+            "doc_id",
+            F.col("x.i").cast("long").alias("i"),
+            h60(F.col("x.g")).alias("fp"),
+        )
+    )
+    canon = (
+        grams.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "i")).alias("m"))
+        .select("fp", F.col("m.doc_id").alias("doc_id"), F.col("m.i").alias("i"))
+    )
+    existing = store.read_touched(canon.select("fp"))
+    fresh = (
+        canon
+        if existing is None
+        else canon.join(existing.select("fp"), "fp", "left_anti")
+    )
+    fresh = fresh.localCheckpoint(eager=True)
+    removed = (
+        grams.join(
+            fresh.select(
+                "fp",
+                F.col("doc_id").alias("__wd"),
+                F.col("i").alias("__wi"),
+            ),
+            "fp",
+            "left",
+        )
+        .filter(
+            F.col("__wd").isNull()
+            | (F.col("doc_id") != F.col("__wd"))
+            | (F.col("i") != F.col("__wi"))
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("rp"))
+    )
+    out = (
+        toked.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.when(F.col("rp").isNull(), F.lit(0))
+            .otherwise(F.size("rp"))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.when(F.col("rp").isNull(), F.size("t"))
+            .otherwise(F.size("t") - F.size("rp"))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.when(F.col("rp").isNull(), F.concat_ws(" ", F.col("t")))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        F.col("t"),
+                        lambda x, idx: ~F.array_contains(
+                            F.col("rp"), idx + F.lit(1)
+                        ),
+                    ),
+                )
+            )
+            .alias("kept_text"),
+        )
+    )
+    return fresh, out

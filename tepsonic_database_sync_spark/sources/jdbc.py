@@ -321,11 +321,18 @@ class BucketedParquetStateStore:
         output). The overwrite mode is scoped to THIS write via the
         writer-level ``partitionOverwriteMode`` option, so a concurrent
         writer in the same session never sees a flipped session conf."""
+        import glob
         import shutil
 
         from pyspark.sql import functions as F
 
-        if not self.exists():
+        # "exists but zero bucket dirs" (a first batch that admitted no
+        # rows, or a fully-retracted store) must take the bootstrap
+        # path too — the pruned scan below cannot infer a schema from a
+        # bucket-less directory (same guard read()/read_touched() use)
+        if not self.exists() or not glob.glob(
+            os.path.join(self._data, "__bucket=*")
+        ):
             self.write_full(new)
             return self.read()
         newb = self._bucketed(new)

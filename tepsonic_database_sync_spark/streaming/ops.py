@@ -782,13 +782,25 @@ def chunk_dedup_applier(store, out_dir: str):
     Readers see the union of batch dirs via ordinary partition
     discovery (``spark.read.parquet(out_dir + "/docs")``), with
     ``batch_id`` as a provenance partition column."""
-    import json
-    import os
-
     from tepsonic_database_sync_spark.operators.dedup import (
         _chunk_index_merge,
         incremental_chunk_dedup_plan,
     )
+
+    return _plan_output_merge_applier(
+        incremental_chunk_dedup_plan, _chunk_index_merge, store, out_dir
+    )
+
+
+def _plan_output_merge_applier(plan_fn, merge_fn, store, out_dir: str):
+    """The shared commit-output-then-merge-index foreachBatch body the
+    incremental dedup appliers use (the protocol and its crash-window
+    case analysis live in ``chunk_dedup_applier``'s docstring, which
+    this implements verbatim): ``plan_fn(batch_df, store) → (fresh,
+    out)``; atomic per-batch output dir; ``store.merge(fresh,
+    merge_fn)``; marker last."""
+    import json
+    import os
 
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_BATCHES")
@@ -804,20 +816,59 @@ def chunk_dedup_applier(store, out_dir: str):
         done = _done()
         if batch_id in done or batch_df.isEmpty():
             return
-        fresh, out = incremental_chunk_dedup_plan(batch_df, store)
+        fresh, out = plan_fn(batch_df, store)
         batch_dir = os.path.join(out_dir, "docs", f"batch_id={batch_id}")
         os.makedirs(os.path.join(out_dir, "docs"), exist_ok=True)
         if not os.path.exists(batch_dir):
             tmp = os.path.join(out_dir, f"_tmp_batch_{batch_id}")
             out.write.mode("overwrite").parquet(tmp)
             os.replace(tmp, batch_dir)
-        store.merge(fresh, _chunk_index_merge)
+        store.merge(fresh, merge_fn)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             json.dump(sorted(done | {batch_id}), f)
         os.replace(tmp, marker)
 
     return apply_batch
+
+
+def substring_dedup_applier(store, out_dir: str):
+    """foreachBatch callable behind ``substring_dedup_stream``:
+    ``dedup.incremental_substring_dedup_plan`` under the SAME
+    commit-output-then-merge protocol as ``chunk_dedup_applier`` (whose
+    docstring holds the crash-window case analysis — every window
+    replays to the identical committed output; the gram index is
+    replay-idempotent by min-merge)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        _gram_index_merge,
+        incremental_substring_dedup_plan,
+    )
+
+    return _plan_output_merge_applier(
+        incremental_substring_dedup_plan, _gram_index_merge, store, out_dir
+    )
+
+
+def substring_dedup_stream(
+    docs_stream,
+    store,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous ExactSubstr removal: a document stream → per-batch
+    ``incremental_substring_dedup`` against the bucketed gram-
+    fingerprint store → cleaned documents appended exactly once per
+    batch_id. The streaming twin of the batch ``substring_dedup``
+    (equivalence law in the operator docstring: doc_id-ordered batching
+    reproduces the one-shot removal). Returns the started
+    StreamingQuery."""
+    writer = docs_stream.writeStream.foreachBatch(
+        substring_dedup_applier(store, out_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def chunk_dedup_stream(

@@ -2703,3 +2703,117 @@ def test_blocking_quality_sampled_is_the_audit_of_the_hash_sample(spark):
         "n_true", "n_cand", "n_hit", "recall_permille", "precision_permille"
     ):
         assert row[c] == want[c], c
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def test_incremental_substring_dedup_equals_one_shot_and_replay(
+    spark, tmp_path
+):
+    """Ordered-arrival equivalence law: feeding doc_id-ordered batches
+    through incremental_substring_dedup and concatenating the emissions
+    equals one-shot substring_dedup over the union — cross-batch
+    duplicated grams lose their later occurrences, within-batch dups
+    resolve to the (doc_id, i) min, singletons survive untouched. A
+    replayed batch leaves the gram index unchanged (min-merge
+    idempotence) and reconstructs as heavily-removed text (the
+    documented first-delivery-wins output contract)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        incremental_substring_dedup,
+        substring_dedup,
+    )
+    from tepsonic_database_sync_spark.sources.jdbc import (
+        BucketedParquetStateStore,
+    )
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "x a b c y"),   # shares "a b c" with doc 1
+        (3, "a b c"),       # exactly the duplicated gram
+        (4, "p q r s"),     # fresh content
+        (5, "p q r s t"),   # shares "p q r s" with doc 4 (cross-batch)
+        (6, "u v w"),       # singleton
+    ]
+    schema = "doc_id long, text string"
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "grams"), keys=["fp"], n_buckets=4
+    )
+    batches = [docs[:2], docs[2:4], docs[4:]]
+    got = []
+    for b in batches:
+        out = incremental_substring_dedup(
+            spark.createDataFrame(b, schema), store, n=3
+        )
+        got += [tuple(r) for r in out.collect()]
+
+    want = [
+        tuple(r)
+        for r in substring_dedup(
+            spark.createDataFrame(docs, schema), n=3
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+    index_before = {tuple(r) for r in store.read().collect()}
+    replay = incremental_substring_dedup(
+        spark.createDataFrame(batches[0], schema), store, n=3
+    ).collect()
+    # every gram of the replayed batch is indexed → nothing survives a
+    # doc long enough to gram; the index itself is unchanged
+    assert {tuple(r) for r in store.read().collect()} == index_before
+    by_id = {r["doc_id"]: r for r in replay}
+    assert by_id[1]["kept_tokens"] == 0 and by_id[1]["kept_text"] == ""
+    assert by_id[2]["kept_tokens"] == 0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=9),
+        min_size=2,
+        max_size=6,
+    ),
+    cut=st.integers(min_value=1, max_value=5),
+    n=st.integers(min_value=2, max_value=3),
+)
+def test_incremental_substring_dedup_equivalence_property(
+    spark, tmp_path_factory, doc_toks, cut, n
+):
+    """The ordered-arrival law for ANY corpus and ANY two-batch split:
+    concat(emissions) == one-shot substring_dedup — the 3-symbol
+    alphabet makes cross-batch gram collisions dense, empty/short docs
+    exercise the no-gram path."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        incremental_substring_dedup,
+        substring_dedup,
+    )
+    from tepsonic_database_sync_spark.sources.jdbc import (
+        BucketedParquetStateStore,
+    )
+
+    docs = [(i + 1, " ".join(ts)) for i, ts in enumerate(doc_toks)]
+    schema = "doc_id long, text string"
+    store = BucketedParquetStateStore(
+        spark,
+        str(tmp_path_factory.mktemp("inc_ss") / "grams"),
+        keys=["fp"],
+        n_buckets=4,
+    )
+    k = min(cut, len(docs) - 1)
+    got = []
+    for b in (docs[:k], docs[k:]):
+        out = incremental_substring_dedup(
+            spark.createDataFrame(b, schema), store, n=n
+        )
+        got += [tuple(r) for r in out.collect()]
+    want = [
+        tuple(r)
+        for r in substring_dedup(spark.createDataFrame(docs, schema), n=n).collect()
+    ]
+    assert sorted(got) == sorted(want)

@@ -1737,3 +1737,98 @@ def test_kmv_applier_batching_and_replay_invariance(
         k=4,
     ).collect()
     assert {r["h"] for r in store.read().collect()} == set(want[0]["kmv"])
+
+
+def test_substring_dedup_stream_equals_one_shot_and_redelivers_once(
+    spark, tmp_path
+):
+    """Continuous ExactSubstr removal: doc_id-ordered file micro-batches
+    through substring_dedup_stream reproduce the one-shot
+    substring_dedup over the union (the ordered-arrival law), and a
+    second availableNow pass over the same source with the SAME
+    checkpoint emits nothing new (exactly-once per batch_id via the
+    shared commit protocol)."""
+    from tepsonic_database_sync_spark.operators.dedup import substring_dedup
+    from tepsonic_database_sync_spark.sources.jdbc import (
+        BucketedParquetStateStore,
+    )
+    from tepsonic_database_sync_spark.streaming.ops import (
+        substring_dedup_stream,
+    )
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "x a b c y"),
+        (3, "a b c"),
+        (4, "p q r s"),
+        (5, "p q r s t"),
+        (6, "u v w"),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        spark.createDataFrame(docs[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "grams"), keys=["fp"], n_buckets=4
+    )
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    # n=8 default is longer than every test doc; the operator default
+    # n is exercised in batch tests — here use n=3 via a partial applier
+    from tepsonic_database_sync_spark.streaming.ops import (
+        _plan_output_merge_applier,
+    )
+    from tepsonic_database_sync_spark.operators.dedup import (
+        _gram_index_merge,
+        incremental_substring_dedup_plan,
+    )
+
+    applier = _plan_output_merge_applier(
+        lambda b, st: incremental_substring_dedup_plan(b, st, n=3),
+        _gram_index_merge,
+        store,
+        out_dir,
+    )
+    q = (
+        stream.writeStream.foreachBatch(applier)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_id"], r["n_tokens"], r["removed_tokens"], r["kept_tokens"],
+         r["kept_text"])
+        for r in spark.read.parquet(out_dir + "/docs").drop("batch_id").collect()
+    }
+    want = {
+        tuple(r)
+        for r in substring_dedup(
+            spark.createDataFrame(docs, schema), n=3
+        ).collect()
+    }
+    assert got == want
+
+    # same checkpoint, second pass: no new batches, output unchanged
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = (
+        stream2.writeStream.foreachBatch(applier)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        (r["doc_id"], r["n_tokens"], r["removed_tokens"], r["kept_tokens"],
+         r["kept_text"])
+        for r in spark.read.parquet(out_dir + "/docs").drop("batch_id").collect()
+    }
+    assert got2 == want
