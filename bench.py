@@ -193,6 +193,8 @@ HEADLINE = [
     "substring_dedup",
     "semdedup",
     "kmv_distinct",
+    # r11 cont.: MMR diversified re-ranking over the exact-KNN tier
+    "mmr_rerank",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -880,3 +880,175 @@ def semdedup(
         F.col("cent_sim_e6").cast("long").alias("cent_sim_e6"),
         F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("is_dup"),
     )
+
+
+MMR_QUERIES = 8
+MMR_CANDIDATES = 20
+MMR_K = 5
+MMR_LAMBDA_MILLI = 700
+
+
+def _mmr_candidates(emb: DataFrame, n_queries: int, n_cand: int) -> DataFrame:
+    """``mmr_rerank``'s candidate tier, UNcheckpointed (split out so the
+    plan-quality tests can pin its physical shape — the caller
+    checkpoints): exact-cosine top-``n_cand`` per query via the one
+    sanctioned broadcast-nested-loop corpus scan. Returns
+    (q_id, c_id, iv, n2, rel_e6)."""
+    v = _quantized(emb)
+    q = v.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("n2").alias("q_n2"),
+    ).filter(F.col("q_id") < n_queries)
+    scored = v.join(F.broadcast(q), v.vec_id != q.q_id).select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        "iv",
+        "n2",
+        sim_e6(
+            int_dot(F.col("iv"), F.col("q_iv")), F.col("n2"), F.col("q_n2")
+        ).alias("rel_e6"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rel_e6").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_cand)
+        .select("q_id", "c_id", "iv", "n2", "rel_e6")
+    )
+
+
+def _mmr_pairsims(cand: DataFrame) -> DataFrame:
+    """Pairwise candidate-candidate cosines WITHIN a query — a q_id-keyed
+    equi-join (≤ n_cand² rows per query, never corpus²). Returns
+    (q_id, a_id, b_id, sim_e6), both directions."""
+    a = cand.select(
+        "q_id", F.col("c_id").alias("a_id"), F.col("iv").alias("a_iv"),
+        F.col("n2").alias("a_n2"),
+    )
+    b = cand.select(
+        "q_id", F.col("c_id").alias("b_id"), F.col("iv").alias("b_iv"),
+        F.col("n2").alias("b_n2"),
+    )
+    return (
+        a.join(b, "q_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "q_id",
+            "a_id",
+            "b_id",
+            sim_e6(
+                int_dot(F.col("a_iv"), F.col("b_iv")),
+                F.col("a_n2"),
+                F.col("b_n2"),
+            ).alias("sim_e6"),
+        )
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    n_queries: int = MMR_QUERIES,
+    n_cand: int = MMR_CANDIDATES,
+    k: int = MMR_K,
+    lambda_milli: int = MMR_LAMBDA_MILLI,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity-aware selection stage a RAG retrieval
+    stack runs AFTER candidate generation (the missing piece next to
+    ``rrf_fusion``'s list fusion and the ANN ladder's recall tiers):
+    from each query's top-``n_cand`` exact-cosine candidates, greedily
+    select ``k``, each pick maximizing
+
+        mmr = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+
+    in exact integer milli/micro units: ``mmr_score = lambda_milli ·
+    rel_e6 − (1000−lambda_milli) · max_sim_e6`` (|score| ≤ 10⁹ — far
+    inside int64), with ``max_sim_e6 = 0`` for the empty selection (so
+    pick 1 is pure relevance) and ties broken to the lowest
+    neighbor_id. Every similarity is the module's engine-exact
+    ``sim_e6`` over quantized integer vectors, so the greedy trajectory
+    is bit-reproducible in any engine.
+
+    Shape, and why it scales: candidate generation is the exact-KNN
+    tier (the ONE sanctioned BroadcastNestedLoopJoin —
+    ``brute_force_topk``'s docstring; swap in ``lsh_topk``/``ivf_topk``
+    candidates for the approximate tiers, the greedy is agnostic).
+    Everything after is bounded by the per-query candidate budget:
+    pairwise sims are a q_id-keyed equi-join producing ≤ n_cand² rows
+    per query (computed ONCE, eagerly checkpointed — the greedy rounds
+    re-read a tiny materialized frame, not the corpus scan), and each
+    of the ``k`` rounds is one q_id-keyed join + one map-side-combined
+    max(struct) argmax per query. Cost O(|Q|·(n_cand² + k·n_cand)) —
+    independent of corpus size given candidates; at 100 TB the corpus
+    term lives entirely in the candidate tier.
+
+    Returns (q_id, step 1..k, neighbor_id, rel_e6, mmr_score); a query
+    with fewer than k candidates emits what it has.
+    """
+    cand = _mmr_candidates(emb, n_queries, n_cand).localCheckpoint(eager=True)
+    psim = _mmr_pairsims(cand).localCheckpoint(eager=True)
+    rel = cand.select("q_id", "c_id", "rel_e6")
+    mu = 1000 - lambda_milli
+    remaining = rel
+    selected = None
+    picks = []
+    for step in range(1, k + 1):
+        if selected is None:
+            g = remaining.withColumn(
+                "mmr_score", (lambda_milli * F.col("rel_e6")).cast("long")
+            )
+        else:
+            ms = (
+                psim.join(
+                    selected.select("q_id", F.col("c_id").alias("b_id")),
+                    ["q_id", "b_id"],
+                )
+                .groupBy("q_id", F.col("a_id").alias("c_id"))
+                .agg(F.max("sim_e6").alias("__ms"))
+            )
+            g = remaining.join(ms, ["q_id", "c_id"], "left").select(
+                "q_id",
+                "c_id",
+                "rel_e6",
+                (
+                    lambda_milli * F.col("rel_e6")
+                    - mu * F.coalesce(F.col("__ms"), F.lit(0))
+                )
+                .cast("long")
+                .alias("mmr_score"),
+            )
+        pick = (
+            g.groupBy("q_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("mmr_score"),
+                        (-F.col("c_id")).alias("__neg"),
+                        F.col("c_id"),
+                        F.col("rel_e6"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "q_id",
+                F.lit(step).cast("long").alias("step"),
+                F.col("m.c_id").alias("c_id"),
+                F.col("m.rel_e6").alias("rel_e6"),
+                F.col("m.mmr_score").alias("mmr_score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+        sel_step = pick.select("q_id", "c_id")
+        selected = sel_step if selected is None else selected.unionByName(sel_step)
+        remaining = remaining.join(sel_step, ["q_id", "c_id"], "left_anti")
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        "step",
+        F.col("c_id").cast("long").alias("neighbor_id"),
+        F.col("rel_e6").cast("long").alias("rel_e6"),
+        "mmr_score",
+    )

@@ -4154,6 +4154,109 @@ FROM toked t LEFT JOIN kept k ON t.doc_id = k.doc_id
 """
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
+    greedy λ·rel − (1−λ)·max-sim-to-selected selection of 5 from each
+    query's exact-cosine top-20 candidates, all in engine-exact integer
+    micro/milli units. Design + scale shape in
+    operators/similarity.py::mmr_rerank."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import mmr_rerank
+
+    return mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+def _mmr_rerank_oracle(
+    n_queries: int | None = None,
+    n_cand: int | None = None,
+    k: int | None = None,
+    lambda_milli: int | None = None,
+) -> str:
+    """DuckDB twin of ``similarity.mmr_rerank``: the same greedy
+    trajectory unrolled as a CTE chain — candidates + pairwise sims
+    once, then per step (max-sim-to-selected → integer mmr → argmax
+    pick → shrink remaining). Constants imported from the operator
+    module so the two sides cannot desynchronize."""
+    from tepsonic_database_sync_spark.operators.similarity import (
+        MMR_CANDIDATES,
+        MMR_K,
+        MMR_LAMBDA_MILLI,
+        MMR_QUERIES,
+    )
+
+    nq = MMR_QUERIES if n_queries is None else n_queries
+    nc = MMR_CANDIDATES if n_cand is None else n_cand
+    kk = MMR_K if k is None else k
+    lam = MMR_LAMBDA_MILLI if lambda_milli is None else lambda_milli
+    mu = 1000 - lam
+    sim_ab = _D_SIM.format(
+        dot=_D_IDOT.format(a="a.iv", b="b.iv"), na2="a.n2", nb2="b.n2"
+    )
+    sim_vq = _D_SIM.format(
+        dot=_D_IDOT.format(a="v.iv", b="q.q_iv"), na2="v.n2", nb2="q.q_n2"
+    )
+    parts = [
+        f"""q AS (SELECT vec_id AS q_id, iv AS q_iv, n2 AS q_n2
+     FROM v WHERE vec_id < {nq})""",
+        f"""sc AS (
+  SELECT q.q_id, v.vec_id AS c_id, v.iv, v.n2, {sim_vq} AS rel
+  FROM v, q WHERE v.vec_id <> q.q_id
+)""",
+        f"""cand AS (
+  SELECT q_id, c_id, iv, n2, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY rel DESC, c_id) AS rn
+    FROM sc) WHERE rn <= {nc}
+)""",
+        f"""psim AS (
+  SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id, {sim_ab} AS s
+  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+)""",
+        f"g1 AS (SELECT q_id, c_id, rel, CAST({lam} * rel AS BIGINT) AS mmr"
+        " FROM cand)",
+        """s1 AS (SELECT q_id, c_id, rel, mmr FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY mmr DESC, c_id) AS rn
+  FROM g1) WHERE rn = 1)""",
+        "sel1 AS (SELECT q_id, c_id FROM s1)",
+        """rem1 AS (
+  SELECT c.q_id, c.c_id, c.rel FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+                    WHERE s.q_id = c.q_id AND s.c_id = c.c_id))""",
+    ]
+    for i in range(2, kk + 1):
+        parts += [
+            f"""m{i} AS (
+  SELECT p.q_id, p.a_id AS c_id, max(p.s) AS ms
+  FROM psim p JOIN sel{i - 1} s ON p.q_id = s.q_id AND p.b_id = s.c_id
+  GROUP BY 1, 2)""",
+            f"""g{i} AS (
+  SELECT r.q_id, r.c_id, r.rel,
+         CAST({lam} * r.rel - {mu} * coalesce(m.ms, 0) AS BIGINT) AS mmr
+  FROM rem{i - 1} r LEFT JOIN m{i} m
+    ON r.q_id = m.q_id AND r.c_id = m.c_id)""",
+            f"""s{i} AS (SELECT q_id, c_id, rel, mmr FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY mmr DESC, c_id) AS rn
+  FROM g{i}) WHERE rn = 1)""",
+        ]
+        if i < kk:
+            parts += [
+                f"""sel{i} AS (SELECT q_id, c_id FROM sel{i - 1}
+  UNION ALL SELECT q_id, c_id FROM s{i})""",
+                f"""rem{i} AS (
+  SELECT r.* FROM rem{i - 1} r
+  WHERE NOT EXISTS (SELECT 1 FROM s{i} s
+                    WHERE s.q_id = r.q_id AND s.c_id = r.c_id))""",
+            ]
+    finals = "\nUNION ALL\n".join(
+        f"SELECT q_id, CAST({i} AS BIGINT) AS step, c_id AS neighbor_id,"
+        f" rel AS rel_e6, mmr AS mmr_score FROM s{i}"
+        for i in range(1, kk + 1)
+    )
+    return f"WITH {_D_QUANT},\n" + ",\n".join(parts) + "\n" + finals
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k distinct-count sketch with multiset estimators
     (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007): bottom-64
@@ -7887,6 +7990,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "semdedup": (q_semdedup, _semdedup_oracle()),
     # --- NEW in r11 (took the token_pmi fill slot) ----------------------
     "kmv_distinct": (q_kmv_distinct, _kmv_distinct_oracle()),
+    # --- NEW in r11 cont. (displaced decontaminate_bloom to the r12 queue)
+    "mmr_rerank": (q_mmr_rerank, _mmr_rerank_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -8118,7 +8223,7 @@ _R11_WINDOW = [
     "stratified_sample", "percentiles", "text_lang_id",
     "text_quality", "text_fingerprint", "text_top_terms",
     "text_winnow", "text_chunks", "text_scrub",
-    "decontaminate_bloom", "graph_components", "dedup_clusters_star",
+    "mmr_rerank", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "substring_dedup",
     "semdedup", "kmv_distinct", "dup_substring_rate",
     "mg_summary", "dsir_select",
@@ -8196,6 +8301,7 @@ _TAIL_FRESHNESS = [
     "substring_dedup",
     "semdedup",
     "kmv_distinct",
+    "mmr_rerank",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

@@ -1091,3 +1091,35 @@ def test_kmv_tournament_has_no_per_set_sort_shuffle(spark, registry_plans):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "partial_" in plan
+
+
+def test_mmr_rerank_stage_shapes(spark, registry_plans):
+    """MMR's cost contract: the CORPUS appears only in the candidate
+    tier (the one sanctioned exact-KNN BroadcastNestedLoopJoin —
+    brute_force_topk's docstring), the pairwise-sim stage is a
+    q_id-keyed equi-join over candidates (bounded n_cand² per query,
+    never corpus²), and the greedy rounds run over eagerly-materialized
+    frames — the registry plan (post-checkpoint) must show no
+    nested-loop join at all."""
+    from conftest import SF_UNIT
+
+    from tepsonic_database_sync_spark.operators.similarity import (
+        _mmr_candidates,
+        _mmr_pairsims,
+    )
+
+    plan = registry_plans["mmr_rerank"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    emb = spark.read.parquet(SF_UNIT + "/embeddings.parquet")
+    cand = _mmr_candidates(emb, 8, 20)
+    cplan = cand._jdf.queryExecution().executedPlan().toString()
+    assert cplan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in cplan
+    pplan = _mmr_pairsims(cand)._jdf.queryExecution().executedPlan().toString()
+    # exactly the two candidate subtrees' BNLs — the pair join itself
+    # must be a q_id-keyed HASH join, adding none
+    assert pplan.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastHashJoin" in pplan or "SortMergeJoin" in pplan

@@ -4030,3 +4030,85 @@ def test_kmv_matches_reference(spark, va, vb):
         ).collect()
     )
     assert got == _kmv_ref(va, vb, 4)
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking vs an exact integer greedy reference
+# ---------------------------------------------------------------------------
+
+
+def _mmr_ref(vecs, n_queries, n_cand, k, lam):
+    """Pure-Python twin of similarity.mmr_rerank: exact-cosine top-n_cand
+    candidates per query (ties to the lower id), then the greedy
+    λ·rel − (1−λ)·max-sim-to-selected trajectory with max_sim = 0 for
+    the empty selection and ties to the lowest id."""
+    import math
+
+    def half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    ivs = dict(enumerate(vecs))
+    n2 = {i: dot(v, v) for i, v in ivs.items()}
+
+    def sim(i, j):
+        return half_up(
+            dot(ivs[i], ivs[j]) / math.sqrt(n2[i] * n2[j]) * 1e6
+        )
+
+    out = []
+    for qid in range(min(n_queries, len(vecs))):
+        rel = {i: sim(i, qid) for i in ivs if i != qid}
+        cand = sorted(rel, key=lambda i: (-rel[i], i))[:n_cand]
+        sel = []
+        for step in range(1, k + 1):
+            remaining = [c for c in cand if c not in sel]
+            if not remaining:
+                break
+            scores = {
+                c: lam * rel[c]
+                - (1000 - lam)
+                * max((sim(c, s) for s in sel), default=0)
+                for c in remaining
+            }
+            best = max(remaining, key=lambda c: (scores[c], -c))
+            out.append((qid, step, best, rel[best], scores[best]))
+            sel.append(best)
+    return sorted(out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=4, max_size=4),
+        min_size=3,
+        max_size=8,
+    ),
+    lam=st.sampled_from([500, 700, 1000]),
+)
+def test_mmr_rerank_matches_integer_reference(spark, vecs, lam):
+    """mmr_rerank == the exact integer greedy for ANY positive vector
+    set and λ tier: λ=1000 degenerates to pure-relevance ordering (the
+    diversity term multiplies by zero), λ=500 makes the penalty bind
+    hard, duplicate vectors exercise the exact-tie lowest-id rule, and
+    |corpus| < n_queries+k exercises candidate exhaustion (a query
+    emits fewer than k picks)."""
+    from tepsonic_database_sync_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(i, 0, [x / 1000 for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    got = sorted(
+        (r["q_id"], r["step"], r["neighbor_id"], r["rel_e6"], r["mmr_score"])
+        for r in mmr_rerank(
+            emb, n_queries=2, n_cand=4, k=3, lambda_milli=lam
+        ).collect()
+    )
+    assert got == _mmr_ref(vecs, 2, 4, 3, lam)
