@@ -195,6 +195,8 @@ HEADLINE = [
     "kmv_distinct",
     # r11 cont.: MMR diversified re-ranking over the exact-KNN tier
     "mmr_rerank",
+    # r11 cont.: binary pHash near-dup (byte-gram SimHash, banded hamming)
+    "multimodal_phash_dedup",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -187,3 +187,124 @@ def asset_stats(assets: DataFrame) -> DataFrame:
         F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
         F.max("meta.width").cast("int").alias("max_width"),
     )
+
+
+PHASH_BITS = 48
+PHASH_BANDS = 4
+PHASH_GRAM_BYTES = 4
+PHASH_TAU = 6
+
+
+def phash_signatures(
+    assets: DataFrame, bits: int = PHASH_BITS, gram_bytes: int = PHASH_GRAM_BYTES
+) -> DataFrame:
+    """Perceptual-hash-style binary signature: a ``bits``-wide SimHash
+    over the payload's distinct byte ``gram_bytes``-grams — the
+    multimodal member of the dedup ladder (``operators/dedup.py``'s
+    SimHash mechanic lifted from word tokens to raw bytes, the
+    sdhash/TLSH family shape). A REAL pHash (DCT over decoded pixels)
+    slots into the same signature column by swapping this function —
+    the decode stays behind the module's stub boundary; byte-gram
+    SimHash is itself an honest binary near-dup measure (high gram
+    overlap ⇒ small hamming distance) and needs no codec.
+
+    All hashing rides the hex STRING of the payload (``hex()`` is
+    byte-exact and engine-portable, so ``h60`` md5s identical
+    characters in Spark and DuckDB). Per asset: distinct grams explode,
+    each gram's 60-bit hash votes ±1 on each bit position, all ``bits``
+    votes collapse in ONE map-side-combined aggregation (conditional
+    sums — no bit-dimension row explosion), packed to a single long.
+    48 bits keeps every mask and the packed value far from the int64
+    sign bit under ANSI mode.
+
+    Assets with payloads shorter than ``gram_bytes`` have no grams and
+    emit NO signature row (nothing to compare — documented, not a
+    crash).
+
+    Returns (asset_id, sig).
+    """
+    from tepsonic_database_sync_spark.functions.hashing import h60
+
+    hx = F.hex(F.col("payload"))
+    n_grams = (F.octet_length(F.col("payload")) - gram_bytes + 1).cast("int")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.substring(hx, i * 2 + 1, gram_bytes * 2),
+        )
+    )
+    g = (
+        assets.filter(F.octet_length(F.col("payload")) >= gram_bytes)
+        .select("asset_id", F.explode(grams).alias("g"))
+        .select("asset_id", h60(F.col("g")).alias("h"))
+    )
+    vote_cols = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    votes = g.groupBy("asset_id").agg(*vote_cols)
+    packed = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return votes.select("asset_id", packed.cast("long").alias("sig"))
+
+
+def phash_neardup_pairs(
+    assets: DataFrame,
+    bits: int = PHASH_BITS,
+    bands: int = PHASH_BANDS,
+    tau: int = PHASH_TAU,
+) -> DataFrame:
+    """Banded hamming near-dup over ``phash_signatures``: split the
+    signature into ``bands`` contiguous bit-slices, candidates = pairs
+    agreeing on at least one slice (band-keyed equi-join — NEVER
+    all-pairs), verify = exact ``bit_count(xor)`` ≤ tau. Pigeonhole
+    guarantees full recall only for hamming < ``bands``; pairs with
+    hamming in [bands, tau] surface only when their flipped bits
+    cluster inside few bands — the standard banding recall trade
+    (``dedup.py``'s bit-sliced hamming buckets make the same one).
+
+    100 TB shape: signatures are 8 bytes/asset; the band join shuffles
+    on (band, key) — low-entropy payloads (constant bytes) hot-spot a
+    band key, and the documented mitigation is the stop-key cap the
+    winnowing operator uses (drop band keys above a frequency ceiling,
+    trading recall on degenerate content).
+
+    Returns (a_id, b_id, hamming), a_id < b_id.
+    """
+    sig = phash_signatures(assets, bits=bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "asset_id",
+        "sig",
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+    ).select(
+        "asset_id",
+        "sig",
+        "band",
+        F.expr(f"shiftright(sig, CAST(band * {width} AS INT)) & {mask}").alias(
+            "key"
+        ),
+    )
+    a = banded.select(
+        F.col("asset_id").alias("a_id"), F.col("sig").alias("a_sig"),
+        "band", "key",
+    )
+    b = banded.select(
+        F.col("asset_id").alias("b_id"), F.col("sig").alias("b_sig"),
+        "band", "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).cast("long")
+    return cand.select("a_id", "b_id", ham.alias("hamming")).filter(
+        F.col("hamming") <= tau
+    )

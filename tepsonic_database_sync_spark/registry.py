@@ -4154,6 +4154,90 @@ FROM toked t LEFT JOIN kept k ON t.doc_id = k.doc_id
 """
 
 
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary perceptual-hash near-dup: byte-gram SimHash signatures over
+    asset payloads, banded hamming candidate pairs, exact bit_count
+    verify — over the asset corpus plus one-byte-perturbed copies
+    (known true near-dups, the embed_neardup convention). Design +
+    recall trade in operators/multimodal.py::phash_neardup_pairs."""
+    from tepsonic_database_sync_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    assets = _assets(spark, sf_dir)
+    copies = assets.select(
+        (F.col("asset_id") + 10000000).alias("asset_id"),
+        "kind",
+        F.concat(F.col("payload"), F.encode(F.lit("?"), "utf-8")).alias(
+            "payload"
+        ),
+        "meta",
+    )
+    return phash_neardup_pairs(assets.unionByName(copies))
+
+
+def _multimodal_phash_oracle() -> str:
+    """DuckDB twin of phash_signatures + phash_neardup_pairs over the
+    perturbed-copy asset corpus: hex-string byte grams → h60 votes →
+    packed 48-bit signature → 4×12-bit band join → bit_count verify.
+    Constants imported from the operator module."""
+    from tepsonic_database_sync_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_BITS,
+        PHASH_GRAM_BYTES,
+        PHASH_TAU,
+    )
+
+    width = PHASH_BITS // PHASH_BANDS
+    mask = (1 << width) - 1
+    gb = PHASH_GRAM_BYTES
+    return f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS asset_id,
+         hex(encode(text) || encode('?')) AS hx
+  FROM documents
+),
+gl AS (
+  SELECT asset_id,
+         list_distinct(list_transform(
+           range(0, CAST(len(hx) / 2 AS INT) - {gb} + 1),
+           i -> substr(hx, CAST(i * 2 + 1 AS INT), {gb * 2}))) AS gs
+  FROM assets WHERE len(hx) >= {gb * 2}
+),
+g AS (SELECT asset_id, unnest(gs) AS g FROM gl),
+h AS (SELECT asset_id, {_D_H60.format(e="g")} AS h FROM g),
+bits AS (SELECT unnest(range(0, {PHASH_BITS})) AS b),
+v AS (
+  SELECT asset_id, b, (CAST(1 AS BIGINT) << CAST(b AS INT)) AS mask,
+         CASE WHEN (h & (CAST(1 AS BIGINT) << CAST(b AS INT))) <> 0
+              THEN 1 ELSE -1 END AS vote
+  FROM h, bits
+),
+s AS (SELECT asset_id, b, mask, sum(vote) AS sv FROM v GROUP BY 1, 2, 3),
+sig AS (
+  SELECT asset_id,
+         CAST(sum(CASE WHEN sv > 0 THEN mask ELSE 0 END) AS BIGINT) AS sig
+  FROM s GROUP BY asset_id
+),
+banded AS (
+  SELECT asset_id, sig, t.b AS band,
+         (sig >> CAST(t.b * {width} AS INT)) & {mask} AS key
+  FROM sig, range(0, {PHASH_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.asset_id AS a_id, b.asset_id AS b_id,
+         a.sig AS a_sig, b.sig AS b_sig
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.asset_id < b.asset_id
+)
+SELECT a_id, b_id,
+       CAST(bit_count(xor(a_sig, b_sig)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= {PHASH_TAU}
+"""
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
     greedy λ·rel − (1−λ)·max-sim-to-selected selection of 5 from each
@@ -7992,6 +8076,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "kmv_distinct": (q_kmv_distinct, _kmv_distinct_oracle()),
     # --- NEW in r11 cont. (displaced decontaminate_bloom to the r12 queue)
     "mmr_rerank": (q_mmr_rerank, _mmr_rerank_oracle()),
+    # --- NEW in r11 cont. (displaced text_scrub to the r12 queue)
+    "multimodal_phash_dedup": (q_multimodal_phash_dedup, _multimodal_phash_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -8222,7 +8308,7 @@ _R11_WINDOW = [
     "outliers_p99", "mom_growth", "cohort_retention",
     "stratified_sample", "percentiles", "text_lang_id",
     "text_quality", "text_fingerprint", "text_top_terms",
-    "text_winnow", "text_chunks", "text_scrub",
+    "text_winnow", "text_chunks", "multimodal_phash_dedup",
     "mmr_rerank", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "substring_dedup",
     "semdedup", "kmv_distinct", "dup_substring_rate",
@@ -8302,6 +8388,7 @@ _TAIL_FRESHNESS = [
     "semdedup",
     "kmv_distinct",
     "mmr_rerank",
+    "multimodal_phash_dedup",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

@@ -1123,3 +1123,15 @@ def test_mmr_rerank_stage_shapes(spark, registry_plans):
     assert pplan.count("BroadcastNestedLoopJoin") == 2
     assert "CartesianProduct" not in pplan
     assert "BroadcastHashJoin" in pplan or "SortMergeJoin" in pplan
+
+
+def test_phash_dedup_is_banded_never_all_pairs(spark, registry_plans):
+    """The binary pHash near-dup must follow the dedup-ladder shape:
+    signature votes collapse in ONE map-side-combined aggregation
+    (partial_sum over the 48 conditional vote sums — no per-bit row
+    explosion), candidates come from the (band, key) equi-join, and
+    nothing compiles to a nested loop or Cartesian over assets."""
+    plan = registry_plans["multimodal_phash_dedup"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan

@@ -4112,3 +4112,92 @@ def test_mmr_rerank_matches_integer_reference(spark, vecs, lam):
         ).collect()
     )
     assert got == _mmr_ref(vecs, 2, 4, 3, lam)
+
+
+# ---------------------------------------------------------------------------
+# Binary pHash near-dup vs an exact reference
+# ---------------------------------------------------------------------------
+
+
+def _phash_ref(payloads, bits, bands, gram_bytes, tau):
+    """Pure-Python twin of multimodal.phash_signatures +
+    phash_neardup_pairs: hex byte-grams → md5-h60 ±1 votes → packed
+    signature → band-bucket candidates → exact hamming verify."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sigs = {}
+    for aid, p in payloads.items():
+        if len(p) < gram_bytes:
+            continue
+        hx = p.hex().upper()
+        grams = {
+            hx[i * 2 : i * 2 + gram_bytes * 2]
+            for i in range(len(p) - gram_bytes + 1)
+        }
+        sig = 0
+        for b in range(bits):
+            vote = sum(
+                1 if h60(g) & (1 << b) else -1 for g in grams
+            )
+            if vote > 0:
+                sig |= 1 << b
+        sigs[aid] = sig
+    width = bits // bands
+    mask = (1 << width) - 1
+    out = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1 :]:
+            shares = any(
+                (sigs[a] >> (k * width)) & mask
+                == (sigs[b_] >> (k * width)) & mask
+                for k in range(bands)
+            )
+            ham = bin(sigs[a] ^ sigs[b_]).count("1")
+            if shares and ham <= tau:
+                out.add((a, b_, ham))
+    return sorted(out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    blobs=st.lists(
+        st.binary(min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    ),
+    tau=st.sampled_from([0, 6, 48]),
+)
+def test_phash_neardup_matches_reference(spark, blobs, tau):
+    """phash_neardup_pairs == the exact reference for ANY byte corpus
+    and tau tier: tau=0 keeps only identical signatures, tau=48 keeps
+    every banded candidate (isolating the banding recall), short blobs
+    exercise the no-gram exclusion, duplicate blobs the hamming-0
+    path."""
+    from tepsonic_database_sync_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_BITS,
+        PHASH_GRAM_BYTES,
+        phash_neardup_pairs,
+    )
+
+    payloads = {i + 1: p for i, p in enumerate(blobs)}
+    assets = spark.createDataFrame(
+        [(aid, "image", bytearray(p), None) for aid, p in payloads.items()],
+        "asset_id long, kind string, payload binary, "
+        "meta struct<width int, height int, n_frames int, format string>",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in phash_neardup_pairs(assets, tau=tau).collect()
+    )
+    assert got == _phash_ref(
+        payloads, PHASH_BITS, PHASH_BANDS, PHASH_GRAM_BYTES, tau
+    )
