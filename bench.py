@@ -197,6 +197,8 @@ HEADLINE = [
     "mmr_rerank",
     # r11 cont.: binary pHash near-dup (byte-gram SimHash, banded hamming)
     "multimodal_phash_dedup",
+    # r11 cont.: synchronous LPA communities over the co-purchase graph
+    "label_propagation",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -241,3 +241,73 @@ def bfs_hops(
     return dist.groupBy("node").agg(
         F.min("hops").cast("long").alias("hops")
     )
+
+
+LPA_ROUNDS = 4
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Deterministic synchronous Label Propagation (Raghavan et al.
+    2007) — community detection, the graph family's third semantic next
+    to reachability (``dedup.connected_components_star``) and
+    centrality (``pagerank``): after ``rounds`` synchronous updates
+    every node carries the label that was the MODE of its neighbors'
+    labels, ties to the smallest label. Communities are denser-than-
+    chance neighborhoods; unlike connected components, a bridge edge
+    does NOT glue two communities together.
+
+    Determinism is the whole design: classic LPA breaks ties randomly
+    and sweeps asynchronously — irreproducible and order-dependent at
+    any scale. Fixed synchronous rounds + the (count DESC, label ASC)
+    tie rule make the trajectory engine-exact (the oracle unrolls the
+    same rounds), at the classic cost that a bipartite region can
+    oscillate rather than converge — fixed-round output is still
+    well-defined, and production convergence loops swap the constant
+    for a "labels unchanged" delta check without touching the round
+    body (the ``pagerank`` contract).
+
+    Scale shape, per round: one equi-join of the edge list against the
+    small (node, label) frame on dst (edges checkpointed + partitioned
+    ONCE — only labels reshuffle), then the mode as one
+    map-side-combined (node, label) count + one max(struct) argmax per
+    node — never a per-node sort of the neighborhood. Labels start as
+    the node's own id, so the label domain needs no coordination.
+
+    ``edges`` must be symmetric (src, dst); isolated nodes aren't in
+    the edge list and keep their own label by construction (they're
+    simply absent — callers union them back if needed).
+
+    Returns (node, label).
+    """
+    e = edges.repartition("dst").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        nb = e.join(labels, e["dst"] == labels["node"]).select(
+            e["src"].alias("node"), "label"
+        )
+        counts = nb.groupBy("node", "label").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("label")).alias("__neg"),
+                        F.col("label"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )

@@ -4238,6 +4238,77 @@ FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= {PHASH_TAU}
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the co-purchase
+    part graph (the SAME capped_basket_items/cooccur_pairs substrate as
+    q_graph_components, so the cap semantics cannot diverge):
+    community detection, the graph family's third semantic next to
+    components and PageRank. 4 fixed rounds, mode-of-neighbors with
+    ties to the smallest label. Design + determinism rationale in
+    operators/graph.py::label_propagation."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.graph import label_propagation
+    from tepsonic_database_sync_spark.operators.recommend import (
+        capped_basket_items,
+        cooccur_pairs,
+    )
+
+    capped = capped_basket_items(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+    edges = cooccur_pairs(capped, min_support=2, symmetric=True).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    return label_propagation(edges)
+
+
+def _label_propagation_oracle() -> str:
+    """DuckDB twin of graph.label_propagation over the co-purchase
+    graph: the graph_components oracle's edge CTEs, then the same
+    fixed synchronous rounds unrolled (mode via row_number ordered
+    (count DESC, label ASC))."""
+    from tepsonic_database_sync_spark.operators.graph import LPA_ROUNDS
+    from tepsonic_database_sync_spark.operators.recommend import MAX_BASKET
+
+    parts = [
+        "bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)",
+        f"ok AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= {MAX_BASKET})",
+        "cap AS (SELECT bi.b, bi.i FROM bi JOIN ok USING (b))",
+        """pairs AS (
+  SELECT a.i AS a_id, c.i AS b_id
+  FROM cap a JOIN cap c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)""",
+        """edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+)""",
+        """nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+)""",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, LPA_ROUNDS + 1):
+        parts += [
+            f"""c{i} AS (
+  SELECT e.src AS node, l.label, count(*) AS c
+  FROM edges e JOIN l{i - 1} l ON e.dst = l.node
+  GROUP BY 1, 2)""",
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}) WHERE rn = 1)""",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(label AS BIGINT) AS label FROM l{LPA_ROUNDS}"
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
     greedy λ·rel − (1−λ)·max-sim-to-selected selection of 5 from each
@@ -8078,6 +8149,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "mmr_rerank": (q_mmr_rerank, _mmr_rerank_oracle()),
     # --- NEW in r11 cont. (displaced text_scrub to the r12 queue)
     "multimodal_phash_dedup": (q_multimodal_phash_dedup, _multimodal_phash_oracle()),
+    # --- NEW in r11 cont. (displaced text_chunks to the r12 queue)
+    "label_propagation": (q_label_propagation, _label_propagation_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -8308,7 +8381,7 @@ _R11_WINDOW = [
     "outliers_p99", "mom_growth", "cohort_retention",
     "stratified_sample", "percentiles", "text_lang_id",
     "text_quality", "text_fingerprint", "text_top_terms",
-    "text_winnow", "text_chunks", "multimodal_phash_dedup",
+    "text_winnow", "label_propagation", "multimodal_phash_dedup",
     "mmr_rerank", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "substring_dedup",
     "semdedup", "kmv_distinct", "dup_substring_rate",
@@ -8389,6 +8462,7 @@ _TAIL_FRESHNESS = [
     "kmv_distinct",
     "mmr_rerank",
     "multimodal_phash_dedup",
+    "label_propagation",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

@@ -1135,3 +1135,14 @@ def test_phash_dedup_is_banded_never_all_pairs(spark, registry_plans):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_label_propagation_rounds_are_mode_aggregations(spark, registry_plans):
+    """Each LPA round must be: edges (checkpointed once) joined to the
+    small label frame, then the mode as a map-side-combined
+    (node, label) count + max(struct) argmax — never a per-node
+    neighborhood sort, never a nested loop. The visible plan (post
+    per-round checkpoint) is the final round's aggregation pair."""
+    plan = registry_plans["label_propagation"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -4201,3 +4201,63 @@ def test_phash_neardup_matches_reference(spark, blobs, tau):
     assert got == _phash_ref(
         payloads, PHASH_BITS, PHASH_BANDS, PHASH_GRAM_BYTES, tau
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation vs an exact synchronous reference
+# ---------------------------------------------------------------------------
+
+
+def _lpa_ref(edge_set, rounds):
+    """Pure-Python twin of graph.label_propagation: symmetric edges,
+    synchronous rounds, mode-of-neighbors with (count DESC, label ASC)
+    ties."""
+    from collections import Counter
+
+    adj = {}
+    for a, b in edge_set:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(labels[m] for m in nbrs)
+            new[n] = max(cnt, key=lambda l: (cnt[l], -l))
+        labels = new
+    return sorted(labels.items())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=8),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    rounds=st.sampled_from([1, 2, 4]),
+)
+def test_label_propagation_matches_reference(spark, raw, rounds):
+    """label_propagation == the exact synchronous reference for ANY
+    small multigraph-free graph and round count: triangles pull labels
+    together, bipartite chains oscillate (round parity must agree
+    exactly), parallel-edge inputs collapse to simple edges first."""
+    from tepsonic_database_sync_spark.operators.graph import label_propagation
+
+    edge_set = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not edge_set:
+        return
+    sym = [(a, b) for a, b in edge_set] + [(b, a) for a, b in edge_set]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(edges, rounds=rounds).collect()
+    )
+    assert got == _lpa_ref(edge_set, rounds)
