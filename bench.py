@@ -199,6 +199,8 @@ HEADLINE = [
     "multimodal_phash_dedup",
     # r11 cont.: synchronous LPA communities over the co-purchase graph
     "label_propagation",
+    # r11 cont.: one-sided prefix-filter containment (the subset detector)
+    "containment_pairs",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -1677,3 +1677,94 @@ def incremental_substring_dedup_plan(
         )
     )
     return fresh, out
+
+
+CONTAIN_TAU_PERMILLE = 700
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, tau_permille: int = CONTAIN_TAU_PERMILLE
+) -> DataFrame:
+    """EXACT asymmetric containment self-join: directed pairs (a, b)
+    with C(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ τ — the
+    dedup ladder's SUBSET detector (a quoted, excerpted, or
+    boilerplate-wrapped inside b), which symmetric Jaccard structurally
+    misses: a 50-gram doc fully contained in a 500-gram doc has
+    J ≈ 0.1 but C = 1.0.
+
+    Prefix filtering adapts to containment one-sidedly (the Bayardo/
+    Xiao mechanic ``jaccard_pairs_prefix`` uses, with the b-side
+    length/prefix constraints dropped — containment puts no upper bound
+    on |b|): rank each doc's shingles by global rarity (df asc, shingle
+    asc); if overlap ≥ ⌈τ·|a|⌉ then a's FIRST shared shingle sits at
+    position ≤ |a| − ⌈τ·|a|⌉ + 1, so joining a's PREFIX against b's
+    FULL posting list generates every qualifying pair. Candidates pass
+    the length filter (1000·|b| ≥ τ·|a| — b must hold enough grams) and
+    the positional filter (1 + |a| − pos(a) ≥ ⌈τ·|a|⌉, sound per-row by
+    the first-shared-gram argument in ``jaccard_pairs_prefix``), then
+    exact array-intersect verification. All integer math.
+
+    Scale trade, documented: the b-side posting lists are UNCAPPED —
+    exactness forbids a df-cap, so stop-gram-heavy corpora hot-spot the
+    gram join (the winnowing stop-fingerprint cap is the lossy
+    alternative when that binds; AQE skew-join split is the lossless
+    mitigation). The df table itself broadcasts (vocabulary-sized);
+    rare-first prefix ordering minimizes the a-side fan-out exactly as
+    in the Jaccard form.
+
+    Returns directed (a_id, b_id, inter_size, a_size, cont_permille),
+    cont_permille = (1000·inter) div |a|.
+    """
+    s = (
+        _with_shingles(docs, n)
+        .select(
+            "doc_id", "shingles", F.size("shingles").cast("long").alias("sz")
+        )
+        .filter(F.col("sz") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    tok = s.select("doc_id", "sz", F.explode("shingles").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    need = F.expr(f"(sz * {tau_permille} + 999) div 1000")  # ceil(tau·|a|)
+    keep = F.col("sz") - need + 1
+    prefix = (
+        tok.join(F.broadcast(dfreq), "g")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= keep)
+        .select(
+            F.col("doc_id").alias("a_id"),
+            F.col("sz").alias("a_sz"),
+            F.col("__pos").alias("a_pos"),
+            "g",
+        )
+    )
+    full_b = tok.select(
+        F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz"), "g"
+    )
+    a_need = F.expr(f"(a_sz * {tau_permille} + 999) div 1000")
+    cands = (
+        prefix.join(full_b, "g")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.col("b_sz") * 1000 >= F.col("a_sz") * tau_permille)
+        .filter(1 + F.col("a_sz") - F.col("a_pos") >= a_need)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    av = s.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    bv = s.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    pairs = cands.join(av, "a_id").join(bv, "b_id")
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("long")
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            inter.alias("inter_size"),
+            F.size("a_sh").cast("long").alias("a_size"),
+        )
+        .filter(F.col("inter_size") * 1000 >= F.col("a_size") * tau_permille)
+        .withColumn(
+            "cont_permille",
+            F.expr("(1000 * inter_size) div a_size").cast("long"),
+        )
+    )

@@ -4238,6 +4238,42 @@ FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= {PHASH_TAU}
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment self-join over documents: directed pairs
+    where >= 70% of a's 3-gram shingles appear in b — the subset/quote
+    detector symmetric Jaccard misses. One-sided prefix-filter
+    blocking, provably complete at tau; design + the uncapped-posting
+    trade in operators/dedup.py::containment_pairs."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _containment_oracle() -> str:
+    """Ground-truth all-pairs containment at the shared tau —
+    deliberately NOT a replay of the prefix-filter mechanics (the
+    _prefix_filter_oracle convention), so the hash certifies the
+    one-sided blocking's completeness."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        CONTAIN_TAU_PERMILLE,
+    )
+
+    return f"""
+WITH {_D_TOKS}{_D_SHINGLES}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+         AS inter_size,
+       CAST(len(a.shingles) AS BIGINT) AS a_size,
+       CAST((1000 * len(list_intersect(a.shingles, b.shingles)))
+            // len(a.shingles) AS BIGINT) AS cont_permille
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+  AND len(list_intersect(a.shingles, b.shingles)) * 1000
+      >= len(a.shingles) * {CONTAIN_TAU_PERMILLE}
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation over the co-purchase
     part graph (the SAME capped_basket_items/cooccur_pairs substrate as
@@ -8151,6 +8187,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_phash_dedup": (q_multimodal_phash_dedup, _multimodal_phash_oracle()),
     # --- NEW in r11 cont. (displaced text_chunks to the r12 queue)
     "label_propagation": (q_label_propagation, _label_propagation_oracle()),
+    # --- NEW in r11 cont. (displaced text_winnow to the r12 queue)
+    "containment_pairs": (q_containment_pairs, _containment_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -8381,7 +8419,7 @@ _R11_WINDOW = [
     "outliers_p99", "mom_growth", "cohort_retention",
     "stratified_sample", "percentiles", "text_lang_id",
     "text_quality", "text_fingerprint", "text_top_terms",
-    "text_winnow", "label_propagation", "multimodal_phash_dedup",
+    "containment_pairs", "label_propagation", "multimodal_phash_dedup",
     "mmr_rerank", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "substring_dedup",
     "semdedup", "kmv_distinct", "dup_substring_rate",
@@ -8463,6 +8501,7 @@ _TAIL_FRESHNESS = [
     "mmr_rerank",
     "multimodal_phash_dedup",
     "label_propagation",
+    "containment_pairs",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

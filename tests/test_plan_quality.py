@@ -1146,3 +1146,15 @@ def test_label_propagation_rounds_are_mode_aggregations(spark, registry_plans):
     plan = registry_plans["label_propagation"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_pairs_prefix_blocking_shapes(spark, registry_plans):
+    """The one-sided prefix filter must keep its scale contract: the
+    document-frequency table broadcasts onto the gram stream (never a
+    shuffle join on gram text for the df attach), candidates arrive by
+    gram equi-join, and nothing compiles to a nested loop or Cartesian
+    over documents."""
+    plan = registry_plans["containment_pairs"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -4261,3 +4261,64 @@ def test_label_propagation_matches_reference(spark, raw, rounds):
         for r in label_propagation(edges, rounds=rounds).collect()
     )
     assert got == _lpa_ref(edge_set, rounds)
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs vs the exact all-pairs reference
+# ---------------------------------------------------------------------------
+
+
+def _containment_ref(doc_toks, n, tau):
+    """Exact all-pairs directed containment over distinct word
+    n-gram shingles (the blocking-free ground truth)."""
+    sh = {}
+    for did, toks in doc_toks:
+        sh[did] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    out = []
+    for a, sa in sh.items():
+        if not sa:
+            continue
+        for b, sb in sh.items():
+            if a == b or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter * 1000 >= len(sa) * tau:
+                out.append((a, b, inter, len(sa), (1000 * inter) // len(sa)))
+    return sorted(out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=8),
+        min_size=2,
+        max_size=6,
+    ),
+    tau=st.sampled_from([300, 700, 1000]),
+)
+def test_containment_pairs_matches_all_pairs_reference(spark, doc_toks, tau):
+    """containment_pairs == the exact blocking-free all-pairs reference
+    for ANY corpus and tau tier — the one-sided prefix filter plus
+    length/positional pruning must lose NOTHING: tau=1000 keeps only
+    full subset containment, tau=300 floods candidates, the dense
+    3-symbol alphabet forces asymmetric |a| << |b| containments, and
+    sub-n docs exercise the empty-shingle exclusion."""
+    from tepsonic_database_sync_spark.operators.dedup import containment_pairs
+
+    docs = [(i + 1, toks) for i, toks in enumerate(doc_toks)]
+    df = spark.createDataFrame(
+        [(did, " ".join(toks), len(" ".join(toks))) for did, toks in docs],
+        "doc_id long, text string, n_chars long",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"], r["inter_size"], r["a_size"],
+         r["cont_permille"])
+        for r in containment_pairs(df, n=3, tau_permille=tau).collect()
+    )
+    assert got == _containment_ref(docs, 3, tau)
