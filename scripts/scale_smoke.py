@@ -115,11 +115,37 @@ def _doc_ops(docs, factor: int = 1):
             sample_permille=max(1, 250 // factor),
         ).write.format("noop").mode("overwrite").save()
 
+    def run_containment():
+        # one-sided prefix filter: per-copy token suffixes mean zero
+        # cross-copy gram collisions, so candidates (and wall) should
+        # scale ~linearly; super-linear growth = the uncapped b-side
+        # posting join binding (the documented trade)
+        from tepsonic_database_sync_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        containment_pairs(docs).write.format("noop").mode("overwrite").save()
+
+    def run_phash():
+        # byte-gram SimHash + banded hamming over assets derived from
+        # the amplified docs: per-copy suffixes perturb payload bytes,
+        # so band collisions stay within-copy and pairs scale linearly
+        from tepsonic_database_sync_spark.operators.multimodal import (
+            phash_neardup_pairs,
+            synth_assets,
+        )
+
+        phash_neardup_pairs(synth_assets(docs)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     return {
         "text_repetition": run_repetition,
         "substring_dedup": run_substring_dedup,
         "lsh+star_clusters": run_lsh_clusters,
         "blocking_audit(n≈const)": run_blocking_audit,
+        "containment_pairs": run_containment,
+        "phash_neardup": run_phash,
     }
 
 
@@ -357,7 +383,30 @@ def _skew_graph_ops(spark, factor: int):
             )
         ).write.format("noop").mode("overwrite").save()
 
-    return {"star_components": run_star, "pagerank_hub": run_pagerank}
+    def run_lpa():
+        # synchronous LPA on the hub graph: the hub's (node, label)
+        # mode count is one partial-aggregated group per label — round
+        # count fixed, so wall should track edge count ~linearly even
+        # at 473k hub degree
+        from tepsonic_database_sync_spark.operators.graph import (
+            label_propagation,
+        )
+
+        label_propagation(
+            edges.select(
+                F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+            ).unionAll(
+                edges.select(
+                    F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+                )
+            )
+        ).write.format("noop").mode("overwrite").save()
+
+    return {
+        "star_components": run_star,
+        "pagerank_hub": run_pagerank,
+        "lpa_hub": run_lpa,
+    }
 
 
 def _skew_join_ops(spark, factor: int):
@@ -539,10 +588,16 @@ def main() -> None:
         spark.range(1).count()
         results: dict[str, list] = {}
         for f in factors:
+            # same hardened protocol as docs mode: partitions sized to
+            # the amplified edge list, WARM = min-of-2 with a GC nudge
+            spark.conf.set("spark.sql.shuffle.partitions", str(32 * f))
             for name, run in _graph_ops(spark, f).items():
-                t0 = time.time()
-                run()
-                dt = time.time() - t0
+                dt = float("inf")
+                for _ in range(2):
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    run()
+                    dt = min(dt, time.time() - t0)
                 results.setdefault(name, []).append((f, dt))
                 f0, base = results[name][0]
                 print(
@@ -584,11 +639,27 @@ def main() -> None:
     if docs_mode:
         results: dict[str, list] = {}
         for f in factors:
+            # size shuffle partitions to the data (the deployment
+            # practice the operators document): at fixed 32 partitions
+            # the 8×-amplified gram joins exceed per-partition memory
+            # and SPILL — measured 75 s warm vs 8.8 s at 128 partitions
+            # for containment_pairs. Runtime conf, so the same session
+            # re-sizes per factor exactly as AQE's initialPartitionNum
+            # would on a cluster.
+            spark.conf.set("spark.sql.shuffle.partitions", str(32 * f))
             docs = amplified_docs(spark, f).localCheckpoint(eager=True)
             for name, run in _doc_ops(docs, f).items():
-                t0 = time.time()
-                run()
-                dt = time.time() - t0
+                # bench protocol: GC nudge (checkpoint-block debt must
+                # not bill the next op) and WARM = min of 2 — this VM's
+                # hypervisor steal was measured at 3-9× on identical
+                # configs (containment factor 8: 8.1-75 s across runs of
+                # the same plan), so single-shot curves are noise
+                dt = float("inf")
+                for _ in range(2):
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    run()
+                    dt = min(dt, time.time() - t0)
                 results.setdefault(name, []).append((f, dt))
                 f0, base = results[name][0]
                 print(

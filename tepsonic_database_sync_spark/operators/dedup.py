@@ -1708,8 +1708,16 @@ def containment_pairs(
     exactness forbids a df-cap, so stop-gram-heavy corpora hot-spot the
     gram join (the winnowing stop-fingerprint cap is the lossy
     alternative when that binds; AQE skew-join split is the lossless
-    mitigation). The df table itself broadcasts (vocabulary-sized);
-    rare-first prefix ordering minimizes the a-side fan-out exactly as
+    mitigation). The df attach is deliberately UNHINTED: the shingle
+    vocabulary grows with the corpus, and a forced broadcast was
+    MEASURED super-linear at sf0.1×8 (44.5 s hinted vs 13.3 s
+    adaptive — driver-side build of a multi-million-row map); AQE
+    still picks a broadcast when the vocabulary is actually small.
+    (``jaccard_pairs_prefix`` keeps its hint: its full-corpus curve
+    measured 0.47-of-linear at the same amplification, and its audit
+    consumers run it on constant-size samples — revisiting is an r12
+    item because a code change there costs a rotation-window slot.)
+    Rare-first prefix ordering minimizes the a-side fan-out exactly as
     in the Jaccard form.
 
     Returns directed (a_id, b_id, inter_size, a_size, cont_permille),
@@ -1729,7 +1737,7 @@ def containment_pairs(
     need = F.expr(f"(sz * {tau_permille} + 999) div 1000")  # ceil(tau·|a|)
     keep = F.col("sz") - need + 1
     prefix = (
-        tok.join(F.broadcast(dfreq), "g")
+        tok.join(dfreq, "g")
         .withColumn("__pos", F.row_number().over(w))
         .filter(F.col("__pos") <= keep)
         .select(

@@ -1149,12 +1149,12 @@ def test_label_propagation_rounds_are_mode_aggregations(spark, registry_plans):
 
 
 def test_containment_pairs_prefix_blocking_shapes(spark, registry_plans):
-    """The one-sided prefix filter must keep its scale contract: the
-    document-frequency table broadcasts onto the gram stream (never a
-    shuffle join on gram text for the df attach), candidates arrive by
-    gram equi-join, and nothing compiles to a nested loop or Cartesian
-    over documents."""
+    """The one-sided prefix filter must keep its scale contract:
+    candidates arrive by gram equi-join and nothing compiles to a
+    nested loop or Cartesian over documents. The df attach is
+    deliberately UNHINTED (forced broadcast measured super-linear at
+    sf0.1×8 — the vocabulary grows with the corpus; AQE picks the
+    strategy at runtime), so no broadcast assertion here."""
     plan = registry_plans["containment_pairs"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
