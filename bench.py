@@ -201,6 +201,8 @@ HEADLINE = [
     "label_propagation",
     # r11 cont.: one-sided prefix-filter containment (the subset detector)
     "containment_pairs",
+    # r11 cont.: RM3 feedback (two-pass BM25, data-dependent expansion)
+    "rm3_feedback",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -1106,3 +1106,168 @@ def dsir_select(
         .orderBy(F.col("weight_milli").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+RM3_FB_DOCS = 10
+RM3_EXP_TERMS = 5
+RM3_LAMBDA_MILLI = 700
+RM3_TOPN = 20
+
+
+def rm3_feedback(
+    docs: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = RM3_FB_DOCS,
+    exp_terms: int = RM3_EXP_TERMS,
+    lambda_milli: int = RM3_LAMBDA_MILLI,
+    topn: int = RM3_TOPN,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft relevance models,
+    as interpolated by Abdul-Jaleel et al., TREC 2004) — the retrieval
+    stack's FEEDBACK stage, closing the loop the other pieces leave
+    open: ``bm25_tfidf`` scores a fixed query, ``rrf_fusion`` fuses
+    lists, ``similarity.mmr_rerank`` diversifies — RM3 learns new query
+    terms from the first pass's own top documents:
+
+    1. first pass: BM25 against ``query_terms`` (``bm25_tfidf``'s exact
+       integer formulas verbatim);
+    2. feedback set: top-``fb_docs`` documents (score desc, doc_id);
+    3. relevance model: every term in the feedback docs weighted by
+       Σ_d P(t|d)·score(d), in integers w_raw(t) = Σ_d ((tf_td·1000)
+       div dl_d)·bm25_d; the original query terms and '' excluded;
+       top-``exp_terms`` by (w_raw desc, term asc), normalized to
+       permille w_norm = (1000·w_raw) div Σ w_raw;
+    4. second pass over the expansion terms in POSTING form (the terms
+       are data-dependent, so the literal-column shape of
+       ``bm25_tfidf`` cannot apply — and the posting shape is the one
+       that runs at 100 TB anyway): tokens stream once, probe the
+       broadcast expansion set map-side (NO corpus shuffle on term),
+       per-(doc, term) tf + per-term df aggregate from that filtered
+       stream, BM25 per term, weighted exp_milli =
+       Σ_t (w_norm(t)·score_t(d)) div 1000;
+    5. interpolate: rm3_milli = (λ·bm25 + (1000−λ)·exp) div 1000,
+       emit the top-``topn`` (rank, doc_id, bm25_milli, exp_milli,
+       rm3_milli).
+
+    Every step is the engine's fixed-point integer arithmetic
+    (``iln_milli`` logs), so the full two-pass trajectory — feedback
+    selection included — hash-matches the DuckDB oracle.
+
+    Scale shape: pass 1 is ``bm25_tfidf``'s one-shuffle plan; the
+    feedback set is ``fb_docs`` rows (TakeOrdered, then driver-tiny
+    broadcasts); the relevance model touches only feedback-doc tokens;
+    pass 2 adds ONE (doc_id, term)-keyed aggregation over the
+    expansion-filtered token stream plus single-row/5-row broadcasts;
+    the final top-n is TakeOrderedAndProject. No step shuffles the
+    corpus on a term key.
+    """
+    s1 = bm25_tfidf(docs, query_terms, k1_milli, b_milli).select(
+        "doc_id", F.col("n_tokens").alias("dl"), "bm25_milli"
+    )
+    fb = (
+        s1.orderBy(F.col("bm25_milli").desc(), F.col("doc_id"))
+        .limit(fb_docs)
+        .select("doc_id", F.col("dl").alias("fb_dl"), F.col("bm25_milli").alias("fb_score"))
+    )
+    fb_toks = (
+        docs.join(F.broadcast(fb), "doc_id")
+        .select("doc_id", "fb_dl", "fb_score", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    if query_terms:
+        fb_toks = fb_toks.filter(~F.col("term").isin(*query_terms))
+    w_raw = (
+        fb_toks.groupBy("doc_id", "fb_dl", "fb_score", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select(
+            "term",
+            (
+                F.expr("(tf * 1000) div fb_dl").cast("long") * F.col("fb_score")
+            ).alias("w"),
+        )
+        .groupBy("term")
+        .agg(F.sum("w").cast("long").alias("w_raw"))
+        .filter(F.col("w_raw") > 0)
+        .orderBy(F.col("w_raw").desc(), F.col("term"))
+        .limit(exp_terms)
+    )
+    w_tot = w_raw.agg(F.sum("w_raw").cast("long").alias("w_tot"))
+    exp = (
+        w_raw.crossJoin(F.broadcast(w_tot))
+        .select(
+            "term",
+            F.expr("(1000 * w_raw) div w_tot").cast("long").alias("w_norm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # pass 2 — posting form over the expansion-filtered token stream
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).join(F.broadcast(exp), "term")
+    tf = tok.groupBy("doc_id", "term", "w_norm").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = s1.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.floor((F.sum("dl") * 1000) / F.count("*")).cast("long").alias("avgdl_milli"),
+    )
+    zero = F.lit(0).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(s1.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    x_b = F.floor(
+        ((2 * (F.col("n_docs") - F.col("df")) + 1) * 1000) / (2 * F.col("df") + 1)
+    ).cast("long")
+    idf_b = F.greatest(zero, iln_milli(F.greatest(x_b, F.lit(1))))
+    denom = F.col("tf") * 1000 + F.floor(
+        (
+            k1_milli
+            * (
+                (1000 - b_milli)
+                + F.floor((F.lit(b_milli) * F.col("dl") * 1000) / F.col("avgdl_milli"))
+            )
+        )
+        / 1000
+    ).cast("long")
+    tf_norm = F.floor((F.col("tf") * (k1_milli + 1000) * 1000) / denom).cast("long")
+    term_score = F.floor((idf_b * tf_norm) / 1000).cast("long")
+    exp_scores = (
+        scored.select(
+            "doc_id",
+            F.floor((F.col("w_norm") * term_score) / 1000).cast("long").alias("ts"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("ts").cast("long").alias("exp_milli"))
+    )
+    out = s1.join(exp_scores, "doc_id", "left").select(
+        "doc_id",
+        "bm25_milli",
+        F.coalesce(F.col("exp_milli"), zero).alias("exp_milli"),
+        (
+            F.floor(
+                (
+                    lambda_milli * F.col("bm25_milli")
+                    + (1000 - lambda_milli) * F.coalesce(F.col("exp_milli"), zero)
+                )
+                / 1000
+            )
+        )
+        .cast("long")
+        .alias("rm3_milli"),
+    )
+    from pyspark.sql import Window
+
+    # rank numbering runs over the already-limited topn rows (the
+    # kmv/leaderboard precedent) — never a global sort of the corpus
+    w = Window.orderBy(F.col("rm3_milli").desc(), F.col("doc_id"))
+    return (
+        out.orderBy(F.col("rm3_milli").desc(), F.col("doc_id"))
+        .limit(topn)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "bm25_milli", "exp_milli", "rm3_milli")
+    )

@@ -4274,6 +4274,144 @@ WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
 """
 
 
+def q_rm3_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback over documents: BM25 first pass on
+    the shared BM25_TERMS query, top-10 feedback docs, relevance-model
+    expansion terms (top-5, permille-normalized), posting-form second
+    pass, lambda=0.7 interpolation, final top-20. The retrieval stack's
+    feedback stage next to bm25/rrf/mmr. Design + scale shape in
+    operators/text.py::rm3_feedback."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import rm3_feedback
+
+    return rm3_feedback(load_table(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+def _rm3_oracle(
+    terms: list[str] | None = None,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> str:
+    """DuckDB twin of operators.text.rm3_feedback: the bm25 oracle's
+    CTEs as pass 1, then feedback top-k, relevance-model expansion,
+    posting-form pass 2 and the interpolated top-n — constants imported
+    from the operator module so the two sides cannot desynchronize."""
+    from tepsonic_database_sync_spark.operators.text import (
+        RM3_EXP_TERMS,
+        RM3_FB_DOCS,
+        RM3_LAMBDA_MILLI,
+        RM3_TOPN,
+    )
+
+    q = BM25_TERMS if terms is None else terms
+    lam = RM3_LAMBDA_MILLI
+    tf_cols = ",\n  ".join(
+        f"CAST(len(list_filter(t, x -> x = '{w}')) AS BIGINT) AS tf_{i}"
+        for i, w in enumerate(q)
+    )
+    df_cols = ",\n  ".join(
+        f"CAST(count(*) FILTER (tf_{i} > 0) AS BIGINT) AS df_{i}"
+        for i in range(len(q))
+    )
+    bm25_terms = []
+    for i in range(len(q)):
+        x_b = f"greatest(((2 * (n_docs - df_{i}) + 1) * 1000) // (2 * df_{i} + 1), 1)"
+        idf_b = f"greatest(0, {_d_iln(x_b)})"
+        denom = (
+            f"(tf_{i} * 1000 + ({k1_milli} * ({1000 - b_milli} "
+            f"+ ({b_milli} * dl * 1000) // avgdl_milli)) // 1000)"
+        )
+        tf_norm = f"((tf_{i} * {k1_milli + 1000} * 1000) // {denom})"
+        bm25_terms.append(f"(({idf_b}) * {tf_norm}) // 1000")
+    not_q = " AND ".join(f"term <> '{w}'" for w in q) or "TRUE"
+    # pass-2 per-(doc, term) BM25 with data-dependent df
+    x_b2 = "greatest(((2 * (st.n_docs - d.df) + 1) * 1000) // (2 * d.df + 1), 1)"
+    idf_b2 = f"greatest(0, {_d_iln(x_b2)})"
+    denom2 = (
+        f"(f.tf * 1000 + ({k1_milli} * ({1000 - b_milli} "
+        f"+ ({b_milli} * s.dl * 1000) // st.avgdl_milli)) // 1000)"
+    )
+    tf_norm2 = f"((f.tf * {k1_milli + 1000} * 1000) // {denom2})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl,
+  {tf_cols}
+  FROM toks
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         (CAST(sum(dl) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT)
+           AS avgdl_milli,
+  {df_cols}
+  FROM base
+),
+s1 AS (
+  SELECT doc_id, t, dl,
+         CAST({" + ".join(bm25_terms)} AS BIGINT) AS bm25_milli
+  FROM base, stats
+),
+fb AS (
+  SELECT doc_id, t, dl AS fb_dl, bm25_milli AS fb_score
+  FROM s1 ORDER BY bm25_milli DESC, doc_id LIMIT {RM3_FB_DOCS}
+),
+fbt AS (
+  SELECT doc_id, fb_dl, fb_score, unnest(t) AS term FROM fb
+),
+fbtf AS (
+  SELECT doc_id, fb_dl, fb_score, term, CAST(count(*) AS BIGINT) AS tf
+  FROM fbt WHERE term <> '' AND {not_q}
+  GROUP BY 1, 2, 3, 4
+),
+wraw AS (
+  SELECT term, CAST(sum(((tf * 1000) // fb_dl) * fb_score) AS BIGINT) AS w_raw
+  FROM fbtf GROUP BY term
+  HAVING sum(((tf * 1000) // fb_dl) * fb_score) > 0
+  ORDER BY w_raw DESC, term LIMIT {RM3_EXP_TERMS}
+),
+wtot AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_tot FROM wraw),
+exp AS (
+  SELECT term, CAST((1000 * w_raw) // w_tot AS BIGINT) AS w_norm
+  FROM wraw, wtot
+),
+tok2 AS (
+  SELECT s.doc_id, e.term, e.w_norm
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) s
+  JOIN exp e ON s.term = e.term
+),
+tf2 AS (
+  SELECT doc_id, term, w_norm, CAST(count(*) AS BIGINT) AS tf
+  FROM tok2 GROUP BY 1, 2, 3
+),
+df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+expsc AS (
+  SELECT f.doc_id,
+         CAST(sum((f.w_norm * ((({idf_b2}) * {tf_norm2}) // 1000)) // 1000)
+              AS BIGINT) AS exp_milli
+  FROM tf2 f
+  JOIN df2 d ON f.term = d.term
+  JOIN s1 s ON f.doc_id = s.doc_id
+  CROSS JOIN stats st
+  GROUP BY f.doc_id
+),
+final AS (
+  SELECT s.doc_id, s.bm25_milli,
+         CAST(coalesce(e.exp_milli, 0) AS BIGINT) AS exp_milli,
+         CAST(({lam} * s.bm25_milli
+               + {1000 - lam} * coalesce(e.exp_milli, 0)) // 1000
+              AS BIGINT) AS rm3_milli
+  FROM s1 s LEFT JOIN expsc e ON s.doc_id = e.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rm3_milli DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, bm25_milli, exp_milli, rm3_milli
+FROM final ORDER BY rm3_milli DESC, doc_id LIMIT {RM3_TOPN}
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation over the co-purchase
     part graph (the SAME capped_basket_items/cooccur_pairs substrate as
@@ -8189,6 +8327,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "label_propagation": (q_label_propagation, _label_propagation_oracle()),
     # --- NEW in r11 cont. (displaced text_winnow to the r12 queue)
     "containment_pairs": (q_containment_pairs, _containment_oracle()),
+    # --- NEW in r11 cont. (displaced text_top_terms to the r12 queue)
+    "rm3_feedback": (q_rm3_feedback, _rm3_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -8418,7 +8558,7 @@ _R11_WINDOW = [
     "skew_salted_join", "dq_checks", "dataset_split",
     "outliers_p99", "mom_growth", "cohort_retention",
     "stratified_sample", "percentiles", "text_lang_id",
-    "text_quality", "text_fingerprint", "text_top_terms",
+    "text_quality", "text_fingerprint", "rm3_feedback",
     "containment_pairs", "label_propagation", "multimodal_phash_dedup",
     "mmr_rerank", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "substring_dedup",
@@ -8502,6 +8642,7 @@ _TAIL_FRESHNESS = [
     "multimodal_phash_dedup",
     "label_propagation",
     "containment_pairs",
+    "rm3_feedback",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

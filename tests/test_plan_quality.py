@@ -1158,3 +1158,18 @@ def test_containment_pairs_prefix_blocking_shapes(spark, registry_plans):
     plan = registry_plans["containment_pairs"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rm3_feedback_two_pass_shapes(spark, registry_plans):
+    """RM3's scale contract: the corpus never shuffles on a term key —
+    pass-2 candidates come from the broadcast expansion-term probe
+    (hash joins), doc-keyed corpus joins may sort-merge (co-partition
+    at scale), the only BNLs are the four single-row/5-row stat
+    crossJoins (corpus stats ×2, w_tot, df attach), the final top-n is
+    TakeOrderedAndProject, and nothing drops to Python."""
+    plan = registry_plans["rm3_feedback"]
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 4
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

@@ -4322,3 +4322,108 @@ def test_containment_pairs_matches_all_pairs_reference(spark, doc_toks, tau):
         for r in containment_pairs(df, n=3, tau_permille=tau).collect()
     )
     assert got == _containment_ref(docs, 3, tau)
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback vs an exact integer reference
+# ---------------------------------------------------------------------------
+
+
+def _rm3_ref(doc_texts, q, fb_docs, exp_terms, lam, topn, k1=1200, b=750):
+    """Pure-Python twin of text.rm3_feedback: integer BM25 pass 1,
+    top-fb feedback, relevance-model expansion, posting-form pass 2,
+    interpolated top-n. iln is the engine's shared integer log."""
+    import math
+    import re
+
+    def iln(x):
+        k = math.floor(math.log2(x))
+        p = 2 ** k
+        return ((k * 1000 + ((x - p) * 1000) // p) * 693147) // 1000000 - 6908
+
+    toks = {d: re.split(r"\s+", t.strip().lower()) for d, t in doc_texts}
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(toks)
+    avgdl = (sum(dl.values()) * 1000) // n
+
+    def bm25_term(tf, df, d):
+        if tf == 0 or df == 0:
+            # tf=0 -> tf_norm=0 -> contribution 0; df=0 implies tf=0
+            return 0
+        x = max(((2 * (n - df) + 1) * 1000) // (2 * df + 1), 1)
+        idf = max(0, iln(x))
+        denom = tf * 1000 + (k1 * ((1000 - b) + (b * dl[d] * 1000) // avgdl)) // 1000
+        return (idf * ((tf * (k1 + 1000) * 1000) // denom)) // 1000
+
+    dfq = {w: sum(1 for t in toks.values() if w in t) for w in q}
+    s1 = {
+        d: sum(bm25_term(t.count(w), dfq[w], d) for w in q)
+        for d, t in toks.items()
+    }
+    fb = sorted(s1, key=lambda d: (-s1[d], d))[:fb_docs]
+    w_raw = {}
+    for d in fb:
+        for term in set(toks[d]):
+            if term == "" or term in q:
+                continue
+            tf = toks[d].count(term)
+            w_raw[term] = w_raw.get(term, 0) + ((tf * 1000) // dl[d]) * s1[d]
+    cand = sorted(
+        (t for t, w in w_raw.items() if w > 0),
+        key=lambda t: (-w_raw[t], t),
+    )[:exp_terms]
+    out = {d: (s1[d], 0) for d in toks}
+    if cand:
+        w_tot = sum(w_raw[t] for t in cand)
+        w_norm = {t: (1000 * w_raw[t]) // w_tot for t in cand}
+        df2 = {t: sum(1 for tk in toks.values() if t in tk) for t in cand}
+        for d in toks:
+            e = sum(
+                (w_norm[t] * bm25_term(toks[d].count(t), df2[t], d)) // 1000
+                for t in cand
+            )
+            out[d] = (s1[d], e)
+    ranked = sorted(
+        (
+            (d, bm, e, (lam * bm + (1000 - lam) * e) // 1000)
+            for d, (bm, e) in out.items()
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )[:topn]
+    return [
+        (i + 1, d, bm, e, rm) for i, (d, bm, e, rm) in enumerate(ranked)
+    ]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=8),
+        min_size=2,
+        max_size=7,
+    ),
+)
+def test_rm3_feedback_matches_integer_reference(spark, doc_toks):
+    """rm3_feedback == the exact integer reference for ANY corpus over a
+    dense alphabet: expansion terms are data-dependent (z/w get picked
+    when they co-occur with the query hits), all-zero first passes
+    exercise the empty-expansion path, empty docs the ''-token
+    contract, and the fixed tie rules pin the full two-pass
+    trajectory."""
+    from tepsonic_database_sync_spark.operators.text import rm3_feedback
+
+    docs = [(i + 1, " ".join(ts)) for i, ts in enumerate(doc_toks)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in rm3_feedback(
+            df, ["x", "y"], fb_docs=3, exp_terms=2, lambda_milli=700, topn=5
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _rm3_ref(docs, ["x", "y"], 3, 2, 700, 5)
