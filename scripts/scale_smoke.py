@@ -550,11 +550,17 @@ def main() -> None:
         spark.range(1).count()
         results: dict[str, list] = {}
         for f in factors:
+            # hardened protocol (see docs mode): partitions sized to the
+            # amplified corpus, WARM = min-of-2 with a GC nudge
+            spark.conf.set("spark.sql.shuffle.partitions", str(32 * f))
             emb = amplified_embeddings(spark, f).localCheckpoint(eager=True)
             for name, run in _embed_ops(spark, emb, f).items():
-                t0 = time.time()
-                run()
-                dt = time.time() - t0
+                dt = float("inf")
+                for _ in range(2):
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    run()
+                    dt = min(dt, time.time() - t0)
                 results.setdefault(name, []).append((f, dt))
                 f0, base = results[name][0]
                 print(
