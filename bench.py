@@ -203,6 +203,8 @@ HEADLINE = [
     "containment_pairs",
     # r11 cont.: RM3 feedback (two-pass BM25, data-dependent expansion)
     "rm3_feedback",
+    # r11 cont.: l-diversity/t-closeness privacy census
+    "l_diversity",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -318,3 +318,100 @@ def chi_square_cells(
             row_col, col_col, "observed", "expected_milli", "contrib_milli"
         )
     )
+
+
+LDIV_L = 3
+LDIV_T_PERMILLE = 300
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_min: int = LDIV_L,
+    t_max_permille: int = LDIV_T_PERMILLE,
+) -> DataFrame:
+    """l-diversity + t-closeness census — the two refinements of
+    ``k_anonymity`` (Machanavajjhala et al. 2007; Li, Li &
+    Venkatasubramanian 2007): a class can be k-large yet still leak if
+    its SENSITIVE values are homogeneous (l-diversity counts them) or
+    skewed far from the corpus (t-closeness bounds the distribution
+    distance). Per equivalence class:
+
+    - ``class_size``   — k-anonymity's count;
+    - ``l_distinct``   — distinct sensitive values in the class;
+    - ``tvd_permille`` — total variation distance between the class's
+      sensitive distribution and the global one, floored permille,
+      EXACT integers: tvd = (500·Σ_v |c_v·N − g_v·k|) div (k·N), where
+      the sum needs only the class's OWN values — values absent from
+      the class contribute (N − Σ_{v∈class} g_v)·k in one closed-form
+      correction, so no class ever fans out over the global value set;
+    - ``l_at_risk`` / ``t_at_risk`` — the two audit flags.
+
+    Overflow contract (documented, not silent): c_v·N and g_v·k must
+    stay under 2⁶³ ⇒ N < ~3·10⁹ rows per audited table. Beyond that,
+    escalate the products to decimal(38,0) — same expressions, wider
+    type — or audit per partition-date slice (the usual governance
+    practice anyway).
+
+    Scale shape: ONE map-side-combined groupBy on (quasi, sensitive) —
+    bounded by the quasi×sensitive space, not rows — then class sizes
+    and the TVD terms aggregate from that frame; the global sensitive
+    distribution is vocabulary-sized and broadcasts. NULL is a
+    legitimate quasi AND sensitive value (groups as its own class /
+    value), exactly as in ``k_anonymity``.
+    """
+    if not quasi_cols:
+        raise ValueError("l_diversity requires at least one quasi column")
+    if l_min < 2:
+        raise ValueError("l_min must be ≥ 2 (l=1 flags nothing)")
+    cs = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").cast("long").alias("c_v")
+    )
+    g = df.groupBy(sensitive_col).agg(
+        F.count("*").cast("long").alias("g_v")
+    )
+    n = df.agg(F.count("*").cast("long").alias("n_total"))
+    # the |c_v·N − g_v·k| term needs k (the class size) which is itself
+    # an aggregate — attach it with a WINDOW over the quasi columns,
+    # not a groupBy+rejoin: window partitioning groups NULL quasi
+    # values as their own class (the documented contract), where an
+    # equi-join back on the quasi keys would silently DROP them
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy(*quasi_cols)
+    csk = cs.withColumn("k_c", F.sum("c_v").over(wq).cast("long")).withColumn(
+        "l_distinct", F.count("*").over(wq).cast("long")
+    )
+    # the global-distribution attach must be null-safe for the same
+    # reason: NULL is a legitimate sensitive value
+    gg = g.select(
+        F.col(sensitive_col).alias("__gs"), "g_v"
+    )
+    terms = (
+        csk.join(
+            F.broadcast(gg), F.col(sensitive_col).eqNullSafe(F.col("__gs"))
+        )
+        .crossJoin(F.broadcast(n))
+        .groupBy(*quasi_cols, "k_c", "l_distinct", "n_total")
+        .agg(
+            F.sum(
+                F.abs(F.col("c_v") * F.col("n_total") - F.col("g_v") * F.col("k_c"))
+            )
+            .cast("long")
+            .alias("present_num"),
+            F.sum("g_v").cast("long").alias("g_present"),
+        )
+    )
+    tvd = F.expr(
+        "(500 * (present_num + (n_total - g_present) * k_c))"
+        " div (k_c * n_total)"
+    ).cast("long")
+    return terms.select(
+        *quasi_cols,
+        F.col("k_c").alias("class_size"),
+        "l_distinct",
+        tvd.alias("tvd_permille"),
+        (F.col("l_distinct") < l_min).alias("l_at_risk"),
+        (tvd > t_max_permille).alias("t_at_risk"),
+    )

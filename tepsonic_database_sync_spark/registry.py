@@ -4274,6 +4274,74 @@ WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
 """
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity + t-closeness census over customer: quasi identifiers
+    (nation, market segment), sensitive attribute = account-balance
+    band — the two k-anonymity refinements (class-size alone does not
+    stop a homogeneity or skew attack). Exact-integer TVD via the
+    closed-form absent-value correction; design + overflow contract in
+    operators/profile.py::l_diversity."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.profile import l_diversity
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000000)"
+            " div 100000"
+        ).alias("bal_band"),
+    )
+    return l_diversity(c, ["c_nationkey", "c_mktsegment"], "bal_band")
+
+
+def _l_diversity_oracle() -> str:
+    """DuckDB twin of profile.l_diversity over the customer census:
+    (class, value) counts, class sizes, global distribution, the
+    closed-form absent-value TVD correction, floored permille."""
+    from tepsonic_database_sync_spark.operators.profile import (
+        LDIV_L,
+        LDIV_T_PERMILLE,
+    )
+
+    return f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1000000) // 100000
+           AS bal_band
+  FROM customer
+),
+cs AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(count(*) AS BIGINT) AS c_v
+  FROM c GROUP BY 1, 2, 3
+),
+g AS (SELECT bal_band, CAST(count(*) AS BIGINT) AS g_v FROM c GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM c),
+terms AS (
+  SELECT cs.c_nationkey, cs.c_mktsegment,
+         CAST(sum(cs.c_v) AS BIGINT) AS k_c,
+         CAST(count(*) AS BIGINT) AS l_distinct,
+         CAST(sum(abs(cs.c_v * n.n_total
+                      - g.g_v * (SELECT sum(c_v) FROM cs cs2
+                                 WHERE cs2.c_nationkey = cs.c_nationkey
+                                   AND cs2.c_mktsegment = cs.c_mktsegment)))
+              AS BIGINT) AS present_num,
+         CAST(sum(g.g_v) AS BIGINT) AS g_present,
+         CAST(max(n.n_total) AS BIGINT) AS n_total
+  FROM cs JOIN g USING (bal_band) CROSS JOIN n
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, k_c AS class_size, l_distinct,
+       CAST((500 * (present_num + (n_total - g_present) * k_c))
+            // (k_c * n_total) AS BIGINT) AS tvd_permille,
+       l_distinct < {LDIV_L} AS l_at_risk,
+       (500 * (present_num + (n_total - g_present) * k_c))
+         // (k_c * n_total) > {LDIV_T_PERMILLE} AS t_at_risk
+FROM terms
+"""
+
+
 def q_rm3_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback over documents: BM25 first pass on
     the shared BM25_TERMS query, top-10 feedback docs, relevance-model
@@ -8329,6 +8397,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "containment_pairs": (q_containment_pairs, _containment_oracle()),
     # --- NEW in r11 cont. (displaced text_top_terms to the r12 queue)
     "rm3_feedback": (q_rm3_feedback, _rm3_oracle()),
+    # --- NEW in r11 cont. (displaced text_fingerprint to the r12 queue)
+    "l_diversity": (q_l_diversity, _l_diversity_oracle()),
     "interval_join": (q_interval_join, _interval_join_oracle()),
     "rrf_fusion": (q_rrf_fusion, _rrf_fusion_oracle()),
     "window_funnel": (q_window_funnel, _window_funnel_oracle()),
@@ -8558,7 +8628,7 @@ _R11_WINDOW = [
     "skew_salted_join", "dq_checks", "dataset_split",
     "outliers_p99", "mom_growth", "cohort_retention",
     "stratified_sample", "percentiles", "text_lang_id",
-    "text_quality", "text_fingerprint", "rm3_feedback",
+    "text_quality", "l_diversity", "rm3_feedback",
     "containment_pairs", "label_propagation", "multimodal_phash_dedup",
     "mmr_rerank", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "substring_dedup",
@@ -8643,6 +8713,7 @@ _TAIL_FRESHNESS = [
     "label_propagation",
     "containment_pairs",
     "rm3_feedback",
+    "l_diversity",
 ]
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the

@@ -1173,3 +1173,16 @@ def test_rm3_feedback_two_pass_shapes(spark, registry_plans):
     assert plan.count("BroadcastNestedLoopJoin") == 4
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_l_diversity_is_two_phase_aggregation(spark, registry_plans):
+    """The privacy census must stay rollup-shaped: (quasi, sensitive)
+    counts partial-aggregate map-side, the global distribution and the
+    1-row total broadcast back (single-row BNL allowed), and nothing
+    compiles to a Cartesian or a per-class fan-out over the global
+    value set (the closed-form absent-value correction exists precisely
+    to avoid that join)."""
+    plan = registry_plans["l_diversity"]
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total

@@ -4427,3 +4427,66 @@ def test_rm3_feedback_matches_integer_reference(spark, doc_toks):
         .collect()
     ]
     assert got == _rm3_ref(docs, ["x", "y"], 3, 2, 700, 5)
+
+
+# ---------------------------------------------------------------------------
+# l-diversity / t-closeness vs an exact reference
+# ---------------------------------------------------------------------------
+
+
+def _ldiv_ref(rows, l_min, t_max):
+    """Exact reference: per quasi class — size, distinct sensitive
+    values, closed-form integer TVD vs the global distribution."""
+    from collections import Counter
+
+    n = len(rows)
+    g = Counter(s for _, s in rows)
+    classes = {}
+    for q, s in rows:
+        classes.setdefault(q, Counter())[s] += 1
+    out = []
+    for q, cnt in classes.items():
+        k = sum(cnt.values())
+        present = sum(abs(c * n - g[s] * k) for s, c in cnt.items())
+        g_present = sum(g[s] for s in cnt)
+        tvd = (500 * (present + (n - g_present) * k)) // (k * n)
+        out.append((q, k, len(cnt), tvd, len(cnt) < l_min, tvd > t_max))
+    return sorted(out, key=lambda r: (r[0] is None, r[0]))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.sampled_from([1, 2, 3, None]),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    t_max=st.sampled_from([0, 300, 1000]),
+)
+def test_l_diversity_matches_reference(spark, rows, t_max):
+    """l_diversity == the exact reference for ANY table incl. NULL
+    quasi AND sensitive values (each groups as its own class/value):
+    t_max=0 flags every class that deviates at all, t_max=1000 flags
+    none (TVD ≤ 1000 by construction), homogeneous classes trip
+    l_at_risk."""
+    from tepsonic_database_sync_spark.operators.profile import l_diversity
+
+    df = spark.createDataFrame(rows, "q string, s int")
+    got = sorted(
+        (
+            (r["q"], r["class_size"], r["l_distinct"], r["tvd_permille"],
+             r["l_at_risk"], r["t_at_risk"])
+            for r in l_diversity(
+                df, ["q"], "s", l_min=2, t_max_permille=t_max
+            ).collect()
+        ),
+        key=lambda r: (r[0] is None, r[0]),
+    )
+    assert got == _ldiv_ref(rows, 2, t_max)
