@@ -205,6 +205,9 @@ HEADLINE = [
     "rm3_feedback",
     # r11 cont.: l-diversity/t-closeness privacy census
     "l_diversity",
+    # r12: SemDeDup behind the two-level coarse→fine quantizer — tracked
+    # from birth (same effective k=16 as the semdedup entry)
+    "semdedup_two_level",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -126,6 +126,24 @@ def _doc_ops(docs, factor: int = 1):
 
         containment_pairs(docs).write.format("noop").mode("overwrite").save()
 
+    def run_prefix_full():
+        # FULL-corpus AllPairs prefix filter — the r12 unhinting probe:
+        # the df attach lost its vocabulary-scaled broadcast hint (the
+        # measured containment failure class), so this curve certifies
+        # no factor-1 regression and no super-linear term at 8× under
+        # AQE-chosen strategy. Per-copy token suffixes keep similarity
+        # within-copy → candidates scale linearly by construction.
+        jaccard_pairs_prefix(
+            docs, tau_permille=PREFIX_TAU_PERMILLE
+        ).write.format("noop").mode("overwrite").save()
+
+    def run_token_pmi():
+        # same unhinting probe for the PMI unigram lexicon attaches
+        # (two post-aggregate joins, previously hint-forced broadcasts)
+        from tepsonic_database_sync_spark.operators.text import token_pmi
+
+        token_pmi(docs).write.format("noop").mode("overwrite").save()
+
     def run_phash():
         # byte-gram SimHash + banded hamming over assets derived from
         # the amplified docs: per-copy suffixes perturb payload bytes,
@@ -145,6 +163,8 @@ def _doc_ops(docs, factor: int = 1):
         "lsh+star_clusters": run_lsh_clusters,
         "blocking_audit(n≈const)": run_blocking_audit,
         "containment_pairs": run_containment,
+        "prefix_pairs_full": run_prefix_full,
+        "token_pmi": run_token_pmi,
         "phash_neardup": run_phash,
     }
 
@@ -530,7 +550,25 @@ def _embed_ops(spark, emb, factor: int):
             "overwrite"
         ).save()
 
-    return {"semdedup_k∝N": run_k_scaled, "semdedup_k16": run_k_fixed}
+    def run_two_level():
+        # the r12 escalation at the SAME effective k as semdedup_k∝N
+        # (n_coarse·n_fine = 16·factor): assignment cost is
+        # N·(n_coarse + n_fine) instead of N·k, so the gap between this
+        # curve and semdedup_k∝N IS the two-level quantizer's value —
+        # it should widen as the factor (and with it k) grows
+        from tepsonic_database_sync_spark.operators.similarity import (
+            semdedup_two_level,
+        )
+
+        semdedup_two_level(
+            emb, n_coarse=4 * factor, n_fine=4, iters=2
+        ).write.format("noop").mode("overwrite").save()
+
+    return {
+        "semdedup_k∝N": run_k_scaled,
+        "semdedup_k16": run_k_fixed,
+        "semdedup_2lvl_k∝N": run_two_level,
+    }
 
 
 def main() -> None:

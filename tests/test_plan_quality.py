@@ -703,16 +703,21 @@ def test_runtime_filter_join_probes_before_the_join(spark, registry_plans):
     }
 
 
-def test_token_pmi_topk_and_broadcast_lexicon(spark, registry_plans):
-    """PMI scoring must join over the pair-count frame with a BROADCAST
-    lexicon (hot-token shuffle skew) and compile the top-k to
-    TakeOrderedAndProject; the only BNLs allowed are the two single-row
-    total joins."""
+def test_token_pmi_topk_and_adaptive_lexicon(spark, registry_plans):
+    """PMI scoring must join over the pair-count frame and compile the
+    top-k to TakeOrderedAndProject; the only BNLs allowed are the two
+    single-row total joins. The lexicon attach is deliberately UNHINTED
+    (r12 — the vocabulary grows with the corpus; a forced broadcast of
+    the same shape was measured super-linear in containment_pairs), so
+    the strategy is stats/AQE-chosen: at unit scale the eagerly
+    checkpointed lexicon has exact tiny stats and the planner must
+    still pick broadcast on its own — proving factor-1 cost is
+    unchanged without the 100 TB driver-side failure mode."""
     from tepsonic_database_sync_spark import registry as R
 
     plan = registry_plans["token_pmi"]
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # stats-chosen, not hint-forced
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
     # the count aggregations live behind eager checkpoints (the lexicon
@@ -800,17 +805,22 @@ def test_match_fuzzy_blocks_via_equi_join_not_all_pairs(spark, registry_plans):
     assert "levenshtein" in plan  # the verify survives as a filter
 
 
-def test_jaccard_prefix_filter_broadcasts_dfreq_no_cartesian(spark, registry_plans):
-    """The document-frequency (vocabulary) join must BROADCAST onto the
-    gram stream — shuffling the corpus on the gram key funnels hot
-    shingles through single reducers — and candidates must arrive by
-    equi-join, never a Cartesian product."""
+def test_jaccard_prefix_filter_adaptive_dfreq_no_cartesian(spark, registry_plans):
+    """The document-frequency attach is deliberately UNHINTED (r12):
+    the shingle vocabulary grows with the corpus, and forcing the same
+    frame to broadcast was measured super-linear in containment_pairs
+    (44.5 s hinted vs 13.3 s adaptive at sf0.1x8). The strategy is
+    stats/AQE-chosen; candidates must still arrive by equi-join, never
+    a Cartesian product or nested loop."""
     from tepsonic_database_sync_spark import registry as R
 
     plan = registry_plans["dedup_prefix_filter"]
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # dfreq flows from the checkpointed shingle frame, so the static
+    # planner sees exact sizes: tiny at unit scale -> broadcast on its
+    # own; corpus-scaled at 100 TB -> shuffle without driver collapse
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_psi_drift_is_bucket_frame_joins_only(spark, registry_plans):
@@ -1078,6 +1088,32 @@ def test_semdedup_pairs_are_cluster_equijoin(spark, registry_plans):
     assert keys, "expected equi-joins in the removal step"
     for k in keys:
         assert k.startswith("cent_id#") or k.startswith("vec_id#"), k
+
+
+def test_semdedup_two_level_pairs_are_combined_cell_equijoin(
+    spark, registry_plans
+):
+    """The two-level form must keep the single-level invariants: the
+    pair step is an equi-join on the COMBINED (coarse_id, fine_id) cell
+    over the lazily-checkpointed fine assignment, the flag re-attach
+    joins on vec_id, and no nested-loop join is visible (the coarse
+    codebook's keyless BNL attach lives behind the assignment
+    checkpoint; the fine codebook attaches are coarse_id-keyed
+    equi-joins left UNHINTED — the r12 broadcast-audit class)."""
+    import re
+
+    plan = registry_plans["semdedup_two_level"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = [
+        m.group(1)
+        for m in re.finditer(
+            r"(?:SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan
+        )
+    ]
+    assert keys, "expected equi-joins in the removal step"
+    for k in keys:
+        assert k.startswith("coarse_id#") or k.startswith("vec_id#"), k
 
 
 def test_kmv_tournament_has_no_per_set_sort_shuffle(spark, registry_plans):

@@ -3960,6 +3960,48 @@ def test_semdedup_matches_integer_reference(spark, vecs, n_cells, eps):
     assert got == _semdedup_ref(vecs, n_cells, 2, eps)
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=4, max_size=4),
+        min_size=3,
+        max_size=8,
+    ),
+    n_fine=st.sampled_from([2, 3]),
+    eps=st.sampled_from([900000, 990000, 1000000]),
+)
+def test_semdedup_two_level_degenerates_to_single_level(
+    spark, vecs, n_fine, eps
+):
+    """The pinned degeneracy law: with n_coarse=1 on a contiguous-id
+    corpus, semdedup_two_level(n_fine=k) == semdedup(n_cells=k) ==
+    the exact integer reference — one coarse cell makes the fine seeds
+    the globally lowest vec_ids and the grouped Lloyd a global Lloyd,
+    so every centroid, assignment, cent_sim and dup flag must be
+    bit-identical (fine_id plays cent_id). This is the law that keeps
+    the two implementations from drifting apart; the ANY-corpus
+    coverage of the reference test above carries over verbatim."""
+    from tepsonic_database_sync_spark.operators.similarity import (
+        semdedup_two_level,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, 0, [x / 1000 for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    got = sorted(
+        (r["vec_id"], r["fine_id"], r["cent_sim_e6"], r["is_dup"])
+        for r in semdedup_two_level(
+            emb, n_coarse=1, n_fine=n_fine, iters=2, eps_e6=eps
+        ).collect()
+    )
+    assert got == _semdedup_ref(vecs, n_fine, 2, eps)
+
+
 # ---------------------------------------------------------------------------
 # KMV bottom-k sketch vs an exact reference
 # ---------------------------------------------------------------------------
