@@ -789,8 +789,12 @@ def semdedup(
     longs); the only corpus shuffle is the cent_id-keyed self-join.
     Cluster skew is the known failure mode — the paper caps cluster
     population; here AQE's skew split handles moderate imbalance, and
-    the cap (resample oversized cells into sub-cells with one more
-    Lloyd round) is the documented escalation.
+    oversized cells split into sub-cells via the shipped two-level
+    escalation. For the paper's k∝N regime at large k, use
+    ``semdedup_two_level`` (r12): same removal semantics blocked on a
+    coarse→fine combined cell, assignment cost N·(n_coarse + n_fine)
+    instead of this form's N·k — measured 4.0× faster at effective
+    k = 1024 (SCALE.md r12).
 
     Returns (vec_id, cent_id, cent_sim_e6, is_dup∈{0,1}) for every
     input vector.

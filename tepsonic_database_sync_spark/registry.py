@@ -8800,13 +8800,16 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #   - substring_dedup — linear kept-text reconstruction
 #     (_reconstruct_kept, array_except hash-set form);
 #   - l_diversity — decimal(38,0) overflow escalation (ADVICE r11);
-#   - rm3_feedback — empty-corpus ValueError guard (ADVICE r11).
+#   - rm3_feedback — empty-corpus ValueError guard (ADVICE r11);
+#   - label_propagation — per-round eager checkpoints removed (the
+#     measured lpa_checkpoint_probe decision, VERDICT r11 item 5).
 # token_pmi's unigram-broadcast drop rides its natural slot (index 8).
 # The round's ADDITION — semdedup_two_level (new entries are always
 # in-window) — displaces one more. Displaced (least-stale SEVEN of the
 # natural 50, all r07-green, now the r13 queue head in tail order):
-# active_users, quantile_bucketize, dedup_keep_best, growth_accounting,
-# dedup_ngram_jaccard, p_nested_project, topk_orders.
+# grouped_mode, active_users, quantile_bucketize, dedup_keep_best,
+# growth_accounting, dedup_ngram_jaccard, p_nested_project,
+# topk_orders.
 _R12_WINDOW = [
     "text_fingerprint", "text_top_terms", "text_winnow",
     "text_chunks", "text_scrub", "decontaminate_bloom",
@@ -8822,7 +8825,7 @@ _R12_WINDOW = [
     "skew_profile", "cdc_roundtrip", "text_hash_embed",
     "winnow_overlap", "profile_table", "join_size_estimate",
     "ann_pq_topk", "ann_ivf_pq_topk", "group_entropy",
-    "grouped_mode", "dedup_prefix_filter", "lsh_quality",
+    "label_propagation", "dedup_prefix_filter", "lsh_quality",
     "substring_dedup", "l_diversity", "rm3_feedback",
     "blocking_quality_sampled", "semdedup_two_level",
 ]
