@@ -208,6 +208,9 @@ HEADLINE = [
     # r12: SemDeDup behind the two-level coarse→fine quantizer — tracked
     # from birth (same effective k=16 as the semdedup entry)
     "semdedup_two_level",
+    # r12: the published Gopher quality filter (row-local signals + the
+    # repetition gram shuffle)
+    "gopher_rules",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

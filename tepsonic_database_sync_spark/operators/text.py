@@ -227,6 +227,163 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1) — token
+# -count permille adaptations where the paper uses char fractions, same
+# trade repetition_stats documents. Deterministic bullet set.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_PERMILLE = 3_000   # mean word length in [3, 10]
+GOPHER_MAX_MWL_PERMILLE = 10_000
+GOPHER_MAX_SYMBOL_PERMILLE = 100  # (# + ...) per word <= 0.1
+GOPHER_MAX_BULLET_PERMILLE = 900  # <= 90% lines bullet-started
+GOPHER_MAX_ELLIPSIS_PERMILLE = 300  # <= 30% lines ellipsis-ended
+GOPHER_MIN_ALPHA_PERMILLE = 800   # >= 80% words contain a letter
+GOPHER_MIN_STOP_HITS = 2          # >= 2 distinct required stop words
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MAX_TOP2_PERMILLE = 200    # top-2-gram fraction <= 0.20
+GOPHER_MAX_DUP3_PERMILLE = 180    # dup-3-gram fraction (paper top-3 0.18)
+GOPHER_MAX_DUPLINE_PERMILLE = 300  # duplicate line fraction <= 0.30
+_GOPHER_BULLETS = ["- ", "* ", "• "]
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """The Gopher quality filter (Rae et al. 2021, Table A1) — the
+    published rule set a pre-training corpus is actually gated by,
+    composed from this module's pieces: every signal in exact integer
+    permille, every threshold a named constant, per-rule flags PLUS the
+    final ``keep`` so a curation run can audit which rule fired (the
+    flags are the product; the filter is one ``WHERE keep = 1`` away).
+
+    Signals (token-count permille adaptations of the paper's char
+    fractions, the same trade ``repetition_stats`` documents):
+
+    - word count in [50, 100000]; mean word length in [3, 10];
+    - symbol-to-word ratio (# + ...) ≤ 0.1;
+    - bullet-started lines ≤ 90% ('- ', '* ', '• ' after trim+lower),
+      ellipsis-ended lines ≤ 30% ('...' or '…');
+    - words with ≥ 1 alphabetic char ≥ 80%;
+    - ≥ 2 distinct of the 8 required stop words (the/be/to/of/and/
+      that/have/with);
+    - repetition: top-2-gram ≤ 20%, duplicated-3-gram ≤ 18%,
+      duplicated-line ≤ 30% — reused verbatim from
+      ``repetition_stats`` (its gram aggregation is this operator's
+      only shuffle).
+
+    Scale shape: one codegen'd row-local projection for the seven
+    direct signals (no shuffle), joined on doc_id with
+    ``repetition_stats``'s one-gram-shuffle output — at 100 TB this is
+    scan + the repetition aggregate, nothing else; empty/short docs
+    take the documented zero paths (``_permille`` floors at 0/0 → 0)
+    and fail the word-count rule rather than erroring.
+
+    Returns (doc_id, n_words, mean_word_len_permille,
+    symbol_ratio_permille, bullet_line_permille,
+    ellipsis_line_permille, alpha_word_permille, n_stop_hits,
+    top_bigram_permille, dup_trigram_permille, dup_line_permille,
+    r_words, r_mwl, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
+    r_rep, keep) — flags and keep as 0/1 longs.
+    """
+    t = F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+    n_words = F.size(t).cast("long")
+    char_sum = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mwl = _permille(char_sum, n_words)
+    n_hash = F.size(F.regexp_extract_all(F.col("text"), F.lit("#"), 0)).cast("long")
+    n_ell = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), 0)
+    ).cast("long")
+    symbol = _permille(n_hash + n_ell, n_words)
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.lower(F.trim(l))),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines).cast("long")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.lit(False)
+            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[0])
+            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[1])
+            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[2]),
+        )
+    ).cast("long")
+    ell_end = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    ).cast("long")
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("long")
+    stop_hits = sum(
+        F.when(F.array_contains(t, w), 1).otherwise(0)
+        for w in GOPHER_STOP_WORDS
+    ).cast("long")
+    direct = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len_permille"),
+        symbol.alias("symbol_ratio_permille"),
+        _permille(bullet, n_lines).alias("bullet_line_permille"),
+        _permille(ell_end, n_lines).alias("ellipsis_line_permille"),
+        _permille(alpha, n_words).alias("alpha_word_permille"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    rep = repetition_stats(docs)
+    j = direct.join(rep, "doc_id")
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    r_words = flag(
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    )
+    r_mwl = flag(
+        F.col("mean_word_len_permille").between(
+            GOPHER_MIN_MWL_PERMILLE, GOPHER_MAX_MWL_PERMILLE
+        )
+    )
+    r_symbol = flag(F.col("symbol_ratio_permille") <= GOPHER_MAX_SYMBOL_PERMILLE)
+    r_bullet = flag(F.col("bullet_line_permille") <= GOPHER_MAX_BULLET_PERMILLE)
+    r_ellipsis = flag(
+        F.col("ellipsis_line_permille") <= GOPHER_MAX_ELLIPSIS_PERMILLE
+    )
+    r_alpha = flag(F.col("alpha_word_permille") >= GOPHER_MIN_ALPHA_PERMILLE)
+    r_stop = flag(F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS)
+    r_rep = flag(
+        (F.col("top_bigram_permille") <= GOPHER_MAX_TOP2_PERMILLE)
+        & (F.col("dup_trigram_permille") <= GOPHER_MAX_DUP3_PERMILLE)
+        & (F.col("dup_line_permille") <= GOPHER_MAX_DUPLINE_PERMILLE)
+    )
+    out = j.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len_permille",
+        "symbol_ratio_permille",
+        "bullet_line_permille",
+        "ellipsis_line_permille",
+        "alpha_word_permille",
+        "n_stop_hits",
+        "top_bigram_permille",
+        "dup_trigram_permille",
+        "dup_line_permille",
+        r_words.alias("r_words"),
+        r_mwl.alias("r_mwl"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+    )
+    keep = (
+        (F.col("r_words") == 1)
+        & (F.col("r_mwl") == 1)
+        & (F.col("r_symbol") == 1)
+        & (F.col("r_bullet") == 1)
+        & (F.col("r_ellipsis") == 1)
+        & (F.col("r_alpha") == 1)
+        & (F.col("r_stop") == 1)
+        & (F.col("r_rep") == 1)
+    )
+    return out.withColumn("keep", F.when(keep, 1).otherwise(0).cast("long"))
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
 ) -> DataFrame:

@@ -5040,6 +5040,178 @@ FROM faf a LEFT JOIN rem r ON a.vec_id = r.vec_id
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality filter (Rae et al. 2021, Table A1)
+    over the documents corpus: per-doc integer-permille signals,
+    per-rule flags, and the final keep bit — word count, mean word
+    length, symbol ratio, bullet/ellipsis line shares, alpha-word
+    share, required-stop-word hits, and the repetition trio reused
+    from repetition_stats. Design + thresholds in
+    operators/text.py::gopher_rules.
+
+    The synthetic corpus is single-line prose with no bullets,
+    ellipses, or hashes (checked at every SF), so those rule branches
+    would never execute cross-engine — every doc_id % 5 == 0 doc gets
+    a deterministic multi-line pathological suffix injected
+    IDENTICALLY here and in the oracle (the text_scrub pattern), so
+    the hash actually certifies starts_with/ends_with/regexp parity
+    for the line-level rules."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    "\n- bullet item one\n- second item trails...\ntail ## line"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return gopher_rules(docs)
+
+
+def _gopher_oracle() -> str:
+    """DuckDB twin of operators.text.gopher_rules: identical permille
+    arithmetic, identical thresholds (imported, not copied), and the
+    text_repetition oracle's gram CTEs verbatim for the repetition
+    trio."""
+    from tepsonic_database_sync_spark.operators.text import (
+        GOPHER_MAX_BULLET_PERMILLE,
+        GOPHER_MAX_DUP3_PERMILLE,
+        GOPHER_MAX_DUPLINE_PERMILLE,
+        GOPHER_MAX_ELLIPSIS_PERMILLE,
+        GOPHER_MAX_MWL_PERMILLE,
+        GOPHER_MAX_SYMBOL_PERMILLE,
+        GOPHER_MAX_TOP2_PERMILLE,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_PERMILLE,
+        GOPHER_MIN_MWL_PERMILLE,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOP_WORDS,
+    )
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(tw, '{w}') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOP_WORDS
+    )
+    pm = (
+        lambda num, den: f"CAST(CASE WHEN {den} > 0"
+        f" THEN ({num} * 1000) // {den} ELSE 0 END AS BIGINT)"
+    )
+    return rf"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || chr(10) || '- bullet item one' || chr(10)
+                   || '- second item trails...' || chr(10) || 'tail ## line'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t, text
+  FROM injected
+),
+base AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+         i -> t[i] || ' ' || t[i+1]) ELSE [] END AS g2,
+    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3,
+    list_filter(list_transform(string_split(text, chr(10)),
+                l -> lower(trim(l))), l -> l <> '') AS gl
+  FROM toks
+),
+longf AS (
+  SELECT doc_id, '2' AS kind, unnest(g2) AS gram FROM base
+  UNION ALL SELECT doc_id, '3' AS kind, unnest(g3) AS gram FROM base
+  UNION ALL SELECT doc_id, 'L' AS kind, unnest(gl) AS gram FROM base
+),
+counts AS (
+  SELECT doc_id, kind, gram, count(*) AS c FROM longf GROUP BY doc_id, kind, gram
+),
+per_doc AS (
+  SELECT doc_id,
+    max(CASE WHEN kind = '2' THEN c END) AS top2,
+    sum(CASE WHEN kind = '2' THEN c END) AS n2,
+    sum(CASE WHEN kind = '3' AND c > 1 THEN c END) AS dup3,
+    sum(CASE WHEN kind = '3' THEN c END) AS n3,
+    sum(CASE WHEN kind = 'L' AND c > 1 THEN c END) AS dupl,
+    sum(CASE WHEN kind = 'L' THEN c END) AS nl
+  FROM counts GROUP BY doc_id
+),
+direct AS (
+  SELECT doc_id,
+    CAST(len(tw) AS BIGINT) AS n_words,
+    CAST(coalesce(list_aggregate(list_transform(tw, x -> length(x)),
+                                 'sum'), 0) AS BIGINT) AS char_sum,
+    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_ell,
+    CAST(len(gl) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(gl, l -> starts_with(l, '- ')
+             OR starts_with(l, '* ') OR starts_with(l, '• ')))
+         AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(gl, l -> ends_with(l, '...')
+             OR ends_with(l, '…'))) AS BIGINT) AS n_ellend,
+    CAST(len(list_filter(tw, x -> regexp_matches(x, '[a-z]')))
+         AS BIGINT) AS n_alpha,
+    CAST({stop_sum} AS BIGINT) AS n_stop_hits
+  FROM (
+    SELECT doc_id, text, gl,
+           list_filter(t, x -> x <> '') AS tw
+    FROM toks JOIN base USING (doc_id)
+  )
+),
+sig AS (
+  SELECT d.doc_id,
+    d.n_words,
+    {pm("d.char_sum", "d.n_words")} AS mean_word_len_permille,
+    {pm("(d.n_hash + d.n_ell)", "d.n_words")} AS symbol_ratio_permille,
+    {pm("d.n_bullet", "d.n_lines")} AS bullet_line_permille,
+    {pm("d.n_ellend", "d.n_lines")} AS ellipsis_line_permille,
+    {pm("d.n_alpha", "d.n_words")} AS alpha_word_permille,
+    d.n_stop_hits,
+    {pm("coalesce(p.top2, 0)", "coalesce(p.n2, 0)")} AS top_bigram_permille,
+    {pm("coalesce(p.dup3, 0)", "coalesce(p.n3, 0)")} AS dup_trigram_permille,
+    {pm("coalesce(p.dupl, 0)", "coalesce(p.nl, 0)")} AS dup_line_permille
+  FROM direct d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+),
+flags AS (
+  SELECT *,
+    CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+    CAST(CASE WHEN mean_word_len_permille BETWEEN {GOPHER_MIN_MWL_PERMILLE}
+         AND {GOPHER_MAX_MWL_PERMILLE} THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+    CAST(CASE WHEN symbol_ratio_permille <= {GOPHER_MAX_SYMBOL_PERMILLE}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+    CAST(CASE WHEN bullet_line_permille <= {GOPHER_MAX_BULLET_PERMILLE}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+    CAST(CASE WHEN ellipsis_line_permille <= {GOPHER_MAX_ELLIPSIS_PERMILLE}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+    CAST(CASE WHEN alpha_word_permille >= {GOPHER_MIN_ALPHA_PERMILLE}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+    CAST(CASE WHEN n_stop_hits >= {GOPHER_MIN_STOP_HITS}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+    CAST(CASE WHEN top_bigram_permille <= {GOPHER_MAX_TOP2_PERMILLE}
+          AND dup_trigram_permille <= {GOPHER_MAX_DUP3_PERMILLE}
+          AND dup_line_permille <= {GOPHER_MAX_DUPLINE_PERMILLE}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_rep
+  FROM sig
+)
+SELECT *,
+  CAST(CASE WHEN r_words = 1 AND r_mwl = 1 AND r_symbol = 1
+        AND r_bullet = 1 AND r_ellipsis = 1 AND r_alpha = 1
+        AND r_stop = 1 AND r_rep = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM flags
+"""
+
+
 def q_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitters summary over document terms (capacity
     32) — the DETERMINISTIC member of the sketch family next to the
@@ -8563,6 +8735,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
         q_semdedup_two_level,
         _semdedup_two_level_oracle(),
     ),
+    # --- NEW in r12 (displaced group_entropy to the r13 queue) ----------
+    "gopher_rules": (q_gopher_rules, _gopher_oracle()),
     # --- NEW in r11 (took the token_pmi fill slot) ----------------------
     "kmv_distinct": (q_kmv_distinct, _kmv_distinct_oracle()),
     # --- NEW in r11 cont. (displaced decontaminate_bloom to the r12 queue)
@@ -8804,10 +8978,11 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #   - label_propagation — per-round eager checkpoints removed (the
 #     measured lpa_checkpoint_probe decision, VERDICT r11 item 5).
 # token_pmi's unigram-broadcast drop rides its natural slot (index 8).
-# The round's ADDITION — semdedup_two_level (new entries are always
-# in-window) — displaces one more. Displaced (least-stale SEVEN of the
-# natural 50, all r07-green, now the r13 queue head in tail order):
-# grouped_mode, active_users, quantile_bucketize, dedup_keep_best,
+# The round's ADDITIONS — semdedup_two_level and gopher_rules (new
+# entries are always in-window) — displace two more. Displaced
+# (least-stale NINE of the natural 50, all r07-green, now the r13
+# queue head in tail order): group_entropy, grouped_mode,
+# active_users, quantile_bucketize, dedup_keep_best,
 # growth_accounting, dedup_ngram_jaccard, p_nested_project,
 # topk_orders.
 _R12_WINDOW = [
@@ -8824,10 +8999,10 @@ _R12_WINDOW = [
     "event_anomaly", "grouped_quantiles", "source_overlap",
     "skew_profile", "cdc_roundtrip", "text_hash_embed",
     "winnow_overlap", "profile_table", "join_size_estimate",
-    "ann_pq_topk", "ann_ivf_pq_topk", "group_entropy",
-    "label_propagation", "dedup_prefix_filter", "lsh_quality",
-    "substring_dedup", "l_diversity", "rm3_feedback",
-    "blocking_quality_sampled", "semdedup_two_level",
+    "ann_pq_topk", "ann_ivf_pq_topk", "label_propagation",
+    "dedup_prefix_filter", "lsh_quality", "substring_dedup",
+    "l_diversity", "rm3_feedback", "blocking_quality_sampled",
+    "semdedup_two_level", "gopher_rules",
 ]
 
 # Tail order = rotation-queue priority for future rounds: stalest green
@@ -8901,7 +9076,7 @@ _TAIL_FRESHNESS = [
     "dedup_clusters_star", "embed_dedup_clusters", "dedup_canonicalize",
     "substring_dedup", "semdedup", "kmv_distinct",
     "dup_substring_rate", "mg_summary", "dsir_select",
-    "semdedup_two_level",
+    "semdedup_two_level", "gopher_rules",
 ]
 
 

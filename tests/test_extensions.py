@@ -426,6 +426,52 @@ def test_multimodal_resize_shapes(spark):
     assert all(r["meta"]["width"] == 16 and r["meta"]["height"] == 8 for r in out)
 
 
+def test_gopher_rules_fire_on_their_target_pathologies(spark):
+    """Each published Gopher rule (Rae et al. 2021 A1) must fire on a
+    doc crafted to violate exactly it, and a healthy prose doc must
+    pass every rule — the per-rule flags are the audit product, so
+    each one is asserted individually, not just the final keep bit."""
+    from tepsonic_database_sync_spark.operators.text import gopher_rules
+
+    prose = (
+        "the quick brown fox jumps over that lazy dog with great energy "
+        "and then wanders along quiet country roads where tall green "
+        "trees shade small stone houses while gentle rivers flow past "
+        "old wooden bridges toward distant blue mountains carrying cool "
+        "clear water from early spring rains that nourish wide golden "
+        "fields of wheat and barley under bright open summer skies"
+    )  # 60 varied words, stop words present, no repeated bigram spam
+    docs = spark.createDataFrame(
+        [
+            (1, prose),
+            (2, "\n".join("- item " + w for w in prose.split()[:20])),
+            (3, " ".join("#" + w for w in prose.split())),
+            (4, "hi there"),
+            (5, ("foo bar " * 40).strip() + " " + prose),
+            (6, "\n".join(w + "..." for w in prose.split()[:20])),
+            (7, " ".join(str(i) for i in range(1000, 1060))),
+            (8, " ".join(f"w{i:02d}x y{i:02d}z" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row for row in gopher_rules(docs).collect()}
+    good = r[1]
+    assert good["keep"] == 1 and all(
+        good[f] == 1
+        for f in (
+            "r_words", "r_mwl", "r_symbol", "r_bullet",
+            "r_ellipsis", "r_alpha", "r_stop", "r_rep",
+        )
+    )
+    assert r[2]["r_bullet"] == 0 and r[2]["bullet_line_permille"] == 1000
+    assert r[3]["r_symbol"] == 0
+    assert r[4]["r_words"] == 0 and r[4]["keep"] == 0
+    assert r[5]["r_rep"] == 0  # "foo bar" dominates the bigram mass
+    assert r[6]["r_ellipsis"] == 0 and r[6]["ellipsis_line_permille"] == 1000
+    assert r[7]["r_alpha"] == 0 and r[7]["alpha_word_permille"] == 0
+    assert r[8]["r_stop"] == 0 and r[8]["n_stop_hits"] == 0
+
+
 def test_phash_stop_key_cap_drops_degenerate_buckets(spark):
     """The r12 stop-key cap on phash_neardup_pairs, exercised on exactly
     the corpus it exists for: a pile of constant-byte payloads whose

@@ -1116,6 +1116,23 @@ def test_semdedup_two_level_pairs_are_combined_cell_equijoin(
         assert k.startswith("coarse_id#") or k.startswith("vec_id#"), k
 
 
+def test_gopher_rules_is_row_local_plus_one_gram_shuffle(
+    spark, registry_plans
+):
+    """The Gopher filter's seven direct signals are ONE codegen'd
+    row-local projection; the only aggregation work is the repetition
+    trio's map-side-combined gram rollup (inherited from
+    repetition_stats). No Cartesian, no nested loop, and the exchange
+    count stays at the repetition substrate's shape (gram agg +
+    per-doc rollup + the two doc_id joins) — a per-signal self-join
+    would blow this bound immediately."""
+    plan = registry_plans["gopher_rules"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange") <= 5, plan.count("Exchange")
+
+
 def test_kmv_tournament_has_no_per_set_sort_shuffle(spark, registry_plans):
     """The KMV build must be the two-level tournament: distinct on the
     wide (set, hash) key with partial aggregation, bounded per-bucket
