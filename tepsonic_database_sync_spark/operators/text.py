@@ -259,7 +259,9 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     fractions, the same trade ``repetition_stats`` documents):
 
     - word count in [50, 100000]; mean word length in [3, 10];
-    - symbol-to-word ratio (# + ...) ≤ 0.1;
+    - symbol-to-word ratio (# + '...' + '…') ≤ 0.1 — both ellipsis
+      forms count, matching the ellipsis-LINE rule (ADVICE r12 closed
+      the '…'-escapes-the-symbol-rule asymmetry);
     - bullet-started lines ≤ 90% ('- ', '* ', '• ' after trim+lower),
       ellipsis-ended lines ≤ 30% ('...' or '…');
     - words with ≥ 1 alphabetic char ≥ 80%;
@@ -272,8 +274,15 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
 
     Scale shape: one codegen'd row-local projection for the seven
     direct signals (no shuffle), joined on doc_id with
-    ``repetition_stats``'s one-gram-shuffle output — at 100 TB this is
-    scan + the repetition aggregate, nothing else; empty/short docs
+    ``repetition_stats``'s one-gram-shuffle output. The docs source is
+    read TWICE — once by the direct-signal projection and once inside
+    ``repetition_stats``, which re-tokenizes before its gram shuffle
+    (ADVICE r12: the previous "scan + aggregate, nothing else" claim
+    under-counted) — so at 100 TB the cost is two pruned column scans
+    plus the one gram shuffle; both scans project only (doc_id, text)
+    and the second is the price of keeping ``repetition_stats`` an
+    independently tested operator rather than inlining it. Empty/short
+    docs
     take the documented zero paths (``_permille`` floors at 0/0 → 0)
     and fail the word-count rule rather than erroring.
 
@@ -291,8 +300,12 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     )
     mwl = _permille(char_sum, n_words)
     n_hash = F.size(F.regexp_extract_all(F.col("text"), F.lit("#"), 0)).cast("long")
+    # '…' counts toward the symbol ratio alongside '...' (ADVICE r12:
+    # the ellipsis-LINE rule already matched both forms, so '…'-heavy
+    # docs escaped only the symbol rule); the alternatives match at
+    # disjoint positions, so Java-regex and RE2 scan identically
     n_ell = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), 0)
+        F.regexp_extract_all(F.col("text"), F.lit("\\.\\.\\.|…"), 0)
     ).cast("long")
     symbol = _permille(n_hash + n_ell, n_words)
     lines = F.filter(

@@ -5066,7 +5066,8 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.col("text"),
                 F.lit(
-                    "\n- bullet item one\n- second item trails...\ntail ## line"
+                    "\n- bullet item one\n- second item trails..."
+                    "\nunicode trail …\ntail ## line"
                 ),
             ),
         )
@@ -5110,7 +5111,8 @@ WITH injected AS (
   SELECT doc_id,
          CASE WHEN doc_id % 5 = 0
               THEN text || chr(10) || '- bullet item one' || chr(10)
-                   || '- second item trails...' || chr(10) || 'tail ## line'
+                   || '- second item trails...' || chr(10)
+                   || 'unicode trail …' || chr(10) || 'tail ## line'
               ELSE text END AS text
   FROM documents
 ),
@@ -5152,7 +5154,7 @@ direct AS (
     CAST(coalesce(list_aggregate(list_transform(tw, x -> length(x)),
                                  'sum'), 0) AS BIGINT) AS char_sum,
     CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
-    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_ell,
+    CAST(len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS n_ell,
     CAST(len(gl) AS BIGINT) AS n_lines,
     CAST(len(list_filter(gl, l -> starts_with(l, '- ')
              OR starts_with(l, '* ') OR starts_with(l, '• ')))

@@ -451,6 +451,10 @@ def test_gopher_rules_fire_on_their_target_pathologies(spark):
             (6, "\n".join(w + "..." for w in prose.split()[:20])),
             (7, " ".join(str(i) for i in range(1000, 1060))),
             (8, " ".join(f"w{i:02d}x y{i:02d}z" for i in range(30))),
+            # unicode-ellipsis-heavy ONE-LINE doc: before the r13 fix
+            # '…' counted only toward the ellipsis-LINE rule, so this
+            # doc escaped the symbol rule entirely (ADVICE r12)
+            (9, " ".join(w + "…" for w in prose.split())),
         ],
         "doc_id long, text string",
     )
@@ -470,6 +474,7 @@ def test_gopher_rules_fire_on_their_target_pathologies(spark):
     assert r[6]["r_ellipsis"] == 0 and r[6]["ellipsis_line_permille"] == 1000
     assert r[7]["r_alpha"] == 0 and r[7]["alpha_word_permille"] == 0
     assert r[8]["r_stop"] == 0 and r[8]["n_stop_hits"] == 0
+    assert r[9]["r_symbol"] == 0 and r[9]["symbol_ratio_permille"] == 1000
 
 
 def test_phash_stop_key_cap_drops_degenerate_buckets(spark):

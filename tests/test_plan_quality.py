@@ -1194,8 +1194,11 @@ def test_label_propagation_rounds_are_mode_aggregations(spark, registry_plans):
     """Each LPA round must be: edges (checkpointed once) joined to the
     small label frame, then the mode as a map-side-combined
     (node, label) count + max(struct) argmax — never a per-node
-    neighborhood sort, never a nested loop. The visible plan (post
-    per-round checkpoint) is the final round's aggregation pair."""
+    neighborhood sort, never a nested loop. Since r12 the rounds carry
+    NO per-round checkpoint (lineage is linear — one consumer per
+    round — so the whole trajectory pipelines as one job; a lazy cut
+    fires only every _LPA_CKPT_EVERY rounds), so the visible plan is
+    the full uncut chain of all rounds' join + aggregation pairs."""
     plan = registry_plans["label_propagation"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

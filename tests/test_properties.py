@@ -4305,6 +4305,29 @@ def test_label_propagation_matches_reference(spark, raw, rounds):
     assert got == _lpa_ref(edge_set, rounds)
 
 
+def test_label_propagation_long_trajectory_hits_lazy_checkpoint(spark):
+    """rounds >= _LPA_CKPT_EVERY + 1 executes the lazy localCheckpoint
+    branch (the plan-depth bound that never fires at the default 4
+    rounds — ADVICE r12: no other test exercised it) and the output
+    must still equal the exact synchronous reference. The graph mixes
+    an odd cycle (labels keep churning, so late rounds do real work)
+    with a pendant chain."""
+    from tepsonic_database_sync_spark.operators.graph import (
+        _LPA_CKPT_EVERY,
+        label_propagation,
+    )
+
+    edge_set = {(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (5, 6), (6, 7)}
+    sym = [(a, b) for a, b in edge_set] + [(b, a) for a, b in edge_set]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    rounds = _LPA_CKPT_EVERY + 1  # (r+1) % EVERY == 0 fires at r = EVERY-1
+    got = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(edges, rounds=rounds).collect()
+    )
+    assert got == _lpa_ref(edge_set, rounds)
+
+
 # ---------------------------------------------------------------------------
 # Containment pairs vs the exact all-pairs reference
 # ---------------------------------------------------------------------------
