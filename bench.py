@@ -270,13 +270,26 @@ def main() -> None:
     # 42s / 8.0s for byte-identical plans); two samples aren't enough to
     # reliably catch a steal-free window
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # the ITERATIVE-GRAPH entries get two extra samples (min-of-5):
+    # their many short scheduling-bound stages amplify steal — pagerank
+    # measured a 3.3× same-plan spread inside one quiet session
+    # (SCALE.md r12), which made the official min-of-3 read (8.35 s vs
+    # the isolated 5.8-s class) uninterpretable round-over-round
+    # (VERDICT r12 item 3)
+    extra = {
+        "pagerank": 2,
+        "bfs_hops": 2,
+        "graph_components": 2,
+        "label_propagation": 2,
+        "triangle_stats": 2,
+    }
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         if name != "match_cascade" and name not in qs:
             continue
         best = float("inf")
-        for i in range(runs):
+        for i in range(runs + extra.get(name, 0)):
             t0 = time.time()
             _run_once(spark, name, qs, sf_dir)
             dt = time.time() - t0

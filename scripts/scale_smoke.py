@@ -144,6 +144,17 @@ def _doc_ops(docs, factor: int = 1):
 
         token_pmi(docs).write.format("noop").mode("overwrite").save()
 
+    def run_lm_score():
+        # the r13 A/B probe for the LAST vocabulary-scaled broadcast
+        # hint (VERDICT r12 item 1): the unigram-lexicon attach onto
+        # the bigram stream. Per-copy token suffixes make each copy's
+        # vocabulary disjoint, so the lexicon grows ∝ factor — exactly
+        # the regime where a forced broadcast went super-linear in
+        # containment_pairs.
+        from tepsonic_database_sync_spark.operators.text import lm_score
+
+        lm_score(docs).write.format("noop").mode("overwrite").save()
+
     def run_phash():
         # byte-gram SimHash + banded hamming over assets derived from
         # the amplified docs: per-copy suffixes perturb payload bytes,
@@ -165,6 +176,7 @@ def _doc_ops(docs, factor: int = 1):
         "containment_pairs": run_containment,
         "prefix_pairs_full": run_prefix_full,
         "token_pmi": run_token_pmi,
+        "lm_score": run_lm_score,
         "phash_neardup": run_phash,
     }
 

@@ -264,3 +264,142 @@ def epoch_order(
         F.col("epoch").cast("long").alias("epoch"),
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+MIX_BUDGET_PERMILLE = 500       # target token budget = 50% of corpus
+MIX_ALPHA_ISQRT = True          # temperature α = 0.5 (integer sqrt)
+MIX_CAP_EPOCHS_PERMILLE = 2000  # per-domain cap = 2.0 epochs of its data
+MIX_ROUNDS = 8                  # water-filling rounds (>= binding domains)
+
+
+def _isqrt(n: Column) -> Column:
+    """Engine-exact integer sqrt: double sqrt is within 1 ulp for
+    n < 2^52, and the two integer corrections pin floor(sqrt(n))
+    exactly — the same double-then-correct trick both engines can run
+    bit-identically (token counts at 100 TB are ~2^44, inside the
+    bound)."""
+    s0 = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    s1 = F.when(s0 * s0 > n, s0 - 1).otherwise(s0)
+    return F.when((s1 + 1) * (s1 + 1) <= n, s1 + 1).otherwise(s1)
+
+
+def mixture_rebalance(
+    docs: DataFrame,
+    group: str = "source",
+    budget_permille: int = MIX_BUDGET_PERMILLE,
+    cap_epochs_permille: int = MIX_CAP_EPOCHS_PERMILLE,
+    rounds: int = MIX_ROUNDS,
+) -> DataFrame:
+    """Temperature-resampled domain mixture under repetition caps — the
+    published data-mixing rule a multi-domain pre-training corpus is
+    weighted by: α-temperature sampling (p_i ∝ n_i^α, α = 0.5 — the
+    multilingual sampling rule of Arivazhagan et al. 2019 / Conneau &
+    Lample 2019) with a max-epochs cap per domain (repeating a domain
+    beyond a few epochs stops helping — Muennighoff et al. 2023), solved
+    to a fixed point by iterative WATER-FILLING: allocate the budget
+    ∝ isqrt(n_i) over uncapped domains, cap whoever overflows
+    (alloc_i ≤ cap_epochs·n_i), redistribute the freed budget over the
+    rest, repeat. Every quantity integer (isqrt is the double-corrected
+    exact form), so the DuckDB oracle unrolls the same rounds
+    bit-for-bit — the kmeans/LPA iterative-oracle shape.
+
+    Each round caps at least one new domain or is the fixed point, so
+    ``rounds`` >= the number of binding domains suffices; with the
+    default budget (50% of corpus tokens) and cap (2 epochs) only
+    far-undersized domains bind and convergence is 1-2 rounds. The
+    round count is a plan-depth constant, not a convergence guess: the
+    oracle runs the IDENTICAL count, so parity never depends on early
+    convergence.
+
+    Scale shape: ONE map-side-combined token-count aggregate over the
+    corpus (the only corpus-scale work); the water-filling iterates on
+    the post-aggregate per-domain frame (|domains| rows — single-digit
+    KB even at thousands of domains) with two single-row stat
+    broadcasts per round. At 100 TB: one scan + one narrow shuffle,
+    then driver-scale arithmetic expressed as DataFrame ops so the
+    whole thing stays one lazy plan.
+
+    Returns (domain, n_tokens, weight, cap_tokens, alloc_tokens,
+    epochs_permille, capped): alloc_tokens sums to ≤ the budget,
+    epochs_permille = alloc·1000/n_tokens (how many epochs of the
+    domain the mixture uses), capped = 1 where the cap bound.
+    """
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    toked = docs.select(
+        F.col(group).alias("domain"),
+        F.size(
+            F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+        ).cast("long").alias("n"),
+    )
+    dom = (
+        toked.groupBy("domain")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+        .select(
+            "domain",
+            "n_tokens",
+            _isqrt(F.col("n_tokens")).alias("weight"),
+            F.expr(f"n_tokens * {cap_epochs_permille} div 1000")
+            .cast("long")
+            .alias("cap_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    budget = dom.agg(
+        F.expr(f"sum(n_tokens) * {budget_permille} div 1000")
+        .cast("long")
+        .alias("t_budget")
+    )
+    state = dom.select(
+        "domain",
+        "n_tokens",
+        "weight",
+        "cap_tokens",
+        F.lit(0).cast("long").alias("capped"),
+        F.lit(0).cast("long").alias("prov"),
+    )
+    for _ in range(rounds):
+        stats = state.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("capped") == 1, F.col("cap_tokens"))), F.lit(0)
+            ).cast("long").alias("cap_sum"),
+            F.coalesce(
+                F.sum(F.when(F.col("capped") == 0, F.col("weight"))), F.lit(0)
+            ).cast("long").alias("w_sum"),
+        )
+        j = state.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(budget))
+        share = F.when(
+            F.col("w_sum") > 0,
+            F.expr("(t_budget - cap_sum) * weight div w_sum").cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        prov = F.when(F.col("capped") == 1, F.col("cap_tokens")).otherwise(share)
+        state = j.select(
+            "domain",
+            "n_tokens",
+            "weight",
+            "cap_tokens",
+            F.when(
+                (F.col("capped") == 1) | (prov > F.col("cap_tokens")), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("capped"),
+            prov.alias("prov"),
+        )
+    alloc = F.when(
+        F.col("capped") == 1, F.col("cap_tokens")
+    ).otherwise(F.col("prov"))
+    return state.select(
+        "domain",
+        "n_tokens",
+        "weight",
+        "cap_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((alloc * 1000) / F.col("n_tokens")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("epochs_permille"),
+        "capped",
+    )

@@ -397,6 +397,148 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     return out.withColumn("keep", F.when(keep, 1).otherwise(0).cast("long"))
 
 
+FW_MIN_PUNCT_LINE_PERMILLE = 120   # >= 12% lines end with terminal punct
+FW_SHORT_LINE_CHARS = 30           # a "short" line is < 30 chars
+FW_MAX_SHORT_LINE_PERMILLE = 670   # <= 67% short lines
+FW_MAX_DUPLINE_CHAR_PERMILLE = 100  # <= 10% of line chars in dup lines
+C4_MIN_SENTENCES = 3               # >= 3 terminal-punct sentence ends
+_FW_TERMINALS = [".", "!", "?", '"']
+
+
+def fineweb_filters(docs: DataFrame) -> DataFrame:
+    """The FineWeb line-quality gate (Penedo et al. 2024, §3 "quality
+    filtering") plus the C4 document heuristics it inherits (Raffel et
+    al. 2020, §2.2) — the OTHER published pre-training gate next to
+    ``gopher_rules``, covering the line-structure pathologies Gopher's
+    token rules miss. Per-rule flags PLUS the final ``keep``, exact
+    integer permille, every threshold a named constant.
+
+    FineWeb's three additional filters (paper values):
+
+    - terminal-punctuation line share >= 12% (docs where almost no line
+      ends a sentence are menus/navigation dumps); "terminal" is
+      {. ! ? "} — the C4 set;
+    - short-line share <= 67% (lines shorter than 30 chars after
+      trim+lower — listing/boilerplate shape);
+    - duplicated-line CHAR share <= 10%: fraction of line characters
+      sitting in within-doc duplicated lines — CHAR-weighted, unlike
+      ``repetition_stats``' line-COUNT dup share, so one giant repeated
+      banner fires it even among many unique short lines.
+
+    C4 document rules (token-level adaptations documented inline):
+
+    - >= 3 sentences, proxied as >= 3 terminal-punct characters in the
+      raw text (C4 splits sentences; the proxy is engine-exact and
+      errs permissive on abbreviation-heavy prose);
+    - no '{' anywhere (code page);
+    - no 'lorem ipsum' (lower-cased substring);
+    - no line containing 'javascript' (C4 drops the LINE; as a
+      document-level audit flag the doc is marked instead — a curation
+      run that wants C4's exact behavior filters lines upstream).
+
+    Scale shape: every signal except the dup-char share is one
+    codegen'd row-local projection (no shuffle); the dup-char share is
+    ONE aggregate keyed (doc_id, line) — the key contains doc_id, so
+    it is skew-free by construction (same argument as
+    ``repetition_stats``), followed by the doc_id join back. Two
+    pruned (doc_id, text) scans, one narrow shuffle, nothing else at
+    100 TB.
+
+    Returns (doc_id, n_lines, punct_line_permille, short_line_permille,
+    dup_line_char_permille, n_sentences, r_punct, r_short, r_dupchar,
+    r_sent, r_brace, r_lorem, r_js, keep) — flags and keep as 0/1
+    longs.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.lower(F.trim(l))),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines).cast("long")
+    punct_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.lit(False)
+            | l.endswith(_FW_TERMINALS[0])
+            | l.endswith(_FW_TERMINALS[1])
+            | l.endswith(_FW_TERMINALS[2])
+            | l.endswith(_FW_TERMINALS[3]),
+        )
+    ).cast("long")
+    short = F.size(
+        F.filter(lines, lambda l: F.length(l) < FW_SHORT_LINE_CHARS)
+    ).cast("long")
+    n_sent = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit('[.!?"]'), 0)
+    ).cast("long")
+    low = F.lower(F.col("text"))
+    direct = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        _permille(punct_end, n_lines).alias("punct_line_permille"),
+        _permille(short, n_lines).alias("short_line_permille"),
+        n_sent.alias("n_sentences"),
+        (F.instr(F.col("text"), "{") > 0).cast("long").alias("has_brace"),
+        (F.instr(low, "lorem ipsum") > 0).cast("long").alias("has_lorem"),
+        F.when(
+            F.size(F.filter(lines, lambda l: F.instr(l, "javascript") > 0)) > 0,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("has_js"),
+    )
+    # within-doc duplicated-line char share: ONE narrow aggregate keyed
+    # (doc_id, line) — doc_id in the key means no cross-doc hot line
+    per_line = (
+        docs.select("doc_id", F.explode(lines).alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    dupchars = per_line.groupBy("doc_id").agg(
+        F.sum(F.length("line") * F.col("c")).cast("long").alias("line_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.length("line") * F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup_chars"),
+    )
+    j = direct.join(dupchars, "doc_id", "left")
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    dup_pm = _permille(
+        F.coalesce(F.col("dup_chars"), F.lit(0)),
+        F.coalesce(F.col("line_chars"), F.lit(0)),
+    )
+    out = j.select(
+        "doc_id",
+        "n_lines",
+        "punct_line_permille",
+        "short_line_permille",
+        dup_pm.alias("dup_line_char_permille"),
+        "n_sentences",
+        flag(
+            F.col("punct_line_permille") >= FW_MIN_PUNCT_LINE_PERMILLE
+        ).alias("r_punct"),
+        flag(
+            F.col("short_line_permille") <= FW_MAX_SHORT_LINE_PERMILLE
+        ).alias("r_short"),
+        flag(dup_pm <= FW_MAX_DUPLINE_CHAR_PERMILLE).alias("r_dupchar"),
+        flag(F.col("n_sentences") >= C4_MIN_SENTENCES).alias("r_sent"),
+        flag(F.col("has_brace") == 0).alias("r_brace"),
+        flag(F.col("has_lorem") == 0).alias("r_lorem"),
+        flag(F.col("has_js") == 0).alias("r_js"),
+    )
+    keep = (
+        (F.col("r_punct") == 1)
+        & (F.col("r_short") == 1)
+        & (F.col("r_dupchar") == 1)
+        & (F.col("r_sent") == 1)
+        & (F.col("r_brace") == 1)
+        & (F.col("r_lorem") == 1)
+        & (F.col("r_js") == 1)
+    )
+    return out.withColumn("keep", F.when(keep, 1).otherwise(0).cast("long"))
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
 ) -> DataFrame:
@@ -680,13 +822,30 @@ def lm_score(docs: DataFrame) -> DataFrame:
     arithmetic, so the DuckDB oracle matches bit-for-bit.
 
     Scale shape: two count aggregations (unigrams, bigram pairs) with
-    map-side partial combine; the lexicon (unigram counts) and the
-    single-row V are BROADCAST back — a vocabulary is MBs against a
-    100 TB corpus, and broadcasting it sidesteps the classic hot-token
-    skew (every "the" row shuffling to one reducer). The bigram-count
-    join must shuffle, but its key space (observed pairs) is far wider
-    than any single token, so the hash partitioning spreads. The only
-    other shuffle is the per-doc aggregate on uniform doc_id.
+    map-side partial combine; the single-row V is a broadcast cross
+    join. The unigram-lexicon attach onto the bigram stream is
+    deliberately UNHINTED (r13 — the last site of the vocabulary-scaled
+    forced-broadcast class containment_pairs measured super-linear):
+    a real web corpus's whitespace lexicon (URLs, numerals, typos) can
+    reach billions of rows, and a plan-time ``F.broadcast`` hint forces
+    the driver map build with no runtime size check — the structural
+    OOM. AQE still broadcasts whenever the lexicon is actually small;
+    when it isn't, the sort-merge fallback's hot-token keys ("the")
+    are AQE-skew-split. Measured A/B on the amplified-docs substrate
+    (SCALE.md r13): factor-1 flat (1.39 s vs 1.41 s hinted), factor-8
+    2.79 s vs 2.10 s (0.25- vs 0.19-of-linear — both strongly
+    sub-linear; the gap is the AQE exchange on a 248-row lexicon, this
+    corpus's vocabulary being degenerate). A pair-level restructure
+    (score distinct (u,v) post-aggregate, join per-doc pair COUNTS on
+    the wide pair key — the token_pmi shape) was also measured and
+    REJECTED: +20% at factor 1 and 0.31-of-linear at 8×, because this
+    substrate's per-doc pair multiplicity is ≈1 so the extra
+    (doc_id,u,v) aggregate reduces nothing; on a Zipfian natural
+    corpus it becomes the better shape and the A/B harness
+    (/tmp-free: scripts/scale_smoke.py lm_score probe) re-decides it.
+    The bigram-count join shuffles on the observed-pair key space (far
+    wider than any token, spreads); the per-doc aggregate keys on
+    uniform doc_id.
     """
     toked = docs.select(
         "doc_id",
@@ -718,7 +877,7 @@ def lm_score(docs: DataFrame) -> DataFrame:
 
     j = (
         grams.join(big, ["u", "v"])
-        .join(F.broadcast(uni), "u")
+        .join(uni, "u")
         .crossJoin(F.broadcast(vocab))
     )
     # micro fixed-point smoothed probability; c(u,v) ≥ 1 by construction

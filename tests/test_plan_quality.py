@@ -408,17 +408,21 @@ def test_sketch_topk_probes_broadcast_counters(spark, registry_plans):
 
 
 def test_lm_score_lexicon_broadcast_and_scan_pruned(spark):
-    """The bigram-LM scorer's lexicon joins (unigram counts, single-row
-    vocab size) must BROADCAST — shuffling the corpus gram stream on the
-    unigram key would funnel every hot token ("the") through one reducer.
-    The bigram-count join is the one legitimate wide shuffle. The
-    documents scan must prune to (doc_id, text)."""
+    """The bigram-LM scorer's lexicon attach is deliberately UNHINTED
+    (r13 — the last vocabulary-scaled forced-broadcast site: a web
+    corpus's whitespace lexicon can reach billions of rows, and the
+    plan-time hint forces the driver map build with no runtime size
+    check; AQE still broadcasts small lexicons and skew-splits the
+    hot-token fallback), so no broadcast assertion on it — same rule
+    as containment_pairs/token_pmi. What stays pinned: the single-row
+    vocab-size stat is the only BNL, the count aggregations map-side
+    combine, no Cartesian, and the documents scan prunes to
+    (doc_id, text)."""
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.operators.text import lm_score
 
     out = lm_score(load_table(spark, SF_UNIT, "documents"))
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     # the only BNL allowed is the single-row vocab-size stat join
     bnl = plan.count("BroadcastNestedLoopJoin")
@@ -427,13 +431,8 @@ def test_lm_score_lexicon_broadcast_and_scan_pruned(spark):
     # exchange moves one row per distinct token per partition, which is
     # what makes the hot-token key harmless there)
     assert "partial_count" in plan
-    # no shuffled JOIN keyed on the unigram alone — the lexicon probe
-    # must be the broadcast; only the (u, v) bigram join may shuffle
     import re
 
-    for m in re.finditer(r"(?:SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan):
-        keys = m.group(1)
-        assert ", v#" in keys or not keys.startswith("u#"), keys
     # column pruning reaches the parquet scan
     assert "ReadSchema" in plan
     for rs in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
