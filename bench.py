@@ -211,6 +211,18 @@ HEADLINE = [
     # r12: the published Gopher quality filter (row-local signals + the
     # repetition gram shuffle)
     "gopher_rules",
+    # r13: the FineWeb/C4 line-quality gate (row-local + one
+    # (doc_id, line) aggregate) and the temperature/cap mixture
+    # water-filling (one corpus aggregate + domain-frame iteration) —
+    # tracked from birth
+    "fineweb_filters",
+    "mixture_rebalance",
+    # r13: the composed C4/FineWeb + Gopher + CCNet-bucket stack — the
+    # heaviest text headliner by construction (three sub-operators over
+    # the injected corpus); tracked from birth
+    "quality_stack",
+    # r13: cross-snapshot URL dedup (two map-side-combined aggregates)
+    "snapshot_dedup",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

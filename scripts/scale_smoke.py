@@ -155,6 +155,61 @@ def _doc_ops(docs, factor: int = 1):
 
         lm_score(docs).write.format("noop").mode("overwrite").save()
 
+    def run_fineweb():
+        # r13: row-local signals + ONE (doc_id, line) aggregate — the
+        # curve should track repetition's linear shape with a smaller
+        # constant (one gram kind instead of three)
+        from tepsonic_database_sync_spark.operators.text import (
+            fineweb_filters,
+        )
+
+        fineweb_filters(docs).write.format("noop").mode("overwrite").save()
+
+    def run_quality_stack():
+        # r13: the composed gate — three sub-operator branches over one
+        # corpus; cost ≈ gopher(=repetition) + fineweb + lm_score
+        from tepsonic_database_sync_spark.operators.text import quality_stack
+
+        quality_stack(docs).write.format("noop").mode("overwrite").save()
+
+    def run_mixture_rebalance():
+        # r13: one corpus token-count aggregate + domain-frame
+        # water-filling — should be the flattest curve here
+        from tepsonic_database_sync_spark.operators.sampling import (
+            mixture_rebalance,
+        )
+
+        mixture_rebalance(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def run_snapshot_dedup():
+        # r13: two snapshots synthesized from the amplified corpus
+        # (second revises every 4th url) — two map-side-combined
+        # aggregates, linear by construction
+        from tepsonic_database_sync_spark.operators.dedup import (
+            snapshot_dedup,
+        )
+
+        d = docs.select("doc_id", "text")
+        caps = d.select(
+            F.col("doc_id").alias("url"),
+            F.lit(0).cast("long").alias("snapshot_id"),
+            "text",
+        ).unionByName(
+            d.select(
+                F.col("doc_id").alias("url"),
+                F.lit(1).cast("long").alias("snapshot_id"),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.concat(F.col("text"), F.lit(" rev one")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        snapshot_dedup(caps).write.format("noop").mode("overwrite").save()
+
     def run_phash():
         # byte-gram SimHash + banded hamming over assets derived from
         # the amplified docs: per-copy suffixes perturb payload bytes,
@@ -177,6 +232,10 @@ def _doc_ops(docs, factor: int = 1):
         "prefix_pairs_full": run_prefix_full,
         "token_pmi": run_token_pmi,
         "lm_score": run_lm_score,
+        "fineweb_filters": run_fineweb,
+        "quality_stack": run_quality_stack,
+        "mixture_rebalance": run_mixture_rebalance,
+        "snapshot_dedup": run_snapshot_dedup,
         "phash_neardup": run_phash,
     }
 

@@ -1773,3 +1773,73 @@ def containment_pairs(
             F.expr("(1000 * inter_size) div a_size").cast("long"),
         )
     )
+
+
+def snapshot_dedup(
+    captures: DataFrame,
+    url: str = "url",
+    snapshot: str = "snapshot_id",
+    text: str = "text",
+) -> DataFrame:
+    """Cross-snapshot URL-level dedup with a frequency keep policy — the
+    CommonCrawl-corpus step between per-snapshot dedup and training:
+    the same URL is re-captured in every crawl snapshot, usually with
+    identical content, sometimes with edits or transient error pages.
+    Published pipelines keep ONE capture per URL (RefinedWeb §3 dedups
+    across dumps; FineWeb measured per-snapshot dedup + cross-snapshot
+    URL policy beating global MinHash); the robust policy is
+    MOST-FREQUENT content version — a transient error page captured
+    once loses to the stable page captured in every other snapshot —
+    with recency (latest last_seen) then fingerprint as deterministic
+    tie-breaks.
+
+    Version identity is the exact normalized-content fingerprint
+    (``normalize_text`` + the portable ``h60`` — the ``fingerprint``
+    operator's key), so "same version" is whitespace/case-insensitive
+    exact equality, the cross-snapshot analog of ``exact_dedup``.
+
+    Scale shape: two map-side-combined aggregates — (url, fp) capture
+    rollup, then per-url argmax as ONE ``max(struct(...))`` (the
+    grouped-mode pattern: sort keys support, last_seen, -fp lead the
+    struct; fp/first_seen ride as payload) — never a per-url
+    neighborhood sort or window. Both shuffle keys contain url, so hot
+    URLs don't exist (a URL has ≤ #snapshots captures by construction).
+
+    Returns (url, n_captures, n_versions, win_support, win_first_seen,
+    win_last_seen, win_fp).
+    """
+    from tepsonic_database_sync_spark.functions.hashing import h60
+    from tepsonic_database_sync_spark.operators.text import normalize_text
+
+    v = captures.select(
+        F.col(url).alias("url"),
+        F.col(snapshot).cast("long").alias("snap"),
+        h60(normalize_text(F.col(text))).alias("fp"),
+    )
+    versions = v.groupBy("url", "fp").agg(
+        F.count("*").cast("long").alias("support"),
+        F.min("snap").cast("long").alias("first_seen"),
+        F.max("snap").cast("long").alias("last_seen"),
+    )
+    win = versions.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.sum("support").cast("long").alias("n_captures"),
+        F.max(
+            F.struct(
+                F.col("support"),
+                F.col("last_seen"),
+                (-F.col("fp")).alias("neg_fp"),
+                F.col("fp"),
+                F.col("first_seen"),
+            )
+        ).alias("w"),
+    )
+    return win.select(
+        "url",
+        "n_captures",
+        "n_versions",
+        F.col("w.support").alias("win_support"),
+        F.col("w.first_seen").alias("win_first_seen"),
+        F.col("w.last_seen").alias("win_last_seen"),
+        F.col("w.fp").alias("win_fp"),
+    )

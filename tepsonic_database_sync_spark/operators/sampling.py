@@ -314,10 +314,14 @@ def mixture_rebalance(
     Scale shape: ONE map-side-combined token-count aggregate over the
     corpus (the only corpus-scale work); the water-filling iterates on
     the post-aggregate per-domain frame (|domains| rows — single-digit
-    KB even at thousands of domains) with two single-row stat
-    broadcasts per round. At 100 TB: one scan + one narrow shuffle,
-    then driver-scale arithmetic expressed as DataFrame ops so the
-    whole thing stays one lazy plan.
+    KB even at thousands of domains), each round's cap_sum/w_sum as
+    WHOLE-FRAME window sums so the round consumes its predecessor
+    exactly once — linear lineage (the agg + crossJoin alternative
+    consumes it twice per round and the plan subtree SQUARES: measured
+    510 BroadcastNestedLoopJoins at 8 rounds). The unpartitioned
+    window is deliberate: it only ever sees the per-domain frame,
+    never corpus rows. At 100 TB: one scan + one narrow shuffle, then
+    domain-count-scale arithmetic kept inside the one lazy plan.
 
     Returns (domain, n_tokens, weight, cap_tokens, alloc_tokens,
     epochs_permille, capped): alloc_tokens sums to ≤ the budget,
@@ -350,41 +354,72 @@ def mixture_rebalance(
         .cast("long")
         .alias("t_budget")
     )
-    state = dom.select(
+    # per-round stats as WHOLE-FRAME WINDOW sums over the per-domain
+    # frame: each round then consumes the previous round's frame exactly
+    # ONCE, so lineage is LINEAR in rounds (the agg + crossJoin form
+    # consumed it twice per round — the plan subtree SQUARED, 510 BNLs
+    # at 8 rounds; the r10 star-fusion failure mode). The unpartitioned
+    # window is deliberate and safe: it runs on the post-aggregate
+    # per-domain frame (|domains| rows), never on corpus data.
+    w_all = Window.partitionBy()
+    state = dom.crossJoin(F.broadcast(budget)).select(
         "domain",
         "n_tokens",
         "weight",
         "cap_tokens",
+        "t_budget",
         F.lit(0).cast("long").alias("capped"),
         F.lit(0).cast("long").alias("prov"),
     )
     for _ in range(rounds):
-        stats = state.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("capped") == 1, F.col("cap_tokens"))), F.lit(0)
-            ).cast("long").alias("cap_sum"),
-            F.coalesce(
-                F.sum(F.when(F.col("capped") == 0, F.col("weight"))), F.lit(0)
-            ).cast("long").alias("w_sum"),
-        )
-        j = state.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(budget))
+        cap_sum = F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap_tokens"))).over(
+                w_all
+            ),
+            F.lit(0),
+        ).cast("long")
+        w_sum = F.coalesce(
+            F.sum(F.when(F.col("capped") == 0, F.col("weight"))).over(w_all),
+            F.lit(0),
+        ).cast("long")
+        # greatest(..., 0): the remaining budget is provably >= 0 (a
+        # domain caps only when its provisional share exceeded its cap,
+        # so the subtracted caps undercount the shares they replace),
+        # but the clamp makes the div-vs-floor parity unconditional —
+        # Spark `div` truncates toward zero, DuckDB `//` floors, and
+        # they only agree on non-negative numerators
         share = F.when(
-            F.col("w_sum") > 0,
-            F.expr("(t_budget - cap_sum) * weight div w_sum").cast("long"),
+            F.col("__w_sum") > 0,
+            F.expr(
+                "greatest(t_budget - __cap_sum, 0L) * weight div __w_sum"
+            ).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-        prov = F.when(F.col("capped") == 1, F.col("cap_tokens")).otherwise(share)
-        state = j.select(
-            "domain",
-            "n_tokens",
-            "weight",
-            "cap_tokens",
-            F.when(
-                (F.col("capped") == 1) | (prov > F.col("cap_tokens")), 1
+        state = (
+            state.withColumn("__cap_sum", cap_sum)
+            .withColumn("__w_sum", w_sum)
+            .select(
+                "domain",
+                "n_tokens",
+                "weight",
+                "cap_tokens",
+                "t_budget",
+                F.when(
+                    (F.col("capped") == 1)
+                    | (
+                        F.when(
+                            F.col("capped") == 1, F.col("cap_tokens")
+                        ).otherwise(share)
+                        > F.col("cap_tokens")
+                    ),
+                    1,
+                )
+                .otherwise(0)
+                .cast("long")
+                .alias("capped"),
+                F.when(F.col("capped") == 1, F.col("cap_tokens"))
+                .otherwise(share)
+                .alias("prov"),
             )
-            .otherwise(0)
-            .cast("long")
-            .alias("capped"),
-            prov.alias("prov"),
         )
     alloc = F.when(
         F.col("capped") == 1, F.col("cap_tokens")

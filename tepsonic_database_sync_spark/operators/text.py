@@ -539,6 +539,93 @@ def fineweb_filters(docs: DataFrame) -> DataFrame:
     return out.withColumn("keep", F.when(keep, 1).otherwise(0).cast("long"))
 
 
+STACK_HEAD_PERMILLE = 995   # head: avg_nll < 0.995 × corpus mean
+STACK_TAIL_PERMILLE = 1005  # tail: avg_nll > 1.005 × corpus mean
+
+
+def quality_stack(docs: DataFrame) -> DataFrame:
+    """The modern pre-training quality stack, end-to-end as ONE audited
+    operator: C4/FineWeb line rules (``fineweb_filters``) + the Gopher
+    token rules (``gopher_rules``) + CCNet perplexity bucketing (Wenzek
+    et al. 2020: score every doc with a corpus LM and bucket into
+    head/middle/tail; tail is dropped). This is the published
+    composition — RefinedWeb/FineWeb ablate exactly this rule-gates +
+    LM-bucket pipeline — with every stage the repo's already-verified
+    operator, so the stack certifies the COMPOSITION (one corpus, one
+    keep bit), not re-derivations.
+
+    Bucketing adaptation (documented, engine-exact): CCNet buckets by
+    per-language perplexity PERCENTILES; exact percentiles over a
+    corpus-sized value set need either a global sort or a two-pass
+    histogram, so the stack buckets MEAN-RELATIVE instead —
+    head < 0.995×mean ≤ middle ≤ 1.005×mean < tail, where mean is the
+    integer micro-average ``Σ sum_nll div Σ n_bigrams`` (one extra
+    single-row aggregate; thresholds are named permille constants).
+    Docs with zero bigrams are unscorable and bucket 'tail'
+    (conservative drop, like CCNet's unscored shards).
+
+    keep = fineweb keep AND gopher keep AND bucket ≠ 'tail'.
+
+    Scale shape: the three sub-operators' plans unchanged (each
+    documented at its definition: row-local projections + the gram /
+    line aggregates, all shuffle keys containing doc_id), plus ONE
+    single-row mean broadcast and three doc_id equi-joins. The docs
+    source is scanned once per sub-operator branch (the price of
+    keeping them independently tested operators — same note as
+    gopher_rules).
+
+    Returns (doc_id, fw_keep, gopher_keep, avg_nll_milli, ppl_bucket,
+    keep).
+    """
+    fw = fineweb_filters(docs).select(
+        "doc_id", F.col("keep").alias("fw_keep")
+    )
+    gp = gopher_rules(docs).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    lm = lm_score(docs)
+    mean = lm.agg(
+        F.when(
+            F.sum("n_bigrams") > 0,
+            F.expr("sum(sum_nll_milli) div sum(n_bigrams)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_nll_milli")
+    )
+    scored = lm.crossJoin(F.broadcast(mean)).select(
+        "doc_id",
+        "avg_nll_milli",
+        F.when(F.col("n_bigrams") == 0, F.lit("tail"))
+        .when(
+            F.col("avg_nll_milli") * 1000
+            < F.col("mean_nll_milli") * STACK_HEAD_PERMILLE,
+            F.lit("head"),
+        )
+        .when(
+            F.col("avg_nll_milli") * 1000
+            > F.col("mean_nll_milli") * STACK_TAIL_PERMILLE,
+            F.lit("tail"),
+        )
+        .otherwise(F.lit("middle"))
+        .alias("ppl_bucket"),
+    )
+    out = fw.join(gp, "doc_id").join(scored, "doc_id")
+    keep = (
+        (F.col("fw_keep") == 1)
+        & (F.col("gopher_keep") == 1)
+        & (F.col("ppl_bucket") != "tail")
+    )
+    return out.select(
+        "doc_id",
+        "fw_keep",
+        "gopher_keep",
+        "avg_nll_milli",
+        "ppl_bucket",
+        F.when(keep, 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
 ) -> DataFrame:

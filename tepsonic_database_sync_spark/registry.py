@@ -3986,20 +3986,21 @@ WHERE NOT f.is_bench AND h.doc_id IS NULL
 """
 
 
-def _lm_score_oracle() -> str:
+def _lm_score_oracle(docs_rel: str = "documents") -> str:
     """DuckDB twin of operators.text.lm_score: Laplace bigram LM over
     whitespace tokens, micro fixed-point probability through the shared
     integer log (``_d_iln(x) - ...`` convention identical to Spark's
     ``6908 - iln_milli``). DuckDB lists are 1-indexed and ``range(a, b)``
     is empty when b ≤ a, so the pair walk needs no length guard beyond
-    the WHERE."""
+    the WHERE. ``docs_rel`` lets quality_stack score its injected
+    corpus CTE instead of raw documents."""
     x = "greatest(((b.c_uv + 1) * 1000000) // (n.c_u + vc.v_types), 1)"
     return f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                      x -> x <> '') AS t
-  FROM documents
+  FROM {docs_rel}
 ),
 grams AS (
   SELECT doc_id, t[i] AS u, t[i + 1] AS v
@@ -4031,7 +4032,7 @@ SELECT d.doc_id,
        coalesce(p.sum_nll_milli, 0) AS sum_nll_milli,
        CAST(coalesce(p.sum_nll_milli // p.n_bigrams, 0) AS BIGINT)
          AS avg_nll_milli
-FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+FROM {docs_rel} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
@@ -5077,11 +5078,13 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs)
 
 
-def _gopher_oracle() -> str:
+def _gopher_oracle(docs_rel: str = "documents", inject: bool = True) -> str:
     """DuckDB twin of operators.text.gopher_rules: identical permille
     arithmetic, identical thresholds (imported, not copied), and the
     text_repetition oracle's gram CTEs verbatim for the repetition
-    trio."""
+    trio. ``docs_rel``/``inject=False`` let quality_stack run the rules
+    over its own injected corpus CTE (which carries its OWN pathology
+    mix) instead of this entry's % 5 suffix."""
     from tepsonic_database_sync_spark.operators.text import (
         GOPHER_MAX_BULLET_PERMILLE,
         GOPHER_MAX_DUP3_PERMILLE,
@@ -5106,15 +5109,20 @@ def _gopher_oracle() -> str:
         lambda num, den: f"CAST(CASE WHEN {den} > 0"
         f" THEN ({num} * 1000) // {den} ELSE 0 END AS BIGINT)"
     )
-    return rf"""
-WITH injected AS (
-  SELECT doc_id,
+    injected = (
+        f"""SELECT doc_id,
          CASE WHEN doc_id % 5 = 0
               THEN text || chr(10) || '- bullet item one' || chr(10)
                    || '- second item trails...' || chr(10)
                    || 'unicode trail …' || chr(10) || 'tail ## line'
               ELSE text END AS text
-  FROM documents
+  FROM {docs_rel}"""
+        if inject
+        else f"SELECT doc_id, text FROM {docs_rel}"
+    )
+    return rf"""
+WITH injected AS (
+  {injected}
 ),
 toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t, text
@@ -5211,6 +5219,502 @@ SELECT *,
         AND r_bullet = 1 AND r_ellipsis = 1 AND r_alpha = 1
         AND r_stop = 1 AND r_rep = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM flags
+"""
+
+
+# fineweb_filters pathology injections — the synthetic corpus is
+# single-line prose with NO terminal punctuation, so without injection
+# every doc fails r_punct/r_sent and every other rule is vacuous.
+# Deterministic per-doc_id suffixes (the gopher_rules pattern) make
+# each rule fire on some docs and pass on others, so the hash
+# certifies every branch cross-engine. No single quotes or unicode in
+# the strings (they embed into the SQL literal builder below).
+_FW_INJ_SENT = (
+    "\na proper sentence ends here. another follows! does a third?"
+    "\ngood ending."
+)
+_FW_INJ_SHORT = "\nnav\nmenu\nhome\nlogin\ncart"
+_FW_INJ_DUP = (
+    "\nbanner line repeated for emphasis across the page."
+    "\nbanner line repeated for emphasis across the page."
+)
+_FW_INJ_CODE = (
+    "\nfunction f() { return 1; } // javascript helper"
+    "\nlorem ipsum dolor sit amet."
+)
+
+
+def _sql_str(s: str) -> str:
+    """SQL string-literal expression for a Python string that may hold
+    newlines (chr(10)-concatenated so the oracle text stays one line).
+    The input must contain no single quotes."""
+    if "'" in s:
+        raise ValueError("single quote in SQL literal")
+    return "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+
+def _fw_injection_sql(docs_rel: str = "documents") -> str:
+    """The fineweb pathology injection as a SELECT over ``docs_rel`` —
+    shared by the fineweb_filters oracle and the quality_stack oracle
+    (the stack runs ALL its gates over this same injected corpus)."""
+    sent, short = _sql_str(_FW_INJ_SENT), _sql_str(_FW_INJ_SHORT)
+    dup, code = _sql_str(_FW_INJ_DUP), _sql_str(_FW_INJ_CODE)
+    return f"""SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN {sent} ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN {short} ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN {dup} ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN {code} ELSE '' END AS text
+  FROM {docs_rel}"""
+
+
+def _fw_inject(docs: DataFrame) -> DataFrame:
+    """Spark twin of _fw_injection_sql — byte-identical injected text."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_FW_INJ_SENT)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_FW_INJ_SHORT)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_FW_INJ_DUP)).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(_FW_INJ_CODE)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_fineweb_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb line-quality gate (Penedo et al. 2024) + the C4
+    document heuristics (Raffel et al. 2020) over the documents corpus:
+    terminal-punctuation / short-line / duplicated-line-CHAR shares,
+    sentence-count proxy, brace / lorem-ipsum / javascript flags, and
+    the final keep. Design + thresholds in
+    operators/text.py::fineweb_filters. Injection classes (doc_id %
+    3/5/7/11) exercise every rule both ways."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import fineweb_filters
+
+    return fineweb_filters(
+        _fw_inject(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _fineweb_oracle(docs_rel: str = "documents", inject: bool = True) -> str:
+    """DuckDB twin of operators.text.fineweb_filters: identical permille
+    arithmetic, thresholds imported (not copied), the injection strings
+    shared via module constants, and the lateral-alias trap dodged by
+    qualifying every prior-round column. ``docs_rel``/``inject=False``
+    let quality_stack reuse the rule chain over its own injected CTE."""
+    from tepsonic_database_sync_spark.operators.text import (
+        C4_MIN_SENTENCES,
+        FW_MAX_DUPLINE_CHAR_PERMILLE,
+        FW_MAX_SHORT_LINE_PERMILLE,
+        FW_MIN_PUNCT_LINE_PERMILLE,
+        FW_SHORT_LINE_CHARS,
+    )
+
+    pm = (
+        lambda num, den: f"CAST(CASE WHEN {den} > 0"
+        f" THEN ({num} * 1000) // {den} ELSE 0 END AS BIGINT)"
+    )
+    injected = (
+        _fw_injection_sql(docs_rel)
+        if inject
+        else f"SELECT doc_id, text FROM {docs_rel}"
+    )
+    return f"""
+WITH injected AS (
+  {injected}
+),
+lined AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                     l -> lower(trim(l))), l -> l <> '') AS gl
+  FROM injected
+),
+perline AS (
+  SELECT doc_id, line, count(*) AS c
+  FROM (SELECT doc_id, unnest(gl) AS line FROM lined)
+  GROUP BY doc_id, line
+),
+dupc AS (
+  SELECT doc_id,
+         CAST(sum(length(line) * c) AS BIGINT) AS line_chars,
+         CAST(sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END)
+              AS BIGINT) AS dup_chars
+  FROM perline GROUP BY doc_id
+),
+direct AS (
+  SELECT doc_id,
+    CAST(len(gl) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(gl, l -> ends_with(l, '.') OR ends_with(l, '!')
+             OR ends_with(l, '?') OR ends_with(l, '"')))
+         AS BIGINT) AS n_punct,
+    CAST(len(list_filter(gl, l -> length(l) < {FW_SHORT_LINE_CHARS}))
+         AS BIGINT) AS n_short,
+    CAST(len(regexp_extract_all(text, '[.!?"]')) AS BIGINT) AS n_sentences,
+    CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END AS has_brace,
+    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0
+         END AS has_lorem,
+    CASE WHEN len(list_filter(gl, l -> contains(l, 'javascript'))) > 0
+         THEN 1 ELSE 0 END AS has_js
+  FROM lined
+),
+sig AS (
+  SELECT d.doc_id, d.n_lines,
+    {pm("d.n_punct", "d.n_lines")} AS punct_line_permille,
+    {pm("d.n_short", "d.n_lines")} AS short_line_permille,
+    {pm("coalesce(c.dup_chars, 0)", "coalesce(c.line_chars, 0)")}
+      AS dup_line_char_permille,
+    d.n_sentences, d.has_brace, d.has_lorem, d.has_js
+  FROM direct d LEFT JOIN dupc c ON d.doc_id = c.doc_id
+),
+flags AS (
+  SELECT doc_id, n_lines, punct_line_permille, short_line_permille,
+    dup_line_char_permille, n_sentences,
+    CAST(CASE WHEN punct_line_permille >= {FW_MIN_PUNCT_LINE_PERMILLE}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_punct,
+    CAST(CASE WHEN short_line_permille <= {FW_MAX_SHORT_LINE_PERMILLE}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_short,
+    CAST(CASE WHEN dup_line_char_permille <= {FW_MAX_DUPLINE_CHAR_PERMILLE}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_dupchar,
+    CAST(CASE WHEN n_sentences >= {C4_MIN_SENTENCES}
+         THEN 1 ELSE 0 END AS BIGINT) AS r_sent,
+    CAST(1 - has_brace AS BIGINT) AS r_brace,
+    CAST(1 - has_lorem AS BIGINT) AS r_lorem,
+    CAST(1 - has_js AS BIGINT) AS r_js
+  FROM sig
+)
+SELECT *,
+  CAST(CASE WHEN r_punct = 1 AND r_short = 1 AND r_dupchar = 1
+        AND r_sent = 1 AND r_brace = 1 AND r_lorem = 1 AND r_js = 1
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM flags
+"""
+
+
+# the stack's extra injection: a stop-word-rich, sentence-punctuated
+# prose block on EVEN doc_ids. Without it the composed keep is
+# all-zero BY CONSTRUCTION — the synthetic corpus's 31-word vocabulary
+# contains at most one Gopher stop word, so gopher's r_stop (>= 2
+# distinct of 8) never passes and the stack's keep=1 branch would be
+# vacuous. With it, even docs outside the fineweb pathology classes
+# pass every gate (measured non-zero at all three SFs).
+_STACK_PROSE = (
+    "\nthe table holds rows of data and the scan reads them in order."
+    "\nwe have to merge the parts that belong together with care."
+    "\nbe sure that the output of the sort is stable and correct."
+)
+
+
+def _stack_injection_sql(docs_rel: str = "documents") -> str:
+    prose = _sql_str(_STACK_PROSE)
+    return f"""SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0 THEN {prose} ELSE '' END AS text
+  FROM ({_fw_injection_sql(docs_rel)})"""
+
+
+def _stack_inject(docs: DataFrame) -> DataFrame:
+    """Spark twin of _stack_injection_sql."""
+    return _fw_inject(docs).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_STACK_PROSE)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_quality_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published pre-training quality stack end-to-end (C4/FineWeb
+    line rules + Gopher token rules + CCNet perplexity buckets) over
+    the stack-injected corpus (fineweb pathologies + the stop-word
+    prose enricher) — the SAME injected text feeds all three gates, so
+    the hash certifies the composition on one corpus, with keep firing
+    BOTH ways. Design + bucketing adaptation in
+    operators/text.py::quality_stack."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import quality_stack
+
+    return quality_stack(
+        _stack_inject(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _quality_stack_oracle() -> str:
+    """DuckDB twin of operators.text.quality_stack: the three verified
+    sub-oracles embedded as subqueries over ONE shared injected-corpus
+    CTE (their WITH-chains nest inside parenthesized subqueries), plus
+    the integer micro-average mean and the mean-relative buckets."""
+    from tepsonic_database_sync_spark.operators.text import (
+        STACK_HEAD_PERMILLE,
+        STACK_TAIL_PERMILLE,
+    )
+
+    fw = _fineweb_oracle(docs_rel="stack_docs", inject=False)
+    gp = _gopher_oracle(docs_rel="stack_docs", inject=False)
+    lm = _lm_score_oracle(docs_rel="stack_docs")
+    return f"""
+WITH stack_docs AS (
+  {_stack_injection_sql("documents")}
+),
+fw AS (SELECT doc_id, keep AS fw_keep FROM ({fw})),
+gp AS (SELECT doc_id, keep AS gopher_keep FROM ({gp})),
+lm AS (SELECT doc_id, n_bigrams, avg_nll_milli, sum_nll_milli
+       FROM ({lm})),
+m AS (
+  SELECT CAST(CASE WHEN sum(n_bigrams) > 0
+              THEN sum(sum_nll_milli) // sum(n_bigrams)
+              ELSE 0 END AS BIGINT) AS mean_nll_milli
+  FROM lm
+)
+SELECT f.doc_id, f.fw_keep, g.gopher_keep, l.avg_nll_milli,
+  CASE WHEN l.n_bigrams = 0 THEN 'tail'
+       WHEN l.avg_nll_milli * 1000
+            < m.mean_nll_milli * {STACK_HEAD_PERMILLE} THEN 'head'
+       WHEN l.avg_nll_milli * 1000
+            > m.mean_nll_milli * {STACK_TAIL_PERMILLE} THEN 'tail'
+       ELSE 'middle' END AS ppl_bucket,
+  CAST(CASE WHEN f.fw_keep = 1 AND g.gopher_keep = 1
+        AND NOT (l.n_bigrams = 0
+                 OR l.avg_nll_milli * 1000
+                    > m.mean_nll_milli * {STACK_TAIL_PERMILLE})
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM fw f
+JOIN gp g ON f.doc_id = g.doc_id
+JOIN lm l ON f.doc_id = l.doc_id, m
+"""
+
+
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL dedup (most-frequent version wins; recency
+    then fingerprint tie-breaks) over THREE synthesized crawl snapshots
+    of the documents corpus: snap 1 revises every 4th URL, snap 2
+    additionally revises every 8th — so the support-win path
+    (stable-content majority), the recency tie-break (three versions at
+    support 1 → latest wins), and single-version URLs all occur.
+    Design in operators/dedup.py::snapshot_dedup."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import snapshot_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rev1 = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" rev one"))
+    ).otherwise(F.col("text"))
+    rev2 = (
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.concat(F.col("text"), F.lit(" rev two")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" rev one")),
+        )
+        .otherwise(F.col("text"))
+    )
+    caps = (
+        d.select(
+            F.col("doc_id").alias("url"),
+            F.lit(0).cast("long").alias("snapshot_id"),
+            "text",
+        )
+        .unionByName(
+            d.select(
+                F.col("doc_id").alias("url"),
+                F.lit(1).cast("long").alias("snapshot_id"),
+                rev1.alias("text"),
+            )
+        )
+        .unionByName(
+            d.select(
+                F.col("doc_id").alias("url"),
+                F.lit(2).cast("long").alias("snapshot_id"),
+                rev2.alias("text"),
+            )
+        )
+    )
+    return snapshot_dedup(caps)
+
+
+def _snapshot_dedup_oracle() -> str:
+    """DuckDB twin of dedup.snapshot_dedup over the same synthesized
+    snapshots: identical normalization + h60 fingerprint, the argmax as
+    a row_number window ordered (support DESC, last_seen DESC, fp ASC)
+    — the same total order the Spark max(struct) encodes."""
+    from tepsonic_database_sync_spark.functions.hashing import h60_sql
+
+    fp = h60_sql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    return f"""
+WITH caps AS (
+  SELECT doc_id AS url, 0 AS snap, text FROM documents
+  UNION ALL
+  SELECT doc_id, 1,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' rev one' ELSE text END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2,
+         CASE WHEN doc_id % 8 = 0 THEN text || ' rev two'
+              WHEN doc_id % 4 = 0 THEN text || ' rev one'
+              ELSE text END
+  FROM documents
+),
+v AS (SELECT url, snap, {fp} AS fp FROM caps),
+versions AS (
+  SELECT url, fp,
+         CAST(count(*) AS BIGINT) AS support,
+         CAST(min(snap) AS BIGINT) AS first_seen,
+         CAST(max(snap) AS BIGINT) AS last_seen
+  FROM v GROUP BY url, fp
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY url
+                       ORDER BY support DESC, last_seen DESC, fp ASC) AS rn,
+    CAST(count(*) OVER (PARTITION BY url) AS BIGINT) AS n_versions,
+    CAST(sum(support) OVER (PARTITION BY url) AS BIGINT) AS n_captures
+  FROM versions
+)
+SELECT url, n_captures, n_versions,
+       support AS win_support,
+       first_seen AS win_first_seen,
+       last_seen AS win_last_seen,
+       fp AS win_fp
+FROM r WHERE rn = 1
+"""
+
+
+# the registry query's budget: 90% of corpus tokens (vs the operator's
+# 50% default) so the two injected tiny domains' sqrt-temperature
+# shares exceed their 2-epoch caps at EVERY test SF — at 50% they land
+# just under (measured: alloc 128 vs cap 120 at sf0.01) and the cap
+# branch would be vacuous. Shared by query and oracle.
+_MIX_Q_BUDGET_PERMILLE = 900
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled domain mixture under repetition caps
+    (α-sampling, Arivazhagan et al. 2019, + max-epochs caps, Muennighoff
+    et al. 2023), solved by iterative water-filling — design in
+    operators/sampling.py::mixture_rebalance. Two TINY injected domains
+    (doc_id < 2 / < 5 carved out of their sources) certify the CAP
+    branch non-vacuously at the 90% query budget: their sqrt-temperature
+    shares exceed 2 epochs of their own data, so they cap and the freed
+    budget redistributes — the fixed point differs from round 1, which
+    the hash certifies."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import (
+        mixture_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") < 2, F.lit("tiny_a"))
+        .when(F.col("doc_id") < 5, F.lit("tiny_b"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        "text",
+    )
+    return mixture_rebalance(docs, budget_permille=_MIX_Q_BUDGET_PERMILLE)
+
+
+def _mixture_rebalance_oracle() -> str:
+    """DuckDB twin of sampling.mixture_rebalance: same token counts,
+    the double-corrected exact integer sqrt, and the SAME number of
+    water-filling rounds unrolled as a CTE chain (the kmeans/LPA
+    iterative-oracle shape). Every prior-round column is qualified
+    (p.capped) — DuckDB resolves same-SELECT lateral aliases, which
+    would otherwise silently feed the NEW capped flag into prov."""
+    from tepsonic_database_sync_spark.operators.sampling import (
+        MIX_CAP_EPOCHS_PERMILLE,
+        MIX_ROUNDS,
+    )
+
+    parts = [
+        r"""toks AS (
+  SELECT CASE WHEN doc_id < 2 THEN 'tiny_a'
+              WHEN doc_id < 5 THEN 'tiny_b'
+              ELSE source END AS domain,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+              '\s+'), x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+)""",
+        f"""dom AS (
+  SELECT domain, CAST(sum(n) AS BIGINT) AS n_tokens FROM toks GROUP BY domain
+),
+base0 AS (
+  SELECT domain, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+  FROM dom
+),
+base1 AS (
+  SELECT domain, n_tokens,
+         CASE WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END AS s1
+  FROM base0
+),
+base AS (
+  SELECT domain, n_tokens,
+         CAST(CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens
+              THEN s1 + 1 ELSE s1 END AS BIGINT) AS weight,
+         CAST(n_tokens * {MIX_CAP_EPOCHS_PERMILLE} // 1000 AS BIGINT)
+           AS cap_tokens
+  FROM base1
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) * {_MIX_Q_BUDGET_PERMILLE} // 1000 AS BIGINT)
+    AS t_budget
+  FROM base
+),
+s0r AS (
+  SELECT domain, n_tokens, weight, cap_tokens,
+         CAST(0 AS BIGINT) AS capped, CAST(0 AS BIGINT) AS prov
+  FROM base
+)""",
+    ]
+    prev = "s0r"
+    for k in range(1, MIX_ROUNDS + 1):
+        share = (
+            "(greatest(t_budget - cap_sum, 0) * p.weight) // w_sum"
+        )
+        parts.append(
+            f"""a{k} AS (
+  SELECT CAST(coalesce(sum(CASE WHEN capped = 1 THEN cap_tokens END), 0)
+              AS BIGINT) AS cap_sum,
+         CAST(coalesce(sum(CASE WHEN capped = 0 THEN weight END), 0)
+              AS BIGINT) AS w_sum
+  FROM {prev}
+),
+s{k} AS (
+  SELECT p.domain, p.n_tokens, p.weight, p.cap_tokens,
+    CAST(CASE WHEN p.capped = 1 OR (w_sum > 0 AND {share} > p.cap_tokens)
+         THEN 1 ELSE 0 END AS BIGINT) AS capped,
+    CAST(CASE WHEN p.capped = 1 THEN p.cap_tokens
+              WHEN w_sum > 0 THEN {share}
+              ELSE 0 END AS BIGINT) AS prov
+  FROM {prev} p, a{k}, tot
+)"""
+        )
+        prev = f"s{k}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT domain, n_tokens, weight, cap_tokens,
+  CAST(CASE WHEN capped = 1 THEN cap_tokens ELSE prov END AS BIGINT)
+    AS alloc_tokens,
+  CAST(CASE WHEN n_tokens > 0
+       THEN (CASE WHEN capped = 1 THEN cap_tokens ELSE prov END) * 1000
+            // n_tokens
+       ELSE 0 END AS BIGINT) AS epochs_permille,
+  capped
+FROM {prev}
 """
 
 
@@ -8688,7 +9192,7 @@ FROM pred GROUP BY 1, 2
 
 # name → (spark callable, oracle sql | None) — the CATALOG. Definition
 # order here is historical; the driver-facing order (window contract)
-# is rebuilt below from _R12_WINDOW + _TAIL_FRESHNESS.
+# is rebuilt below from _R13_WINDOW + _TAIL_FRESHNESS.
 #
 # Historical allocation notes (r8): Round-8 allocation: the 19 new r8
 # operators (batch 1 bfs_hops … layout_prune, batch 2
@@ -8739,6 +9243,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # --- NEW in r12 (displaced group_entropy to the r13 queue) ----------
     "gopher_rules": (q_gopher_rules, _gopher_oracle()),
+    "fineweb_filters": (q_fineweb_filters, _fineweb_oracle()),
+    "mixture_rebalance": (q_mixture_rebalance, _mixture_rebalance_oracle()),
+    "quality_stack": (q_quality_stack, _quality_stack_oracle()),
+    "snapshot_dedup": (q_snapshot_dedup, _snapshot_dedup_oracle()),
     # --- NEW in r11 (took the token_pmi fill slot) ----------------------
     "kmv_distinct": (q_kmv_distinct, _kmv_distinct_oracle()),
     # --- NEW in r11 cont. (displaced decontaminate_bloom to the r12 queue)
@@ -8961,33 +9469,92 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # CORRECTNESS_r11.json, so those entries now sit at the BACK of the
 # freshness tail below.
 #
-# r12 window allocation (VERDICT r11 items 1-2 + SURVEY §16 handoff):
-# the natural window = the first 50 tail entries in queue order (the
-# six r06-stale entries text_fingerprint…decontaminate_bloom retire
-# first, then the r07 fills time_resample/runtime_filter_join/
-# token_pmi, then the r07 block through active_users), with SIX swaps
-# for entries whose OPERATOR CODE changed this round and must land
-# with their re-verification:
-#   - dedup_prefix_filter + lsh_quality + blocking_quality_sampled —
-#     the three consumers of jaccard_pairs_prefix, whose
-#     vocabulary-scaled df broadcast hint is DROPPED (the measured
-#     containment failure class; the first two are the VERDICT's
-#     REQUIRED swaps, the third consumes the same changed operator);
-#   - substring_dedup — linear kept-text reconstruction
-#     (_reconstruct_kept, array_except hash-set form);
-#   - l_diversity — decimal(38,0) overflow escalation (ADVICE r11);
-#   - rm3_feedback — empty-corpus ValueError guard (ADVICE r11);
-#   - label_propagation — per-round eager checkpoints removed (the
-#     measured lpa_checkpoint_probe decision, VERDICT r11 item 5).
-# token_pmi's unigram-broadcast drop rides its natural slot (index 8).
-# The round's ADDITIONS — semdedup_two_level and gopher_rules (new
-# entries are always in-window) — displace two more. Displaced
-# (least-stale NINE of the natural 50, all r07-green, now the r13
-# queue head in tail order): group_entropy, grouped_mode,
-# active_users, quantile_bucketize, dedup_keep_best,
-# growth_accounting, dedup_ngram_jaccard, p_nested_project,
-# topk_orders.
-_R12_WINDOW = [
+# r13 window allocation (VERDICT r12 items 1-2 + SURVEY §17 handoff):
+# the natural window = the first 50 tail entries in queue order — the
+# eleven r07-green entries (group_entropy … set_union, ann_lsh_topk)
+# retire first, then the r08 block through the natural cut — with SIX
+# swaps displacing the least-stale six of the natural 50 (text_bm25,
+# text_repetition, sketch_distinct, sketch_percentile,
+# multimodal_resize, multimodal_features — the r05/r08 block tail):
+#   - text_lm_score — the unigram-lexicon broadcast hint DROPPED (the
+#     last site of the measured vocabulary-scaled-hint class; A/B in
+#     SCALE.md r13) — changed code lands in-window;
+#   - gopher_rules — '…' now counts toward the symbol ratio (ADVICE
+#     r12), oracle + injection updated identically;
+#   - fineweb_filters + mixture_rebalance + quality_stack +
+#     snapshot_dedup — the round's ADDITIONS (new entries are always
+#     in-window).
+# After r13 the last-green floor is r08.
+_R13_WINDOW = [
+    "group_entropy", "grouped_mode", "active_users",
+    "quantile_bucketize", "dedup_keep_best", "growth_accounting",
+    "dedup_ngram_jaccard", "p_nested_project", "topk_orders",
+    "set_union", "ann_lsh_topk", "linear_interp",
+    "seasonal_profile", "grouped_regression", "chi_square",
+    "class_balance", "negative_sample", "inverted_index",
+    "tfidf_doc_sim", "chunk_dedup", "layout_prune",
+    "interval_join", "rrf_fusion", "embed_outliers",
+    "domain_cap", "epoch_order", "event_paths",
+    "pagerank", "ohlc_bars", "cube_sales",
+    "exists_subquery", "tpch_q1_pricing", "tpch_q3_topk",
+    "tpch_q10_returns", "tpch_q6_sql", "tpch_q17_small_qty",
+    "tpch_q22_idle_custs", "rollup_sales", "pivot_segment_priority",
+    "unpivot", "count_distinct", "window_running_total",
+    "multimodal_stats", "multimodal_frames", "text_lm_score",
+    "gopher_rules", "fineweb_filters", "mixture_rebalance",
+    "quality_stack", "snapshot_dedup",
+]
+
+_TAIL_FRESHNESS = [
+    "group_entropy", "grouped_mode", "active_users",
+    "quantile_bucketize", "dedup_keep_best", "growth_accounting",
+    "dedup_ngram_jaccard", "p_nested_project", "topk_orders",
+    "set_union", "ann_lsh_topk", "linear_interp",
+    "seasonal_profile", "grouped_regression", "chi_square",
+    "class_balance", "negative_sample", "inverted_index",
+    "tfidf_doc_sim", "chunk_dedup", "layout_prune",
+    "interval_join", "rrf_fusion", "embed_outliers",
+    "domain_cap", "epoch_order", "event_paths",
+    "pagerank", "ohlc_bars", "cube_sales",
+    "exists_subquery", "tpch_q1_pricing", "tpch_q3_topk",
+    "tpch_q10_returns", "tpch_q6_sql", "tpch_q17_small_qty",
+    "tpch_q22_idle_custs", "rollup_sales", "pivot_segment_priority",
+    "unpivot", "count_distinct", "window_running_total",
+    "multimodal_stats", "multimodal_frames", "multimodal_features",
+    "multimodal_resize", "text_bm25", "text_repetition",
+    "sketch_distinct", "sketch_percentile", "sketch_topk",
+    "asof_join", "range_join", "sessionize_batch",
+    "set_intersect", "tpch_q2_min_cost", "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit",
+    "tpch_q14_promo_share", "tpch_q16_supplier_cnt", "tpch_q19_disjunctive",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting", "a3_merge_idempotent",
+    "a4_stock_totals", "ann_bruteforce_topk", "ann_ivf_topk",
+    "decontaminate", "dedup_clusters", "dedup_jaccard_banded",
+    "dedup_minhash_lsh", "dedup_simhash", "embed_neardup",
+    "j2_match_partial", "j3_item_lookup", "kmeans_train",
+    "mixture_sample", "pack_sequences", "s10_report",
+    "s2_full_scan", "s8_upsert", "scd2_history",
+    "sync_merge_resync", "sync_pipeline", "sync_summary",
+    "x2_quarantine", "window_funnel", "item_cooccur",
+    "s1_rest_ingest", "model_score", "model_score_hist",
+    "tpch_q15_top_supplier", "stream_stream_join", "stream_conversion",
+    "j5_valid_skip_split", "stream_tumbling", "p1_norm_name",
+    "f1_status_filter", "bfs_hops", "j1_match_exact",
+    "s3_filtered_scan", "s9_backfill", "x1_dispatch",
+    "dedup_exact", "text_stats", "funnel",
+    "p3_uid_coalesce", "p4_cents_to_dollars", "p6_resolve_variant",
+    "window_topk_per_cust", "window_range_frame", "set_except",
+    "events_json", "stream_sliding", "stream_sessions",
+    "stream_dedup", "stream_enrich", "rollup_multires",
+    "tpch_q5_region_revenue", "tpch_q12_priority_counts", "tpch_q13_custdist",
+    "tpch_q18_big_orders", "skew_salted_agg", "skew_salted_join",
+    "dq_checks", "dataset_split", "outliers_p99",
+    "mom_growth", "cohort_retention", "stratified_sample",
+    "percentiles", "text_lang_id", "text_quality",
+    "containment_pairs", "multimodal_phash_dedup", "mmr_rerank",
+    "graph_components", "dedup_clusters_star", "embed_dedup_clusters",
+    "dedup_canonicalize", "semdedup", "kmv_distinct",
+    "dup_substring_rate", "mg_summary", "dsir_select",
     "text_fingerprint", "text_top_terms", "text_winnow",
     "text_chunks", "text_scrub", "decontaminate_bloom",
     "time_resample", "runtime_filter_join", "token_pmi",
@@ -9004,94 +9571,21 @@ _R12_WINDOW = [
     "ann_pq_topk", "ann_ivf_pq_topk", "label_propagation",
     "dedup_prefix_filter", "lsh_quality", "substring_dedup",
     "l_diversity", "rm3_feedback", "blocking_quality_sampled",
-    "semdedup_two_level", "gopher_rules",
-]
-
-# Tail order = rotation-queue priority for future rounds: stalest green
-# round first (r07 remainder — headed by the six entries the r12 swaps
-# displaced — then the r08 block, r09 block, and the r11-green window
-# at the very back). Window members are excluded automatically, so
-# editing _R12_WINDOW is the ONLY step a rotation needs.
-_TAIL_FRESHNESS = [
-    "text_fingerprint", "text_top_terms", "text_winnow",
-    "text_chunks", "text_scrub", "decontaminate_bloom",
-    "time_resample", "runtime_filter_join", "token_pmi",
-    "zorder_stats", "weighted_sample", "cdc_incremental_agg",
-    "match_fuzzy", "psi_drift", "compaction_plan",
-    "interval_concurrency", "ewma", "group_moments",
-    "hll_registers", "tvd_drift", "k_anonymity",
-    "leaderboard", "outliers_mad", "triangle_stats",
-    "attribution_models", "text_lm_score", "dedup_incremental",
-    "prepare_corpus", "snapshot_diff", "event_transitions",
-    "event_anomaly", "grouped_quantiles", "source_overlap",
-    "skew_profile", "cdc_roundtrip", "text_hash_embed",
-    "winnow_overlap", "profile_table", "join_size_estimate",
-    "ann_pq_topk", "ann_ivf_pq_topk", "group_entropy",
-    "grouped_mode", "active_users", "quantile_bucketize",
-    "dedup_keep_best", "growth_accounting", "dedup_ngram_jaccard",
-    "p_nested_project", "topk_orders", "set_union",
-    "ann_lsh_topk", "linear_interp", "seasonal_profile",
-    "grouped_regression", "chi_square", "class_balance",
-    "negative_sample", "inverted_index", "tfidf_doc_sim",
-    "chunk_dedup", "layout_prune", "interval_join",
-    "rrf_fusion", "embed_outliers", "domain_cap",
-    "lsh_quality", "epoch_order", "event_paths",
-    "pagerank", "ohlc_bars", "dedup_prefix_filter",
-    "cube_sales", "exists_subquery", "tpch_q1_pricing",
-    "tpch_q3_topk", "tpch_q10_returns", "tpch_q6_sql",
-    "tpch_q17_small_qty", "tpch_q22_idle_custs", "rollup_sales",
-    "pivot_segment_priority", "unpivot", "count_distinct",
-    "window_running_total", "multimodal_stats", "multimodal_frames",
-    "multimodal_features", "multimodal_resize", "text_bm25",
-    "text_repetition", "sketch_distinct", "sketch_percentile",
-    "sketch_topk", "asof_join", "range_join",
-    "sessionize_batch", "set_intersect", "tpch_q2_min_cost",
-    "tpch_q4_order_priority", "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_profit", "tpch_q14_promo_share", "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunctive", "tpch_q20_excess_suppliers", "tpch_q21_waiting",
-    "a3_merge_idempotent", "a4_stock_totals", "ann_bruteforce_topk",
-    "ann_ivf_topk", "decontaminate", "dedup_clusters",
-    "dedup_jaccard_banded", "dedup_minhash_lsh", "dedup_simhash",
-    "embed_neardup", "j2_match_partial", "j3_item_lookup",
-    "kmeans_train", "mixture_sample", "pack_sequences",
-    "s10_report", "s2_full_scan", "s8_upsert",
-    "scd2_history", "sync_merge_resync", "sync_pipeline",
-    "sync_summary", "x2_quarantine", "window_funnel",
-    "item_cooccur", "s1_rest_ingest", "model_score",
-    "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
-    "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
-    "p1_norm_name", "f1_status_filter", "bfs_hops",
-    "blocking_quality_sampled", "j1_match_exact", "s3_filtered_scan",
-    "s9_backfill", "x1_dispatch", "dedup_exact",
-    "text_stats", "funnel", "p3_uid_coalesce",
-    "p4_cents_to_dollars", "p6_resolve_variant", "window_topk_per_cust",
-    "window_range_frame", "set_except", "events_json",
-    "stream_sliding", "stream_sessions", "stream_dedup",
-    "stream_enrich", "rollup_multires", "tpch_q5_region_revenue",
-    "tpch_q12_priority_counts", "tpch_q13_custdist", "tpch_q18_big_orders",
-    "skew_salted_agg", "skew_salted_join", "dq_checks",
-    "dataset_split", "outliers_p99", "mom_growth",
-    "cohort_retention", "stratified_sample", "percentiles",
-    "text_lang_id", "text_quality", "l_diversity",
-    "rm3_feedback", "containment_pairs", "label_propagation",
-    "multimodal_phash_dedup", "mmr_rerank", "graph_components",
-    "dedup_clusters_star", "embed_dedup_clusters", "dedup_canonicalize",
-    "substring_dedup", "semdedup", "kmv_distinct",
-    "dup_substring_rate", "mg_summary", "dsir_select",
-    "semdedup_two_level", "gopher_rules",
+    "semdedup_two_level", "gopher_rules", "fineweb_filters",
+    "mixture_rebalance",
 ]
 
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the
 # guard against the r8 silent-drop failure mode and must survive
 # ``python -O`` (which strips asserts) (ADVICE r9).
-if len(_R12_WINDOW) != 50:
-    raise RuntimeError(f"window must be exactly 50, got {len(_R12_WINDOW)}")
-if len(set(_R12_WINDOW)) != 50:
+if len(_R13_WINDOW) != 50:
+    raise RuntimeError(f"window must be exactly 50, got {len(_R13_WINDOW)}")
+if len(set(_R13_WINDOW)) != 50:
     raise RuntimeError("duplicate name in window")
-_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R12_WINDOW)]
+_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R13_WINDOW)]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    n: _REGISTRY_DEF[n] for n in (*_R12_WINDOW, *_tail)
+    n: _REGISTRY_DEF[n] for n in (*_R13_WINDOW, *_tail)
 }
 if set(REGISTRY) != set(_REGISTRY_DEF):
     raise RuntimeError(

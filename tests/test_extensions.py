@@ -2920,3 +2920,216 @@ def test_incremental_substring_dedup_equivalence_property(
         for r in substring_dedup(spark.createDataFrame(docs, schema), n=n).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_fineweb_filters_fire_on_their_target_pathologies(spark):
+    """Each FineWeb/C4 rule (Penedo et al. 2024 / Raffel et al. 2020)
+    must fire on a doc crafted to violate exactly it, and a healthy
+    prose doc must pass every rule — per-rule flags asserted
+    individually (the audit product), not just keep."""
+    from tepsonic_database_sync_spark.operators.text import fineweb_filters
+
+    good = (
+        "The quick brown fox jumps over the lazy dog near the river.\n"
+        "Tall green trees shade the small stone houses in the valley!\n"
+        "Gentle rivers flow past the old wooden bridges every day."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            # no line ends with terminal punctuation
+            (2, "first line without ending\nsecond line also bare\n"
+                "third line trails off"),
+            # > 67% short lines (nav/menu shape), punct on one line
+            (3, "nav\nmenu\nhome\nlogin\ncart\nA single proper sentence"
+                " line that is long enough to not be short."),
+            # one giant line duplicated -> >10% dup chars
+            (4, good + "\nbanner repeated for emphasis across the page."
+                "\nbanner repeated for emphasis across the page."),
+            # < 3 sentence terminators
+            (5, "one short sentence only ends here.\nand nothing else"
+                " follows on this line at all"),
+            (6, good + "\nvar x = { a: 1 };"),          # brace
+            (7, good + "\nLorem Ipsum dolor sit amet."),  # lorem (ci)
+            (8, good + "\nenable javascript to view this page."),
+        ],
+        "doc_id long, text string",
+    )
+    r = {row["doc_id"]: row for row in fineweb_filters(docs).collect()}
+    g = r[1]
+    assert g["keep"] == 1 and all(
+        g[f] == 1
+        for f in ("r_punct", "r_short", "r_dupchar", "r_sent",
+                  "r_brace", "r_lorem", "r_js")
+    )
+    assert r[2]["r_punct"] == 0 and r[2]["punct_line_permille"] == 0
+    assert r[3]["r_short"] == 0 and r[3]["short_line_permille"] > 670
+    assert r[4]["r_dupchar"] == 0 and r[4]["dup_line_char_permille"] > 100
+    assert r[5]["r_sent"] == 0 and r[5]["n_sentences"] < 3
+    assert r[6]["r_brace"] == 0
+    assert r[7]["r_lorem"] == 0  # case-insensitive substring
+    assert r[8]["r_js"] == 0
+    for d in (2, 3, 4, 5, 6, 7, 8):
+        assert r[d]["keep"] == 0
+
+
+def _mix_ref(n_by_domain, budget_permille, cap_permille, rounds):
+    """Pure-Python twin of sampling.mixture_rebalance: exact integer
+    water-filling (math.isqrt weights, floor division throughout)."""
+    import math
+
+    doms = sorted(n_by_domain)
+    w = {d: math.isqrt(n_by_domain[d]) for d in doms}
+    cap = {d: n_by_domain[d] * cap_permille // 1000 for d in doms}
+    t_budget = sum(n_by_domain.values()) * budget_permille // 1000
+    capped = {d: 0 for d in doms}
+    prov = {d: 0 for d in doms}
+    for _ in range(rounds):
+        cap_sum = sum(cap[d] for d in doms if capped[d])
+        w_sum = sum(w[d] for d in doms if not capped[d])
+        new_capped, new_prov = {}, {}
+        for d in doms:
+            share = (
+                max(t_budget - cap_sum, 0) * w[d] // w_sum if w_sum > 0 else 0
+            )
+            p = cap[d] if capped[d] else share
+            new_capped[d] = 1 if (capped[d] or share > cap[d]) else 0
+            new_prov[d] = p
+        capped, prov = new_capped, new_prov
+    out = {}
+    for d in doms:
+        alloc = cap[d] if capped[d] else prov[d]
+        epochs = alloc * 1000 // n_by_domain[d] if n_by_domain[d] else 0
+        out[d] = (n_by_domain[d], w[d], cap[d], alloc, epochs, capped[d])
+    return out
+
+
+def test_mixture_rebalance_matches_water_filling_reference(spark):
+    """mixture_rebalance == the exact integer water-filling reference on
+    a skew mix (one giant, mid-sized, and token-poor domains) across
+    budgets that cap zero, some, and all domains — the cap branch,
+    the redistribution, and the w_sum=0 degenerate all execute."""
+    from tepsonic_database_sync_spark.operators.sampling import (
+        MIX_CAP_EPOCHS_PERMILLE,
+        MIX_ROUNDS,
+        mixture_rebalance,
+    )
+
+    rows = []
+    sizes = {"big": 4000, "mid": 600, "small": 40, "dust": 6}
+    for dom, n in sizes.items():
+        rows.append((dom, " ".join(f"t{i}" for i in range(n))))
+    docs = spark.createDataFrame(rows, "source string, text string")
+    for budget in (200, 700, 1000, 5000):
+        got = {
+            r["domain"]: (
+                r["n_tokens"], r["weight"], r["cap_tokens"],
+                r["alloc_tokens"], r["epochs_permille"], r["capped"],
+            )
+            for r in mixture_rebalance(
+                docs, budget_permille=budget
+            ).collect()
+        }
+        want = _mix_ref(
+            sizes, budget, MIX_CAP_EPOCHS_PERMILLE, MIX_ROUNDS
+        )
+        assert got == want, f"budget={budget}"
+        # water-filling invariants: never over cap, never over budget
+        t_budget = sum(sizes.values()) * budget // 1000
+        assert sum(a for (_, _, _, a, _, _) in got.values()) <= t_budget
+        for n, _, cap, alloc, _, capped in got.values():
+            assert alloc <= cap
+            if capped:
+                assert alloc == cap
+    # at budget 5000 (5 epochs of everything vs 2-epoch caps) EVERY
+    # domain caps and the final round's w_sum = 0 path executes
+    all_capped = mixture_rebalance(docs, budget_permille=5000)
+    assert all(r["capped"] == 1 for r in all_capped.collect())
+
+
+def test_quality_stack_composition_law_and_bucket_edges(spark):
+    """quality_stack == (fineweb keep) AND (gopher keep) AND (CCNet
+    bucket != tail), recomputed HERE from the sub-operators on the same
+    frame — the composition law, not a re-derivation. Plus the bucket
+    edge cases: a zero-bigram doc buckets 'tail' (unscorable →
+    conservative drop) and never keeps."""
+    from tepsonic_database_sync_spark.operators.text import (
+        fineweb_filters,
+        gopher_rules,
+        lm_score,
+        quality_stack,
+    )
+
+    prose = (
+        "the table holds rows of data and the scan reads them in order.\n"
+        "we have to merge the parts that belong together with care.\n"
+        "be sure that the output of the sort is stable and correct.\n"
+        "the data of the table and the sort have to be read with care.\n"
+        "that scan holds the rows and the parts belong to the output."
+    )
+    docs = spark.createDataFrame(
+        [(1, prose), (2, prose + "\nnav\nmenu\nhome\nlogin\ncart"),
+         (3, "solo"), (4, prose + " { brace }")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_stack(docs).collect()}
+    fw = {r["doc_id"]: r["keep"] for r in fineweb_filters(docs).collect()}
+    gp = {r["doc_id"]: r["keep"] for r in gopher_rules(docs).collect()}
+    for d, r in out.items():
+        assert r["fw_keep"] == fw[d] and r["gopher_keep"] == gp[d]
+        expected = int(
+            fw[d] == 1 and gp[d] == 1 and r["ppl_bucket"] != "tail"
+        )
+        assert r["keep"] == expected, d
+    # zero-bigram doc: unscorable → tail, never kept
+    assert out[3]["ppl_bucket"] == "tail" and out[3]["keep"] == 0
+    lm = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert lm[3]["n_bigrams"] == 0
+
+
+def test_quality_stack_keep_fires_both_ways_at_oracle_sf(spark, duck):
+    """The registry entry's injected corpus must exercise keep=1 AND
+    keep=0 and populate all three CCNet buckets at the driver's oracle
+    SF — an all-zero keep column would certify the composition
+    vacuously (the reason _STACK_PROSE exists)."""
+    from tepsonic_database_sync_spark.registry import q_quality_stack
+
+    from conftest import SF_ORACLE
+
+    rows = q_quality_stack(spark, SF_ORACLE).collect()
+    keeps = {r["keep"] for r in rows}
+    buckets = {r["ppl_bucket"] for r in rows}
+    assert keeps == {0, 1}
+    assert buckets == {"head", "middle", "tail"}
+
+
+def test_snapshot_dedup_policy_paths(spark):
+    """Every keep-policy path asserted on a crafted capture set:
+    majority content wins over a transient error page; all-distinct
+    versions fall to the recency tie-break; whitespace/case variants
+    are the SAME version (normalized fingerprint identity); a
+    single-capture URL passes through."""
+    from tepsonic_database_sync_spark.operators.dedup import snapshot_dedup
+
+    caps = spark.createDataFrame(
+        [
+            # u1: stable page in snaps 0,2; transient error in snap 1
+            (1, 0, "the stable page"), (1, 1, "error 503"),
+            (1, 2, "the stable page"),
+            # u2: three distinct versions -> support ties, latest wins
+            (2, 0, "version a"), (2, 1, "version b"), (2, 2, "version c"),
+            # u3: same version modulo whitespace/case across all snaps
+            (3, 0, "Same  Content"), (3, 1, "same content"),
+            (3, 2, "  SAME   CONTENT "),
+            # u4: captured once
+            (4, 2, "lonely"),
+        ],
+        "url long, snapshot_id long, text string",
+    )
+    r = {row["url"]: row for row in snapshot_dedup(caps).collect()}
+    assert r[1]["n_versions"] == 2 and r[1]["win_support"] == 2
+    assert r[1]["win_first_seen"] == 0 and r[1]["win_last_seen"] == 2
+    assert r[2]["n_versions"] == 3 and r[2]["win_support"] == 1
+    assert r[2]["win_last_seen"] == 2  # recency tie-break -> "version c"
+    assert r[3]["n_versions"] == 1 and r[3]["win_support"] == 3
+    assert r[4]["n_captures"] == 1 and r[4]["win_first_seen"] == 2

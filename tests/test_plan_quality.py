@@ -1241,3 +1241,64 @@ def test_l_diversity_is_two_phase_aggregation(spark, registry_plans):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
+
+
+def test_fineweb_filters_is_row_local_plus_one_line_shuffle(
+    spark, registry_plans
+):
+    """The FineWeb/C4 gate's direct signals are ONE codegen'd row-local
+    projection; the only aggregation work is the duplicated-line-char
+    share's (doc_id, line) rollup (key contains doc_id → skew-free).
+    No Cartesian, no nested loop, map-side combine on, and the exchange
+    count stays at the two-aggregate + doc_id-join shape."""
+    plan = registry_plans["fineweb_filters"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_rebalance_single_corpus_aggregate(spark, registry_plans):
+    """The water-filling mixture's corpus-scale work must be exactly ONE
+    map-side-combined token-count aggregate; the iteration runs on the
+    post-aggregate per-domain frame (localCheckpoint'd, |domains| rows)
+    with per-round stats as whole-frame window sums, so each round
+    consumes its predecessor exactly ONCE — linear lineage. The only
+    BroadcastNestedLoopJoin allowed is the single-row budget attach
+    (the agg+crossJoin per-round form SQUARED the subtree: 510 BNLs at
+    8 rounds), and nothing may compile to a Cartesian."""
+    plan = registry_plans["mixture_rebalance"]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+        plan.count("BroadcastNestedLoopJoin")
+    )
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_stack_composes_without_cartesian(spark, registry_plans):
+    """The stack inherits its sub-operators' pinned plans; what it may
+    ADD is one single-row mean broadcast and three doc_id equi-joins —
+    never a Cartesian, never Python. Three single-row BNLs are allowed:
+    the mean attach plus lm_score's vocab stat TWICE (the lm frame
+    feeds both the mean aggregate and the scoring branch; recomputing
+    the gram subtree beats materializing a corpus-sized frame)."""
+    plan = registry_plans["quality_stack"]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, (
+        plan.count("BroadcastNestedLoopJoin")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_dedup_is_two_aggregates_no_window(spark, registry_plans):
+    """Cross-snapshot dedup must be two map-side-combined aggregates
+    (capture rollup + max(struct) argmax) — never a per-url window
+    sort, nested loop, or Cartesian; both shuffle keys contain url."""
+    plan = registry_plans["snapshot_dedup"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "WindowExec" not in plan and "RunningWindowFunction" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
