@@ -222,7 +222,11 @@ HEADLINE = [
     # the injected corpus); tracked from birth
     "quality_stack",
     # r13: cross-snapshot URL dedup (two map-side-combined aggregates)
+    # and its incremental store-merge form (one full-outer MERGE)
     "snapshot_dedup",
+    "snapshot_dedup_incremental",
+    # r13: LSH candidates + banded-prefix Levenshtein verification
+    "dedup_edit_verified",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -1808,6 +1808,19 @@ def snapshot_dedup(
     Returns (url, n_captures, n_versions, win_support, win_first_seen,
     win_last_seen, win_fp).
     """
+    return snapshot_winners(snapshot_versions(captures, url, snapshot, text))
+
+
+def snapshot_versions(
+    captures: DataFrame,
+    url: str = "url",
+    snapshot: str = "snapshot_id",
+    text: str = "text",
+) -> DataFrame:
+    """The (url, fp) version STORE underlying snapshot_dedup: one row
+    per content version per URL with its capture support and
+    first/last snapshot — the mergeable state the incremental form
+    persists between crawls. One map-side-combined aggregate."""
     from tepsonic_database_sync_spark.functions.hashing import h60
     from tepsonic_database_sync_spark.operators.text import normalize_text
 
@@ -1816,12 +1829,65 @@ def snapshot_dedup(
         F.col(snapshot).cast("long").alias("snap"),
         h60(normalize_text(F.col(text))).alias("fp"),
     )
-    versions = v.groupBy("url", "fp").agg(
+    return v.groupBy("url", "fp").agg(
         F.count("*").cast("long").alias("support"),
         F.min("snap").cast("long").alias("first_seen"),
         F.max("snap").cast("long").alias("last_seen"),
     )
-    win = versions.groupBy("url").agg(
+
+
+def snapshot_store_merge(store: DataFrame, batch: DataFrame) -> DataFrame:
+    """Merge a new crawl's version rollup into the persisted store —
+    the INCREMENTAL step of cross-snapshot dedup (each monthly
+    snapshot arrives; nobody recomputes all dumps from scratch). The
+    version statistics are MERGEABLE by construction (support is a
+    sum, first/last_seen a min/max), so the merge is one co-keyed
+    full-outer join on (url, fp) — the same exactly-once MERGE shape
+    as ``incremental_dedup``'s store. Algebraic law (property-tested
+    AND the registry oracle): folding snapshots through this merge in
+    ANY batch split equals the one-shot batch rollup.
+
+    Both inputs in store schema (url, fp, support, first_seen,
+    last_seen); returns the merged store."""
+    s = store.select(
+        "url", "fp",
+        F.col("support").alias("s_sup"),
+        F.col("first_seen").alias("s_first"),
+        F.col("last_seen").alias("s_last"),
+    )
+    b = batch.select(
+        "url", "fp",
+        F.col("support").alias("b_sup"),
+        F.col("first_seen").alias("b_first"),
+        F.col("last_seen").alias("b_last"),
+    )
+    z = F.lit(0).cast("long")
+    return s.join(b, ["url", "fp"], "full_outer").select(
+        "url",
+        "fp",
+        (F.coalesce(F.col("s_sup"), z) + F.coalesce(F.col("b_sup"), z))
+        .cast("long")
+        .alias("support"),
+        F.least(
+            F.coalesce(F.col("s_first"), F.col("b_first")),
+            F.coalesce(F.col("b_first"), F.col("s_first")),
+        )
+        .cast("long")
+        .alias("first_seen"),
+        F.greatest(
+            F.coalesce(F.col("s_last"), F.col("b_last")),
+            F.coalesce(F.col("b_last"), F.col("s_last")),
+        )
+        .cast("long")
+        .alias("last_seen"),
+    )
+
+
+def snapshot_winners(store: DataFrame) -> DataFrame:
+    """The keep-policy reduction over a version store: per-url argmax
+    on (support DESC, last_seen DESC, fp ASC) as ONE max(struct) —
+    shared by the batch and incremental forms."""
+    win = store.groupBy("url").agg(
         F.count("*").cast("long").alias("n_versions"),
         F.sum("support").cast("long").alias("n_captures"),
         F.max(
@@ -1842,4 +1908,90 @@ def snapshot_dedup(
         F.col("w.first_seen").alias("win_first_seen"),
         F.col("w.last_seen").alias("win_last_seen"),
         F.col("w.fp").alias("win_fp"),
+    )
+
+
+EDIT_TAU_PERMILLE = 200   # near-dup iff edit distance <= 20% of longer
+EDIT_MAX_CHARS = 2000     # verify on a bounded prefix (DP is O(n*m))
+
+
+def edit_verified_pairs(
+    docs: DataFrame,
+    tau_permille: int = EDIT_TAU_PERMILLE,
+    max_chars: int = EDIT_MAX_CHARS,
+) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs — the character-level
+    verification tier between shingle Jaccard (``ngram_jaccard_pairs``)
+    and semantic cosine (``semdedup``): MinHash-LSH banded candidates
+    (never all-pairs) verified by Levenshtein distance ≤ tau of the
+    longer normalized text — the classic near-dup confirm step (Broder's
+    sketch → verify shape with edit distance as the verifier; both
+    engines ship the same Wagner-Fischer unit-cost distance, so the
+    oracle is value-exact).
+
+    Scale design, stated honestly: the DP is O(n·m) PER PAIR, so
+    verification runs on normalized text TRUNCATED to ``max_chars``
+    (named constant; 2000 chars bounds a pair at 4M cell ops) — at
+    100 TB full-document edit distance is not a thing anyone computes;
+    the prefix is the standard trade and docs differing only beyond
+    the cap read as distance 0. Two guards run BEFORE the DP: the
+    banded candidate join bounds the pair count, and the length-gap
+    reject (|len_a − len_b| > tau_abs ⇒ distance must exceed tau)
+    skips the DP inside a short-circuiting ``when`` — Catalyst may
+    reorder filter conjuncts, a ``when`` guard it cannot.
+
+    Returns (a_id, b_id, dist, dist_permille) for surviving pairs.
+    """
+    from tepsonic_database_sync_spark.operators.text import normalize_text
+
+    if "n_chars" not in docs.columns:
+        # the shingle helper selects n_chars (length-block metadata some
+        # callers carry); the minhash path never reads its value
+        docs = docs.withColumn("n_chars", F.lit(None).cast("long"))
+    cands = lsh_candidate_pairs(minhash_sig_array(docs))
+    nt = docs.select(
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, max_chars).alias("nt"),
+    )
+    j = (
+        cands.join(
+            nt.select(
+                F.col("doc_id").alias("a_id"), F.col("nt").alias("na")
+            ),
+            "a_id",
+        )
+        .join(
+            nt.select(
+                F.col("doc_id").alias("b_id"), F.col("nt").alias("nb")
+            ),
+            "b_id",
+        )
+        .withColumn("la", F.length("na").cast("long"))
+        .withColumn("lb", F.length("nb").cast("long"))
+        .withColumn(
+            "tau_abs",
+            F.expr(f"greatest(la, lb) * {tau_permille} div 1000").cast(
+                "long"
+            ),
+        )
+    )
+    dist = F.when(
+        F.abs(F.col("la") - F.col("lb")) <= F.col("tau_abs"),
+        F.levenshtein("na", "nb").cast("long"),
+    )
+    out = (
+        j.withColumn("dist", dist)
+        .filter(F.col("dist").isNotNull() & (F.col("dist") <= F.col("tau_abs")))
+    )
+    return out.select(
+        "a_id",
+        "b_id",
+        "dist",
+        F.when(
+            F.greatest("la", "lb") > 0,
+            F.expr("dist * 1000 div greatest(la, lb)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dist_permille"),
     )

@@ -5592,6 +5592,184 @@ FROM r WHERE rn = 1
 """
 
 
+def q_snapshot_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INCREMENTAL form of cross-snapshot URL dedup — how the
+    pipeline actually runs when crawls arrive monthly: snapshots 0+1
+    build the persisted version store, snapshot 2 merges in through
+    ``snapshot_store_merge`` (one co-keyed full-outer MERGE — nobody
+    recomputes all dumps), then the shared keep-policy reduction. The
+    ORACLE IS THE BATCH FORM's (the same SQL as `snapshot_dedup`):
+    the hash match certifies the algebraic law incremental == batch on
+    real data, beyond the property test's small generated graphs."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        snapshot_store_merge,
+        snapshot_versions,
+        snapshot_winners,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rev1 = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" rev one"))
+    ).otherwise(F.col("text"))
+    rev2 = (
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.concat(F.col("text"), F.lit(" rev two")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" rev one")),
+        )
+        .otherwise(F.col("text"))
+    )
+
+    def snap(n: int, txt) -> DataFrame:
+        return d.select(
+            F.col("doc_id").alias("url"),
+            F.lit(n).cast("long").alias("snapshot_id"),
+            txt.alias("text") if txt is not None else F.col("text"),
+        )
+
+    store = snapshot_versions(
+        snap(0, None).unionByName(snap(1, rev1))
+    ).localCheckpoint(eager=True)  # the "persisted" store a real
+    # deployment reads back from parquet — materialized so the merge
+    # genuinely consumes state, not a re-derivable lineage
+    merged = snapshot_store_merge(store, snapshot_versions(snap(2, rev2)))
+    return snapshot_winners(merged)
+
+
+# tail splice for the edit-verifier's REJECT branch: a copy keeping the
+# first 2/3 of each doc's tokens and replacing the rest with junk
+# still collides in MinHash bands often (shingle sim ~ 2/3 → ~58% of
+# copies land a band) but its edit distance far exceeds the 20% bound —
+# without these, the corpus's real near-dups are ALL within tolerance
+# and the verifier's reject path is vacuous (measured: candidates ==
+# verified at every SF on the raw corpus). The junk tokens embed the
+# doc_id (qz0x17 qz1x17 …): a CONSTANT tail would give every spliced
+# doc ten shared shingles and fuse all of them into one quadratic
+# band bucket (measured 119k candidate pairs at sf0.1 — the smoke
+# would measure the synthetic pathology, not the operator).
+_EDIT_JUNK_N = 6
+
+
+def q_dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs over the corpus's real
+    within-corpus near-dup structure (the lsh_quality substrate) PLUS
+    tail-spliced copies (doc_id + 20M) that band-collide yet fail the
+    edit bound — so the hash certifies accept AND reject branches.
+    MinHash-LSH banded candidates confirmed by Levenshtein ≤ 20% of
+    the longer normalized text (bounded-prefix DP). Design + the
+    honest O(n·m)-per-pair scale note in
+    operators/dedup.py::edit_verified_pairs."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        edit_verified_pairs,
+    )
+
+    # n_chars rides as NULL on both branches (the shingle helper selects
+    # it; the minhash path never reads its value) — mirrored in the
+    # oracle's corpus CTE
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.lit(None).cast("long").alias("n_chars")
+    )
+    spliced = d.select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    r"slice(split(text, '\\s+'), 1,"
+                    r" greatest(1, (2 * size(split(text, '\\s+'))) div 3))"
+                ),
+            ),
+            F.expr(
+                "concat(' ', concat_ws(' ',"
+                f" transform(sequence(0, {_EDIT_JUNK_N - 1}),"
+                " i -> concat('qz', cast(i as string), 'x',"
+                " cast(doc_id as string)))))"
+            ),
+        ).alias("text"),
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    return edit_verified_pairs(d.unionByName(spliced))
+
+
+def _dedup_edit_verified_oracle() -> str:
+    """DuckDB twin of dedup.edit_verified_pairs: the proven
+    minhash-band candidate CTEs (shared fragments) + the same
+    normalized-prefix Levenshtein (both engines ship unit-cost
+    Wagner-Fischer) with the identical length-gap guard and integer
+    permille."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        EDIT_MAX_CHARS,
+        EDIT_TAU_PERMILLE,
+    )
+
+    toks_corpus = _D_TOKS.replace("FROM documents", "FROM corpus")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, NULL AS n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000,
+         array_to_string(
+           list_slice(regexp_split_to_array(text, '\\s+'), 1,
+                      greatest(1,
+                        (2 * len(regexp_split_to_array(text, '\\s+'))) // 3)),
+           ' ')
+         || ' ' || array_to_string(
+              list_transform(range(0, {_EDIT_JUNK_N}),
+                i -> 'qz' || CAST(i AS VARCHAR) || 'x'
+                     || CAST(doc_id AS VARCHAR)),
+              ' '),
+         NULL
+  FROM documents
+),
+{toks_corpus}{_D_SHINGLES}{_D_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ',')) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+nt AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                1, {EDIT_MAX_CHARS}) AS nt
+  FROM corpus
+),
+sized AS (
+  SELECT c.a_id, c.b_id, na.nt AS na, nb.nt AS nb,
+         CAST(length(na.nt) AS BIGINT) AS la,
+         CAST(length(nb.nt) AS BIGINT) AS lb,
+         CAST(greatest(length(na.nt), length(nb.nt))
+              * {EDIT_TAU_PERMILLE} // 1000 AS BIGINT) AS tau_abs
+  FROM cand c
+  JOIN nt na ON na.doc_id = c.a_id
+  JOIN nt nb ON nb.doc_id = c.b_id
+),
+verified AS (
+  SELECT a_id, b_id, la, lb, tau_abs,
+         CAST(levenshtein(na, nb) AS BIGINT) AS dist
+  FROM sized
+  WHERE abs(la - lb) <= tau_abs
+)
+SELECT a_id, b_id, dist,
+       CAST(CASE WHEN greatest(la, lb) > 0
+            THEN dist * 1000 // greatest(la, lb) ELSE 0 END AS BIGINT)
+         AS dist_permille
+FROM verified
+WHERE dist <= tau_abs
+"""
+
+
 # the registry query's budget: 90% of corpus tokens (vs the operator's
 # 50% default) so the two injected tiny domains' sqrt-temperature
 # shares exceed their 2-epoch caps at EVERY test SF — at 50% they land
@@ -9247,6 +9425,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "mixture_rebalance": (q_mixture_rebalance, _mixture_rebalance_oracle()),
     "quality_stack": (q_quality_stack, _quality_stack_oracle()),
     "snapshot_dedup": (q_snapshot_dedup, _snapshot_dedup_oracle()),
+    "snapshot_dedup_incremental":
+        (q_snapshot_dedup_incremental, _snapshot_dedup_oracle()),
+    "dedup_edit_verified":
+        (q_dedup_edit_verified, _dedup_edit_verified_oracle()),
     # --- NEW in r11 (took the token_pmi fill slot) ----------------------
     "kmv_distinct": (q_kmv_distinct, _kmv_distinct_oracle()),
     # --- NEW in r11 cont. (displaced decontaminate_bloom to the r12 queue)
@@ -9472,18 +9654,20 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # r13 window allocation (VERDICT r12 items 1-2 + SURVEY §17 handoff):
 # the natural window = the first 50 tail entries in queue order — the
 # eleven r07-green entries (group_entropy … set_union, ann_lsh_topk)
-# retire first, then the r08 block through the natural cut — with SIX
-# swaps displacing the least-stale six of the natural 50 (text_bm25,
-# text_repetition, sketch_distinct, sketch_percentile,
-# multimodal_resize, multimodal_features — the r05/r08 block tail):
+# retire first, then the r08 block through the natural cut — with
+# EIGHT swaps displacing the least-stale eight of the natural 50
+# (text_bm25, text_repetition, sketch_distinct, sketch_percentile,
+# multimodal_resize, multimodal_features, multimodal_frames,
+# multimodal_stats — the r05/r08 block tail):
 #   - text_lm_score — the unigram-lexicon broadcast hint DROPPED (the
 #     last site of the measured vocabulary-scaled-hint class; A/B in
 #     SCALE.md r13) — changed code lands in-window;
 #   - gopher_rules — '…' now counts toward the symbol ratio (ADVICE
 #     r12), oracle + injection updated identically;
 #   - fineweb_filters + mixture_rebalance + quality_stack +
-#     snapshot_dedup — the round's ADDITIONS (new entries are always
-#     in-window).
+#     snapshot_dedup + snapshot_dedup_incremental +
+#     dedup_edit_verified — the round's SIX additions (new entries
+#     are always in-window).
 # After r13 the last-green floor is r08.
 _R13_WINDOW = [
     "group_entropy", "grouped_mode", "active_users",
@@ -9500,9 +9684,9 @@ _R13_WINDOW = [
     "tpch_q10_returns", "tpch_q6_sql", "tpch_q17_small_qty",
     "tpch_q22_idle_custs", "rollup_sales", "pivot_segment_priority",
     "unpivot", "count_distinct", "window_running_total",
-    "multimodal_stats", "multimodal_frames", "text_lm_score",
-    "gopher_rules", "fineweb_filters", "mixture_rebalance",
-    "quality_stack", "snapshot_dedup",
+    "text_lm_score", "gopher_rules", "fineweb_filters",
+    "mixture_rebalance", "quality_stack", "snapshot_dedup",
+    "snapshot_dedup_incremental", "dedup_edit_verified",
 ]
 
 _TAIL_FRESHNESS = [

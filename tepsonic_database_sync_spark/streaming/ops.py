@@ -304,6 +304,43 @@ def stream_upsert_sink(
     return writer.start()
 
 
+def snapshot_merge_stream(
+    captures_stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming twin of cross-snapshot URL dedup (the third member of
+    the family: ``snapshot_dedup`` batch → ``snapshot_dedup_incremental``
+    store-merge → this): crawl captures arrive as a stream, each
+    micro-batch rolls up to (url, fp) version partials
+    (``snapshot_versions``) and MERGEs into the bucketed store with the
+    SAME combine the incremental form uses (``snapshot_store_merge`` —
+    support sums, first/last_seen min/max are mergeable in any order),
+    exactly once per batch_id via ``upsert_batch_applier``'s marker
+    protocol. After the stream drains,
+    ``snapshot_winners(store.read())`` equals the one-shot batch
+    reduction over every capture — the fold law the hypothesis property
+    pins for arbitrary splits, here end-to-end through a real
+    readStream → foreachBatch → parquet-store path.
+
+    At scale the store prunes untouched (url, fp) buckets, so a crawl
+    batch costs O(touched buckets), never O(all URLs ever seen)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        snapshot_store_merge,
+        snapshot_versions,
+    )
+
+    return stream_upsert_sink(
+        captures_stream,
+        store,
+        snapshot_store_merge,
+        checkpoint_dir,
+        batch_transform=snapshot_versions,
+        available_now=available_now,
+    )
+
+
 def anomaly_batch_applier(store, flags_dir: str):
     """foreachBatch callable behind ``anomaly_stream``: for each
     micro-batch of FINALIZED hourly buckets, flag spikes against the

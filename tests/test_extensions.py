@@ -3133,3 +3133,39 @@ def test_snapshot_dedup_policy_paths(spark):
     assert r[2]["win_last_seen"] == 2  # recency tie-break -> "version c"
     assert r[3]["n_versions"] == 1 and r[3]["win_support"] == 3
     assert r[4]["n_captures"] == 1 and r[4]["win_first_seen"] == 2
+
+
+def test_edit_verified_pairs_accept_and_reject_paths(spark):
+    """Each verifier path on crafted docs: an exact dup verifies at
+    dist 0; a small edit verifies with the exact distance; a large
+    rewrite that still shares enough shingles to band-collide is
+    DP-rejected; a doc pair with a big length gap is rejected BEFORE
+    the DP by the length guard (same shingle prefix, long tail)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        edit_verified_pairs,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                       # exact dup -> dist 0
+            (3, base.replace("kappa", "kapXa")),  # 1-char edit
+            (10, base),
+            # same first tokens then a huge unique tail: bands collide
+            # via the shared prefix, the length gap rejects pre-DP
+            (11, base + " " + " ".join(f"zz{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["a_id"], r["b_id"]): (r["dist"], r["dist_permille"])
+        for r in edit_verified_pairs(docs).collect()
+    }
+    assert out[(1, 2)] == (0, 0)
+    assert out[(1, 3)][0] == 1 and out[(2, 3)][0] == 1
+    assert (10, 11) not in out  # length-gap reject
+    assert all(a < b for a, b in out)

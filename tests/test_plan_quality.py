@@ -1302,3 +1302,35 @@ def test_snapshot_dedup_is_two_aggregates_no_window(spark, registry_plans):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "WindowExec" not in plan and "RunningWindowFunction" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_dedup_incremental_is_one_merge_join(
+    spark, registry_plans
+):
+    """The incremental form must be: batch rollup aggregate + ONE
+    co-keyed (url, fp) full-outer MERGE join + the shared argmax —
+    never a Cartesian/BNL, never a window, and the merge join is the
+    only join in the plan."""
+    plan = registry_plans["snapshot_dedup_incremental"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowExec" not in plan
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+        <= 1
+    ), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_edit_verified_candidates_are_banded(spark, registry_plans):
+    """The edit verifier must get its pairs from the banded equi-join
+    (never all-pairs): no Cartesian, no BNL, and the Levenshtein is
+    guarded by the short-circuiting length-gap CaseWhen so the DP
+    cannot be reordered ahead of the cheap reject."""
+    plan = registry_plans["dedup_edit_verified"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan and "CASE WHEN" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -4555,3 +4555,56 @@ def test_l_diversity_matches_reference(spark, rows, t_max):
         key=lambda r: (r[0] is None, r[0]),
     )
     assert got == _ldiv_ref(rows, 2, t_max)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    caps=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # url
+            st.integers(min_value=0, max_value=3),   # snapshot
+            st.sampled_from(["alpha text", "beta text", "Alpha  Text"]),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    split=st.integers(min_value=0, max_value=3),
+)
+def test_snapshot_store_merge_fold_equals_batch(spark, caps, split):
+    """The mergeable-store law behind snapshot_dedup_incremental: for
+    ANY capture multiset and ANY snapshot split point, folding the two
+    halves through snapshot_store_merge then reducing equals the
+    one-shot batch reduction — including splits where one side is
+    empty, duplicate captures inside a snapshot, and versions that are
+    the same modulo whitespace/case ('alpha text' vs 'Alpha  Text')."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        snapshot_dedup,
+        snapshot_store_merge,
+        snapshot_versions,
+        snapshot_winners,
+    )
+
+    schema = "url long, snapshot_id long, text string"
+    all_caps = spark.createDataFrame(caps, schema)
+    batch = sorted(map(tuple, snapshot_dedup(all_caps).collect()))
+
+    lo = [c for c in caps if c[1] <= split]
+    hi = [c for c in caps if c[1] > split]
+    store = snapshot_versions(
+        spark.createDataFrame(lo, schema)
+        if lo
+        else spark.createDataFrame([], schema)
+    )
+    newer = snapshot_versions(
+        spark.createDataFrame(hi, schema)
+        if hi
+        else spark.createDataFrame([], schema)
+    )
+    inc = sorted(
+        map(tuple, snapshot_winners(snapshot_store_merge(store, newer)).collect())
+    )
+    assert inc == batch

@@ -1832,3 +1832,76 @@ def test_substring_dedup_stream_equals_one_shot_and_redelivers_once(
         for r in spark.read.parquet(out_dir + "/docs").drop("batch_id").collect()
     }
     assert got2 == want
+
+
+def test_snapshot_merge_stream_equals_batch_and_replays_safely(
+    spark, tmp_path
+):
+    """The snapshot family's streaming member: captures delivered as
+    micro-batches (one file per trigger) MERGE version partials into
+    the bucketed (url, fp) store; after the drain,
+    snapshot_winners(store) must equal the one-shot batch
+    snapshot_dedup over every capture, and a full redelivery (fresh
+    checkpoint, same marker) must change nothing."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        snapshot_dedup,
+        snapshot_winners,
+    )
+    from tepsonic_database_sync_spark.sources.jdbc import (
+        BucketedParquetStateStore,
+    )
+    from tepsonic_database_sync_spark.streaming.ops import (
+        snapshot_merge_stream,
+    )
+    from pyspark.sql import functions as F
+
+    d = (
+        load_table(spark, SF_UNIT, "documents")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    rev = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" rev one"))
+    ).otherwise(F.col("text"))
+    snaps = [
+        d.select(
+            F.col("doc_id").alias("url"),
+            F.lit(0).cast("long").alias("snapshot_id"),
+            "text",
+        ),
+        d.select(
+            F.col("doc_id").alias("url"),
+            F.lit(1).cast("long").alias("snapshot_id"),
+            rev.alias("text"),
+        ),
+    ]
+    src = str(tmp_path / "src")
+    # one parquet file per snapshot → maxFilesPerTrigger=1 delivers each
+    # crawl as its own micro-batch, in order
+    for i, s in enumerate(snaps):
+        s.coalesce(1).write.mode("append").parquet(src)
+    all_caps = snaps[0].unionByName(snaps[1])
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "state"), keys=["url", "fp"], n_buckets=8
+    )
+
+    def make_stream():
+        return (
+            spark.readStream.schema(all_caps.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    q = snapshot_merge_stream(make_stream(), store, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    want = sorted(map(tuple, snapshot_dedup(all_caps).collect()))
+    got = sorted(map(tuple, snapshot_winners(store.read()).collect()))
+    assert got == want
+
+    # full redelivery: fresh checkpoint restarts batch ids at 0, all
+    # ≤ the committed marker → every merge must skip
+    q2 = snapshot_merge_stream(make_stream(), store, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    got2 = sorted(map(tuple, snapshot_winners(store.read()).collect()))
+    assert got2 == want
