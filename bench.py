@@ -227,6 +227,9 @@ HEADLINE = [
     "snapshot_dedup_incremental",
     # r13: LSH candidates + banded-prefix Levenshtein verification
     "dedup_edit_verified",
+    # r13: BPE tokenizer training (8 argmax/merge rounds over the
+    # word vocabulary)
+    "bpe_train",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -183,6 +183,15 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_bpe_train():
+        # r13: per-copy token suffixes multiply the WORD VOCABULARY by
+        # the factor — exactly the state this op iterates on — while
+        # the corpus word-count scan grows linearly; both terms should
+        # stay comfortably sub-linear
+        from tepsonic_database_sync_spark.operators.text import bpe_train
+
+        bpe_train(docs).write.format("noop").mode("overwrite").save()
+
     def run_snapshot_dedup():
         # r13: two snapshots synthesized from the amplified corpus
         # (second revises every 4th url) — two map-side-combined
@@ -236,6 +245,7 @@ def _doc_ops(docs, factor: int = 1):
         "quality_stack": run_quality_stack,
         "mixture_rebalance": run_mixture_rebalance,
         "snapshot_dedup": run_snapshot_dedup,
+        "bpe_train": run_bpe_train,
         "phash_neardup": run_phash,
     }
 

@@ -1703,3 +1703,118 @@ def rm3_feedback(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "bm25_milli", "exp_milli", "rm3_milli")
     )
+
+
+BPE_MERGES = 8
+BPE_EOW = "</w>"
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_MERGES, checkpoint: bool = True
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016) —
+    the subword vocabulary learner every modern LM tokenizer descends
+    from, as a deterministic Spark iteration: start from per-word
+    character symbols (plus the end-of-word marker), then repeatedly
+    (1) count adjacent symbol pairs weighted by word frequency,
+    (2) pick the most frequent pair (ties: count DESC, p1 ASC, p2 ASC
+    — fully deterministic), (3) merge its occurrences greedily
+    left-to-right in every word. The output IS the tokenizer: the
+    ordered merge-rule table.
+
+    The greedy merge is an ``aggregate`` fold over the symbol array —
+    state = the rebuilt array; merge when the last element equals p1
+    and the current equals p2 (a freshly merged token can never
+    re-match p1 within the round: p1||p2 = p1 requires an empty p2) —
+    and the identical fold runs in the oracle via ``list_reduce`` over
+    singleton-wrapped elements, so the law "fold == canonical
+    left-to-right BPE merge" is certified by the hash, not assumed.
+
+    Scale shape: the iteration state is the WORD VOCABULARY
+    (word, freq, symbols) — post-aggregate, zipf-bounded (millions of
+    rows at 100 TB, not corpus-sized; the corpus is touched ONCE for
+    word counts). Each round = one map-side-combined pair count over
+    the vocabulary, one TakeOrderedAndProject argmax (never a global
+    sort), one broadcast of the single-row winner into the merge
+    projection. The vocabulary frame feeds TWO consumers per round
+    (pair count + merge), so it is localCheckpoint'd eagerly each
+    round — the mixture_rebalance lesson: uncut two-consumer lineage
+    SQUARES the plan subtree (the LPA no-cut rationale needs one
+    consumer per round). Production tokenizer training runs ~30k
+    merges on a corpus SAMPLE; this operator's per-round cost is flat
+    in rounds, and ``n_merges`` is a demonstrative plan-depth
+    constant, unrolled identically in the oracle.
+
+    If the vocabulary exhausts its pairs before ``n_merges`` (every
+    word a single symbol), the winner frame is empty and — by the
+    cross-join algebra, identically in both engines — all later
+    rounds emit nothing: the merge table just ends early.
+
+    ``checkpoint=False`` skips the per-round eager cuts so a plan
+    test can compile ONE round's uncut lineage (pair count →
+    TakeOrderedAndProject argmax → broadcast winner attach); at
+    more than ~2 rounds the uncut two-consumer lineage squares —
+    production keeps the default.
+
+    Returns (round, p1, p2, pair_count), round 1-based.
+    """
+    w = (
+        docs.select(
+            F.explode(
+                F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    vocab = w.select(
+        "w",
+        "freq",
+        F.expr(
+            f"concat(regexp_extract_all(w, '.', 0), array('{BPE_EOW}'))"
+        ).alias("s"),
+    )
+    if checkpoint:
+        vocab = vocab.localCheckpoint(eager=True)
+    merges = None
+    for k in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(s[i - 1] AS p1, s[i] AS p2))"
+                    )
+                ).alias("g"),
+            )
+            .groupBy("g.p1", "g.p2")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("p1"), F.col("p2")
+        ).limit(1)
+        if checkpoint:
+            best = best.localCheckpoint(eager=True)
+        rule = best.select(
+            F.lit(k).cast("long").alias("round"), "p1", "p2", "pair_count"
+        )
+        merges = rule if merges is None else merges.unionByName(rule)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("p1", "p2")))
+            .select(
+                "w",
+                "freq",
+                F.expr(
+                    "aggregate(s, cast(array() as array<string>),"
+                    " (acc, x) -> case when size(acc) > 0"
+                    "   and element_at(acc, -1) = p1 and x = p2"
+                    "   then concat(slice(acc, 1, size(acc) - 1),"
+                    "               array(concat(p1, p2)))"
+                    "   else concat(acc, array(x)) end)"
+                ).alias("s"),
+            )
+        )
+        if checkpoint:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges

@@ -5770,6 +5770,73 @@ WHERE dist <= tau_abs
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) over the documents
+    corpus: 8 deterministic merge rounds — pair counts weighted by word
+    frequency, argmax with (count DESC, p1, p2) ties, greedy
+    left-to-right merge as an engine-shared fold. Design + the
+    vocabulary-state scale argument in operators/text.py::bpe_train."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_train_oracle() -> str:
+    """DuckDB twin of text.bpe_train: the same rounds unrolled as a CTE
+    chain (the kmeans shape); the greedy merge is ``list_reduce`` over
+    singleton-wrapped symbols with the winner's (p1, p2) captured from
+    the cross-joined best row — verified to fold identically to
+    Spark's ``aggregate`` form."""
+    from tepsonic_database_sync_spark.operators.text import (
+        BPE_EOW,
+        BPE_MERGES,
+    )
+
+    parts = [
+        r"""toks AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+)""",
+        f"""vocab0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         list_append(regexp_extract_all(w, '.'), '{BPE_EOW}') AS s
+  FROM (SELECT unnest(t) AS w FROM toks)
+  WHERE w <> '' GROUP BY w
+)""",
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""pairs{k} AS (
+  SELECT s[i] AS p1, s[i + 1] AS p2,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM vocab{k - 1}, unnest(range(1, len(s))) AS r(i)
+  GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT p1, p2, pair_count FROM pairs{k}
+  ORDER BY pair_count DESC, p1, p2 LIMIT 1
+),
+vocab{k} AS (
+  SELECT v.w, v.freq,
+         list_reduce(list_transform(v.s, x -> [x]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.p1
+                             AND x[1] = b.p2
+                THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                 b.p1 || b.p2)
+                ELSE list_append(acc, x[1]) END) AS s
+  FROM vocab{k - 1} v, best{k} b
+)"""
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, p1, p2, pair_count"
+        f" FROM best{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"WITH {body}\n{union}\n"
+
+
 # the registry query's budget: 90% of corpus tokens (vs the operator's
 # 50% default) so the two injected tiny domains' sqrt-temperature
 # shares exceed their 2-epoch caps at EVERY test SF — at 50% they land
@@ -9429,6 +9496,7 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
         (q_snapshot_dedup_incremental, _snapshot_dedup_oracle()),
     "dedup_edit_verified":
         (q_dedup_edit_verified, _dedup_edit_verified_oracle()),
+    "bpe_train": (q_bpe_train, _bpe_train_oracle()),
     # --- NEW in r11 (took the token_pmi fill slot) ----------------------
     "kmv_distinct": (q_kmv_distinct, _kmv_distinct_oracle()),
     # --- NEW in r11 cont. (displaced decontaminate_bloom to the r12 queue)
@@ -9655,10 +9723,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # the natural window = the first 50 tail entries in queue order — the
 # eleven r07-green entries (group_entropy … set_union, ann_lsh_topk)
 # retire first, then the r08 block through the natural cut — with
-# EIGHT swaps displacing the least-stale eight of the natural 50
+# NINE swaps displacing the least-stale nine of the natural 50
 # (text_bm25, text_repetition, sketch_distinct, sketch_percentile,
 # multimodal_resize, multimodal_features, multimodal_frames,
-# multimodal_stats — the r05/r08 block tail):
+# multimodal_stats, window_running_total — the r05/r08 block tail):
 #   - text_lm_score — the unigram-lexicon broadcast hint DROPPED (the
 #     last site of the measured vocabulary-scaled-hint class; A/B in
 #     SCALE.md r13) — changed code lands in-window;
@@ -9666,8 +9734,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #     r12), oracle + injection updated identically;
 #   - fineweb_filters + mixture_rebalance + quality_stack +
 #     snapshot_dedup + snapshot_dedup_incremental +
-#     dedup_edit_verified — the round's SIX additions (new entries
-#     are always in-window).
+#     dedup_edit_verified + bpe_train — the round's SEVEN additions
+#     (new entries are always in-window).
 # After r13 the last-green floor is r08.
 _R13_WINDOW = [
     "group_entropy", "grouped_mode", "active_users",
@@ -9683,10 +9751,11 @@ _R13_WINDOW = [
     "exists_subquery", "tpch_q1_pricing", "tpch_q3_topk",
     "tpch_q10_returns", "tpch_q6_sql", "tpch_q17_small_qty",
     "tpch_q22_idle_custs", "rollup_sales", "pivot_segment_priority",
-    "unpivot", "count_distinct", "window_running_total",
-    "text_lm_score", "gopher_rules", "fineweb_filters",
+    "unpivot", "count_distinct", "text_lm_score",
+    "gopher_rules", "fineweb_filters",
     "mixture_rebalance", "quality_stack", "snapshot_dedup",
     "snapshot_dedup_incremental", "dedup_edit_verified",
+    "bpe_train",
 ]
 
 _TAIL_FRESHNESS = [

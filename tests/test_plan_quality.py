@@ -1334,3 +1334,28 @@ def test_dedup_edit_verified_candidates_are_banded(spark, registry_plans):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan and "CASE WHEN" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_train_rounds_are_argmax_not_global_sort(spark, registry_plans):
+    """Each BPE round's winner must compile to TakeOrderedAndProject
+    (per-partition top-1 then merge), the pair counts must map-side
+    combine, and the only per-round join is the broadcast single-row
+    winner attach — no Cartesian, no Python. The registry plan only
+    shows the checkpointed union (the per-round work executes inside
+    the eager cuts), so the per-round shape is pinned on ONE uncut
+    round via checkpoint=False."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import bpe_train
+
+    plan = registry_plans["bpe_train"]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    one = bpe_train(
+        load_table(spark, SF_UNIT, "documents"), n_merges=1, checkpoint=False
+    )
+    rplan = one._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan
+    assert "TakeOrderedAndProject" in rplan
+    assert "partial_sum" in rplan
+    assert "BatchEvalPython" not in rplan and "ArrowEvalPython" not in rplan
