@@ -228,8 +228,9 @@ HEADLINE = [
     # r13: LSH candidates + banded-prefix Levenshtein verification
     "dedup_edit_verified",
     # r13: BPE tokenizer training (8 argmax/merge rounds over the
-    # word vocabulary)
+    # word vocabulary) and 2-core peeling (8 semi-join peel rounds)
     "bpe_train",
+    "kcore",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -330,3 +330,68 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("label"),
     )
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """k-core extraction by iterative peeling (Matula & Beck 1983;
+    the distributed simultaneous-removal variant Batagelj & Zaversnik
+    formalize): each round deletes EVERY node whose current degree is
+    below ``k`` together with its incident edges; the fixed point is
+    the k-core — the maximal subgraph of minimum degree ≥ k, the
+    standard dense-substructure primitive between connected components
+    (k=1) and cliques. On the procurement graph it reads "parts and
+    suppliers that remain mutually ≥ k-connected after all weakly
+    attached ones unravel".
+
+    Deterministic fixed-round form (the kmeans/LPA/BPE contract):
+    ``rounds`` peels, unrolled identically in the oracle, so parity
+    never depends on convergence; simultaneous removal peels an
+    entire pendant CHAIN one link per round, so a graph whose
+    longest sub-k chain exceeds ``rounds`` is only partially
+    unraveled — callers needing the true fixed point raise ``rounds``
+    (each round strictly shrinks the graph or is the fixed point,
+    so n rounds always suffice; the unit test pins a chain that
+    needs multiple rounds AND reaches the fixed point).
+
+    ``edges`` must be symmetric (src, dst), no self-loops. Returns
+    the surviving (node, degree), degree measured INSIDE the core.
+
+    Scale shape: each round = one map-side-combined degree count +
+    two left-semi joins of the edge list against the survivor set
+    (src side, then dst side — both equi-joins AQE can broadcast
+    when the survivor frame is small). The edge frame feeds BOTH the
+    degree count and the join each round, so it is eagerly
+    checkpointed per round (the two-consumer squaring rule —
+    mixture/BPE precedent); ``checkpoint=False`` exposes one uncut
+    round for the plan test.
+    """
+    alive = edges
+    if checkpoint:
+        alive = alive.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = alive.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select(F.col("src").alias("node"))
+        alive = alive.join(
+            keep.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+        if checkpoint:
+            alive = alive.localCheckpoint(eager=True)
+    # no trailing degree >= k filter: that would drop a node while its
+    # edges still count in neighbors' degrees — an inconsistent half-peel
+    # on an unconverged graph. The output is exactly the subgraph after
+    # ``rounds`` simultaneous peels; at the fixed point every degree is
+    # >= k by definition.
+    return (
+        alive.groupBy("src")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )

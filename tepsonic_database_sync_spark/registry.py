@@ -5837,6 +5837,118 @@ vocab{k} AS (
     return f"WITH {body}\n{union}\n"
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the symmetrized part↔supplier procurement graph
+    (pagerank's exact substrate) with deterministic pendant PATHS
+    (p→c1→c2→c3→c4) grafted onto every 20th part: the real graph's
+    minimum degree is 8+ at every SF (nothing would ever peel — the
+    rounds would be vacuous), while a pendant path unravels exactly
+    ONE link per simultaneous peel, so the hash certifies four real
+    peel rounds plus the untouched dense core. Eight peels (plan-depth
+    constant, unrolled identically in the oracle) — converged.
+    Design + the convergence contract in operators/graph.py::kcore."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.graph import kcore
+
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    base = pairs.select(p.alias("src"), s.alias("dst"))
+    anchors = pairs.select("l_partkey").distinct().filter(
+        F.col("l_partkey") % 20 == 0
+    )
+    pk = F.col("l_partkey").cast("string")
+    c = lambda i: F.concat(F.lit(f"c{i}_"), pk)  # noqa: E731
+    chain = anchors.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("p"), pk).alias("src"), c(1).alias("dst")
+                ),
+                F.struct(c(1).alias("src"), c(2).alias("dst")),
+                F.struct(c(2).alias("src"), c(3).alias("dst")),
+                F.struct(c(3).alias("src"), c(4).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    fwd = base.unionAll(chain)
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore(edges)
+
+
+def _kcore_oracle() -> str:
+    """DuckDB twin of graph.kcore on the same substrate: the identical
+    peel rounds unrolled (degree count → survivor filter → two semi
+    joins), final per-node degree."""
+    from tepsonic_database_sync_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+
+    parts = [
+        """pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+anchors AS (
+  SELECT DISTINCT l_partkey FROM pairs WHERE l_partkey % 20 = 0
+),
+fwd AS (
+  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM pairs
+  UNION ALL
+  SELECT 'p' || CAST(l_partkey AS VARCHAR),
+         'c1_' || CAST(l_partkey AS VARCHAR) FROM anchors
+  UNION ALL
+  SELECT 'c1_' || CAST(l_partkey AS VARCHAR),
+         'c2_' || CAST(l_partkey AS VARCHAR) FROM anchors
+  UNION ALL
+  SELECT 'c2_' || CAST(l_partkey AS VARCHAR),
+         'c3_' || CAST(l_partkey AS VARCHAR) FROM anchors
+  UNION ALL
+  SELECT 'c3_' || CAST(l_partkey AS VARCHAR),
+         'c4_' || CAST(l_partkey AS VARCHAR) FROM anchors
+),
+e0 AS (
+  SELECT src, dst FROM fwd
+  UNION ALL
+  SELECT dst, src FROM fwd
+)"""
+    ]
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        # AS MATERIALIZED: each round references its predecessor three
+        # times (degree count + both semi probes) — DuckDB inlines CTEs
+        # by default, so the uncut 8-round chain inlines e0 ~3^8 times
+        # and never finishes planning (measured hang); materialization
+        # makes the chain linear, exactly like the Spark side's
+        # per-round localCheckpoint
+        parts.append(
+            f"""keep{r} AS MATERIALIZED (
+  SELECT src AS node FROM {prev} GROUP BY src
+  HAVING count(*) >= {KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE e.src IN (SELECT node FROM keep{r})
+    AND e.dst IN (SELECT node FROM keep{r})
+)"""
+        )
+        prev = f"e{r}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY src
+"""
+
+
 # the registry query's budget: 90% of corpus tokens (vs the operator's
 # 50% default) so the two injected tiny domains' sqrt-temperature
 # shares exceed their 2-epoch caps at EVERY test SF — at 50% they land
@@ -9497,6 +9609,7 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_edit_verified":
         (q_dedup_edit_verified, _dedup_edit_verified_oracle()),
     "bpe_train": (q_bpe_train, _bpe_train_oracle()),
+    "kcore": (q_kcore, _kcore_oracle()),
     # --- NEW in r11 (took the token_pmi fill slot) ----------------------
     "kmv_distinct": (q_kmv_distinct, _kmv_distinct_oracle()),
     # --- NEW in r11 cont. (displaced decontaminate_bloom to the r12 queue)
@@ -9723,10 +9836,11 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # the natural window = the first 50 tail entries in queue order — the
 # eleven r07-green entries (group_entropy … set_union, ann_lsh_topk)
 # retire first, then the r08 block through the natural cut — with
-# NINE swaps displacing the least-stale nine of the natural 50
+# TEN swaps displacing the least-stale ten of the natural 50
 # (text_bm25, text_repetition, sketch_distinct, sketch_percentile,
 # multimodal_resize, multimodal_features, multimodal_frames,
-# multimodal_stats, window_running_total — the r05/r08 block tail):
+# multimodal_stats, window_running_total, count_distinct — the
+# r05/r08 block tail):
 #   - text_lm_score — the unigram-lexicon broadcast hint DROPPED (the
 #     last site of the measured vocabulary-scaled-hint class; A/B in
 #     SCALE.md r13) — changed code lands in-window;
@@ -9734,8 +9848,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #     r12), oracle + injection updated identically;
 #   - fineweb_filters + mixture_rebalance + quality_stack +
 #     snapshot_dedup + snapshot_dedup_incremental +
-#     dedup_edit_verified + bpe_train — the round's SEVEN additions
-#     (new entries are always in-window).
+#     dedup_edit_verified + bpe_train + kcore — the round's EIGHT
+#     additions (new entries are always in-window).
 # After r13 the last-green floor is r08.
 _R13_WINDOW = [
     "group_entropy", "grouped_mode", "active_users",
@@ -9751,11 +9865,11 @@ _R13_WINDOW = [
     "exists_subquery", "tpch_q1_pricing", "tpch_q3_topk",
     "tpch_q10_returns", "tpch_q6_sql", "tpch_q17_small_qty",
     "tpch_q22_idle_custs", "rollup_sales", "pivot_segment_priority",
-    "unpivot", "count_distinct", "text_lm_score",
-    "gopher_rules", "fineweb_filters",
+    "unpivot", "text_lm_score", "gopher_rules",
+    "fineweb_filters",
     "mixture_rebalance", "quality_stack", "snapshot_dedup",
     "snapshot_dedup_incremental", "dedup_edit_verified",
-    "bpe_train",
+    "bpe_train", "kcore",
 ]
 
 _TAIL_FRESHNESS = [

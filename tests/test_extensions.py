@@ -3228,3 +3228,48 @@ def test_bpe_train_matches_canonical_reference(spark):
     # the later rounds that consume the merged 'aa' symbols
     aa = [m for m in want if m[1] == "a" and m[2] == "a"]
     assert aa and aa[0][3] == 5 * 3 + 3 * 1
+
+
+def _kcore_ref(edge_set, k, rounds):
+    """Pure-Python twin of graph.kcore: simultaneous-removal peeling,
+    fixed rounds."""
+    edges = {(a, b) for a, b in edge_set} | {(b, a) for a, b in edge_set}
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in edges:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    out = {}
+    for a, _b in edges:
+        out[a] = out.get(a, 0) + 1
+    return sorted(out.items())
+
+
+def test_kcore_peels_chains_and_keeps_the_core(spark):
+    """kcore == the exact simultaneous-peel reference on a graph built
+    for the iterative mechanics: a 4-clique (the 2-core... and 3-core)
+    with a pendant PATH of length 3 — under simultaneous removal the
+    path unravels exactly one link per round (only the free end is
+    below k each round), so rounds 1..3 each do real work; rounds=2
+    must leave the half-peeled state the reference predicts, rounds=4
+    the clean core."""
+    from tepsonic_database_sync_spark.operators.graph import kcore
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(4, 10), (10, 11), (11, 12)]
+    edge_set = clique + path
+    sym = [(a, b) for a, b in edge_set] + [(b, a) for a, b in edge_set]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    for rounds in (1, 2, 4):
+        got = sorted(
+            (r["node"], r["degree"])
+            for r in kcore(edges, k=2, rounds=rounds).collect()
+        )
+        assert got == _kcore_ref(edge_set, 2, rounds), rounds
+    # converged at 4 rounds: the clean clique, path gone
+    final = dict(_kcore_ref(edge_set, 2, 4))
+    assert set(final) == {1, 2, 3, 4} and all(d == 3 for d in final.values())
+    # and at rounds=2 the path is only HALF gone (the iterative point)
+    mid = dict(_kcore_ref(edge_set, 2, 2))
+    assert 10 in mid and 12 not in mid

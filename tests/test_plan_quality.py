@@ -1359,3 +1359,27 @@ def test_bpe_train_rounds_are_argmax_not_global_sort(spark, registry_plans):
     assert "TakeOrderedAndProject" in rplan
     assert "partial_sum" in rplan
     assert "BatchEvalPython" not in rplan and "ArrowEvalPython" not in rplan
+
+
+def test_kcore_rounds_are_semi_joins_no_cartesian(spark, registry_plans):
+    """Each peel round must be one map-side-combined degree count plus
+    two LEFT SEMI survivor joins — no Cartesian, no BNL, no Python.
+    The registry plan shows the checkpointed final round; the uncut
+    per-round shape is pinned via checkpoint=False at one round."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.graph import kcore
+
+    plan = registry_plans["kcore"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    one = kcore(edges, k=2, rounds=1, checkpoint=False)
+    rplan = one._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan
+    assert "LeftSemi" in rplan
+    assert "partial_count" in rplan
