@@ -183,6 +183,18 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_edit_verified():
+        # r13: LSH candidates + bounded-prefix Levenshtein — per-copy
+        # token suffixes keep candidates within-copy, so pair count
+        # (and the DP work riding on it) scales linearly
+        from tepsonic_database_sync_spark.operators.dedup import (
+            edit_verified_pairs,
+        )
+
+        edit_verified_pairs(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def run_bpe_train():
         # r13: per-copy token suffixes multiply the WORD VOCABULARY by
         # the factor — exactly the state this op iterates on — while
@@ -246,6 +258,7 @@ def _doc_ops(docs, factor: int = 1):
         "mixture_rebalance": run_mixture_rebalance,
         "snapshot_dedup": run_snapshot_dedup,
         "bpe_train": run_bpe_train,
+        "dedup_edit_verified": run_edit_verified,
         "phash_neardup": run_phash,
     }
 
