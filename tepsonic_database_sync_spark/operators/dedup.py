@@ -1933,11 +1933,18 @@ def edit_verified_pairs(
     verification runs on normalized text TRUNCATED to ``max_chars``
     (named constant; 2000 chars bounds a pair at 4M cell ops) — at
     100 TB full-document edit distance is not a thing anyone computes;
-    the prefix is the standard trade and docs differing only beyond
-    the cap read as distance 0. Two guards run BEFORE the DP: the
-    banded candidate join bounds the pair count, and the length-gap
-    reject (|len_a − len_b| > tau_abs ⇒ distance must exceed tau)
-    skips the DP inside a short-circuiting ``when`` — Catalyst may
+    the prefix is the standard trade. Three guards run BEFORE the DP:
+    the banded candidate join bounds the pair count, a FULL-length gap
+    reject on the untruncated normalized lengths (|flen_a − flen_b| >
+    tau of the longer full text ⇒ the true distance must exceed tau —
+    deletions alone cost the gap), and the truncated-length gap reject
+    (|len_a − len_b| > tau_abs). The full-length guard closes the
+    truncation false-accept class ADVICE r13 flagged — two docs
+    identical in their first 2000 chars but wildly different lengths
+    (boilerplate-prefixed pages) no longer read as distance 0; pairs
+    that survive it and differ only beyond the cap still read as
+    near-dups (the residual, now length-bounded, prefix trade). Both
+    gap rejects sit inside a short-circuiting ``when`` — Catalyst may
     reorder filter conjuncts, a ``when`` guard it cannot.
 
     Returns (a_id, b_id, dist, dist_permille) for surviving pairs.
@@ -1949,20 +1956,27 @@ def edit_verified_pairs(
         # callers carry); the minhash path never reads its value
         docs = docs.withColumn("n_chars", F.lit(None).cast("long"))
     cands = lsh_candidate_pairs(minhash_sig_array(docs))
+    # Catalyst's subexpression elimination computes normalize_text once
+    # per row for the prefix and the full length
     nt = docs.select(
         "doc_id",
         F.substring(normalize_text(F.col("text")), 1, max_chars).alias("nt"),
+        F.length(normalize_text(F.col("text"))).cast("long").alias("fl"),
     )
     j = (
         cands.join(
             nt.select(
-                F.col("doc_id").alias("a_id"), F.col("nt").alias("na")
+                F.col("doc_id").alias("a_id"),
+                F.col("nt").alias("na"),
+                F.col("fl").alias("fla"),
             ),
             "a_id",
         )
         .join(
             nt.select(
-                F.col("doc_id").alias("b_id"), F.col("nt").alias("nb")
+                F.col("doc_id").alias("b_id"),
+                F.col("nt").alias("nb"),
+                F.col("fl").alias("flb"),
             ),
             "b_id",
         )
@@ -1974,9 +1988,16 @@ def edit_verified_pairs(
                 "long"
             ),
         )
+        .withColumn(
+            "tau_full",
+            F.expr(f"greatest(fla, flb) * {tau_permille} div 1000").cast(
+                "long"
+            ),
+        )
     )
     dist = F.when(
-        F.abs(F.col("la") - F.col("lb")) <= F.col("tau_abs"),
+        (F.abs(F.col("fla") - F.col("flb")) <= F.col("tau_full"))
+        & (F.abs(F.col("la") - F.col("lb")) <= F.col("tau_abs")),
         F.levenshtein("na", "nb").cast("long"),
     )
     out = (

@@ -336,10 +336,32 @@ def mixture_rebalance(
             F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
         ).cast("long").alias("n"),
     )
+    counts = toked.groupBy("domain").agg(
+        F.sum("n").cast("long").alias("n_tokens")
+    )
+    return mixture_waterfill(
+        counts,
+        budget_permille=budget_permille,
+        cap_epochs_permille=cap_epochs_permille,
+        rounds=rounds,
+    )
+
+
+def mixture_waterfill(
+    dom_counts: DataFrame,
+    budget_permille: int = MIX_BUDGET_PERMILLE,
+    cap_epochs_permille: int = MIX_CAP_EPOCHS_PERMILLE,
+    rounds: int = MIX_ROUNDS,
+) -> DataFrame:
+    """The water-filling core of ``mixture_rebalance``, taking a
+    precomputed per-domain token-count frame (domain, n_tokens) — so
+    the budget UNIT is the caller's: whitespace tokens (the default
+    entry), true BPE tokenizer tokens (``bpe_encode`` counts — the
+    published data-mixture unit), byte counts, anything mergeable.
+    Identical algebra and plan from the per-domain frame on; see
+    ``mixture_rebalance`` for the algorithm and scale notes."""
     dom = (
-        toked.groupBy("domain")
-        .agg(F.sum("n").cast("long").alias("n_tokens"))
-        .select(
+        dom_counts.select(
             "domain",
             "n_tokens",
             _isqrt(F.col("n_tokens")).alias("weight"),
@@ -424,15 +446,27 @@ def mixture_rebalance(
     alloc = F.when(
         F.col("capped") == 1, F.col("cap_tokens")
     ).otherwise(F.col("prov"))
+    # epochs via INTEGER div, not the floor-of-double trick: alloc is a
+    # corpus-scale aggregate (token counts ~2^44 ⇒ alloc·1000 ~2^54,
+    # past the 2^52 double-exactness bound _permille relies on for its
+    # per-doc operands). Both operands non-negative, so Spark `div` ==
+    # DuckDB `//` (ADVICE r13).
     return state.select(
         "domain",
         "n_tokens",
         "weight",
         "cap_tokens",
         alloc.cast("long").alias("alloc_tokens"),
+        "capped",
+    ).select(
+        "domain",
+        "n_tokens",
+        "weight",
+        "cap_tokens",
+        "alloc_tokens",
         F.when(
             F.col("n_tokens") > 0,
-            F.floor((alloc * 1000) / F.col("n_tokens")).cast("long"),
+            F.expr("alloc_tokens * 1000 div n_tokens").cast("long"),
         )
         .otherwise(F.lit(0).cast("long"))
         .alias("epochs_permille"),

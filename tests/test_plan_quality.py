@@ -1278,18 +1278,21 @@ def test_mixture_rebalance_single_corpus_aggregate(spark, registry_plans):
 
 
 def test_quality_stack_composes_without_cartesian(spark, registry_plans):
-    """The stack inherits its sub-operators' pinned plans; what it may
-    ADD is one single-row mean broadcast and three doc_id equi-joins —
-    never a Cartesian, never Python. Three single-row BNLs are allowed:
-    the mean attach plus lm_score's vocab stat TWICE (the lm frame
-    feeds both the mean aggregate and the scoring branch; recomputing
-    the gram subtree beats materializing a corpus-sized frame)."""
+    """r14 consolidation pin: the stack scans the corpus ONCE — the
+    signal projection and the unified gram counts are eagerly
+    localCheckpoint'd (the parquet scan lives inside the first
+    checkpoint's build job), so the FINAL plan must read only
+    ExistingRDD, never parquet. It may add single-row broadcast
+    attaches (V, mean) — never a Cartesian, never Python."""
     plan = registry_plans["quality_stack"]
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 3, (
         plan.count("BroadcastNestedLoopJoin")
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the one-scan claim: everything downstream reads the checkpoints
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
 
 
 def test_snapshot_dedup_is_two_aggregates_no_window(spark, registry_plans):
