@@ -43,6 +43,13 @@ Timing protocol (BENCH_r02 onward):
   (cheapest queries elided first, count in "queries_elided") because
   the driver's tail capture truncated the r7 line (BENCH_r07
   parsed: null).
+- Contention index (r14 onward, VERDICT r13 item 3): a fixed
+  xxhash64-fold calibration probe runs min-of-3 before AND after the
+  headline loop; "calib" in the stdout line (min of the two) and
+  calib_pre/calib_post in the detail. Round-over-round, a family-wide
+  timing shift that MOVES WITH calib is ambient CPU-steal, not a code
+  regression. Official runs must also be QUIET: never concurrent with
+  a driver_sim sweep or test session.
 """
 
 from __future__ import annotations
@@ -231,6 +238,11 @@ HEADLINE = [
     # word vocabulary) and 2-core peeling (8 semi-join peel rounds)
     "bpe_train",
     "kcore",
+    # r14: distributed BPE application (ordered-rule vocabulary fold +
+    # positional join) and the true-tokenizer-token mixture rebalance —
+    # tracked from birth
+    "bpe_encode",
+    "mixture_rebalance_bpe",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",
@@ -239,6 +251,25 @@ HEADLINE = [
     "sync_pipeline",
     "sync_merge_resync",
 ]
+
+
+CALIB_ROWS = 400_000_000
+
+
+def _calibration(spark, runs: int = 3) -> float:
+    """Contention index (BENCH_r14 onward, VERDICT r13 item 3): a FIXED
+    compute-bound probe — xxhash64 fold over a 400M-row range, pure
+    whole-stage codegen, no shuffle, no IO, independent of every
+    operator — timed with the same min-of-runs rule. Its round-over-
+    round ratio separates ambient CPU-steal from code regressions: if
+    calib moved with a family of md5/regex-bound queries, the artifact
+    is reading the hypervisor, not the engine."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        spark.range(CALIB_ROWS).selectExpr("sum(xxhash64(id))").collect()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def _run_once(spark, name: str, qs, sf_dir: str) -> None:
@@ -303,6 +334,7 @@ def main() -> None:
         "label_propagation": 2,
         "triangle_stats": 2,
     }
+    calib_pre = _calibration(spark)
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -324,6 +356,7 @@ def main() -> None:
     # the repo; the FINAL stdout line must stay compact — BENCH_r07's
     # artifact was truncated mid-line by the driver's bounded tail
     # capture (parsed: null), so warm+cold in one line is too long.
+    calib_post = _calibration(spark)
     detail = {
         "metric": "headline_queries_total",
         "value": round(sum(warm.values()), 3),
@@ -333,6 +366,11 @@ def main() -> None:
         "queries_cold": cold,
         "sf": sf,
         "runs": runs,
+        # contention index: min-of-3 fixed xxhash64 fold, taken before
+        # and after the headline loop — compare across rounds; queries
+        # are NOT included in "value"
+        "calib_pre": round(calib_pre, 3),
+        "calib_post": round(calib_post, 3),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
@@ -349,6 +387,7 @@ def main() -> None:
         "queries": line_queries,
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
+        "calib": round(min(calib_pre, calib_post), 2),
         "value_cold": round(sum(cold.values()), 3),
         "value": round(sum(warm.values()), 3),
     }

@@ -244,6 +244,45 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_bpe_encode():
+        # r14: per-copy token suffixes multiply the distinct-word
+        # vocabulary (the fold substrate) by the factor while the
+        # positional occurrence join grows linearly — both terms
+        # should stay sub-linear; super-linear growth = the vocabulary
+        # join degenerating (the unhinted-attach probe, lm_score's
+        # regime)
+        from tepsonic_database_sync_spark.operators.text import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        bpe_encode(docs, bpe_train(docs)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def run_mixture_bpe():
+        # r14: bpe_encode counts → domain sum → waterfill; the curve
+        # should track bpe_encode's (the waterfill tail is domain-frame
+        # arithmetic)
+        from tepsonic_database_sync_spark.operators.sampling import (
+            mixture_waterfill,
+        )
+        from tepsonic_database_sync_spark.operators.text import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        enc = bpe_encode(docs, bpe_train(docs))
+        counts = (
+            docs.select("doc_id", (F.col("doc_id") % 7).alias("domain"))
+            .join(enc.select("doc_id", "n_bpe_tokens"), "doc_id")
+            .groupBy("domain")
+            .agg(F.sum("n_bpe_tokens").cast("long").alias("n_tokens"))
+        )
+        mixture_waterfill(counts).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     return {
         "text_repetition": run_repetition,
         "substring_dedup": run_substring_dedup,
@@ -258,6 +297,8 @@ def _doc_ops(docs, factor: int = 1):
         "mixture_rebalance": run_mixture_rebalance,
         "snapshot_dedup": run_snapshot_dedup,
         "bpe_train": run_bpe_train,
+        "bpe_encode": run_bpe_encode,
+        "mixture_bpe": run_mixture_bpe,
         "dedup_edit_verified": run_edit_verified,
         "phash_neardup": run_phash,
     }

@@ -5702,8 +5702,8 @@ def _dedup_edit_verified_oracle() -> str:
     """DuckDB twin of dedup.edit_verified_pairs: the proven
     minhash-band candidate CTEs (shared fragments) + the same
     normalized-prefix Levenshtein (both engines ship unit-cost
-    Wagner-Fischer) with the identical length-gap guard and integer
-    permille."""
+    Wagner-Fischer) with the identical full-length + prefix length-gap
+    guards and integer permille."""
     from tepsonic_database_sync_spark.operators.dedup import (
         EDIT_MAX_CHARS,
         EDIT_TAU_PERMILLE,
@@ -5742,15 +5742,20 @@ cand AS (
 nt AS (
   SELECT doc_id,
          substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                1, {EDIT_MAX_CHARS}) AS nt
+                1, {EDIT_MAX_CHARS}) AS nt,
+         CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+              AS BIGINT) AS fl
   FROM corpus
 ),
 sized AS (
   SELECT c.a_id, c.b_id, na.nt AS na, nb.nt AS nb,
+         na.fl AS fla, nb.fl AS flb,
          CAST(length(na.nt) AS BIGINT) AS la,
          CAST(length(nb.nt) AS BIGINT) AS lb,
          CAST(greatest(length(na.nt), length(nb.nt))
-              * {EDIT_TAU_PERMILLE} // 1000 AS BIGINT) AS tau_abs
+              * {EDIT_TAU_PERMILLE} // 1000 AS BIGINT) AS tau_abs,
+         CAST(greatest(na.fl, nb.fl)
+              * {EDIT_TAU_PERMILLE} // 1000 AS BIGINT) AS tau_full
   FROM cand c
   JOIN nt na ON na.doc_id = c.a_id
   JOIN nt nb ON nb.doc_id = c.b_id
@@ -5759,7 +5764,7 @@ verified AS (
   SELECT a_id, b_id, la, lb, tau_abs,
          CAST(levenshtein(na, nb) AS BIGINT) AS dist
   FROM sized
-  WHERE abs(la - lb) <= tau_abs
+  WHERE abs(fla - flb) <= tau_full AND abs(la - lb) <= tau_abs
 )
 SELECT a_id, b_id, dist,
        CAST(CASE WHEN greatest(la, lb) > 0
@@ -5782,12 +5787,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_train_oracle() -> str:
-    """DuckDB twin of text.bpe_train: the same rounds unrolled as a CTE
-    chain (the kmeans shape); the greedy merge is ``list_reduce`` over
-    singleton-wrapped symbols with the winner's (p1, p2) captured from
-    the cross-joined best row — verified to fold identically to
-    Spark's ``aggregate`` form."""
+def _bpe_chain_parts() -> list[str]:
+    """The shared BPE CTE chain (toks → vocab0 → pairs/best/vocab 1..N)
+    used by BOTH the train and encode oracles — vocab{N} is the final
+    per-word symbol table, best{k} the round-k merge rule."""
     from tepsonic_database_sync_spark.operators.text import (
         BPE_EOW,
         BPE_MERGES,
@@ -5798,9 +5801,9 @@ def _bpe_train_oracle() -> str:
   SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
   FROM documents
 )""",
-        f"""vocab0 AS (
+        f"""vocab0 AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS freq,
-         list_append(regexp_extract_all(w, '.'), '{BPE_EOW}') AS s
+         list_append(regexp_extract_all(w, '(?s).'), '{BPE_EOW}') AS s
   FROM (SELECT unnest(t) AS w FROM toks)
   WHERE w <> '' GROUP BY w
 )""",
@@ -5817,7 +5820,7 @@ best{k} AS (
   SELECT p1, p2, pair_count FROM pairs{k}
   ORDER BY pair_count DESC, p1, p2 LIMIT 1
 ),
-vocab{k} AS (
+vocab{k} AS MATERIALIZED (
   SELECT v.w, v.freq,
          list_reduce(list_transform(v.s, x -> [x]),
            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.p1
@@ -5828,13 +5831,88 @@ vocab{k} AS (
   FROM vocab{k - 1} v, best{k} b
 )"""
         )
-    body = ",\n".join(parts)
+    return parts
+
+
+def _bpe_train_oracle() -> str:
+    """DuckDB twin of text.bpe_train: the same rounds unrolled as a CTE
+    chain (the kmeans shape); the greedy merge is ``list_reduce`` over
+    singleton-wrapped symbols with the winner's (p1, p2) captured from
+    the cross-joined best row — verified to fold identically to
+    Spark's ``aggregate`` form."""
+    from tepsonic_database_sync_spark.operators.text import BPE_MERGES
+
+    body = ",\n".join(_bpe_chain_parts())
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS round, p1, p2, pair_count"
         f" FROM best{k}"
         for k in range(1, BPE_MERGES + 1)
     )
     return f"WITH {body}\n{union}\n"
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE application over the documents corpus: train the
+    8-round merge table, then encode every document with it — the
+    per-word ordered-rule fold on the distinct-word vocabulary joined
+    back to positional occurrences (one corpus scan, no Python).
+    Design + the fold-equals-round-by-round-vocabulary law in
+    operators/text.py::bpe_encode."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_train(docs))
+
+
+def _bpe_encode_chain() -> str:
+    """The encode tail shared by the bpe_encode and mixture-BPE
+    oracles: positional word occurrences joined to the chain's FINAL
+    vocab (every corpus word is in it by construction), reassembled
+    per doc with an ordered list aggregate."""
+    from tepsonic_database_sync_spark.operators.text import (
+        BPE_ENC_HEAD,
+        BPE_MERGES,
+    )
+
+    return f"""docw AS (
+  SELECT doc_id, i, t[i] AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+       unnest(range(1, len(t) + 1)) AS r(i)
+),
+per AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(e.s)) AS BIGINT) AS n_bpe_tokens,
+         array_to_string(
+           list_slice(flatten(list(e.s ORDER BY d.i)), 1, {BPE_ENC_HEAD}),
+           ' ') AS enc_head
+  FROM docw d JOIN vocab{BPE_MERGES} e ON e.w = d.w
+  GROUP BY d.doc_id
+)"""
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB twin of text.bpe_encode: the train chain's final vocab IS
+    the encoded word table (the fold law), so encoding is a positional
+    join + ordered reassembly; wordless docs come back zeroed through
+    the left join exactly as Spark's."""
+    body = ",\n".join(_bpe_chain_parts())
+    return f"""
+WITH {body},
+{_bpe_encode_chain()}
+SELECT doc.doc_id,
+       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       coalesce(enc_head, '') AS enc_head
+FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
+"""
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5983,20 +6061,25 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_rebalance(docs, budget_permille=_MIX_Q_BUDGET_PERMILLE)
 
 
-def _mixture_rebalance_oracle() -> str:
+def _mixture_rebalance_oracle(toks_cte: str | None = None) -> str:
     """DuckDB twin of sampling.mixture_rebalance: same token counts,
     the double-corrected exact integer sqrt, and the SAME number of
     water-filling rounds unrolled as a CTE chain (the kmeans/LPA
     iterative-oracle shape). Every prior-round column is qualified
     (p.capped) — DuckDB resolves same-SELECT lateral aliases, which
-    would otherwise silently feed the NEW capped flag into prov."""
+    would otherwise silently feed the NEW capped flag into prov.
+    ``toks_cte`` swaps the per-doc count CTE chain (must end in a CTE
+    named ``toks`` with (domain, n)) — the BPE-token variant passes
+    the train+encode chain; default is whitespace counts."""
     from tepsonic_database_sync_spark.operators.sampling import (
         MIX_CAP_EPOCHS_PERMILLE,
         MIX_ROUNDS,
     )
 
     parts = [
-        r"""toks AS (
+        toks_cte
+        if toks_cte is not None
+        else r"""toks AS (
   SELECT CASE WHEN doc_id < 2 THEN 'tiny_a'
               WHEN doc_id < 5 THEN 'tiny_b'
               ELSE source END AS domain,
@@ -6073,6 +6156,64 @@ SELECT domain, n_tokens, weight, cap_tokens,
   capped
 FROM {prev}
 """
+
+
+def q_mixture_rebalance_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling domain rebalance with TRUE tokenizer-token budgets
+    (VERDICT r13 next-round 4): per-doc BPE token counts from
+    ``bpe_encode`` (trained on the same corpus) summed per domain feed
+    ``mixture_waterfill`` — the published data-mixture unit instead of
+    whitespace tokens. Same tiny-domain injection as
+    ``mixture_rebalance`` so the CAP branch fires non-vacuously at the
+    90% budget; the whole composition (train → encode → count →
+    water-fill) is one hash."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.sampling import (
+        mixture_waterfill,
+    )
+    from tepsonic_database_sync_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, bpe_train(docs))
+    counts = (
+        docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") < 2, F.lit("tiny_a"))
+            .when(F.col("doc_id") < 5, F.lit("tiny_b"))
+            .otherwise(F.col("source"))
+            .alias("domain"),
+        )
+        .join(enc.select("doc_id", "n_bpe_tokens"), "doc_id")
+        .groupBy("domain")
+        .agg(F.sum("n_bpe_tokens").cast("long").alias("n_tokens"))
+    )
+    return mixture_waterfill(
+        counts, budget_permille=_MIX_Q_BUDGET_PERMILLE
+    )
+
+
+def _mixture_rebalance_bpe_oracle() -> str:
+    """The mixture oracle with its count CTE swapped for the BPE
+    train+encode chain: per-doc n_bpe_tokens (wordless docs zeroed via
+    the left join, as in Spark) under the same tiny-domain injection.
+    The chain's word-array CTE is renamed wtoks here — the waterfill
+    contract reserves the name ``toks`` for the (domain, n) frame."""
+    chain = ",\n".join(_bpe_chain_parts()).replace(
+        "toks AS (", "wtoks AS ("
+    ).replace("FROM toks", "FROM wtoks")
+    toks = f"""{chain},
+{_bpe_encode_chain()},
+toks AS MATERIALIZED (
+  SELECT CASE WHEN d.doc_id < 2 THEN 'tiny_a'
+              WHEN d.doc_id < 5 THEN 'tiny_b'
+              ELSE d.source END AS domain,
+         CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n
+  FROM documents d LEFT JOIN per p USING (doc_id)
+)"""
+    return _mixture_rebalance_oracle(toks_cte=toks)
 
 
 def q_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9549,7 +9690,7 @@ FROM pred GROUP BY 1, 2
 
 # name → (spark callable, oracle sql | None) — the CATALOG. Definition
 # order here is historical; the driver-facing order (window contract)
-# is rebuilt below from _R13_WINDOW + _TAIL_FRESHNESS.
+# is rebuilt below from _R14_WINDOW + _TAIL_FRESHNESS.
 #
 # Historical allocation notes (r8): Round-8 allocation: the 19 new r8
 # operators (batch 1 bfs_hops … layout_prune, batch 2
@@ -9609,6 +9750,9 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_edit_verified":
         (q_dedup_edit_verified, _dedup_edit_verified_oracle()),
     "bpe_train": (q_bpe_train, _bpe_train_oracle()),
+    "bpe_encode": (q_bpe_encode, _bpe_encode_oracle()),
+    "mixture_rebalance_bpe":
+        (q_mixture_rebalance_bpe, _mixture_rebalance_bpe_oracle()),
     "kcore": (q_kcore, _kcore_oracle()),
     # --- NEW in r11 (took the token_pmi fill slot) ----------------------
     "kmv_distinct": (q_kmv_distinct, _kmv_distinct_oracle()),
@@ -9832,127 +9976,137 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # CORRECTNESS_r11.json, so those entries now sit at the BACK of the
 # freshness tail below.
 #
-# r13 window allocation (VERDICT r12 items 1-2 + SURVEY §17 handoff):
-# the natural window = the first 50 tail entries in queue order — the
-# eleven r07-green entries (group_entropy … set_union, ann_lsh_topk)
-# retire first, then the r08 block through the natural cut — with
-# TEN swaps displacing the least-stale ten of the natural 50
-# (text_bm25, text_repetition, sketch_distinct, sketch_percentile,
-# multimodal_resize, multimodal_features, multimodal_frames,
-# multimodal_stats, window_running_total, count_distinct — the
-# r05/r08 block tail):
-#   - text_lm_score — the unigram-lexicon broadcast hint DROPPED (the
-#     last site of the measured vocabulary-scaled-hint class; A/B in
-#     SCALE.md r13) — changed code lands in-window;
-#   - gopher_rules — '…' now counts toward the symbol ratio (ADVICE
-#     r12), oracle + injection updated identically;
-#   - fineweb_filters + mixture_rebalance + quality_stack +
-#     snapshot_dedup + snapshot_dedup_incremental +
-#     dedup_edit_verified + bpe_train + kcore — the round's EIGHT
-#     additions (new entries are always in-window).
-# After r13 the last-green floor is r08.
-_R13_WINDOW = [
-    "group_entropy", "grouped_mode", "active_users",
-    "quantile_bucketize", "dedup_keep_best", "growth_accounting",
-    "dedup_ngram_jaccard", "p_nested_project", "topk_orders",
-    "set_union", "ann_lsh_topk", "linear_interp",
-    "seasonal_profile", "grouped_regression", "chi_square",
-    "class_balance", "negative_sample", "inverted_index",
-    "tfidf_doc_sim", "chunk_dedup", "layout_prune",
-    "interval_join", "rrf_fusion", "embed_outliers",
-    "domain_cap", "epoch_order", "event_paths",
-    "pagerank", "ohlc_bars", "cube_sales",
-    "exists_subquery", "tpch_q1_pricing", "tpch_q3_topk",
-    "tpch_q10_returns", "tpch_q6_sql", "tpch_q17_small_qty",
-    "tpch_q22_idle_custs", "rollup_sales", "pivot_segment_priority",
-    "unpivot", "text_lm_score", "gopher_rules",
-    "fineweb_filters",
-    "mixture_rebalance", "quality_stack", "snapshot_dedup",
-    "snapshot_dedup_incremental", "dedup_edit_verified",
-    "bpe_train", "kcore",
+# r13 window allocation executed as planned (CORRECTNESS_r13: 50/50
+# green; VERDICT r13 confirmed the key set equals the r13 window
+# exactly). The r13 window members were then moved to the BACK of
+# _TAIL_FRESHNESS below — the list is the full last-green history,
+# stalest first, and a rotation edits ONLY the window plus this move
+# (ADVICE r13 completeness item closed: all six missing r13 names are
+# present, so future rotations stay window-only edits).
+#
+# r14 window allocation (VERDICT r13 next-round 1 + SURVEY "Round-14
+# rotation handoff"): the natural window = the first 50 tail entries
+# in queue order — the ten r13-displaced entries (count_distinct,
+# window_running_total, the multimodal quartet, text_bm25,
+# text_repetition, sketch_distinct, sketch_percentile) retire first,
+# then the r08/r09 block through the natural cut — with SIX swaps
+# displacing the least-stale six of the natural 50 (sync_merge_resync,
+# sync_pipeline, sync_summary, x2_quarantine, window_funnel,
+# item_cooccur — all r09-green, they head the r15 queue):
+#   - mixture_rebalance — epochs_permille now exact integer div
+#     (ADVICE r13) + the mixture_waterfill extraction;
+#   - bpe_train — dotall symbol split (ADVICE r13) + the
+#     fully-merged-word ANSI guard;
+#   - dedup_edit_verified — full-length gap reject before the
+#     bounded-prefix DP (ADVICE r13), oracle mirrored;
+#   - quality_stack — consolidated to ONE corpus scan + ONE gram
+#     shuffle (VERDICT r13 "What's wrong 1"), values unchanged;
+#   - bpe_encode + mixture_rebalance_bpe — the round's TWO additions
+#     (new entries are always in-window).
+# After r14 the last-green floor is r09.
+_R14_WINDOW = [
+    "count_distinct", "window_running_total", "multimodal_stats",
+    "multimodal_frames", "multimodal_features", "multimodal_resize",
+    "text_bm25", "text_repetition", "sketch_distinct",
+    "sketch_percentile", "sketch_topk", "asof_join",
+    "range_join", "sessionize_batch", "set_intersect",
+    "tpch_q2_min_cost", "tpch_q4_order_priority", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt", "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting", "a3_merge_idempotent", "a4_stock_totals",
+    "ann_bruteforce_topk", "ann_ivf_topk", "decontaminate",
+    "dedup_clusters", "dedup_jaccard_banded", "dedup_minhash_lsh",
+    "dedup_simhash", "embed_neardup", "j2_match_partial",
+    "j3_item_lookup", "kmeans_train", "mixture_sample",
+    "pack_sequences", "s10_report", "s2_full_scan",
+    "s8_upsert", "scd2_history", "mixture_rebalance",
+    "bpe_train", "dedup_edit_verified", "quality_stack",
+    "bpe_encode", "mixture_rebalance_bpe",
 ]
 
 _TAIL_FRESHNESS = [
-    "group_entropy", "grouped_mode", "active_users",
-    "quantile_bucketize", "dedup_keep_best", "growth_accounting",
-    "dedup_ngram_jaccard", "p_nested_project", "topk_orders",
-    "set_union", "ann_lsh_topk", "linear_interp",
-    "seasonal_profile", "grouped_regression", "chi_square",
-    "class_balance", "negative_sample", "inverted_index",
-    "tfidf_doc_sim", "chunk_dedup", "layout_prune",
-    "interval_join", "rrf_fusion", "embed_outliers",
-    "domain_cap", "epoch_order", "event_paths",
-    "pagerank", "ohlc_bars", "cube_sales",
-    "exists_subquery", "tpch_q1_pricing", "tpch_q3_topk",
-    "tpch_q10_returns", "tpch_q6_sql", "tpch_q17_small_qty",
-    "tpch_q22_idle_custs", "rollup_sales", "pivot_segment_priority",
-    "unpivot", "count_distinct", "window_running_total",
-    "multimodal_stats", "multimodal_frames", "multimodal_features",
-    "multimodal_resize", "text_bm25", "text_repetition",
-    "sketch_distinct", "sketch_percentile", "sketch_topk",
-    "asof_join", "range_join", "sessionize_batch",
-    "set_intersect", "tpch_q2_min_cost", "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit",
-    "tpch_q14_promo_share", "tpch_q16_supplier_cnt", "tpch_q19_disjunctive",
-    "tpch_q20_excess_suppliers", "tpch_q21_waiting", "a3_merge_idempotent",
-    "a4_stock_totals", "ann_bruteforce_topk", "ann_ivf_topk",
-    "decontaminate", "dedup_clusters", "dedup_jaccard_banded",
-    "dedup_minhash_lsh", "dedup_simhash", "embed_neardup",
-    "j2_match_partial", "j3_item_lookup", "kmeans_train",
-    "mixture_sample", "pack_sequences", "s10_report",
-    "s2_full_scan", "s8_upsert", "scd2_history",
-    "sync_merge_resync", "sync_pipeline", "sync_summary",
-    "x2_quarantine", "window_funnel", "item_cooccur",
-    "s1_rest_ingest", "model_score", "model_score_hist",
-    "tpch_q15_top_supplier", "stream_stream_join", "stream_conversion",
-    "j5_valid_skip_split", "stream_tumbling", "p1_norm_name",
-    "f1_status_filter", "bfs_hops", "j1_match_exact",
-    "s3_filtered_scan", "s9_backfill", "x1_dispatch",
-    "dedup_exact", "text_stats", "funnel",
-    "p3_uid_coalesce", "p4_cents_to_dollars", "p6_resolve_variant",
-    "window_topk_per_cust", "window_range_frame", "set_except",
-    "events_json", "stream_sliding", "stream_sessions",
-    "stream_dedup", "stream_enrich", "rollup_multires",
-    "tpch_q5_region_revenue", "tpch_q12_priority_counts", "tpch_q13_custdist",
-    "tpch_q18_big_orders", "skew_salted_agg", "skew_salted_join",
-    "dq_checks", "dataset_split", "outliers_p99",
-    "mom_growth", "cohort_retention", "stratified_sample",
-    "percentiles", "text_lang_id", "text_quality",
-    "containment_pairs", "multimodal_phash_dedup", "mmr_rerank",
-    "graph_components", "dedup_clusters_star", "embed_dedup_clusters",
-    "dedup_canonicalize", "semdedup", "kmv_distinct",
-    "dup_substring_rate", "mg_summary", "dsir_select",
-    "text_fingerprint", "text_top_terms", "text_winnow",
-    "text_chunks", "text_scrub", "decontaminate_bloom",
-    "time_resample", "runtime_filter_join", "token_pmi",
-    "zorder_stats", "weighted_sample", "cdc_incremental_agg",
-    "match_fuzzy", "psi_drift", "compaction_plan",
-    "interval_concurrency", "ewma", "group_moments",
-    "hll_registers", "tvd_drift", "k_anonymity",
-    "leaderboard", "outliers_mad", "triangle_stats",
-    "attribution_models", "text_lm_score", "dedup_incremental",
-    "prepare_corpus", "snapshot_diff", "event_transitions",
-    "event_anomaly", "grouped_quantiles", "source_overlap",
-    "skew_profile", "cdc_roundtrip", "text_hash_embed",
-    "winnow_overlap", "profile_table", "join_size_estimate",
-    "ann_pq_topk", "ann_ivf_pq_topk", "label_propagation",
-    "dedup_prefix_filter", "lsh_quality", "substring_dedup",
-    "l_diversity", "rm3_feedback", "blocking_quality_sampled",
-    "semdedup_two_level", "gopher_rules", "fineweb_filters",
-    "mixture_rebalance",
+    "count_distinct", "window_running_total", "multimodal_stats",
+    "multimodal_frames", "multimodal_features", "multimodal_resize",
+    "text_bm25", "text_repetition", "sketch_distinct",
+    "sketch_percentile", "sketch_topk", "asof_join",
+    "range_join", "sessionize_batch", "set_intersect",
+    "tpch_q2_min_cost", "tpch_q4_order_priority", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt", "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting", "a3_merge_idempotent", "a4_stock_totals",
+    "ann_bruteforce_topk", "ann_ivf_topk", "decontaminate",
+    "dedup_clusters", "dedup_jaccard_banded", "dedup_minhash_lsh",
+    "dedup_simhash", "embed_neardup", "j2_match_partial",
+    "j3_item_lookup", "kmeans_train", "mixture_sample",
+    "pack_sequences", "s10_report", "s2_full_scan",
+    "s8_upsert", "scd2_history", "sync_merge_resync",
+    "sync_pipeline", "sync_summary", "x2_quarantine",
+    "window_funnel", "item_cooccur", "s1_rest_ingest",
+    "model_score", "model_score_hist", "tpch_q15_top_supplier",
+    "stream_stream_join", "stream_conversion", "j5_valid_skip_split",
+    "stream_tumbling", "p1_norm_name", "f1_status_filter",
+    "bfs_hops", "j1_match_exact", "s3_filtered_scan",
+    "s9_backfill", "x1_dispatch", "dedup_exact",
+    "text_stats", "funnel", "p3_uid_coalesce",
+    "p4_cents_to_dollars", "p6_resolve_variant", "window_topk_per_cust",
+    "window_range_frame", "set_except", "events_json",
+    "stream_sliding", "stream_sessions", "stream_dedup",
+    "stream_enrich", "rollup_multires", "tpch_q5_region_revenue",
+    "tpch_q12_priority_counts", "tpch_q13_custdist", "tpch_q18_big_orders",
+    "skew_salted_agg", "skew_salted_join", "dq_checks",
+    "dataset_split", "outliers_p99", "mom_growth",
+    "cohort_retention", "stratified_sample", "percentiles",
+    "text_lang_id", "text_quality", "containment_pairs",
+    "multimodal_phash_dedup", "mmr_rerank", "graph_components",
+    "dedup_clusters_star", "embed_dedup_clusters", "dedup_canonicalize",
+    "semdedup", "kmv_distinct", "dup_substring_rate",
+    "mg_summary", "dsir_select", "text_fingerprint",
+    "text_top_terms", "text_winnow", "text_chunks",
+    "text_scrub", "decontaminate_bloom", "time_resample",
+    "runtime_filter_join", "token_pmi", "zorder_stats",
+    "weighted_sample", "cdc_incremental_agg", "match_fuzzy",
+    "psi_drift", "compaction_plan", "interval_concurrency",
+    "ewma", "group_moments", "hll_registers",
+    "tvd_drift", "k_anonymity", "leaderboard",
+    "outliers_mad", "triangle_stats", "attribution_models",
+    "dedup_incremental", "prepare_corpus", "snapshot_diff",
+    "event_transitions", "event_anomaly", "grouped_quantiles",
+    "source_overlap", "skew_profile", "cdc_roundtrip",
+    "text_hash_embed", "winnow_overlap", "profile_table",
+    "join_size_estimate", "ann_pq_topk", "ann_ivf_pq_topk",
+    "label_propagation", "dedup_prefix_filter", "lsh_quality",
+    "substring_dedup", "l_diversity", "rm3_feedback",
+    "blocking_quality_sampled", "semdedup_two_level", "group_entropy",
+    "grouped_mode", "active_users", "quantile_bucketize",
+    "dedup_keep_best", "growth_accounting", "dedup_ngram_jaccard",
+    "p_nested_project", "topk_orders", "set_union",
+    "ann_lsh_topk", "linear_interp", "seasonal_profile",
+    "grouped_regression", "chi_square", "class_balance",
+    "negative_sample", "inverted_index", "tfidf_doc_sim",
+    "chunk_dedup", "layout_prune", "interval_join",
+    "rrf_fusion", "embed_outliers", "domain_cap",
+    "epoch_order", "event_paths", "pagerank",
+    "ohlc_bars", "cube_sales", "exists_subquery",
+    "tpch_q1_pricing", "tpch_q3_topk", "tpch_q10_returns",
+    "tpch_q6_sql", "tpch_q17_small_qty", "tpch_q22_idle_custs",
+    "rollup_sales", "pivot_segment_priority", "unpivot",
+    "text_lm_score", "gopher_rules", "fineweb_filters",
+    "mixture_rebalance", "quality_stack", "snapshot_dedup",
+    "snapshot_dedup_incremental", "dedup_edit_verified", "bpe_train",
+    "kcore", "bpe_encode", "mixture_rebalance_bpe",
 ]
 
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the
 # guard against the r8 silent-drop failure mode and must survive
 # ``python -O`` (which strips asserts) (ADVICE r9).
-if len(_R13_WINDOW) != 50:
-    raise RuntimeError(f"window must be exactly 50, got {len(_R13_WINDOW)}")
-if len(set(_R13_WINDOW)) != 50:
+if len(_R14_WINDOW) != 50:
+    raise RuntimeError(f"window must be exactly 50, got {len(_R14_WINDOW)}")
+if len(set(_R14_WINDOW)) != 50:
     raise RuntimeError("duplicate name in window")
-_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R13_WINDOW)]
+_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R14_WINDOW)]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    n: _REGISTRY_DEF[n] for n in (*_R13_WINDOW, *_tail)
+    n: _REGISTRY_DEF[n] for n in (*_R14_WINDOW, *_tail)
 }
 if set(REGISTRY) != set(_REGISTRY_DEF):
     raise RuntimeError(

@@ -3230,6 +3230,107 @@ def test_bpe_train_matches_canonical_reference(spark):
     assert aa and aa[0][3] == 5 * 3 + 3 * 1
 
 
+def _bpe_ref_encode(words, merges, eow="</w>"):
+    """Canonical Sennrich encoder: per word, apply the trained rules in
+    learned order, greedy left-to-right."""
+    out = {}
+    for w in words:
+        s = list(w) + [eow]
+        for _k, p1, p2, _c in merges:
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == p1 and s[i + 1] == p2:
+                    res.append(p1 + p2)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        out[w] = s
+    return out
+
+
+def test_bpe_encode_matches_canonical_reference(spark):
+    """bpe_encode == the canonical Sennrich encoder applied per word —
+    counts AND the positional head certify actual sequences, including
+    a word ABSENT from no training round (every corpus word trains the
+    vocab), chained merges, and a doc with zero words."""
+    from tepsonic_database_sync_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    words = {
+        "aaaa": 5, "aab": 3, "low": 7, "lower": 5, "lowest": 2,
+        "newer": 6, "wider": 3,
+    }
+    text = " ".join(w for w, f in words.items() for _ in range(f))
+    train = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, text), (2, "low newer aab"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    merges = _bpe_ref(words, 6)
+    enc = _bpe_ref_encode(words, merges)
+    got = {
+        r["doc_id"]: r
+        for r in bpe_encode(docs, bpe_train(train, n_merges=6)).collect()
+    }
+    flat2 = [t for w in "low newer aab".split() for t in enc[w]]
+    assert got[2]["n_words"] == 3
+    assert got[2]["n_bpe_tokens"] == len(flat2)
+    assert got[2]["enc_head"] == " ".join(flat2[:32])
+    n1 = sum(f * len(enc[w]) for w, f in words.items())
+    assert got[1]["n_bpe_tokens"] == n1
+    assert got[3]["n_words"] == 0 and got[3]["enc_head"] == ""
+
+
+def test_bpe_train_survives_fully_merged_word(spark):
+    """Regression (r14): a frequent short word can merge to a SINGLE
+    symbol within n_merges rounds ('low'→'low</w>' after 3 chained
+    merges); the pair transform on its size-1 symbol array used to
+    index past the end (sequence(1, 0) descends) — an ANSI crash the
+    DuckDB twin never had (range(1, 1) is empty). Later rounds must
+    keep training on the remaining words."""
+    from tepsonic_database_sync_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new low")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["round"], r["p1"], r["p2"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=5).collect()
+    )
+    words = {"low": 4, "lower": 1, "lowest": 1, "newer": 1,
+             "newest": 1, "new": 1}
+    assert got == _bpe_ref(words, 5)
+    # the crash round really occurs: some word is a single symbol by
+    # round 4 (low</w>), certified by the reference agreeing past it
+    assert any(m[1] == "low" and m[2] == "</w>" for m in got)
+
+
+def test_mixture_rebalance_bpe_cap_branch_fires(spark):
+    """The BPE-token mixture entry must certify the cap branch
+    non-vacuously at the oracle SF: at the 90% budget the injected tiny
+    domains cap, the rest stay uncapped, and allocations respect caps."""
+    from tepsonic_database_sync_spark.registry import (
+        q_mixture_rebalance_bpe,
+    )
+
+    from conftest import SF_ORACLE
+
+    rows = {r["domain"]: r for r in q_mixture_rebalance_bpe(
+        spark, SF_ORACLE
+    ).collect()}
+    assert {r["capped"] for r in rows.values()} == {0, 1}
+    assert rows["tiny_a"]["capped"] == 1 and rows["tiny_b"]["capped"] == 1
+    for r in rows.values():
+        assert r["alloc_tokens"] <= r["cap_tokens"]
+        if r["capped"]:
+            assert r["alloc_tokens"] == r["cap_tokens"]
+
+
 def _kcore_ref(edge_set, k, rounds):
     """Pure-Python twin of graph.kcore: simultaneous-removal peeling,
     fixed rounds."""

@@ -1364,6 +1364,33 @@ def test_bpe_train_rounds_are_argmax_not_global_sort(spark, registry_plans):
     assert "BatchEvalPython" not in rplan and "ArrowEvalPython" not in rplan
 
 
+def test_bpe_encode_vocab_join_unhinted_no_python(spark, registry_plans):
+    """bpe_encode's only BNL is the single-row merge-rule attach (the
+    legitimate broadcast class: n_merges rows by construction); the
+    vocabulary join must stay UNHINTED (the lm_score doctrine — a web
+    corpus's word vocabulary can be huge, AQE decides), and the fold is
+    pure JVM expression work — no Python, no Cartesian."""
+    plan = registry_plans["bpe_encode"]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+        plan.count("BroadcastNestedLoopJoin")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_rebalance_bpe_plan(spark, registry_plans):
+    """The BPE-token mixture composes bpe_encode + waterfill: allowed
+    single-row attaches are the merge-rule array and the budget row
+    (≤ 2 BNLs); the water-filling window runs on the per-domain frame
+    only; no Cartesian, no Python."""
+    plan = registry_plans["mixture_rebalance_bpe"]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, (
+        plan.count("BroadcastNestedLoopJoin")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_kcore_rounds_are_semi_joins_no_cartesian(spark, registry_plans):
     """Each peel round must be one map-side-combined degree count plus
     two LEFT SEMI survivor joins — no Cartesian, no BNL, no Python.
