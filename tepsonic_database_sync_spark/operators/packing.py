@@ -41,24 +41,46 @@ def pack_sequences(
     ``n_toks >= 1`` always (the tokenizer emits one token even for empty
     text), so ``chunk_last = (end_tok - 1) // ctx_len`` is well-defined.
     """
+    toked = docs.select(
+        "doc_id", shard, F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return pack_from_counts(toked, ctx_len=ctx_len, shard=shard)
+
+
+def pack_from_counts(
+    toked: DataFrame, ctx_len: int = 512, shard: str = "source"
+) -> DataFrame:
+    """The packing core on a precomputed per-document count frame
+    (doc_id, shard, n_toks) — so the budget UNIT is the caller's:
+    whitespace tokens (``pack_sequences``), true BPE tokenizer tokens
+    (``bpe_encode`` counts — what a training run actually packs by),
+    bytes. Zero-token documents (possible with tokenizer counts,
+    impossible with the whitespace tokenizer) occupy no stream space:
+    chunk_first = chunk_last = -1, n_chunks = 0 — the documented
+    sentinel, mirrored in the oracle.
+
+    Same scale note as ``pack_sequences``: one per-shard cumulative
+    window (shard count bounds parallelism; the stream coordinate is a
+    per-shard running sum, never a global sort)."""
     w = (
         Window.partitionBy(shard)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toked = docs.select(
-        "doc_id", shard, F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
-    )
     run_end = F.sum("n_toks").over(w)
     start = (run_end - F.col("n_toks")).cast("long")
     chunk_first = F.floor(start / ctx_len).cast("long")
     chunk_last = F.floor((run_end - 1) / ctx_len).cast("long")
+    neg1 = F.lit(-1).cast("long")
+    empty = F.col("n_toks") == 0
     return toked.select(
         "doc_id",
         shard,
         "n_toks",
         start.alias("start_tok"),
-        chunk_first.alias("chunk_first"),
-        chunk_last.alias("chunk_last"),
-        (chunk_last - chunk_first + 1).cast("long").alias("n_chunks"),
+        F.when(empty, neg1).otherwise(chunk_first).alias("chunk_first"),
+        F.when(empty, neg1).otherwise(chunk_last).alias("chunk_last"),
+        F.when(empty, F.lit(0).cast("long"))
+        .otherwise((chunk_last - chunk_first + 1).cast("long"))
+        .alias("n_chunks"),
     )

@@ -854,6 +854,135 @@ def quality_stack(docs: DataFrame) -> DataFrame:
     )
 
 
+def bpe_fertility(
+    docs: DataFrame, merges: DataFrame, lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language tokenizer fertility — the standard tokenizer-eval
+    metric (e.g. Rust et al. 2021, "How Good is Your Tokenizer?"):
+    subword tokens per word, plus characters per subword token, for a
+    trained merge table applied to the corpus. A tokenizer trained on
+    a skewed language mix over-fragments the under-represented
+    languages (fertility ≫ 1 vs ~1 for the dominant one) — this is
+    the audit a multilingual pre-training run checks before committing
+    to a vocabulary.
+
+    All integer permille: fertility_permille = Σ n_bpe_tokens · 1000
+    div Σ n_words; chars_per_token_permille = Σ chars(words) · 1000
+    div Σ n_bpe_tokens (character counts over the same filtered
+    whitespace words the encoder consumed). Languages whose corpus
+    slice has zero words report zeros.
+
+    Scale shape: ``bpe_encode``'s plan (vocabulary fold + positional
+    join, documented there) + one row-local char count + ONE
+    map-side-combined per-language aggregate — the reduce sees
+    |langs| × partitions rows.
+
+    Returns (lang, n_docs, n_words, n_bpe_tokens, fertility_permille,
+    chars_per_token_permille).
+    """
+    enc = bpe_encode(docs, merges)
+    chars = docs.select(
+        "doc_id",
+        F.col(lang_col).alias("lang"),
+        F.aggregate(
+            F.filter(tokens(F.col("text")), lambda x: x != F.lit("")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("word_chars"),
+    )
+    j = chars.join(enc, "doc_id")
+    per_lang = j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.sum("word_chars").cast("long").alias("word_chars"),
+    )
+    z = F.lit(0).cast("long")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("n_bpe_tokens * 1000 div n_words"),
+        )
+        .otherwise(z)
+        .cast("long")
+        .alias("fertility_permille"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.expr("word_chars * 1000 div n_bpe_tokens"),
+        )
+        .otherwise(z)
+        .cast("long")
+        .alias("chars_per_token_permille"),
+    )
+
+
+def ccnet_buckets(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """CCNet per-language perplexity bucketing (Wenzek et al. 2020,
+    §4.3) — the published form of the LM gate: documents bucket
+    head/middle/tail relative to THEIR OWN LANGUAGE's statistics, not
+    a global mean (the global form — ``quality_stack``'s bucket —
+    systematically tails whole low-resource languages whose LM is
+    simply more surprised; CCNet's entire point is per-language
+    thresholds). Same documented adaptation as the stack: CCNet uses
+    per-language perplexity PERCENTILES, exact percentiles over a
+    corpus-sized value set need a global sort, so buckets are
+    MEAN-relative — head < 0.995×mean ≤ middle ≤ 1.005×mean < tail
+    (the shared STACK_* permille constants), the mean being the
+    per-language integer micro-average ``Σ sum_nll div Σ n_bigrams``.
+    Zero-bigram docs are unscorable → 'tail' (CCNet's unscored-shard
+    drop).
+
+    Scale shape: ``lm_score``'s plan (documented there) + ONE
+    map-side-combined per-language aggregate (the language key space
+    is tiny, and the heavy lifting is the partial combine — the final
+    reduce sees |langs| × partitions rows) + the mean attach back on
+    the language key, UNHINTED: the means frame is |langs| rows and
+    AQE broadcasts it; a plan-time hint would be safe here but the
+    repo ships one rule (only by-construction single-row/array frames
+    get hints), not per-case judgment calls.
+
+    Returns (doc_id, lang, avg_nll_milli, lang_mean_nll_milli,
+    ppl_bucket).
+    """
+    lm = lm_score(docs)
+    j = docs.select(
+        "doc_id", F.col(lang_col).alias("lang")
+    ).join(lm, "doc_id")
+    means = j.groupBy("lang").agg(
+        F.when(
+            F.sum("n_bigrams") > 0,
+            F.expr("sum(sum_nll_milli) div sum(n_bigrams)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lang_mean_nll_milli")
+    )
+    out = j.join(means, "lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        "avg_nll_milli",
+        "lang_mean_nll_milli",
+        F.when(F.col("n_bigrams") == 0, F.lit("tail"))
+        .when(
+            F.col("avg_nll_milli") * 1000
+            < F.col("lang_mean_nll_milli") * STACK_HEAD_PERMILLE,
+            F.lit("head"),
+        )
+        .when(
+            F.col("avg_nll_milli") * 1000
+            > F.col("lang_mean_nll_milli") * STACK_TAIL_PERMILLE,
+            F.lit("tail"),
+        )
+        .otherwise(F.lit("middle"))
+        .alias("ppl_bucket"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
 ) -> DataFrame:

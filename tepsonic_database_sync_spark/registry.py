@@ -1749,6 +1749,53 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet per-language perplexity buckets (Wenzek et al. 2020): the
+    corpus bigram-LM score bucketed head/middle/tail against each
+    document's OWN language mean (five languages in the corpus — the
+    per-language grouping is non-vacuous). Design + the
+    percentile→mean-relative adaptation in
+    operators/text.py::ccnet_buckets."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import ccnet_buckets
+
+    return ccnet_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def _ccnet_buckets_oracle() -> str:
+    """DuckDB twin of text.ccnet_buckets: the verified lm_score oracle
+    as a subquery + one per-language integer micro-average + the
+    mean-relative bucket CASE."""
+    from tepsonic_database_sync_spark.operators.text import (
+        STACK_HEAD_PERMILLE,
+        STACK_TAIL_PERMILLE,
+    )
+
+    lm = _lm_score_oracle()
+    return f"""
+WITH lm AS (SELECT * FROM ({lm})),
+j AS (
+  SELECT l.doc_id, d.lang, l.avg_nll_milli, l.n_bigrams, l.sum_nll_milli
+  FROM lm l JOIN documents d ON d.doc_id = l.doc_id
+),
+m AS (
+  SELECT lang,
+         CAST(CASE WHEN sum(n_bigrams) > 0
+              THEN sum(sum_nll_milli) // sum(n_bigrams)
+              ELSE 0 END AS BIGINT) AS lang_mean_nll_milli
+  FROM j GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.avg_nll_milli, m.lang_mean_nll_milli,
+  CASE WHEN j.n_bigrams = 0 THEN 'tail'
+       WHEN j.avg_nll_milli * 1000
+            < m.lang_mean_nll_milli * {STACK_HEAD_PERMILLE} THEN 'head'
+       WHEN j.avg_nll_milli * 1000
+            > m.lang_mean_nll_milli * {STACK_TAIL_PERMILLE} THEN 'tail'
+       ELSE 'middle' END AS ppl_bucket
+FROM j JOIN m USING (lang)
+"""
+
+
 def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ an id-shifted copy — a corpus with known exact dups
     (the raw table has none, so dedup demos synthesize them)."""
@@ -5915,6 +5962,118 @@ FROM (SELECT doc_id FROM documents) doc LEFT JOIN per USING (doc_id)
 """
 
 
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with TRUE tokenizer-token budgets: per-doc BPE
+    counts from ``bpe_encode`` feed the extracted
+    ``packing.pack_from_counts`` core — the coordinates a training run
+    actually packs by (context windows are tokenizer tokens, not
+    whitespace tokens). Zero-BPE-token docs take the documented
+    (-1, -1, 0) sentinel."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.packing import (
+        pack_from_counts,
+    )
+    from tepsonic_database_sync_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, bpe_train(docs))
+    toked = docs.select("doc_id", "source").join(
+        enc.select("doc_id", F.col("n_bpe_tokens").alias("n_toks")),
+        "doc_id",
+    )
+    return pack_from_counts(toked)
+
+
+def _pack_sequences_bpe_oracle() -> str:
+    """DuckDB twin: the BPE train+encode chain's per-doc counts under
+    the same per-source cumulative window as pack_sequences, with the
+    zero-token (-1, -1, 0) sentinel."""
+    body = ",\n".join(_bpe_chain_parts())
+    return f"""
+WITH {body},
+{_bpe_encode_chain()},
+t AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_toks
+  FROM documents d LEFT JOIN per p USING (doc_id)
+),
+c AS (
+  SELECT *, sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS run_end
+  FROM t
+)
+SELECT doc_id, source, n_toks,
+       CAST(run_end - n_toks AS BIGINT) AS start_tok,
+       CAST(CASE WHEN n_toks = 0 THEN -1
+            ELSE (run_end - n_toks) // 512 END AS BIGINT) AS chunk_first,
+       CAST(CASE WHEN n_toks = 0 THEN -1
+            ELSE (run_end - 1) // 512 END AS BIGINT) AS chunk_last,
+       CAST(CASE WHEN n_toks = 0 THEN 0
+            ELSE (run_end - 1) // 512 - (run_end - n_toks) // 512 + 1
+            END AS BIGINT) AS n_chunks
+FROM c
+"""
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility of the corpus-trained BPE
+    vocabulary (subword tokens per word, chars per subword — the
+    multilingual tokenizer audit): five languages, the dominant one
+    the least fragmented. Design in operators/text.py::bpe_fertility."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import (
+        bpe_fertility,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_fertility(docs, bpe_train(docs))
+
+
+def _bpe_fertility_oracle() -> str:
+    """DuckDB twin: the encode chain's per-doc counts + a per-doc
+    filtered-word char sum, rolled up per language with integer
+    permille ratios."""
+    body = ",\n".join(_bpe_chain_parts())
+    return f"""
+WITH {body},
+{_bpe_encode_chain()},
+chars AS (
+  SELECT doc_id, lang,
+         CAST(coalesce(list_sum(list_transform(
+                list_filter(regexp_split_to_array(lower(trim(text)),
+                            '\\s+'), x -> x <> ''),
+                x -> length(x))), 0) AS BIGINT) AS word_chars
+  FROM documents
+),
+j AS (
+  SELECT c.lang,
+         CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+         CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+         c.word_chars
+  FROM chars c LEFT JOIN per p USING (doc_id)
+),
+g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_words,
+         CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(word_chars) AS BIGINT) AS word_chars
+  FROM j GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_bpe_tokens,
+       CAST(CASE WHEN n_words > 0
+            THEN n_bpe_tokens * 1000 // n_words ELSE 0 END AS BIGINT)
+         AS fertility_permille,
+       CAST(CASE WHEN n_bpe_tokens > 0
+            THEN word_chars * 1000 // n_bpe_tokens ELSE 0 END AS BIGINT)
+         AS chars_per_token_permille
+FROM g
+"""
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the symmetrized part↔supplier procurement graph
     (pagerank's exact substrate) with deterministic pendant PATHS
@@ -9751,6 +9910,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
         (q_dedup_edit_verified, _dedup_edit_verified_oracle()),
     "bpe_train": (q_bpe_train, _bpe_train_oracle()),
     "bpe_encode": (q_bpe_encode, _bpe_encode_oracle()),
+    "ccnet_buckets": (q_ccnet_buckets, _ccnet_buckets_oracle()),
+    "pack_sequences_bpe":
+        (q_pack_sequences_bpe, _pack_sequences_bpe_oracle()),
+    "bpe_fertility": (q_bpe_fertility, _bpe_fertility_oracle()),
     "mixture_rebalance_bpe":
         (q_mixture_rebalance_bpe, _mixture_rebalance_bpe_oracle()),
     "kcore": (q_kcore, _kcore_oracle()),
@@ -9989,10 +10152,11 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # in queue order — the ten r13-displaced entries (count_distinct,
 # window_running_total, the multimodal quartet, text_bm25,
 # text_repetition, sketch_distinct, sketch_percentile) retire first,
-# then the r08/r09 block through the natural cut — with SIX swaps
-# displacing the least-stale six of the natural 50 (sync_merge_resync,
-# sync_pipeline, sync_summary, x2_quarantine, window_funnel,
-# item_cooccur — all r09-green, they head the r15 queue):
+# then the r08/r09 block through the natural cut — with NINE swaps
+# displacing the least-stale nine of the natural 50 (s2_full_scan,
+# s8_upsert, scd2_history, sync_merge_resync, sync_pipeline,
+# sync_summary, x2_quarantine, window_funnel, item_cooccur — all
+# r09-green, they head the r15 queue):
 #   - mixture_rebalance — epochs_permille now exact integer div
 #     (ADVICE r13) + the mixture_waterfill extraction;
 #   - bpe_train — dotall symbol split (ADVICE r13) + the
@@ -10001,7 +10165,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #     bounded-prefix DP (ADVICE r13), oracle mirrored;
 #   - quality_stack — consolidated to ONE corpus scan + ONE gram
 #     shuffle (VERDICT r13 "What's wrong 1"), values unchanged;
-#   - bpe_encode + mixture_rebalance_bpe — the round's TWO additions
+#   - bpe_encode + mixture_rebalance_bpe + ccnet_buckets +
+#     pack_sequences_bpe + bpe_fertility — the round's FIVE additions
 #     (new entries are always in-window).
 # After r14 the last-green floor is r09.
 _R14_WINDOW = [
@@ -10018,10 +10183,11 @@ _R14_WINDOW = [
     "dedup_clusters", "dedup_jaccard_banded", "dedup_minhash_lsh",
     "dedup_simhash", "embed_neardup", "j2_match_partial",
     "j3_item_lookup", "kmeans_train", "mixture_sample",
-    "pack_sequences", "s10_report", "s2_full_scan",
-    "s8_upsert", "scd2_history", "mixture_rebalance",
+    "pack_sequences", "s10_report", 
+    "mixture_rebalance",
     "bpe_train", "dedup_edit_verified", "quality_stack",
-    "bpe_encode", "mixture_rebalance_bpe",
+    "bpe_encode", "mixture_rebalance_bpe", "ccnet_buckets",
+    "pack_sequences_bpe", "bpe_fertility",
 ]
 
 _TAIL_FRESHNESS = [
@@ -10094,6 +10260,7 @@ _TAIL_FRESHNESS = [
     "mixture_rebalance", "quality_stack", "snapshot_dedup",
     "snapshot_dedup_incremental", "dedup_edit_verified", "bpe_train",
     "kcore", "bpe_encode", "mixture_rebalance_bpe",
+    "ccnet_buckets", "pack_sequences_bpe", "bpe_fertility",
 ]
 
 

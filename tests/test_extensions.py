@@ -3310,6 +3310,125 @@ def test_bpe_train_survives_fully_merged_word(spark):
     assert any(m[1] == "low" and m[2] == "</w>" for m in got)
 
 
+def test_bpe_fertility_fragments_underrepresented_language(spark):
+    """The metric's point: a vocabulary trained on a skewed mix
+    over-fragments the minority language — its fertility_permille must
+    exceed the dominant language's. Counts recomputed from the
+    pure-Python encoder."""
+    from tepsonic_database_sync_spark.operators.text import (
+        bpe_fertility,
+        bpe_train,
+    )
+
+    maj = "lower lowest lower newest lower lowest newer lower"
+    mino = "zvx qwk zvx pjm"
+    docs = spark.createDataFrame(
+        [(1, maj, "en"), (2, maj, "en"), (3, mino, "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in bpe_fertility(
+        docs, bpe_train(docs, n_merges=6)
+    ).collect()}
+    assert out["xx"]["fertility_permille"] > out["en"]["fertility_permille"]
+    # exact recompute via the reference trainer/encoder
+    words = {}
+    for t in (maj, maj, mino):
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    merges = _bpe_ref(words, 6)
+    enc = _bpe_ref_encode(words, merges)
+    for lang, texts in (("en", [maj, maj]), ("xx", [mino])):
+        n_words = sum(len(t.split()) for t in texts)
+        n_bpe = sum(len(enc[w]) for t in texts for w in t.split())
+        chars = sum(len(w) for t in texts for w in t.split())
+        assert out[lang]["n_words"] == n_words
+        assert out[lang]["n_bpe_tokens"] == n_bpe
+        assert out[lang]["fertility_permille"] == n_bpe * 1000 // n_words
+        assert (
+            out[lang]["chars_per_token_permille"] == chars * 1000 // n_bpe
+        )
+
+
+def test_pack_from_counts_zero_token_sentinel(spark):
+    """pack_from_counts: zero-token docs (possible with tokenizer
+    counts) occupy NO stream space — (-1, -1, 0) sentinel, successors'
+    coordinates unshifted; the whitespace path (n_toks ≥ 1 always) is
+    value-identical to the old inline form by construction."""
+    from tepsonic_database_sync_spark.operators.packing import (
+        pack_from_counts,
+    )
+
+    toked = spark.createDataFrame(
+        [(1, "s", 600), (2, "s", 0), (3, "s", 100), (4, "t", 0)],
+        "doc_id long, source string, n_toks long",
+    )
+    got = {r["doc_id"]: r for r in pack_from_counts(toked).collect()}
+    assert (got[2]["chunk_first"], got[2]["chunk_last"],
+            got[2]["n_chunks"]) == (-1, -1, 0)
+    assert got[2]["start_tok"] == 600
+    # successor unaffected by the empty doc
+    assert got[3]["start_tok"] == 600
+    assert (got[3]["chunk_first"], got[3]["chunk_last"]) == (1, 1)
+    assert got[1]["n_chunks"] == 2  # tokens 0..599 span chunks 0-1
+    # an empty shard-leading doc
+    assert (got[4]["start_tok"], got[4]["n_chunks"]) == (0, 0)
+
+
+def test_ccnet_buckets_are_language_relative(spark):
+    """The CCNet point: a low-resource language whose LM is uniformly
+    more surprised must NOT be tailed wholesale. Language B's docs all
+    score higher NLL than language A's (disjoint rarer vocabulary, one
+    shared filler corpus) — a GLOBAL mean buckets every B doc 'tail',
+    while per-language buckets split B around B's OWN mean. Also the
+    zero-bigram doc: 'tail', in every language."""
+    from tepsonic_database_sync_spark.operators.text import ccnet_buckets
+
+    a_common = "the data the table the scan the sort the merge"
+    rows = []
+    for i in range(8):
+        rows.append((i, a_common + f" extra{i % 2}", "aa"))
+    for i in range(8, 16):
+        # B: each doc carries rare tokens → higher smoothed surprise
+        rows.append((i, f"zq{i} vx{i} " + " ".join(
+            f"w{i}{j}" for j in range(6)), "bb"))
+    rows.append((99, "solo", "bb"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+    a = [out[i] for i in range(8)]
+    b = [out[i] for i in range(8, 16)]
+    # language means really differ (B more surprised)
+    assert b[0]["lang_mean_nll_milli"] > a[0]["lang_mean_nll_milli"]
+    # B is NOT wholesale-tailed: every B doc sits within its own
+    # language's spread, so at least one non-tail bucket exists in B
+    assert any(r["ppl_bucket"] != "tail" for r in b)
+    # per-language micro-average law, recomputed from lm_score
+    from tepsonic_database_sync_spark.operators.text import lm_score
+
+    lm = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    for ids in (list(range(8)), list(range(8, 16)) + [99]):
+        s = sum(lm[i]["sum_nll_milli"] for i in ids)
+        n = sum(lm[i]["n_bigrams"] for i in ids)
+        want = s // n if n > 0 else 0
+        for i in ids:
+            assert out[i]["lang_mean_nll_milli"] == want
+    assert out[99]["ppl_bucket"] == "tail"
+
+
+def test_ccnet_buckets_nonvacuous_at_oracle_sf(spark):
+    """At the driver's oracle SF the entry must exercise all five
+    languages and all three buckets — an all-middle column would
+    certify the CASE vacuously."""
+    from tepsonic_database_sync_spark.registry import q_ccnet_buckets
+
+    from conftest import SF_ORACLE
+
+    rows = q_ccnet_buckets(spark, SF_ORACLE).collect()
+    langs = {r["lang"] for r in rows}
+    buckets = {r["ppl_bucket"] for r in rows}
+    assert len(langs) == 5
+    assert buckets == {"head", "middle", "tail"}
+
+
 def test_mixture_rebalance_bpe_cap_branch_fires(spark):
     """The BPE-token mixture entry must certify the cap branch
     non-vacuously at the oracle SF: at the 90% budget the injected tiny
