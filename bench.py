@@ -253,12 +253,13 @@ HEADLINE = [
 ]
 
 
-CALIB_ROWS = 400_000_000
+CALIB_ROWS = 2_000_000_000  # ~2 s quiet on 32 cores — long enough to
+# average over scheduling noise, short enough to not bill the bench
 
 
 def _calibration(spark, runs: int = 3) -> float:
     """Contention index (BENCH_r14 onward, VERDICT r13 item 3): a FIXED
-    compute-bound probe — xxhash64 fold over a 400M-row range, pure
+    compute-bound probe — xxhash64 fold over a 2B-row range, pure
     whole-stage codegen, no shuffle, no IO, independent of every
     operator — timed with the same min-of-runs rule. Its round-over-
     round ratio separates ambient CPU-steal from code regressions: if
@@ -267,7 +268,12 @@ def _calibration(spark, runs: int = 3) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.time()
-        spark.range(CALIB_ROWS).selectExpr("sum(xxhash64(id))").collect()
+        # bit_xor, not sum: 400M full-range hashes overflow a BIGINT
+        # sum under ANSI; xor is overflow-free and still forces every
+        # hash to be computed
+        spark.range(CALIB_ROWS).selectExpr(
+            "bit_xor(xxhash64(id))"
+        ).collect()
         best = min(best, time.time() - t0)
     return best
 

@@ -170,8 +170,15 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     shuffle on (doc_id, kind, gram) with map-side partial counts, a
     per-doc conditional rollup, then a broadcast-size join back to the
     doc list — linear in tokens, the same shape MinHash uses; no Python,
-    no per-doc quadratic work."""
-    t = tokens(F.col("text"))
+    no per-doc quadratic work.
+
+    The token/line arrays are MATERIALIZED AS COLUMNS before the gram
+    transforms (r14): an array EXPRESSION captured inside a transform
+    lambda is re-evaluated on every ``element_at`` access — the
+    whitespace split re-ran per gram position, O(tokens²) per doc
+    (measured 14.9 s → 2.0 s at sf0.1 for this exact subplan; the
+    same lesson ``dedup.word_shingles`` documents for its zip_with
+    form). A column reference costs one array read."""
 
     def grams(arr: Column, n: int) -> Column:
         return F.when(
@@ -191,14 +198,17 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     tagged = lambda arr, kind: F.transform(  # noqa: E731
         arr, lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram"))
     )
+    pre = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t"), lines.alias("lines")
+    )
     long = (
-        docs.select(
+        pre.select(
             "doc_id",
             F.explode(
                 F.concat(
-                    tagged(grams(t, 2), "2"),
-                    tagged(grams(t, 3), "3"),
-                    tagged(lines, "L"),
+                    tagged(grams(F.col("t"), 2), "2"),
+                    tagged(grams(F.col("t"), 3), "3"),
+                    tagged(F.col("lines"), "L"),
                 )
             ).alias("x"),
         )
@@ -692,19 +702,28 @@ def quality_stack(docs: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    tf = F.filter(F.col("tr"), lambda x: x != F.lit(""))
+    # tf is materialized AS A COLUMN before the gram transforms: an
+    # array expression captured inside a transform lambda re-evaluates
+    # per element_at access (the filter would re-run per bigram
+    # position — the repetition_stats O(tokens²) lesson, measured
+    # 14.9 s → 2.0 s on that subplan)
     tagged = lambda arr, kind: F.transform(  # noqa: E731
         arr, lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram"))
     )
     stream = shared.select(
+        "doc_id",
+        "tr",
+        "lines",
+        F.filter(F.col("tr"), lambda x: x != F.lit("")).alias("tf"),
+    ).select(
         "doc_id",
         F.explode(
             F.concat(
                 tagged(grams(F.col("tr"), 2), "2"),
                 tagged(grams(F.col("tr"), 3), "3"),
                 tagged(F.col("lines"), "L"),
-                tagged(grams(tf, 2), "B"),
-                tagged(tf, "1"),
+                tagged(grams(F.col("tf"), 2), "B"),
+                tagged(F.col("tf"), "1"),
             )
         ).alias("x"),
     ).select(

@@ -10152,11 +10152,11 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # in queue order — the ten r13-displaced entries (count_distinct,
 # window_running_total, the multimodal quartet, text_bm25,
 # text_repetition, sketch_distinct, sketch_percentile) retire first,
-# then the r08/r09 block through the natural cut — with NINE swaps
-# displacing the least-stale nine of the natural 50 (s2_full_scan,
-# s8_upsert, scd2_history, sync_merge_resync, sync_pipeline,
-# sync_summary, x2_quarantine, window_funnel, item_cooccur — all
-# r09-green, they head the r15 queue):
+# then the r08/r09 block through the natural cut — with TEN swaps
+# displacing the least-stale ten of the natural 50 (s10_report,
+# s2_full_scan, s8_upsert, scd2_history, sync_merge_resync,
+# sync_pipeline, sync_summary, x2_quarantine, window_funnel,
+# item_cooccur — all r09-green, they head the r15 queue):
 #   - mixture_rebalance — epochs_permille now exact integer div
 #     (ADVICE r13) + the mixture_waterfill extraction;
 #   - bpe_train — dotall symbol split (ADVICE r13) + the
@@ -10165,6 +10165,14 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #     bounded-prefix DP (ADVICE r13), oracle mirrored;
 #   - quality_stack — consolidated to ONE corpus scan + ONE gram
 #     shuffle (VERDICT r13 "What's wrong 1"), values unchanged;
+#   - gopher_rules (+ text_repetition + quality_stack, both already
+#     in-window) — the shared gram substrate repetition_stats now
+#     MATERIALIZES its token/line arrays as columns before the gram
+#     transforms: an array expression captured inside a transform
+#     lambda re-evaluates per element_at access, so the whitespace
+#     split re-ran per gram position — O(tokens²) per doc, measured
+#     16.5 s → 2.0 s at sf0.1 (the dedup.word_shingles lesson,
+#     finally applied to the text-family gram builder);
 #   - bpe_encode + mixture_rebalance_bpe + ccnet_buckets +
 #     pack_sequences_bpe + bpe_fertility — the round's FIVE additions
 #     (new entries are always in-window).
@@ -10183,11 +10191,11 @@ _R14_WINDOW = [
     "dedup_clusters", "dedup_jaccard_banded", "dedup_minhash_lsh",
     "dedup_simhash", "embed_neardup", "j2_match_partial",
     "j3_item_lookup", "kmeans_train", "mixture_sample",
-    "pack_sequences", "s10_report", 
+    "pack_sequences",  
     "mixture_rebalance",
     "bpe_train", "dedup_edit_verified", "quality_stack",
     "bpe_encode", "mixture_rebalance_bpe", "ccnet_buckets",
-    "pack_sequences_bpe", "bpe_fertility",
+    "pack_sequences_bpe", "bpe_fertility", "gopher_rules",
 ]
 
 _TAIL_FRESHNESS = [
