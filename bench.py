@@ -268,9 +268,10 @@ def _calibration(spark, runs: int = 3) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.time()
-        # bit_xor, not sum: 400M full-range hashes overflow a BIGINT
-        # sum under ANSI; xor is overflow-free and still forces every
-        # hash to be computed
+        # bit_xor, not sum: CALIB_ROWS (2B) full-range hashes overflow
+        # a BIGINT sum under ANSI; xor is overflow-free and still
+        # forces every hash to be computed. CALIB_ROWS is part of the
+        # round-over-round contract — never change it.
         spark.range(CALIB_ROWS).selectExpr(
             "bit_xor(xxhash64(id))"
         ).collect()

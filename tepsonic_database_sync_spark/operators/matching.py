@@ -106,17 +106,28 @@ def match_partial_blocked(misses: DataFrame, admin: DataFrame) -> DataFrame:
         )
         .alias("g")
     )
-    grams = admin.select(
+    # __la is materialized AS A COLUMN before the gram transform (r15
+    # lambda-capture audit): lower(name) captured inside the transform
+    # lambda re-evaluates per gram position — O(len²) chars per name
+    # (bounded here by short product names, but the same defect class
+    # as the r14 text-family gram builder; see grams_expr's contract)
+    pre = admin.select(
         F.col("_id").alias("product_id"),
         F.col("name").alias("__aname"),
         F.lower(F.col("name")).alias("__la"),
+    )
+    grams = pre.select(
+        "product_id",
+        "__aname",
+        "__la",
         F.explode(
             F.array_distinct(
                 F.transform(
                     F.sequence(
-                        F.lit(1), F.greatest(F.length("name") - _BLOCK_Q + 1, F.lit(1))
+                        F.lit(1),
+                        F.greatest(F.length("__la") - _BLOCK_Q + 1, F.lit(1)),
                     ),
-                    lambda i: F.lower(F.col("name")).substr(i, F.lit(_BLOCK_Q)),
+                    lambda i: F.col("__la").substr(i, F.lit(_BLOCK_Q)),
                 )
             )
         ).alias("__gram"),

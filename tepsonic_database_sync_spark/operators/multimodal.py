@@ -225,18 +225,28 @@ def phash_signatures(
     """
     from tepsonic_database_sync_spark.functions.hashing import h60
 
-    hx = F.hex(F.col("payload"))
-    n_grams = (F.octet_length(F.col("payload")) - gram_bytes + 1).cast("int")
+    # the hex string is materialized AS A COLUMN before the gram
+    # transform (r15 lambda-capture audit): hex(payload) captured
+    # inside the lambda re-evaluates on every substring access —
+    # O(bytes) per gram position, O(bytes²) per asset, catastrophic on
+    # real image/audio payloads (a 1 MB asset would re-hex ~10⁶ times)
+    pre = assets.filter(
+        F.octet_length(F.col("payload")) >= gram_bytes
+    ).select(
+        "asset_id",
+        F.hex(F.col("payload")).alias("hx"),
+        (F.octet_length(F.col("payload")) - gram_bytes + 1)
+        .cast("int")
+        .alias("n_grams"),
+    )
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), n_grams - 1),
-            lambda i: F.substring(hx, i * 2 + 1, gram_bytes * 2),
+            F.sequence(F.lit(0), F.col("n_grams") - 1),
+            lambda i: F.substring(F.col("hx"), i * 2 + 1, gram_bytes * 2),
         )
     )
-    g = (
-        assets.filter(F.octet_length(F.col("payload")) >= gram_bytes)
-        .select("asset_id", F.explode(grams).alias("g"))
-        .select("asset_id", h60(F.col("g")).alias("h"))
+    g = pre.select("asset_id", F.explode(grams).alias("g")).select(
+        "asset_id", h60(F.col("g")).alias("h")
     )
     vote_cols = [
         F.sum(

@@ -153,6 +153,132 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def norm_lines_expr(text_col: Column) -> Column:
+    """Normalized non-empty line array — ``lower(trim(line))`` with
+    empties dropped: the shared line form of every published line rule
+    (C4 / FineWeb / Gopher). ONE builder, four consumers
+    (``repetition_stats``, ``gopher_rules``, ``fineweb_filters``,
+    ``quality_stack``), so a formula fix propagates by construction
+    (ADVICE r14: the fused stack previously duplicated these
+    expressions verbatim)."""
+    return F.filter(
+        F.transform(F.split(text_col, "\n"), lambda l: F.lower(F.trim(l))),
+        lambda l: l != "",
+    )
+
+
+def grams_expr(arr: Column, n: int) -> Column:
+    """Token n-gram array. ``arr`` MUST be a materialized COLUMN, never
+    an inline expression — an array expression captured inside the
+    transform lambda re-evaluates on every ``element_at`` access,
+    turning the builder O(tokens²) per document (the r14 gram-builder
+    defect; see ``repetition_stats``)."""
+    return F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_direct_signals(
+    text_col: Column, t: Column, lines: Column
+) -> dict[str, Column]:
+    """Gopher's seven row-local signals (Rae et al. 2021, Table A1) as
+    unaliased Columns keyed by short name — the ONE definition consumed
+    by both ``gopher_rules`` and the fused ``quality_stack``
+    (ADVICE r14). ``t`` is the filtered whitespace-token array,
+    ``lines`` the ``norm_lines_expr`` array; these signals are
+    size/aggregate reads (no per-index gram transforms), so passing
+    expressions costs at most one extra evaluation, never O(n²)."""
+    n_words = F.size(t).cast("long")
+    char_sum = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.size(
+        F.regexp_extract_all(text_col, F.lit("#"), 0)
+    ).cast("long")
+    # '…' counts toward the symbol ratio alongside '...' (ADVICE r12:
+    # the ellipsis-LINE rule already matched both forms, so '…'-heavy
+    # docs escaped only the symbol rule); the alternatives match at
+    # disjoint positions, so Java-regex and RE2 scan identically
+    n_ell = F.size(
+        F.regexp_extract_all(text_col, F.lit("\\.\\.\\.|…"), 0)
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.lit(False)
+            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[0])
+            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[1])
+            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[2]),
+        )
+    ).cast("long")
+    ell_end = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    ).cast("long")
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("long")
+    stop_hits = sum(
+        F.when(F.array_contains(t, w), 1).otherwise(0)
+        for w in GOPHER_STOP_WORDS
+    ).cast("long")
+    return {
+        "n_words": n_words,
+        "mwl_pm": _permille(char_sum, n_words),
+        "symbol_pm": _permille(n_hash + n_ell, n_words),
+        "bullet_pm": _permille(bullet, n_lines),
+        "ellipsis_pm": _permille(ell_end, n_lines),
+        "alpha_pm": _permille(alpha, n_words),
+        "n_stop_hits": stop_hits,
+    }
+
+
+def fineweb_direct_signals(
+    text_col: Column, lines: Column
+) -> dict[str, Column]:
+    """FineWeb/C4's row-local signals (Penedo et al. 2024, §3; Raffel
+    et al. 2020, §2.2) as unaliased Columns, shared by
+    ``fineweb_filters`` and ``quality_stack`` (ADVICE r14)."""
+    n_lines = F.size(lines).cast("long")
+    punct_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.lit(False)
+            | l.endswith(_FW_TERMINALS[0])
+            | l.endswith(_FW_TERMINALS[1])
+            | l.endswith(_FW_TERMINALS[2])
+            | l.endswith(_FW_TERMINALS[3]),
+        )
+    ).cast("long")
+    short = F.size(
+        F.filter(lines, lambda l: F.length(l) < FW_SHORT_LINE_CHARS)
+    ).cast("long")
+    n_sent = F.size(
+        F.regexp_extract_all(text_col, F.lit('[.!?"]'), 0)
+    ).cast("long")
+    return {
+        "n_lines": n_lines,
+        "punct_pm": _permille(punct_end, n_lines),
+        "short_pm": _permille(short, n_lines),
+        "n_sentences": n_sent,
+        "has_brace": (F.instr(text_col, "{") > 0).cast("long"),
+        "has_lorem": (
+            F.instr(F.lower(text_col), "lorem ipsum") > 0
+        ).cast("long"),
+        "has_js": F.when(
+            F.size(F.filter(lines, lambda l: F.instr(l, "javascript") > 0))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    }
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher/C4-style repetition signals — the quality rules
     ``quality_score`` doesn't cover: repeated n-gram share and duplicate
@@ -179,27 +305,14 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     (measured 14.9 s → 2.0 s at sf0.1 for this exact subplan; the
     same lesson ``dedup.word_shingles`` documents for its zip_with
     form). A column reference costs one array read."""
-
-    def grams(arr: Column, n: int) -> Column:
-        return F.when(
-            F.size(arr) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(arr, i + k) for k in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda l: F.lower(F.trim(l))),
-        lambda l: l != "",
-    )
+    grams = grams_expr
     tagged = lambda arr, kind: F.transform(  # noqa: E731
         arr, lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram"))
     )
     pre = docs.select(
-        "doc_id", tokens(F.col("text")).alias("t"), lines.alias("lines")
+        "doc_id",
+        tokens(F.col("text")).alias("t"),
+        norm_lines_expr(F.col("text")).alias("lines"),
     )
     long = (
         pre.select(
@@ -304,51 +417,18 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     r_rep, keep) — flags and keep as 0/1 longs.
     """
     t = F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
-    n_words = F.size(t).cast("long")
-    char_sum = F.aggregate(
-        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    sig = gopher_direct_signals(
+        F.col("text"), t, norm_lines_expr(F.col("text"))
     )
-    mwl = _permille(char_sum, n_words)
-    n_hash = F.size(F.regexp_extract_all(F.col("text"), F.lit("#"), 0)).cast("long")
-    # '…' counts toward the symbol ratio alongside '...' (ADVICE r12:
-    # the ellipsis-LINE rule already matched both forms, so '…'-heavy
-    # docs escaped only the symbol rule); the alternatives match at
-    # disjoint positions, so Java-regex and RE2 scan identically
-    n_ell = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit("\\.\\.\\.|…"), 0)
-    ).cast("long")
-    symbol = _permille(n_hash + n_ell, n_words)
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda l: F.lower(F.trim(l))),
-        lambda l: l != "",
-    )
-    n_lines = F.size(lines).cast("long")
-    bullet = F.size(
-        F.filter(
-            lines,
-            lambda l: F.lit(False)
-            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[0])
-            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[1])
-            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[2]),
-        )
-    ).cast("long")
-    ell_end = F.size(
-        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
-    ).cast("long")
-    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("long")
-    stop_hits = sum(
-        F.when(F.array_contains(t, w), 1).otherwise(0)
-        for w in GOPHER_STOP_WORDS
-    ).cast("long")
     direct = docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        mwl.alias("mean_word_len_permille"),
-        symbol.alias("symbol_ratio_permille"),
-        _permille(bullet, n_lines).alias("bullet_line_permille"),
-        _permille(ell_end, n_lines).alias("ellipsis_line_permille"),
-        _permille(alpha, n_words).alias("alpha_word_permille"),
-        stop_hits.alias("n_stop_hits"),
+        sig["n_words"].alias("n_words"),
+        sig["mwl_pm"].alias("mean_word_len_permille"),
+        sig["symbol_pm"].alias("symbol_ratio_permille"),
+        sig["bullet_pm"].alias("bullet_line_permille"),
+        sig["ellipsis_pm"].alias("ellipsis_line_permille"),
+        sig["alpha_pm"].alias("alpha_word_permille"),
+        sig["n_stop_hits"].alias("n_stop_hits"),
     )
     rep = repetition_stats(docs)
     j = direct.join(rep, "doc_id")
@@ -459,43 +539,17 @@ def fineweb_filters(docs: DataFrame) -> DataFrame:
     r_sent, r_brace, r_lorem, r_js, keep) — flags and keep as 0/1
     longs.
     """
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda l: F.lower(F.trim(l))),
-        lambda l: l != "",
-    )
-    n_lines = F.size(lines).cast("long")
-    punct_end = F.size(
-        F.filter(
-            lines,
-            lambda l: F.lit(False)
-            | l.endswith(_FW_TERMINALS[0])
-            | l.endswith(_FW_TERMINALS[1])
-            | l.endswith(_FW_TERMINALS[2])
-            | l.endswith(_FW_TERMINALS[3]),
-        )
-    ).cast("long")
-    short = F.size(
-        F.filter(lines, lambda l: F.length(l) < FW_SHORT_LINE_CHARS)
-    ).cast("long")
-    n_sent = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit('[.!?"]'), 0)
-    ).cast("long")
-    low = F.lower(F.col("text"))
+    lines = norm_lines_expr(F.col("text"))
+    sig = fineweb_direct_signals(F.col("text"), lines)
     direct = docs.select(
         "doc_id",
-        n_lines.alias("n_lines"),
-        _permille(punct_end, n_lines).alias("punct_line_permille"),
-        _permille(short, n_lines).alias("short_line_permille"),
-        n_sent.alias("n_sentences"),
-        (F.instr(F.col("text"), "{") > 0).cast("long").alias("has_brace"),
-        (F.instr(low, "lorem ipsum") > 0).cast("long").alias("has_lorem"),
-        F.when(
-            F.size(F.filter(lines, lambda l: F.instr(l, "javascript") > 0)) > 0,
-            1,
-        )
-        .otherwise(0)
-        .cast("long")
-        .alias("has_js"),
+        sig["n_lines"].alias("n_lines"),
+        sig["punct_pm"].alias("punct_line_permille"),
+        sig["short_pm"].alias("short_line_permille"),
+        sig["n_sentences"].alias("n_sentences"),
+        sig["has_brace"].alias("has_brace"),
+        sig["has_lorem"].alias("has_lorem"),
+        sig["has_js"].alias("has_js"),
     )
     # within-doc duplicated-line char share: ONE narrow aggregate keyed
     # (doc_id, line) — doc_id in the key means no cross-doc hot line
@@ -553,7 +607,7 @@ STACK_HEAD_PERMILLE = 995   # head: avg_nll < 0.995 × corpus mean
 STACK_TAIL_PERMILLE = 1005  # tail: avg_nll > 1.005 × corpus mean
 
 
-def quality_stack(docs: DataFrame) -> DataFrame:
+def quality_stack(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     """The modern pre-training quality stack, end-to-end as ONE audited
     operator: C4/FineWeb line rules (``fineweb_filters``) + the Gopher
     token rules (``gopher_rules``) + CCNet perplexity bucketing (Wenzek
@@ -610,97 +664,52 @@ def quality_stack(docs: DataFrame) -> DataFrame:
     keep).
     """
     zero = F.lit(0).cast("long")
-    # ---- the ONE corpus projection: every row-local signal + arrays
+    # ---- the ONE corpus projection: every row-local signal + arrays.
+    # Signals come from the SAME builders gopher_rules/fineweb_filters
+    # consume (gopher_direct_signals / fineweb_direct_signals /
+    # norm_lines_expr) — a sub-operator formula fix propagates to the
+    # stack by construction (ADVICE r14; the oracle stays the literal
+    # sub-oracle composition, so drift would also go red at rotation).
     tr = tokens(F.col("text"))                      # raw (repetition form)
     t = F.filter(tr, lambda x: x != F.lit(""))      # gopher/lm token form
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda l: F.lower(F.trim(l))),
-        lambda l: l != "",
-    )
-    # gopher direct signals — formulas identical to gopher_rules
-    n_words = F.size(t).cast("long")
-    char_sum = F.aggregate(
-        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    n_hash = F.size(F.regexp_extract_all(F.col("text"), F.lit("#"), 0)).cast("long")
-    n_ell = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit("\\.\\.\\.|…"), 0)
-    ).cast("long")
-    n_lines = F.size(lines).cast("long")
-    bullet = F.size(
-        F.filter(
-            lines,
-            lambda l: F.lit(False)
-            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[0])
-            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[1])
-            | (l.substr(F.lit(1), F.lit(2)) == _GOPHER_BULLETS[2]),
-        )
-    ).cast("long")
-    ell_end = F.size(
-        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
-    ).cast("long")
-    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("long")
-    stop_hits = sum(
-        F.when(F.array_contains(t, w), 1).otherwise(0)
-        for w in GOPHER_STOP_WORDS
-    ).cast("long")
-    # fineweb direct signals — formulas identical to fineweb_filters
-    punct_end = F.size(
-        F.filter(
-            lines,
-            lambda l: F.lit(False)
-            | l.endswith(_FW_TERMINALS[0])
-            | l.endswith(_FW_TERMINALS[1])
-            | l.endswith(_FW_TERMINALS[2])
-            | l.endswith(_FW_TERMINALS[3]),
-        )
-    ).cast("long")
-    short = F.size(
-        F.filter(lines, lambda l: F.length(l) < FW_SHORT_LINE_CHARS)
-    ).cast("long")
-    n_sent = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit('[.!?"]'), 0)
-    ).cast("long")
-    low = F.lower(F.col("text"))
+    lines = norm_lines_expr(F.col("text"))
+    gsig = gopher_direct_signals(F.col("text"), t, lines)
+    fsig = fineweb_direct_signals(F.col("text"), lines)
     proj = docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        _permille(char_sum, n_words).alias("mwl_pm"),
-        _permille(n_hash + n_ell, n_words).alias("symbol_pm"),
-        _permille(bullet, n_lines).alias("bullet_pm"),
-        _permille(ell_end, n_lines).alias("ellipsis_pm"),
-        _permille(alpha, n_words).alias("alpha_pm"),
-        stop_hits.alias("n_stop_hits"),
-        _permille(punct_end, n_lines).alias("punct_pm"),
-        _permille(short, n_lines).alias("short_pm"),
-        n_sent.alias("n_sentences"),
-        (F.instr(F.col("text"), "{") > 0).cast("long").alias("has_brace"),
-        (F.instr(low, "lorem ipsum") > 0).cast("long").alias("has_lorem"),
-        F.when(
-            F.size(F.filter(lines, lambda l: F.instr(l, "javascript") > 0)) > 0,
-            1,
-        )
-        .otherwise(0)
-        .cast("long")
-        .alias("has_js"),
+        gsig["n_words"].alias("n_words"),
+        gsig["mwl_pm"].alias("mwl_pm"),
+        gsig["symbol_pm"].alias("symbol_pm"),
+        gsig["bullet_pm"].alias("bullet_pm"),
+        gsig["ellipsis_pm"].alias("ellipsis_pm"),
+        gsig["alpha_pm"].alias("alpha_pm"),
+        gsig["n_stop_hits"].alias("n_stop_hits"),
+        fsig["punct_pm"].alias("punct_pm"),
+        fsig["short_pm"].alias("short_pm"),
+        fsig["n_sentences"].alias("n_sentences"),
+        fsig["has_brace"].alias("has_brace"),
+        fsig["has_lorem"].alias("has_lorem"),
+        fsig["has_js"].alias("has_js"),
         tr.alias("tr"),
         lines.alias("lines"),
     )
-    shared = proj.localCheckpoint(eager=True)
+    # checkpoint=True is the standalone-query default (the two eager
+    # localCheckpoints below are measured load-bearing — kind-filters
+    # defeat AQE stage reuse un-checkpointed); library callers
+    # embedding the stack in a larger plan can defer materialization
+    # (ADVICE r14, mirroring bpe_train's flag). ~2× corpus text bytes
+    # pinned in executor storage when on.
+    ckpt = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if checkpoint
+        else (lambda df: df)
+    )
+    shared = ckpt(proj)
 
     # ---- unified tagged gram stream. Tokens are whitespace-split, so
     # the 'u v' bigram encoding is injective (no token contains a
     # space).
-    def grams(arr: Column, n: int) -> Column:
-        return F.when(
-            F.size(arr) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(arr, i + k) for k in range(n)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    grams = grams_expr
 
     # tf is materialized AS A COLUMN before the gram transforms: an
     # array expression captured inside a transform lambda re-evaluates
@@ -734,10 +743,9 @@ def quality_stack(docs: DataFrame) -> DataFrame:
     # aggregate and defeat AQE stage reuse (measured: the explode +
     # gram aggregate re-ran per consumer) — checkpoint it eagerly so
     # the one gram shuffle is genuinely paid once
-    counts = (
+    counts = ckpt(
         stream.groupBy("doc_id", "kind", "gram")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
     )
     k = lambda kind: F.col("kind") == kind  # noqa: E731
     per_doc = counts.groupBy("doc_id").agg(
@@ -1000,6 +1008,96 @@ def ccnet_buckets(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
         .otherwise(F.lit("middle"))
         .alias("ppl_bucket"),
     )
+
+
+CCNET_HEAD_PERMILLE = 333  # head: percentile < 33.3% (best third)
+CCNET_TAIL_PERMILLE = 667  # tail: percentile >= 66.7% (worst third)
+
+
+def ccnet_buckets_pct(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """CCNet per-language perplexity bucketing at the PUBLISHED
+    percentile cuts (Wenzek et al. 2020, §4.3: each language's docs
+    split into equal head/middle/tail thirds by perplexity percentile)
+    — the exact form whose adaptation ``ccnet_buckets`` documents. The
+    blocker the adaptation cited (exact percentiles need a global
+    per-language sort of raw rows) is lifted with the repo's certified
+    two-pass histogram-rank pattern (``scoring.rank_normalize
+    (method="histogram")``, the billions-per-domain path): the only
+    sort runs over DISTINCT per-language score values, never the
+    corpus.
+
+    Exact integer semantics: per scorable doc (n_bigrams > 0),
+    ``pct_permille = 1000 · (rank − 1) div (n − 1)`` where rank is the
+    MIN-rank of the doc's ``avg_nll_milli`` within its language
+    ascending (ties share the min rank — SQL ``rank()``) and n the
+    language's scorable-doc count; single-doc languages take 0.
+    Buckets: head < {head}‰ ≤ middle < {tail}‰ ≤ tail (lower NLL =
+    less surprising = head, matching CCNet's "head is the best
+    third"). Zero-bigram docs are unscorable → 'tail' (CCNet's
+    unscored-shard drop), excluded from the histogram so they don't
+    shift their language's cuts.
+
+    Scale shape: ``lm_score``'s plan + ONE map-side-combined
+    (lang, avg_nll_milli) histogram aggregate (the reduce sees
+    |distinct values| rows) + a Window over the per-language DISTINCT
+    histogram + the join back on (lang, avg_nll_milli), UNHINTED —
+    the histogram is ≤ |distinct (lang, nll)| rows; AQE broadcasts it
+    when small and falls back safely when a pathological corpus makes
+    it wide (the lm_score doctrine).
+
+    Returns (doc_id, lang, avg_nll_milli, pct_permille, ppl_bucket).
+    """
+    from pyspark.sql import Window
+
+    lm = lm_score(docs)
+    j = docs.select("doc_id", F.col(lang_col).alias("lang")).join(
+        lm, "doc_id"
+    )
+    scorable = j.filter(F.col("n_bigrams") > 0)
+    hist = scorable.groupBy("lang", "avg_nll_milli").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("avg_nll_milli")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    ranked = hist.select(
+        "lang",
+        "avg_nll_milli",
+        (F.sum("c").over(w_cum) - F.col("c") + F.lit(1)).alias("r"),
+        F.sum("c").over(w_all).alias("n"),
+    ).select(
+        "lang",
+        "avg_nll_milli",
+        F.when(
+            F.col("n") > 1,
+            # non-negative operands: truncating div == flooring //
+            F.expr("CAST((1000 * (r - 1)) div (n - 1) AS LONG)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pct_permille"),
+    )
+    out = scorable.join(ranked, ["lang", "avg_nll_milli"]).select(
+        "doc_id",
+        "lang",
+        "avg_nll_milli",
+        "pct_permille",
+        F.when(F.col("pct_permille") < CCNET_HEAD_PERMILLE, F.lit("head"))
+        .when(F.col("pct_permille") < CCNET_TAIL_PERMILLE, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    unscored = j.filter(F.col("n_bigrams") == 0).select(
+        "doc_id",
+        "lang",
+        "avg_nll_milli",
+        F.lit(0).cast("long").alias("pct_permille"),
+        F.lit("tail").alias("ppl_bucket"),
+    )
+    return out.unionByName(unscored)
 
 
 def chunk_documents(

@@ -1796,6 +1796,70 @@ FROM j JOIN m USING (lang)
 """
 
 
+def q_ccnet_buckets_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet buckets at the PUBLISHED per-language percentile cuts
+    (Wenzek et al. 2020: head/middle/tail thirds by perplexity
+    percentile within each language) — the exact form, via the
+    two-pass histogram rank (the model_score_hist pattern: the only
+    sort runs over distinct per-language score values, never the
+    corpus). The mean-relative ``ccnet_buckets`` stays as the
+    documented cheap variant. Design in
+    operators/text.py::ccnet_buckets_pct."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import (
+        ccnet_buckets_pct,
+    )
+
+    return ccnet_buckets_pct(load_table(spark, sf_dir, "documents"))
+
+
+def _ccnet_buckets_pct_oracle() -> str:
+    """DuckDB twin of text.ccnet_buckets_pct: the verified lm_score
+    oracle + a per-(lang, avg_nll) histogram, min-rank via running sum
+    over the distinct histogram, integer permille percentile, the
+    published third cuts, zero-bigram docs forced 'tail'."""
+    from tepsonic_database_sync_spark.operators.text import (
+        CCNET_HEAD_PERMILLE,
+        CCNET_TAIL_PERMILLE,
+    )
+
+    lm = _lm_score_oracle()
+    return f"""
+WITH lm AS (SELECT * FROM ({lm})),
+j AS (
+  SELECT l.doc_id, d.lang, l.avg_nll_milli, l.n_bigrams
+  FROM lm l JOIN documents d ON d.doc_id = l.doc_id
+),
+hist AS (
+  SELECT lang, avg_nll_milli, CAST(count(*) AS BIGINT) AS c
+  FROM j WHERE n_bigrams > 0 GROUP BY lang, avg_nll_milli
+),
+ranked AS (
+  SELECT lang, avg_nll_milli,
+         sum(c) OVER (PARTITION BY lang ORDER BY avg_nll_milli
+                      ROWS UNBOUNDED PRECEDING) - c + 1 AS r,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+pct AS (
+  SELECT lang, avg_nll_milli,
+         CAST(CASE WHEN n > 1 THEN (1000 * (r - 1)) // (n - 1)
+              ELSE 0 END AS BIGINT) AS pct_permille
+  FROM ranked
+)
+SELECT j.doc_id, j.lang, j.avg_nll_milli,
+       CAST(CASE WHEN j.n_bigrams = 0 THEN 0
+            ELSE p.pct_permille END AS BIGINT) AS pct_permille,
+       CASE WHEN j.n_bigrams = 0 THEN 'tail'
+            WHEN p.pct_permille < {CCNET_HEAD_PERMILLE} THEN 'head'
+            WHEN p.pct_permille < {CCNET_TAIL_PERMILLE} THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM j LEFT JOIN pct p
+  ON p.lang = j.lang AND p.avg_nll_milli = j.avg_nll_milli
+     AND j.n_bigrams > 0
+"""
+
+
 def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ an id-shifted copy — a corpus with known exact dups
     (the raw table has none, so dedup demos synthesize them)."""
@@ -5834,24 +5898,28 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_chain_parts() -> list[str]:
+def _bpe_chain_parts(toks_name: str = "toks") -> list[str]:
     """The shared BPE CTE chain (toks → vocab0 → pairs/best/vocab 1..N)
     used by BOTH the train and encode oracles — vocab{N} is the final
-    per-word symbol table, best{k} the round-k merge rule."""
+    per-word symbol table, best{k} the round-k merge rule.
+    ``toks_name`` renames the word-array CTE for callers whose outer
+    query reserves ``toks`` (the waterfill contract) — a parameter, not
+    a post-hoc string replace, so a chain reformat can never silently
+    skip the rename and emit a duplicate-CTE query (ADVICE r14)."""
     from tepsonic_database_sync_spark.operators.text import (
         BPE_EOW,
         BPE_MERGES,
     )
 
     parts = [
-        r"""toks AS (
+        rf"""{toks_name} AS (
   SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
   FROM documents
 )""",
         f"""vocab0 AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS freq,
          list_append(regexp_extract_all(w, '(?s).'), '{BPE_EOW}') AS s
-  FROM (SELECT unnest(t) AS w FROM toks)
+  FROM (SELECT unnest(t) AS w FROM {toks_name})
   WHERE w <> '' GROUP BY w
 )""",
     ]
@@ -6359,10 +6427,9 @@ def _mixture_rebalance_bpe_oracle() -> str:
     train+encode chain: per-doc n_bpe_tokens (wordless docs zeroed via
     the left join, as in Spark) under the same tiny-domain injection.
     The chain's word-array CTE is renamed wtoks here — the waterfill
-    contract reserves the name ``toks`` for the (domain, n) frame."""
-    chain = ",\n".join(_bpe_chain_parts()).replace(
-        "toks AS (", "wtoks AS ("
-    ).replace("FROM toks", "FROM wtoks")
+    contract reserves the name ``toks`` for the (domain, n) frame
+    (rename via the ``toks_name`` parameter, ADVICE r14)."""
+    chain = ",\n".join(_bpe_chain_parts(toks_name="wtoks"))
     toks = f"""{chain},
 {_bpe_encode_chain()},
 toks AS MATERIALIZED (
@@ -9911,6 +9978,7 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "bpe_train": (q_bpe_train, _bpe_train_oracle()),
     "bpe_encode": (q_bpe_encode, _bpe_encode_oracle()),
     "ccnet_buckets": (q_ccnet_buckets, _ccnet_buckets_oracle()),
+    "ccnet_buckets_pct": (q_ccnet_buckets_pct, _ccnet_buckets_pct_oracle()),
     "pack_sequences_bpe":
         (q_pack_sequences_bpe, _pack_sequences_bpe_oracle()),
     "bpe_fertility": (q_bpe_fertility, _bpe_fertility_oracle()),
@@ -10269,6 +10337,7 @@ _TAIL_FRESHNESS = [
     "snapshot_dedup_incremental", "dedup_edit_verified", "bpe_train",
     "kcore", "bpe_encode", "mixture_rebalance_bpe",
     "ccnet_buckets", "pack_sequences_bpe", "bpe_fertility",
+    "ccnet_buckets_pct",
 ]
 
 

@@ -3429,6 +3429,96 @@ def test_ccnet_buckets_nonvacuous_at_oracle_sf(spark):
     assert buckets == {"head", "middle", "tail"}
 
 
+def test_ccnet_buckets_pct_equals_pure_python_percentiles(spark):
+    """The published-percentile law, recomputed from lm_score in pure
+    Python: min-rank over each language's scorable avg_nll values,
+    pct_permille = 1000·(r−1)//(n−1), third cuts at 333/667, ties
+    share the min rank, singleton languages percentile 0 (head),
+    zero-bigram docs 'tail' and EXCLUDED from their language's
+    histogram (they must not shift the cuts)."""
+    from tepsonic_database_sync_spark.operators.text import (
+        CCNET_HEAD_PERMILLE,
+        CCNET_TAIL_PERMILLE,
+        ccnet_buckets_pct,
+        lm_score,
+    )
+
+    rows = []
+    for i in range(9):  # language A: 9 scorable docs, varied surprise
+        rows.append((i, "the data the table " + " ".join(
+            f"r{i}{j}" for j in range(i % 4)), "aa"))
+    rows.append((50, "only one scorable doc here", "bb"))  # singleton
+    rows.append((60, "solo", "aa"))  # zero bigrams (1 token) → tail
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    lm = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    lang_of = {i: la for i, _t, la in rows}
+    got = {r["doc_id"]: r for r in ccnet_buckets_pct(docs).collect()}
+    assert len(got) == len(rows)
+    for lang in ("aa", "bb"):
+        ids = [
+            i for i in lang_of
+            if lang_of[i] == lang and lm[i]["n_bigrams"] > 0
+        ]
+        vals = sorted(lm[i]["avg_nll_milli"] for i in ids)
+        n = len(vals)
+        for i in ids:
+            v = lm[i]["avg_nll_milli"]
+            r = vals.index(v) + 1  # min-rank (first occurrence)
+            want_pct = (1000 * (r - 1)) // (n - 1) if n > 1 else 0
+            assert got[i]["pct_permille"] == want_pct, (i, lang)
+            want_bucket = (
+                "head"
+                if want_pct < CCNET_HEAD_PERMILLE
+                else "middle"
+                if want_pct < CCNET_TAIL_PERMILLE
+                else "tail"
+            )
+            assert got[i]["ppl_bucket"] == want_bucket, (i, lang)
+    assert got[50]["pct_permille"] == 0 and got[50]["ppl_bucket"] == "head"
+    assert got[60]["ppl_bucket"] == "tail"
+
+
+def test_ccnet_buckets_pct_nonvacuous_and_thirds_at_oracle_sf(spark):
+    """At the oracle SF: all five languages present, all three buckets
+    present, and per language the bucket shares are near-thirds (the
+    whole point of percentile cuts — each bucket within 15% of its
+    language's scorable count divided by 3, slack for ties)."""
+    from tepsonic_database_sync_spark.registry import q_ccnet_buckets_pct
+
+    from conftest import SF_ORACLE
+
+    rows = q_ccnet_buckets_pct(spark, SF_ORACLE).collect()
+    langs = {r["lang"] for r in rows}
+    assert len(langs) == 5
+    assert {r["ppl_bucket"] for r in rows} == {"head", "middle", "tail"}
+    from collections import Counter
+
+    for lang in langs:
+        lrows = [r for r in rows if r["lang"] == lang]
+        c = Counter(r["ppl_bucket"] for r in lrows)
+        third = len(lrows) / 3
+        for b in ("head", "middle", "tail"):
+            assert abs(c[b] - third) <= max(2, 0.15 * len(lrows)), (
+                lang, dict(c)
+            )
+
+
+def test_ccnet_buckets_pct_sort_only_over_distinct_hist(
+    spark, registry_plans
+):
+    """Plan pin (the model_score_hist rule): the percentile Window's
+    Sort must consume the (lang, avg_nll) HISTOGRAM aggregate, never a
+    per-language sort of raw doc rows — in the top-down plan print the
+    Sort sits above a HashAggregate."""
+    plan = registry_plans["ccnet_buckets_pct"]
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Window" in plan
+    assert "Sort " in plan and "HashAggregate" in plan
+    assert plan.index("Sort ") < plan.index("HashAggregate")
+
+
 def test_mixture_rebalance_bpe_cap_branch_fires(spark):
     """The BPE-token mixture entry must certify the cap branch
     non-vacuously at the oracle SF: at the 90% budget the injected tiny

@@ -1,0 +1,156 @@
+"""Guard against the expression-capture quadratic (r14/r15 audit).
+
+The defect class: an array/string EXPRESSION captured inside a
+positional ``F.transform(F.sequence(...), lambda i: ...)`` lambda is
+re-evaluated on every ``element_at``/``slice``/``substring`` access —
+the captured expression re-runs once per index, turning an O(n)
+builder into O(n²) per row. Shipped twice before being caught:
+
+- ``text.repetition_stats`` captured ``tokens(text)`` in its gram
+  lambda for 13 rounds (fixed r14 — 14.9 s → 2.0 s at sf0.1);
+- ``matching.match_partial_blocked`` captured ``lower(name)`` and
+  ``multimodal.phash_signatures`` captured ``hex(payload)``
+  (both fixed r15, found by this audit).
+
+The rule this test enforces over the whole operator tree: inside the
+lambda of a positional transform (first arg ``F.sequence(...)``),
+every indexed operand — the first argument of ``F.element_at`` /
+``F.slice`` / ``F.substring`` / ``F.get``, or the receiver of
+``.substr`` — must be a COLUMN: an inline ``F.col(...)`` call, a
+local name assigned from ``F.col(...)``, or a function parameter
+whose column-ness is a documented contract (the explicit allowlist
+below). Anything else — a call like ``F.lower(...)``/``F.hex(...)``,
+or a name bound to such an expression — fails the build.
+
+SQL-string forms (``F.expr("transform(sequence(...), ...)")``) are
+immune by construction: a bare name inside ``F.expr`` can only
+resolve to a column.
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "tepsonic_database_sync_spark"
+
+# (file stem, function name, parameter) whose docstring contracts the
+# parameter to be a materialized column. Adding a NEW entry here is a
+# conscious act — the docstring must state the column contract.
+COLUMN_CONTRACT_PARAMS = {
+    ("text", "grams_expr", "arr"),
+    ("matching", "delete_variants", "s"),
+}
+
+INDEXERS_F = {"element_at", "slice", "substring", "get"}
+
+
+def _is_f_call(node: ast.AST, names: set[str]) -> bool:
+    return (
+        isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and isinstance(node.func.value, ast.Name)
+        and node.func.value.id == "F"
+        and node.func.attr in names
+    )
+
+
+def _collect_fcol_names(fn: ast.AST) -> set[str]:
+    """Names assigned (anywhere in the enclosing function) from
+    F.col(...) — the only name-binding accepted as a column."""
+    cols: set[str] = set()
+    for node in ast.walk(fn):
+        if isinstance(node, ast.Assign) and _is_f_call(node.value, {"col"}):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    cols.add(t.id)
+    return cols
+
+
+def _indexed_operands(lam: ast.Lambda):
+    """Yield (node, description) for every indexed operand inside the
+    lambda body."""
+    for node in ast.walk(lam.body):
+        if _is_f_call(node, INDEXERS_F) and node.args:
+            yield node.args[0], f"F.{node.func.attr}"
+        elif (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "substr"
+        ):
+            yield node.func.value, ".substr"
+
+
+def _operand_ok(
+    op: ast.AST, fcol_names: set[str], params: set[str], stem: str, fname: str
+) -> bool:
+    if _is_f_call(op, {"col"}):
+        return True
+    if isinstance(op, ast.Name):
+        if op.id in fcol_names:
+            return True
+        if op.id in params:
+            return (stem, fname, op.id) in COLUMN_CONTRACT_PARAMS
+        return False
+    return False
+
+
+def test_no_expression_capture_in_positional_transforms():
+    violations = []
+    for path in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        stem = path.stem
+        for fn in ast.walk(tree):
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            fcol_names = _collect_fcol_names(fn)
+            params = {a.arg for a in fn.args.args + fn.args.kwonlyargs}
+            for node in ast.walk(fn):
+                # positional transform: F.transform(F.sequence(...), lambda)
+                if not (
+                    _is_f_call(node, {"transform"})
+                    and len(node.args) >= 2
+                    and _is_f_call(node.args[0], {"sequence"})
+                    and isinstance(node.args[1], ast.Lambda)
+                ):
+                    continue
+                lam = node.args[1]
+                for op, kind in _indexed_operands(lam):
+                    if not _operand_ok(op, fcol_names, params, stem, fn.name):
+                        violations.append(
+                            f"{path.relative_to(PKG.parent)}:{op.lineno}"
+                            f" {fn.name}: {kind} indexes"
+                            f" {ast.unparse(op)!r} — not a column"
+                        )
+    assert not violations, (
+        "expression captured inside a positional transform lambda "
+        "(O(n²) per row — materialize it as a column first):\n"
+        + "\n".join(violations)
+    )
+
+
+def test_guard_catches_the_known_defect_shape():
+    """The guard must flag the exact shapes that shipped: an F.* call
+    (not F.col) as the indexed operand, and a name bound to one."""
+    bad = '''
+def f(docs):
+    hx = F.hex(F.col("payload"))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.substring(hx, i, 2),
+    )
+'''
+    tree = ast.parse(bad)
+    fn = tree.body[0]
+    fcol_names = _collect_fcol_names(fn)
+    assert "hx" not in fcol_names
+    hits = [
+        op
+        for node in ast.walk(fn)
+        if _is_f_call(node, {"transform"})
+        and _is_f_call(node.args[0], {"sequence"})
+        and isinstance(node.args[1], ast.Lambda)
+        for op, _ in _indexed_operands(node.args[1])
+        if not _operand_ok(op, fcol_names, {"docs"}, "x", "f")
+    ]
+    assert len(hits) == 1 and isinstance(hits[0], ast.Name)
