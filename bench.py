@@ -243,6 +243,20 @@ HEADLINE = [
     # tracked from birth
     "bpe_encode",
     "mixture_rebalance_bpe",
+    # r15: exact per-language CCNet percentile buckets (lm_score + the
+    # distinct-value histogram rank), corpus-wide duplicate-line
+    # removal (one line-hash aggregate + keeper join + reassembly),
+    # the vocabulary coverage/OOV curve (histogram-of-counts, no token
+    # sort) and per-chunk language-mix auditing — tracked from birth
+    "ccnet_buckets_pct",
+    "line_dedup",
+    "vocab_coverage",
+    "lang_mix_audit",
+    # r15 cont.: per-doc novel-8-gram rate (positional gram keeper join
+    # — the heaviest of the six by construction) and the packing-layout
+    # audit (one rollup over the pack coordinates)
+    "ngram_novelty",
+    "packing_efficiency",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -10,6 +10,7 @@ Writes nothing outside /tmp; testdata stays read-only.
 Usage: python scripts/scale_smoke.py [factors...]   (default: 1 2 4 8)
 """
 
+import os
 import sys
 import time
 
@@ -283,9 +284,80 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_ccnet_pct():
+        # r15: lm_score + the (lang, avg_nll) histogram + a window over
+        # DISTINCT per-language values + the value-key join back —
+        # per-copy token suffixes grow the lexicon ∝ factor (lm_score's
+        # stress regime) while the distinct (lang, nll) histogram stays
+        # bounded by the score space; the curve should track lm_score
+        from tepsonic_database_sync_spark.operators.text import (
+            ccnet_buckets_pct,
+        )
+
+        d = docs.withColumn("lang", (F.col("doc_id") % 5).cast("string"))
+        ccnet_buckets_pct(d).write.format("noop").mode("overwrite").save()
+
+    def run_line_dedup():
+        # r15: per-copy token suffixes make every line unique across
+        # copies, so the line-key aggregate and the keeper join grow
+        # linearly with zero cross-copy collisions (the honest regime:
+        # a real corpus's boilerplate CONCENTRATES keys, which the
+        # map-side min-struct combine absorbs by construction)
+        from tepsonic_database_sync_spark.operators.dedup import line_dedup
+
+        line_dedup(docs).write.format("noop").mode("overwrite").save()
+
+    def run_vocab_coverage():
+        # r15: the unigram aggregate grows ∝ factor (suffixes multiply
+        # the type space) while the histogram-of-counts window input
+        # stays tiny — the flattest possible tail after the count scan
+        from tepsonic_database_sync_spark.operators.text import (
+            vocab_coverage,
+        )
+
+        vocab_coverage(docs).write.format("noop").mode("overwrite").save()
+
+    def run_ngram_novelty():
+        # r15: positional 8-gram keeper join — per-copy token suffixes
+        # keep gram reuse within-copy, so the gram aggregate and the
+        # keeper join grow linearly (the substring_dedup regime; this
+        # op shares its gram generator)
+        from tepsonic_database_sync_spark.operators.dedup import (
+            ngram_novelty,
+        )
+
+        ngram_novelty(docs).write.format("noop").mode("overwrite").save()
+
+    def run_packing_efficiency():
+        # r15: per-shard cumsum + ONE shard rollup — should be among
+        # the flattest curves (pack_sequences' shape plus an aggregate)
+        from tepsonic_database_sync_spark.operators.packing import (
+            pack_sequences,
+            packing_efficiency,
+        )
+
+        packing_efficiency(pack_sequences(docs)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def run_lang_mix():
+        # r15: chunk generator + row-local lang-ID + two map-side
+        # combined aggregates — should track fineweb's linear shape
+        from tepsonic_database_sync_spark.operators.text import (
+            lang_mix_audit,
+        )
+
+        lang_mix_audit(docs).write.format("noop").mode("overwrite").save()
+
     return {
         "text_repetition": run_repetition,
         "substring_dedup": run_substring_dedup,
+        "ccnet_buckets_pct": run_ccnet_pct,
+        "line_dedup": run_line_dedup,
+        "vocab_coverage": run_vocab_coverage,
+        "lang_mix_audit": run_lang_mix,
+        "ngram_novelty": run_ngram_novelty,
+        "packing_efficiency": run_packing_efficiency,
         "lsh+star_clusters": run_lsh_clusters,
         "blocking_audit(n≈const)": run_blocking_audit,
         "containment_pairs": run_containment,
@@ -827,7 +899,13 @@ def main() -> None:
             # would on a cluster.
             spark.conf.set("spark.sql.shuffle.partitions", str(32 * f))
             docs = amplified_docs(spark, f).localCheckpoint(eager=True)
-            for name, run in _doc_ops(docs, f).items():
+            # SMOKE_ONLY=name1,name2 runs a subset (iterating on one
+            # operator's curve without paying the whole family)
+            only = os.environ.get("SMOKE_ONLY")
+            ops = _doc_ops(docs, f)
+            if only:
+                ops = {k: v for k, v in ops.items() if k in only.split(",")}
+            for name, run in ops.items():
                 # bench protocol: GC nudge (checkpoint-block debt must
                 # not bill the next op) and WARM = min of 2 — this VM's
                 # hypervisor steal was measured at 3-9× on identical

@@ -2016,3 +2016,194 @@ def edit_verified_pairs(
         .cast("long")
         .alias("dist_permille"),
     )
+
+
+LINE_DEDUP_HEAD_CHARS = 240
+
+
+def line_dedup(
+    docs: DataFrame, head_chars: int = LINE_DEDUP_HEAD_CHARS
+) -> DataFrame:
+    """Cross-corpus duplicate-LINE removal — CCNet's paragraph-dedup
+    preprocessing step (Wenzek et al. 2020, §4.2: hash every paragraph,
+    drop repeats corpus-wide keeping one copy; RefinedWeb/FineWeb
+    inherit the pass for boilerplate — nav bars, cookie banners, footer
+    text — which document-level dedup never catches because the
+    surrounding page differs). The reference has no text surface; this
+    is an extension operator of the training-data pipeline.
+
+    Semantics (deterministic): lines are normalized ``lower(trim())``
+    with empties dropped (``text.norm_lines_expr`` — the corpus's one
+    line form); a line occurrence is KEPT iff it is the corpus-first
+    occurrence of its content, i.e. the lexicographic minimum
+    ``(doc_id, line_no)`` over all occurrences of that line. Every doc
+    reports its surviving prefix (first ``head_chars`` chars of the
+    kept lines re-joined in order — certifies actual reconstruction,
+    the bpe_encode enc_head pattern) plus exact counts.
+
+    Line identity is the 60-bit ``h60`` content hash — the engine's
+    cross-engine workhorse; a collision would merge two distinct lines
+    (probability ~n²/2⁶¹ — negligible, and the DuckDB oracle uses the
+    identical construction, so parity is unconditional).
+
+    Scale shape: ONE map-side-combined aggregate on the line-hash key
+    (the min-struct keeper partial-combines, so a million-copy cookie
+    banner ships one row per map task, never a hot reduce key) + the
+    occurrences-to-keeper equi-join back on the same key, UNHINTED —
+    the keeper frame is |distinct lines| rows; AQE broadcasts it when
+    small, and its skew-split covers the hot-key join when a
+    boilerplate line dominates. The per-doc reassembly shuffles on
+    uniform doc_id. No window over raw rows, no driver state.
+
+    Returns (doc_id, n_lines, n_kept, removed_permille, kept_head).
+    """
+    from tepsonic_database_sync_spark.operators.text import (
+        _permille,
+        norm_lines_expr,
+    )
+
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(norm_lines_expr(F.col("text"))).alias("idx", "line"),
+    ).select(
+        "doc_id",
+        (F.col("idx") + 1).cast("long").alias("line_no"),
+        "line",
+        h60(F.col("line")).alias("k"),
+    )
+    keep = lines.groupBy("k").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("keeper")
+    )
+    flagged = lines.join(keep, "k").select(
+        "doc_id",
+        "line_no",
+        "line",
+        (
+            (F.col("doc_id") == F.col("keeper.doc_id"))
+            & (F.col("line_no") == F.col("keeper.line_no"))
+        ).alias("kept"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        # collect_list skips the NULLs the no-otherwise when() leaves on
+        # removed lines; array_sort on (line_no, line) structs is
+        # positional order
+        F.substring(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"), F.struct("line_no", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ),
+            1,
+            head_chars,
+        ).alias("kept_head"),
+    )
+    z = lambda c: F.coalesce(c, F.lit(0)).cast("long")  # noqa: E731
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            z(F.col("n_lines")).alias("n_lines"),
+            z(F.col("n_kept")).alias("n_kept"),
+            _permille(
+                z(F.col("n_lines")) - z(F.col("n_kept")),
+                z(F.col("n_lines")),
+            ).alias("removed_permille"),
+            F.coalesce(F.col("kept_head"), F.lit("")).alias("kept_head"),
+        )
+    )
+
+
+NGRAM_NOVELTY_N = 8
+
+
+def ngram_novelty(docs: DataFrame, n: int = NGRAM_NOVELTY_N) -> DataFrame:
+    """Per-document novel-n-gram rate — the memorization/duplication
+    audit of Lee et al. 2022 (ACL, "Deduplicating Training Data Makes
+    Language Models Better"): a document's n-gram is NOVEL iff this is
+    its first occurrence in the corpus (lexicographic (doc_id,
+    position) order — the ``line_dedup`` keeper rule at gram
+    granularity), and heavily non-novel documents are the train-set
+    memorization hazard the paper measures. The reference has no text
+    surface; extension operator.
+
+    Exact integer semantics: per doc, ``n_grams`` (token count − n + 1,
+    0 under n tokens), ``n_novel`` (corpus-first occurrences),
+    ``novelty_permille = n_novel · 1000 div n_grams``. Within-doc
+    repeats count as non-novel beyond their first occurrence — same
+    rule corpus-wide, no special casing.
+
+    Scale shape: the positional gram generator is the certified
+    ``substring_dedup`` expr (token array materialized as a column —
+    the lambda-capture contract); then ONE map-side-combined min-struct
+    aggregate on the h60 gram key (hot boilerplate grams combine per
+    map task) + the keeper join back on the same key, UNHINTED, + a
+    doc_id-keyed rollup. The same three-shuffle class as line_dedup,
+    measured there.
+
+    Returns (doc_id, n_grams, n_novel, novelty_permille).
+    """
+    from tepsonic_database_sync_spark.operators.text import _permille
+
+    toked = docs.select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
+    )
+    grams = (
+        toked.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n} + 1),"
+                    f" i -> struct(i AS i, concat_ws(' ', slice(t, i, {n})) AS g))"
+                )
+            ).alias("x"),
+        )
+        .select(
+            "doc_id",
+            F.col("x.i").cast("long").alias("i"),
+            h60(F.col("x.g")).alias("k"),
+        )
+    )
+    keep = grams.groupBy("k").agg(
+        F.min(F.struct("doc_id", "i")).alias("keeper")
+    )
+    flagged = grams.join(keep, "k").select(
+        "doc_id",
+        (
+            (F.col("doc_id") == F.col("keeper.doc_id"))
+            & (F.col("i") == F.col("keeper.i"))
+        ).alias("novel"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("novel"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    )
+    z = lambda c: F.coalesce(c, F.lit(0)).cast("long")  # noqa: E731
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            z(F.col("n_grams")).alias("n_grams"),
+            z(F.col("n_novel")).alias("n_novel"),
+            _permille(z(F.col("n_novel")), z(F.col("n_grams"))).alias(
+                "novelty_permille"
+            ),
+        )
+    )

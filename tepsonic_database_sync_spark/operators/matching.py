@@ -172,7 +172,13 @@ def delete_variants(s: Column) -> Column:
     """The SymSpell depth-1 deletion neighborhood of ``s``: the string
     itself plus every delete-one-character variant (distinct). Guarded
     for the empty string (Spark's sequence(1, 0) is DESCENDING, not
-    empty — the lm_score trap)."""
+    empty — the lm_score trap).
+
+    ``s`` MUST be a column reference, never an expression — it is read
+    per deletion position inside the transform lambda, and a captured
+    expression re-evaluates per position (the O(len²) lambda-capture
+    class; this parameter is on the guard test's column-contract
+    allowlist, tests/test_lambda_capture_guard.py)."""
     dels = F.transform(
         F.sequence(F.lit(1), F.length(s)),
         lambda i: F.concat(

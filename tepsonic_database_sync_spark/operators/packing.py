@@ -84,3 +84,69 @@ def pack_from_counts(
         .otherwise((chunk_last - chunk_first + 1).cast("long"))
         .alias("n_chunks"),
     )
+
+
+def packing_efficiency(
+    packed: DataFrame, ctx_len: int = 512, shard: str = "source"
+) -> DataFrame:
+    """Packing-layout audit over ``pack_sequences``/``pack_from_counts``
+    output — the report a training run reads before committing to a
+    context length and sharding: per shard, how full the context
+    windows are and how many documents straddle window boundaries
+    (boundary-crossing docs are the ones whose loss masks / attention
+    resets the run must handle; the waste term is the final partial
+    window of each shard's stream).
+
+    Exact integer semantics per shard:
+    - ``n_docs`` / ``n_packed_docs`` (n_toks > 0) / ``total_tokens``;
+    - ``n_windows = max(chunk_last) + 1`` (== ceil(total/ctx_len) —
+      the stream is contiguous by construction);
+    - ``fill_permille = total_tokens · 1000 div (n_windows · ctx_len)``
+      (< 1000 exactly when the last window is partial);
+    - ``crossing_permille = |docs with n_chunks > 1| · 1000 div
+      n_packed_docs`` — the boundary-straddle rate;
+    - ``oversize_permille = |docs with n_toks > ctx_len| · 1000 div
+      n_packed_docs`` — docs that cannot fit ANY single window.
+
+    Scale shape: ONE map-side-combined aggregate on the shard key over
+    the packed frame — |shards| output rows; no window, no join (the
+    packed frame already carries every per-doc coordinate).
+
+    Returns (shard, n_docs, n_packed_docs, total_tokens, n_windows,
+    fill_permille, crossing_permille, oversize_permille).
+    """
+    agg = packed.groupBy(shard).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_toks") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_packed_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        (F.max("chunk_last") + 1).cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("n_chunks") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_crossing"),
+        F.sum(F.when(F.col("n_toks") > ctx_len, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversize"),
+    )
+    z = F.lit(0).cast("long")
+    pm = lambda num, den: (  # noqa: E731
+        F.when(den > 0, F.floor((num * 1000) / den).cast("long")).otherwise(z)
+    )
+    return agg.select(
+        shard,
+        "n_docs",
+        "n_packed_docs",
+        "total_tokens",
+        F.greatest(F.col("n_windows"), z).alias("n_windows"),
+        pm(
+            F.col("total_tokens"),
+            F.greatest(F.col("n_windows"), z) * ctx_len,
+        ).alias("fill_permille"),
+        pm(F.col("n_crossing"), F.col("n_packed_docs")).alias(
+            "crossing_permille"
+        ),
+        pm(F.col("n_oversize"), F.col("n_packed_docs")).alias(
+            "oversize_permille"
+        ),
+    )

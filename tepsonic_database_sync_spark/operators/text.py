@@ -635,7 +635,10 @@ def quality_stack(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     sub-operator: six pruned scans, the gram shuffle paid inside AND
     outside ``repetition_stats``): the stack now scans the corpus
     ONCE and pays ONE gram shuffle. Two eager localCheckpoints anchor
-    the fusion:
+    the fusion (``checkpoint=False`` defers both for library callers
+    embedding the stack in a larger plan — ADVICE r14, mirroring
+    bpe_train's flag; the standalone default stays True because the
+    reuse they buy is measured load-bearing):
 
     1. the signal projection — every row-local signal of all three
        gates plus the raw-token/line arrays, tokenize + regex once
@@ -1007,6 +1010,193 @@ def ccnet_buckets(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
         )
         .otherwise(F.lit("middle"))
         .alias("ppl_bucket"),
+    )
+
+
+LANG_MIX_CHUNK_TOKENS = 32
+
+
+def lang_mix_audit(
+    docs: DataFrame, chunk_tokens: int = LANG_MIX_CHUNK_TOKENS
+) -> DataFrame:
+    """Mixed-language document detection — the curation audit behind
+    CCNet/mC4's per-document language assignment caveat (Wenzek et al.
+    2020 §4.1; Kreutzer et al. 2022 "Quality at a Glance" documents
+    wrong-language contamination as a top corpus defect): language-ID
+    is run per fixed-size CHUNK, and a document whose chunks disagree
+    is flagged by its minority share instead of being silently
+    assigned its majority language.
+
+    Composition of certified pieces: ``chunk_documents`` (overlap 0 —
+    disjoint windows, every token in exactly one chunk) +
+    ``lang_guess_expr`` per chunk + one per-(doc, lang) count and a
+    deterministic majority (max count, ties to the lexicographically
+    smallest language — min over (−c, lang)).
+
+    ``mix_permille = (n_chunks − n_major) · 1000 div n_chunks``;
+    chunkless docs (empty text) report ('und', zeros).
+
+    Scale shape: the chunk fan-out is a codegen'd generator (no
+    shuffle, documented in chunk_documents); language-ID is row-local;
+    then TWO map-side-combined aggregates — (doc_id, lang) is at most
+    |langs| rows per doc, and the majority rollup keys on uniform
+    doc_id. The doc-list left join back closes empty docs. No window,
+    no Python.
+
+    Returns (doc_id, n_chunks, n_langs, major_lang, n_major,
+    mix_permille).
+    """
+    ch = chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=0)
+    cnt = (
+        ch.select(
+            "doc_id", lang_guess_expr(F.col("chunk_text")).alias("lang")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chunks"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.min(
+            F.struct((-F.col("c")).alias("negc"), F.col("lang"))
+        ).alias("m"),
+    )
+    z = lambda c: F.coalesce(c, F.lit(0)).cast("long")  # noqa: E731
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            z(F.col("n_chunks")).alias("n_chunks"),
+            z(F.col("n_langs")).alias("n_langs"),
+            F.coalesce(F.col("m.lang"), F.lit("und")).alias("major_lang"),
+            z(-F.col("m.negc")).alias("n_major"),
+            _permille(
+                z(F.col("n_chunks")) - z(-F.col("m.negc")),
+                z(F.col("n_chunks")),
+            ).alias("mix_permille"),
+        )
+    )
+
+
+VOCAB_COVERAGE_CUTS = [1000, 2000, 4000, 8000, 16000]
+
+
+def vocab_coverage(
+    docs: DataFrame, cuts: list[int] | None = None
+) -> DataFrame:
+    """Vocabulary coverage / OOV curve — the audit a tokenizer-sizing
+    decision reads (e.g. the coverage tables of SentencePiece/BPE
+    vocabulary studies; Rust et al. 2021 report the downstream form):
+    for each candidate vocabulary size K, the share of corpus token
+    OCCURRENCES covered by the K most frequent types (ties broken by
+    token ascending — deterministic), and the residual OOV rate.
+
+    Exact integer semantics: rank types by (count desc, token asc);
+    covered_mass(K) = Σ count over the top-K types;
+    covered_permille = covered_mass · 1000 div total_mass;
+    oov_permille = (total − covered) · 1000 div total (independent
+    integer division — the two need not sum to 1000);
+    n_types_used = min(K, |types|).
+
+    Scale shape — the point of the implementation: NO sort over tokens
+    at all. Ties inside one count value contribute interchangeable
+    mass, so the curve is a function of the count HISTOGRAM-OF-COUNTS:
+    (1) one map-side-combined unigram aggregate; (2) ONE aggregate of
+    types per count value — |distinct count values| rows, O(√corpus)
+    under Zipf (a 100 TB corpus with 10¹² token occurrences has at
+    most ~10⁶ distinct per-type counts); (3) a window over THAT tiny
+    frame; (4) each cutoff K lands in exactly one count-group:
+    covered = prev_mass + (K − prev_types) · c — exact even when K
+    splits a tie group. The cuts frame is a by-construction literal
+    (len(cuts) rows) — the one legitimate broadcast class.
+
+    Returns (vocab_size, n_types_used, covered_permille, oov_permille).
+    """
+    if cuts is None:
+        cuts = VOCAB_COVERAGE_CUTS
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    uni = (
+        docs.select(
+            F.explode(
+                F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    byc = uni.groupBy("c").agg(
+        F.count("*").cast("long").alias("n_types")
+    ).select(
+        "c",
+        "n_types",
+        (F.col("c") * F.col("n_types")).cast("long").alias("mass"),
+    )
+    w = (
+        Window.orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = byc.select(
+        "c",
+        "n_types",
+        "mass",
+        F.sum("n_types").over(w).cast("long").alias("cum_types"),
+        F.sum("mass").over(w).cast("long").alias("cum_mass"),
+    ).select(
+        "c",
+        (F.col("cum_types") - F.col("n_types")).alias("prev_types"),
+        (F.col("cum_mass") - F.col("mass")).alias("prev_mass"),
+        "cum_types",
+        "cum_mass",
+    )
+    tot = uni.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("tot_mass"),
+        F.count("*").cast("long").alias("tot_types"),
+    )
+    cuts_df = spark.createDataFrame(
+        [(int(k),) for k in cuts], "vocab_size long"
+    )
+    j = (
+        cuts_df.crossJoin(F.broadcast(tot))
+        .join(
+            run,
+            (F.col("prev_types") < F.col("vocab_size"))
+            & (F.col("cum_types") >= F.col("vocab_size")),
+            "left",
+        )
+    )
+    covered = F.when(
+        F.col("vocab_size") >= F.col("tot_types"), F.col("tot_mass")
+    ).otherwise(
+        F.col("prev_mass")
+        + (F.col("vocab_size") - F.col("prev_types")) * F.col("c")
+    )
+    z = F.lit(0).cast("long")
+    return j.select(
+        "vocab_size",
+        F.least(F.col("vocab_size"), F.col("tot_types"))
+        .cast("long")
+        .alias("n_types_used"),
+        (covered * 1000).cast("long").alias("_cm"),
+        "tot_mass",
+    ).select(
+        "vocab_size",
+        "n_types_used",
+        F.when(
+            F.col("tot_mass") > 0, F.expr("_cm div tot_mass")
+        )
+        .otherwise(z)
+        .cast("long")
+        .alias("covered_permille"),
+        F.when(
+            F.col("tot_mass") > 0,
+            F.expr("(tot_mass * 1000 - _cm) div tot_mass"),
+        )
+        .otherwise(z)
+        .cast("long")
+        .alias("oov_permille"),
     )
 
 

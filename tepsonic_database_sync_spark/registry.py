@@ -1796,6 +1796,182 @@ FROM j JOIN m USING (lang)
 """
 
 
+def q_lang_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language document audit: language-ID per disjoint 32-token
+    chunk, deterministic per-doc majority, minority share as
+    mix_permille (the wrong-language-contamination check of Kreutzer
+    et al. 2022). Design in operators/text.py::lang_mix_audit."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import lang_mix_audit
+
+    return lang_mix_audit(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_mix_audit_oracle() -> str:
+    """DuckDB twin of text.lang_mix_audit: the text_chunks oracle
+    parameterized to 32/0 windows, the text_lang_id CASE per chunk,
+    majority via row_number over (c DESC, lang) (== Spark's
+    min(−c, lang) struct), doc-list left join for empty docs."""
+    from tepsonic_database_sync_spark.operators.text import (
+        LANG_MIX_CHUNK_TOKENS as ct,
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS t,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t,
+         CASE WHEN trim(array_to_string(t, ' ')) = '' THEN 0
+              WHEN n <= {ct} THEN 1
+              ELSE CAST(ceil((n - {ct}) / {ct}.0) AS INT) + 1 END
+           AS n_chunks
+  FROM toked
+),
+chunks AS (
+  SELECT s.doc_id,
+         array_to_string(
+           t[CAST(r.i AS INT) * {ct} + 1 : CAST(r.i AS INT) * {ct} + {ct}],
+           ' ') AS chunk_text
+  FROM sized s, unnest(range(0, s.n_chunks)) r(i)
+  WHERE s.n_chunks > 0
+),
+ctoks AS (
+  SELECT doc_id, chunk_text,
+         regexp_split_to_array(lower(trim(chunk_text)), '\\s+') AS t
+  FROM chunks
+),
+langs AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_extract_all(chunk_text,
+                  '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+         WHEN {_sw(_SW["en"])} >= {_sw(_SW["es"])}
+              AND {_sw(_SW["en"])} >= {_sw(_SW["de"])}
+              AND {_sw(_SW["en"])} >= {_sw(_SW["fr"])}
+              AND {_sw(_SW["en"])} > 0 THEN 'en'
+         WHEN {_sw(_SW["es"])} >= {_sw(_SW["de"])}
+              AND {_sw(_SW["es"])} >= {_sw(_SW["fr"])}
+              AND {_sw(_SW["es"])} > 0 THEN 'es'
+         WHEN {_sw(_SW["de"])} >= {_sw(_SW["fr"])}
+              AND {_sw(_SW["de"])} > 0 THEN 'de'
+         WHEN {_sw(_SW["fr"])} > 0 THEN 'fr'
+         ELSE 'und' END AS lang
+  FROM ctoks
+),
+cnt AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS c
+  FROM langs GROUP BY doc_id, lang
+),
+rk AS (
+  SELECT doc_id, lang, c,
+         sum(c) OVER (PARTITION BY doc_id) AS n_chunks,
+         count(*) OVER (PARTITION BY doc_id) AS n_langs,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, lang) AS rn
+  FROM cnt
+),
+per AS (
+  SELECT doc_id, n_chunks, n_langs, lang AS major_lang, c AS n_major
+  FROM rk WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(n_langs, 0) AS BIGINT) AS n_langs,
+       coalesce(major_lang, 'und') AS major_lang,
+       CAST(coalesce(n_major, 0) AS BIGINT) AS n_major,
+       CAST(CASE WHEN coalesce(n_chunks, 0) > 0
+            THEN (n_chunks - n_major) * 1000 // n_chunks
+            ELSE 0 END AS BIGINT) AS mix_permille
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+"""
+
+
+# the synthetic documents corpus has a 31-type vocabulary (measured at
+# every SF), so the registry entry runs the curve at cuts that land
+# INSIDE it — partial coverage, a cut splitting a count-tie group, and
+# the beyond-vocabulary clamp all non-vacuous. The operator's default
+# ladder stays the published 1k-16k sizing ladder.
+_VOCAB_Q_CUTS = [2, 5, 10, 25, 16000]
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV curve — the tokenizer-sizing audit:
+    share of corpus token occurrences covered by the K most frequent
+    types, computed WITHOUT any sort over tokens (the curve is a
+    function of the histogram-of-counts; the only window runs over
+    distinct count values — O(√corpus) rows under Zipf). Cuts sized to
+    the corpus's 31-type vocabulary so every branch is exercised.
+    Design in operators/text.py::vocab_coverage."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(
+        load_table(spark, sf_dir, "documents"), cuts=_VOCAB_Q_CUTS
+    )
+
+
+def _vocab_coverage_oracle() -> str:
+    """DuckDB twin of text.vocab_coverage: same unigram counts, same
+    histogram-of-counts running sums, same split-group interpolation
+    covered = prev_mass + (K − prev_types)·c, same independent integer
+    permille divisions."""
+    cuts = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS vocab_size" for k in _VOCAB_Q_CUTS
+    )
+    return f"""
+WITH uni AS (
+  SELECT w AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_filter(
+          regexp_split_to_array(lower(trim(text)), '\\s+'),
+          x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+byc AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(c * count(*) AS BIGINT) AS mass
+  FROM uni GROUP BY c
+),
+run AS (
+  SELECT c,
+         sum(n_types) OVER (ORDER BY c DESC
+                            ROWS UNBOUNDED PRECEDING) - n_types
+           AS prev_types,
+         sum(mass) OVER (ORDER BY c DESC
+                         ROWS UNBOUNDED PRECEDING) - mass AS prev_mass,
+         sum(n_types) OVER (ORDER BY c DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum_types
+  FROM byc
+),
+tot AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS tot_mass,
+         CAST(count(*) AS BIGINT) AS tot_types
+  FROM uni
+),
+cuts AS ({cuts})
+SELECT k.vocab_size,
+       CAST(least(k.vocab_size, t.tot_types) AS BIGINT) AS n_types_used,
+       CAST(CASE WHEN t.tot_mass > 0
+            THEN (CASE WHEN k.vocab_size >= t.tot_types THEN t.tot_mass
+                  ELSE r.prev_mass
+                       + (k.vocab_size - r.prev_types) * r.c END) * 1000
+                 // t.tot_mass
+            ELSE 0 END AS BIGINT) AS covered_permille,
+       CAST(CASE WHEN t.tot_mass > 0
+            THEN (t.tot_mass * 1000
+                  - (CASE WHEN k.vocab_size >= t.tot_types THEN t.tot_mass
+                     ELSE r.prev_mass
+                          + (k.vocab_size - r.prev_types) * r.c END) * 1000)
+                 // t.tot_mass
+            ELSE 0 END AS BIGINT) AS oov_permille
+FROM cuts k CROSS JOIN tot t
+LEFT JOIN run r
+  ON r.prev_types < k.vocab_size AND r.cum_types >= k.vocab_size
+"""
+
+
 def q_ccnet_buckets_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet buckets at the PUBLISHED per-language percentile cuts
     (Wenzek et al. 2020: head/middle/tail thirds by perplexity
@@ -1875,6 +2051,69 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tepsonic_database_sync_spark.operators.dedup import exact_dedup
 
     return exact_dedup(_corpus_with_dups(spark, sf_dir))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus duplicate-line removal over the
+    dup-injected corpus (documents ∪ id-shifted copy): every copy doc
+    loses ALL its lines to the original (keeper = corpus-first
+    occurrence), originals keep everything not already seen — both
+    branches of the keep rule certified non-vacuously, plus the
+    reconstructed kept-prefix. Design in operators/dedup.py::line_dedup."""
+    from tepsonic_database_sync_spark.operators.dedup import line_dedup
+
+    return line_dedup(_corpus_with_dups(spark, sf_dir))
+
+
+def _line_dedup_oracle() -> str:
+    """DuckDB twin of dedup.line_dedup over the dup-injected corpus:
+    same normalized lines, the identical h60 key, keeper via
+    row_number over (doc_id, line_no) (== Spark's min-struct), ordered
+    string_agg head."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        LINE_DEDUP_HEAD_CHARS,
+    )
+    from tepsonic_database_sync_spark.functions.hashing import h60_sql
+
+    k = h60_sql("line")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+),
+lns AS (
+  SELECT doc_id, i AS line_no, l[i] AS line
+  FROM (SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                           x -> lower(trim(x))), x -> x <> '') AS l
+        FROM corpus),
+       unnest(range(1, len(l) + 1)) AS r(i)
+),
+flagged AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY {k}
+                            ORDER BY doc_id, line_no) = 1 AS kept
+  FROM lns
+),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         substr(string_agg(CASE WHEN kept THEN line END, chr(10)
+                           ORDER BY line_no),
+                1, {LINE_DEDUP_HEAD_CHARS}) AS kept_head
+  FROM flagged GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN coalesce(n_lines, 0) > 0
+            THEN (n_lines - coalesce(n_kept, 0)) * 1000 // n_lines
+            ELSE 0 END AS BIGINT) AS removed_permille,
+       coalesce(kept_head, '') AS kept_head
+FROM (SELECT doc_id FROM corpus) c LEFT JOIN per USING (doc_id)
+"""
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1992,6 +2231,128 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tepsonic_database_sync_spark.operators.packing import pack_sequences
 
     return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-layout audit over the pack_sequences coordinates: per
+    shard, window fill rate, boundary-straddle rate and oversize-doc
+    rate — the report a run reads before committing to a context
+    length. Design in operators/packing.py::packing_efficiency."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.packing import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    return packing_efficiency(
+        pack_sequences(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _packing_efficiency_oracle() -> str:
+    """DuckDB twin: the pack_sequences oracle chain + one per-source
+    rollup with the same integer permilles."""
+    return r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS run_end
+  FROM t
+),
+p AS (
+  SELECT source, n_toks,
+         CASE WHEN n_toks = 0 THEN -1
+              ELSE (run_end - 1) // 512 END AS chunk_last,
+         CASE WHEN n_toks = 0 THEN 0
+              ELSE (run_end - 1) // 512 - (run_end - n_toks) // 512 + 1
+              END AS n_chunks
+  FROM c
+),
+a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_toks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_packed_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         CAST(greatest(max(chunk_last) + 1, 0) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_crossing,
+         CAST(sum(CASE WHEN n_toks > 512 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oversize
+  FROM p GROUP BY source
+)
+SELECT source, n_docs, n_packed_docs, total_tokens, n_windows,
+       CAST(CASE WHEN n_windows > 0
+            THEN total_tokens * 1000 // (n_windows * 512)
+            ELSE 0 END AS BIGINT) AS fill_permille,
+       CAST(CASE WHEN n_packed_docs > 0
+            THEN n_crossing * 1000 // n_packed_docs
+            ELSE 0 END AS BIGINT) AS crossing_permille,
+       CAST(CASE WHEN n_packed_docs > 0
+            THEN n_oversize * 1000 // n_packed_docs
+            ELSE 0 END AS BIGINT) AS oversize_permille
+FROM a
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novel-8-gram rate over the raw corpus (Lee et al.
+    2022's memorization audit): an n-gram is novel iff this is its
+    corpus-first occurrence by (doc_id, position). The 31-type
+    vocabulary makes gram reuse heavy, so the rate is non-vacuously
+    inside (0, 1000). Design in operators/dedup.py::ngram_novelty."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_novelty_oracle() -> str:
+    """DuckDB twin of dedup.ngram_novelty: identical positional grams
+    (inclusive slice == Spark's slice(t, i, n)), identical h60 key,
+    keeper via row_number over (doc_id, i)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        NGRAM_NOVELTY_N as n,
+    )
+    from tepsonic_database_sync_spark.functions.hashing import h60_sql
+
+    k = h60_sql(f"array_to_string(t[i : i + {n - 1}], ' ')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) AS i, {k} AS key
+  FROM toks, unnest(range(1, len(t) - {n} + 2)) r(i)
+  WHERE len(t) >= {n}
+),
+flagged AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, i) = 1
+           AS novel
+  FROM grams
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN coalesce(n_grams, 0) > 0
+            THEN n_novel * 1000 // n_grams
+            ELSE 0 END AS BIGINT) AS novelty_permille
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+"""
 
 
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9916,7 +10277,7 @@ FROM pred GROUP BY 1, 2
 
 # name → (spark callable, oracle sql | None) — the CATALOG. Definition
 # order here is historical; the driver-facing order (window contract)
-# is rebuilt below from _R14_WINDOW + _TAIL_FRESHNESS.
+# is rebuilt below from _R15_WINDOW + _TAIL_FRESHNESS.
 #
 # Historical allocation notes (r8): Round-8 allocation: the 19 new r8
 # operators (batch 1 bfs_hops … layout_prune, batch 2
@@ -10080,6 +10441,7 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "kmeans_train": (q_kmeans_train, _O["kmeans_train"]),
     "mixture_sample": (q_mixture_sample, _O["mixture_sample"]),
     "pack_sequences": (q_pack_sequences, _O["pack_sequences"]),
+    "packing_efficiency": (q_packing_efficiency, _packing_efficiency_oracle()),
     "s10_report": (q_s10_report, _O["s10_report"]),
     "s2_full_scan": (q_s2_full_scan, _O["s2_full_scan"]),
     "s8_upsert": (q_s8_upsert, _O["s8_upsert"]),
@@ -10104,6 +10466,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "s9_backfill": (q_s9_backfill, _O["s9_backfill"]),
     "x1_dispatch": (q_x1_dispatch, _O["x1_dispatch"]),
     "dedup_exact": (q_dedup_exact, _O["dedup_exact"]),
+    "line_dedup": (q_line_dedup, _line_dedup_oracle()),
+    "ngram_novelty": (q_ngram_novelty, _ngram_novelty_oracle()),
     "text_stats": (q_text_stats, _O["text_stats"]),
     "funnel": (q_funnel, _O["funnel"]),
     "p3_uid_coalesce": (q_p3_uid_coalesce, _O["p3_uid_coalesce"]),
@@ -10162,6 +10526,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "triangle_stats": (q_triangle_stats, _triangle_oracle()),
     "attribution_models": (q_attribution_models, _attribution_models_oracle()),
     "text_lm_score": (q_text_lm_score, _lm_score_oracle()),
+    "vocab_coverage": (q_vocab_coverage, _vocab_coverage_oracle()),
+    "lang_mix_audit": (q_lang_mix_audit, _lang_mix_audit_oracle()),
     "dedup_incremental": (q_dedup_incremental, _DEDUP_INCREMENTAL_ORACLE),
     "prepare_corpus": (q_prepare_corpus, _prepare_corpus_oracle()),
     "snapshot_diff": (q_snapshot_diff, _O["snapshot_diff"]),
@@ -10245,112 +10611,143 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #     pack_sequences_bpe + bpe_fertility — the round's FIVE additions
 #     (new entries are always in-window).
 # After r14 the last-green floor is r09.
-_R14_WINDOW = [
-    "count_distinct", "window_running_total", "multimodal_stats",
-    "multimodal_frames", "multimodal_features", "multimodal_resize",
-    "text_bm25", "text_repetition", "sketch_distinct",
-    "sketch_percentile", "sketch_topk", "asof_join",
-    "range_join", "sessionize_batch", "set_intersect",
-    "tpch_q2_min_cost", "tpch_q4_order_priority", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt", "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting", "a3_merge_idempotent", "a4_stock_totals",
-    "ann_bruteforce_topk", "ann_ivf_topk", "decontaminate",
-    "dedup_clusters", "dedup_jaccard_banded", "dedup_minhash_lsh",
-    "dedup_simhash", "embed_neardup", "j2_match_partial",
-    "j3_item_lookup", "kmeans_train", "mixture_sample",
-    "pack_sequences",  
-    "mixture_rebalance",
-    "bpe_train", "dedup_edit_verified", "quality_stack",
-    "bpe_encode", "mixture_rebalance_bpe", "ccnet_buckets",
-    "pack_sequences_bpe", "bpe_fertility", "gopher_rules",
+# r15 window allocation (VERDICT r14 next-round 1 + SURVEY "Round-15
+# natural queue head"): the natural window = the first 50 tail entries
+# in queue order — the ten r09-green reference-spine entries displaced
+# by the r14 swaps (s10_report, s2_full_scan, s8_upsert, scd2_history,
+# sync_merge_resync, sync_pipeline, sync_summary, x2_quarantine,
+# window_funnel, item_cooccur) retire FIRST, then the r09 remainder
+# (s1_rest_ingest, model_score, model_score_hist,
+# tpch_q15_top_supplier, the stream twins, j5, stream_tumbling, p1,
+# f1, bfs_hops) and the front of the r11 block through the natural
+# cut — with THIRTEEN swaps displacing the least-stale thirteen of
+# the natural 50 (stream_dedup, stream_enrich, rollup_multires,
+# tpch_q5_region_revenue, tpch_q12_priority_counts, tpch_q13_custdist,
+# tpch_q18_big_orders, skew_salted_agg, skew_salted_join, dq_checks,
+# dataset_split, outliers_p99, mom_growth — all r11-green, they head
+# the r16 queue):
+#   - j2_match_partial + multimodal_phash_dedup — the r15
+#     lambda-capture audit fixes (lower(name) / hex(payload) captured
+#     in positional transform lambdas — O(n²)/row; hash-identical at
+#     3 SFs, see SCALE.md);
+#   - text_repetition + gopher_rules + fineweb_filters +
+#     quality_stack — the shared signal-builder extraction
+#     (ADVICE r14: one set of Column builders feeds the standalone
+#     gates AND the fused stack; hash-identical at 3 SFs) plus
+#     quality_stack's new checkpoint flag;
+#   - mixture_rebalance_bpe — the BPE oracle chain's CTE name is now
+#     a _bpe_chain_parts parameter, not a post-hoc string replace
+#     (ADVICE r14; emitted SQL byte-identical, re-certified anyway);
+#   - ccnet_buckets_pct + line_dedup + vocab_coverage +
+#     lang_mix_audit + packing_efficiency + ngram_novelty — the
+#     round's SIX additions (new entries are always in-window).
+# After r15 the last-green floor is r11.
+_R15_WINDOW = [
+    "s10_report", "s2_full_scan", "s8_upsert",
+    "scd2_history", "sync_merge_resync", "sync_pipeline",
+    "sync_summary", "x2_quarantine", "window_funnel",
+    "item_cooccur", "s1_rest_ingest", "model_score",
+    "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
+    "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
+    "p1_norm_name", "f1_status_filter", "bfs_hops",
+    "j1_match_exact", "s3_filtered_scan", "s9_backfill",
+    "x1_dispatch", "dedup_exact", "text_stats",
+    "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
+    "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
+    "set_except", "events_json", "stream_sliding",
+    "stream_sessions", "packing_efficiency", "ngram_novelty",
+    "j2_match_partial", "multimodal_phash_dedup", "text_repetition",
+    "gopher_rules", "fineweb_filters", "quality_stack",
+    "mixture_rebalance_bpe", "ccnet_buckets_pct", "line_dedup",
+    "vocab_coverage", "lang_mix_audit",
 ]
 
 _TAIL_FRESHNESS = [
-    "count_distinct", "window_running_total", "multimodal_stats",
-    "multimodal_frames", "multimodal_features", "multimodal_resize",
-    "text_bm25", "text_repetition", "sketch_distinct",
-    "sketch_percentile", "sketch_topk", "asof_join",
-    "range_join", "sessionize_batch", "set_intersect",
-    "tpch_q2_min_cost", "tpch_q4_order_priority", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt", "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting", "a3_merge_idempotent", "a4_stock_totals",
-    "ann_bruteforce_topk", "ann_ivf_topk", "decontaminate",
-    "dedup_clusters", "dedup_jaccard_banded", "dedup_minhash_lsh",
-    "dedup_simhash", "embed_neardup", "j2_match_partial",
-    "j3_item_lookup", "kmeans_train", "mixture_sample",
-    "pack_sequences", "s10_report", "s2_full_scan",
-    "s8_upsert", "scd2_history", "sync_merge_resync",
-    "sync_pipeline", "sync_summary", "x2_quarantine",
-    "window_funnel", "item_cooccur", "s1_rest_ingest",
-    "model_score", "model_score_hist", "tpch_q15_top_supplier",
-    "stream_stream_join", "stream_conversion", "j5_valid_skip_split",
-    "stream_tumbling", "p1_norm_name", "f1_status_filter",
-    "bfs_hops", "j1_match_exact", "s3_filtered_scan",
-    "s9_backfill", "x1_dispatch", "dedup_exact",
-    "text_stats", "funnel", "p3_uid_coalesce",
-    "p4_cents_to_dollars", "p6_resolve_variant", "window_topk_per_cust",
-    "window_range_frame", "set_except", "events_json",
-    "stream_sliding", "stream_sessions", "stream_dedup",
-    "stream_enrich", "rollup_multires", "tpch_q5_region_revenue",
-    "tpch_q12_priority_counts", "tpch_q13_custdist", "tpch_q18_big_orders",
-    "skew_salted_agg", "skew_salted_join", "dq_checks",
-    "dataset_split", "outliers_p99", "mom_growth",
-    "cohort_retention", "stratified_sample", "percentiles",
-    "text_lang_id", "text_quality", "containment_pairs",
-    "multimodal_phash_dedup", "mmr_rerank", "graph_components",
-    "dedup_clusters_star", "embed_dedup_clusters", "dedup_canonicalize",
-    "semdedup", "kmv_distinct", "dup_substring_rate",
-    "mg_summary", "dsir_select", "text_fingerprint",
-    "text_top_terms", "text_winnow", "text_chunks",
-    "text_scrub", "decontaminate_bloom", "time_resample",
-    "runtime_filter_join", "token_pmi", "zorder_stats",
-    "weighted_sample", "cdc_incremental_agg", "match_fuzzy",
-    "psi_drift", "compaction_plan", "interval_concurrency",
-    "ewma", "group_moments", "hll_registers",
-    "tvd_drift", "k_anonymity", "leaderboard",
-    "outliers_mad", "triangle_stats", "attribution_models",
-    "dedup_incremental", "prepare_corpus", "snapshot_diff",
-    "event_transitions", "event_anomaly", "grouped_quantiles",
-    "source_overlap", "skew_profile", "cdc_roundtrip",
-    "text_hash_embed", "winnow_overlap", "profile_table",
-    "join_size_estimate", "ann_pq_topk", "ann_ivf_pq_topk",
-    "label_propagation", "dedup_prefix_filter", "lsh_quality",
-    "substring_dedup", "l_diversity", "rm3_feedback",
-    "blocking_quality_sampled", "semdedup_two_level", "group_entropy",
-    "grouped_mode", "active_users", "quantile_bucketize",
-    "dedup_keep_best", "growth_accounting", "dedup_ngram_jaccard",
-    "p_nested_project", "topk_orders", "set_union",
-    "ann_lsh_topk", "linear_interp", "seasonal_profile",
-    "grouped_regression", "chi_square", "class_balance",
-    "negative_sample", "inverted_index", "tfidf_doc_sim",
-    "chunk_dedup", "layout_prune", "interval_join",
-    "rrf_fusion", "embed_outliers", "domain_cap",
-    "epoch_order", "event_paths", "pagerank",
-    "ohlc_bars", "cube_sales", "exists_subquery",
-    "tpch_q1_pricing", "tpch_q3_topk", "tpch_q10_returns",
-    "tpch_q6_sql", "tpch_q17_small_qty", "tpch_q22_idle_custs",
-    "rollup_sales", "pivot_segment_priority", "unpivot",
-    "text_lm_score", "gopher_rules", "fineweb_filters",
-    "mixture_rebalance", "quality_stack", "snapshot_dedup",
-    "snapshot_dedup_incremental", "dedup_edit_verified", "bpe_train",
-    "kcore", "bpe_encode", "mixture_rebalance_bpe",
-    "ccnet_buckets", "pack_sequences_bpe", "bpe_fertility",
-    "ccnet_buckets_pct",
+    "s10_report", "s2_full_scan", "s8_upsert",
+    "scd2_history", "sync_merge_resync", "sync_pipeline",
+    "sync_summary", "x2_quarantine", "window_funnel",
+    "item_cooccur", "s1_rest_ingest", "model_score",
+    "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
+    "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
+    "p1_norm_name", "f1_status_filter", "bfs_hops",
+    "j1_match_exact", "s3_filtered_scan", "s9_backfill",
+    "x1_dispatch", "dedup_exact", "text_stats",
+    "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
+    "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
+    "set_except", "events_json", "stream_sliding",
+    "stream_sessions", "stream_dedup", "stream_enrich",
+    "rollup_multires", "tpch_q5_region_revenue", "tpch_q12_priority_counts",
+    "tpch_q13_custdist", "tpch_q18_big_orders", "skew_salted_agg",
+    "skew_salted_join", "dq_checks", "dataset_split",
+    "outliers_p99", "mom_growth", "cohort_retention",
+    "stratified_sample", "percentiles", "text_lang_id",
+    "text_quality", "containment_pairs", "multimodal_phash_dedup",
+    "mmr_rerank", "graph_components", "dedup_clusters_star",
+    "embed_dedup_clusters", "dedup_canonicalize", "semdedup",
+    "kmv_distinct", "dup_substring_rate", "mg_summary",
+    "dsir_select", "text_fingerprint", "text_top_terms",
+    "text_winnow", "text_chunks", "text_scrub",
+    "decontaminate_bloom", "time_resample", "runtime_filter_join",
+    "token_pmi", "zorder_stats", "weighted_sample",
+    "cdc_incremental_agg", "match_fuzzy", "psi_drift",
+    "compaction_plan", "interval_concurrency", "ewma",
+    "group_moments", "hll_registers", "tvd_drift",
+    "k_anonymity", "leaderboard", "outliers_mad",
+    "triangle_stats", "attribution_models", "dedup_incremental",
+    "prepare_corpus", "snapshot_diff", "event_transitions",
+    "event_anomaly", "grouped_quantiles", "source_overlap",
+    "skew_profile", "cdc_roundtrip", "text_hash_embed",
+    "winnow_overlap", "profile_table", "join_size_estimate",
+    "ann_pq_topk", "ann_ivf_pq_topk", "label_propagation",
+    "dedup_prefix_filter", "lsh_quality", "substring_dedup",
+    "l_diversity", "rm3_feedback", "blocking_quality_sampled",
+    "semdedup_two_level", "group_entropy", "grouped_mode",
+    "active_users", "quantile_bucketize", "dedup_keep_best",
+    "growth_accounting", "dedup_ngram_jaccard", "p_nested_project",
+    "topk_orders", "set_union", "ann_lsh_topk",
+    "linear_interp", "seasonal_profile", "grouped_regression",
+    "chi_square", "class_balance", "negative_sample",
+    "inverted_index", "tfidf_doc_sim", "chunk_dedup",
+    "layout_prune", "interval_join", "rrf_fusion",
+    "embed_outliers", "domain_cap", "epoch_order",
+    "event_paths", "pagerank", "ohlc_bars",
+    "cube_sales", "exists_subquery", "tpch_q1_pricing",
+    "tpch_q3_topk", "tpch_q10_returns", "tpch_q6_sql",
+    "tpch_q17_small_qty", "tpch_q22_idle_custs", "rollup_sales",
+    "pivot_segment_priority", "unpivot", "text_lm_score",
+    "fineweb_filters", "snapshot_dedup", "snapshot_dedup_incremental",
+    "kcore", "count_distinct", "window_running_total",
+    "multimodal_stats", "multimodal_frames", "multimodal_features",
+    "multimodal_resize", "text_bm25", "text_repetition",
+    "sketch_distinct", "sketch_percentile", "sketch_topk",
+    "asof_join", "range_join", "sessionize_batch",
+    "set_intersect", "tpch_q2_min_cost", "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit",
+    "tpch_q14_promo_share", "tpch_q16_supplier_cnt", "tpch_q19_disjunctive",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting", "a3_merge_idempotent",
+    "a4_stock_totals", "ann_bruteforce_topk", "ann_ivf_topk",
+    "decontaminate", "dedup_clusters", "dedup_jaccard_banded",
+    "dedup_minhash_lsh", "dedup_simhash", "embed_neardup",
+    "j2_match_partial", "j3_item_lookup", "kmeans_train",
+    "mixture_sample", "pack_sequences", "mixture_rebalance",
+    "bpe_train", "dedup_edit_verified", "quality_stack",
+    "bpe_encode", "mixture_rebalance_bpe", "ccnet_buckets",
+    "pack_sequences_bpe", "bpe_fertility", "gopher_rules",
+    "ccnet_buckets_pct", "line_dedup", "vocab_coverage",
+    "lang_mix_audit", "packing_efficiency", "ngram_novelty",
 ]
 
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the
 # guard against the r8 silent-drop failure mode and must survive
 # ``python -O`` (which strips asserts) (ADVICE r9).
-if len(_R14_WINDOW) != 50:
-    raise RuntimeError(f"window must be exactly 50, got {len(_R14_WINDOW)}")
-if len(set(_R14_WINDOW)) != 50:
+if len(_R15_WINDOW) != 50:
+    raise RuntimeError(f"window must be exactly 50, got {len(_R15_WINDOW)}")
+if len(set(_R15_WINDOW)) != 50:
     raise RuntimeError("duplicate name in window")
-_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R14_WINDOW)]
+_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R15_WINDOW)]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    n: _REGISTRY_DEF[n] for n in (*_R14_WINDOW, *_tail)
+    n: _REGISTRY_DEF[n] for n in (*_R15_WINDOW, *_tail)
 }
 if set(REGISTRY) != set(_REGISTRY_DEF):
     raise RuntimeError(

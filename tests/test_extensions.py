@@ -3429,6 +3429,247 @@ def test_ccnet_buckets_nonvacuous_at_oracle_sf(spark):
     assert buckets == {"head", "middle", "tail"}
 
 
+def test_packing_efficiency_laws_on_crafted_counts(spark):
+    """The audit recomputed by hand on a crafted count frame fed
+    straight into pack_from_counts (ctx 10): shard A = [4, 8, 3]
+    (doc 2 crosses the 10-boundary; stream 15 tokens → 2 windows →
+    fill 750‰), shard B = [12, 0] (oversize doc + the zero-token
+    sentinel doc the whitespace path can never produce — it must count
+    in n_docs but not n_packed_docs)."""
+    from tepsonic_database_sync_spark.operators.packing import (
+        pack_from_counts,
+        packing_efficiency,
+    )
+
+    toked = spark.createDataFrame(
+        [
+            (1, "A", 4),
+            (2, "A", 8),
+            (3, "A", 3),
+            (4, "B", 12),
+            (5, "B", 0),
+        ],
+        "doc_id long, source string, n_toks long",
+    )
+    packed = pack_from_counts(toked, ctx_len=10)
+    out = {
+        r["source"]: r
+        for r in packing_efficiency(packed, ctx_len=10).collect()
+    }
+    a, b = out["A"], out["B"]
+    assert a["n_docs"] == 3 and a["n_packed_docs"] == 3
+    assert a["total_tokens"] == 15 and a["n_windows"] == 2
+    assert a["fill_permille"] == (15 * 1000) // 20
+    assert a["crossing_permille"] == (1 * 1000) // 3  # doc 2 spans 4..11
+    assert a["oversize_permille"] == 0
+    assert b["n_docs"] == 2 and b["n_packed_docs"] == 1
+    assert b["total_tokens"] == 12 and b["n_windows"] == 2
+    assert b["crossing_permille"] == 1000 and b["oversize_permille"] == 1000
+
+
+def test_ngram_novelty_equals_pure_python(spark):
+    """Novel-gram rate recomputed naively: first corpus occurrence by
+    (doc_id, position) wins — across docs AND within a doc; short docs
+    report zeros; a full-duplicate doc reports novelty 0."""
+    from collections import OrderedDict
+
+    from tepsonic_database_sync_spark.operators.dedup import ngram_novelty
+
+    texts = [
+        (1, "a b c d e f g h i j"),        # 3 grams, all novel
+        (2, "a b c d e f g h x y z w"),    # gram 1 seen in doc 1
+        (3, "a b c d e f g h i j"),        # full duplicate of doc 1
+        (4, "too short"),
+        (5, "p p p p p p p p p p p p p p p p"),  # within-doc repeats
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    n = 8
+    seen: "OrderedDict[str, tuple]" = OrderedDict()
+    want = {}
+    for doc_id, t in texts:
+        toks = t.split()
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        novel = 0
+        for i, g in enumerate(grams):
+            if g not in seen:
+                seen[g] = (doc_id, i)
+                novel += 1
+        ng = len(grams) if len(toks) >= n else 0
+        want[doc_id] = (ng, novel if ng else 0)
+    got = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    for doc_id, (ng, nv) in want.items():
+        r = got[doc_id]
+        assert r["n_grams"] == ng, doc_id
+        assert r["n_novel"] == nv, doc_id
+        assert r["novelty_permille"] == (
+            (nv * 1000) // ng if ng else 0
+        ), doc_id
+    assert got[3]["novelty_permille"] == 0
+    assert got[5]["n_novel"] == 1  # only the first within-doc gram
+
+
+def test_lang_mix_audit_flags_mixed_documents(spark):
+    """A doc whose halves are confidently different languages must
+    report a non-zero minority share with the right majority
+    (deterministic tie → lexicographically smaller language); a pure
+    doc reports mix 0; an empty doc reports ('und', zeros)."""
+    from tepsonic_database_sync_spark.operators.text import lang_mix_audit
+
+    # exact 32-token blocks → chunk boundaries align with language
+    # boundaries (chunk size = LANG_MIX_CHUNK_TOKENS = 32)
+    en = ("the a of and to in is pad " * 4).strip()    # 32 tokens, all en
+    es = ("el la de que y en los pad " * 4).strip()    # 32 tokens, all es
+    docs = spark.createDataFrame(
+        [
+            (1, en + " " + es + " " + es),  # 3 chunks: en, es, es
+            (2, en),
+            (3, ""),
+            (4, en + " " + es),             # 2 chunks: 1-1 tie
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lang_mix_audit(docs).collect()}
+    assert out[1]["major_lang"] == "es"
+    assert out[1]["mix_permille"] == 333  # (3-2)*1000 // 3
+    assert out[1]["n_langs"] == 2
+    assert out[2]["major_lang"] == "en" and out[2]["mix_permille"] == 0
+    assert out[3]["major_lang"] == "und" and out[3]["n_chunks"] == 0
+    # 50/50 tie: majority goes to 'en' < 'es' lexicographically
+    assert out[4]["major_lang"] == "en"
+    # mix_permille law recomputed
+    for i in (1, 2, 4):
+        r = out[i]
+        assert r["mix_permille"] == (
+            (r["n_chunks"] - r["n_major"]) * 1000
+        ) // r["n_chunks"]
+
+
+def test_vocab_coverage_equals_pure_python_topk_mass(spark):
+    """The coverage curve recomputed naively in Python — rank types by
+    (count desc, token asc), sum the top-K masses — on a corpus whose
+    counts TIE across a cutoff (the split-group interpolation must be
+    exact, not approximate), plus K beyond the vocabulary and an
+    oov+covered consistency bound (independent integer divisions may
+    under-sum 1000 by at most 1)."""
+    from collections import Counter
+
+    from tepsonic_database_sync_spark.operators.text import vocab_coverage
+
+    texts = [
+        (1, "a a a a b b b c c d"),      # counts: a4 b3 c2 d1
+        (2, "b c d e e f"),              # b4 c3 d2 e2 f1
+        (3, "g g h"),                    # ties: c3=g2? g2 h1
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    counts = Counter()
+    for _i, t in texts:
+        counts.update(t.split())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    cuts = [1, 2, 3, 5, 7, 100]
+    out = {
+        r["vocab_size"]: r
+        for r in vocab_coverage(docs, cuts=cuts).collect()
+    }
+    assert set(out) == set(cuts)
+    for k in cuts:
+        covered = sum(c for _t, c in ranked[:k])
+        assert out[k]["n_types_used"] == min(k, len(ranked))
+        assert out[k]["covered_permille"] == (covered * 1000) // total, k
+        assert out[k]["oov_permille"] == ((total - covered) * 1000) // total
+        s = out[k]["covered_permille"] + out[k]["oov_permille"]
+        assert 999 <= s <= 1000
+    assert out[100]["covered_permille"] == 1000
+    assert out[100]["oov_permille"] == 0
+
+
+def test_vocab_coverage_monotone_at_oracle_sf(spark, registry_plans):
+    """At the oracle SF the curve must be non-decreasing in K,
+    strictly below 1000 at the smallest cut and exactly 1000 at the
+    beyond-vocabulary cut (the corpus vocabulary is 31 types — the
+    registry cuts land inside it, so every branch is non-vacuous);
+    the plan's Window must consume the histogram-of-counts aggregate,
+    never raw tokens (Sort above HashAggregate — the model_score_hist
+    rule)."""
+    from tepsonic_database_sync_spark.registry import q_vocab_coverage
+
+    from conftest import SF_ORACLE
+
+    rows = sorted(
+        q_vocab_coverage(spark, SF_ORACLE).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    cov = [r["covered_permille"] for r in rows]
+    assert cov == sorted(cov)
+    assert cov[0] < 1000
+    assert cov[-1] == 1000
+    assert rows[-1]["n_types_used"] < rows[-1]["vocab_size"]
+    plan = registry_plans["vocab_coverage"]
+    assert "Window" in plan
+    assert "Sort " in plan and "HashAggregate" in plan
+    # top-down print: the Sort's SUBTREE must aggregate before it
+    # scans — a raw-row sort would read Sort → ... → Scan with no
+    # HashAggregate in between (the tot branch prints earlier, so a
+    # whole-plan index compare would pin the wrong branch)
+    below_sort = plan[plan.index("Sort ") :]
+    assert "HashAggregate" in below_sort
+    assert below_sort.index("HashAggregate") < below_sort.index(
+        "Scan parquet"
+    )
+
+
+def test_line_dedup_keeps_corpus_first_occurrence_only(spark):
+    """The CCNet paragraph-dedup rule on a crafted corpus: a boilerplate
+    line repeated across docs survives only at its corpus-first
+    (doc_id, line_no); within-doc repeats are removed too; unique lines
+    all survive; a doc whose every line was seen earlier keeps nothing
+    (kept_head '' — not NULL); empty docs report zeros; normalization
+    (lower/trim) unifies variants before hashing."""
+    from tepsonic_database_sync_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Cookie Banner\nunique one\ncookie banner"),
+            (2, "  COOKIE BANNER  \nunique two"),
+            (3, "cookie banner\nunique two"),  # both lines seen earlier
+            (4, ""),
+            (5, "unique five\nunique five\ntail five"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["kept_head"] == "cookie banner\nunique one"
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["kept_head"] == "unique two"
+    assert out[3]["n_lines"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["kept_head"] == ""
+    assert out[3]["removed_permille"] == 1000
+    assert out[4]["n_lines"] == 0 and out[4]["kept_head"] == ""
+    assert out[4]["removed_permille"] == 0
+    assert out[5]["n_lines"] == 3 and out[5]["n_kept"] == 2
+    assert out[5]["kept_head"] == "unique five\ntail five"
+
+
+def test_line_dedup_nonvacuous_at_oracle_sf(spark):
+    """Over the dup-injected corpus every copy doc must lose all its
+    lines (the original is corpus-first) and originals keep at least
+    one — both keep-rule branches exercised where the driver hashes."""
+    from tepsonic_database_sync_spark.registry import q_line_dedup
+
+    from conftest import SF_ORACLE
+
+    rows = q_line_dedup(spark, SF_ORACLE).collect()
+    copies = [r for r in rows if r["doc_id"] >= 10000000 and r["n_lines"] > 0]
+    origs = [r for r in rows if r["doc_id"] < 10000000 and r["n_lines"] > 0]
+    assert copies and origs
+    assert all(r["n_kept"] == 0 and r["removed_permille"] == 1000
+               for r in copies)
+    assert any(r["n_kept"] > 0 for r in origs)
+
+
 def test_ccnet_buckets_pct_equals_pure_python_percentiles(spark):
     """The published-percentile law, recomputed from lm_score in pure
     Python: min-rank over each language's scorable avg_nll values,

@@ -1413,3 +1413,31 @@ def test_kcore_rounds_are_semi_joins_no_cartesian(spark, registry_plans):
     assert "CartesianProduct" not in rplan
     assert "LeftSemi" in rplan
     assert "partial_count" in rplan
+
+
+def test_line_dedup_keeper_is_map_side_min_no_nested_loop(
+    spark, registry_plans
+):
+    """line_dedup's keeper pick must live inside the ONE line-key
+    aggregation (min(struct) is algebraic → partial-combined map-side,
+    so a million-copy boilerplate line ships one row per map task),
+    and the keeper attach must stay a key equi-join — no nested loop,
+    no Cartesian, no window over raw occurrences."""
+    plan = registry_plans["line_dedup"]
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_ngram_novelty_keeper_is_map_side_min_no_nested_loop(
+    spark, registry_plans
+):
+    """Same contract as line_dedup at gram granularity (the shared
+    keeper rule): map-side partial min on the gram key, equi-join
+    attach, no window over raw gram occurrences."""
+    plan = registry_plans["ngram_novelty"]
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
