@@ -257,6 +257,9 @@ HEADLINE = [
     # audit (one rollup over the pack coordinates)
     "ngram_novelty",
     "packing_efficiency",
+    # r15 cont.: per-source contamination rates (broadcast gram probe
+    # + one source rollup)
+    "contamination_report",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -340,6 +340,20 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_contamination_report():
+        # r15: the decontaminate broadcast-probe shape + one source
+        # rollup; per-copy suffixes keep bench-gram hits within-copy,
+        # so the probe scan grows linearly and the rollup stays
+        # |sources|-row
+        from tepsonic_database_sync_spark.operators.dedup import (
+            contamination_report,
+        )
+
+        d = docs.withColumn("source", (F.col("doc_id") % 7).cast("string"))
+        contamination_report(d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def run_lang_mix():
         # r15: chunk generator + row-local lang-ID + two map-side
         # combined aggregates — should track fineweb's linear shape
@@ -358,6 +372,7 @@ def _doc_ops(docs, factor: int = 1):
         "lang_mix_audit": run_lang_mix,
         "ngram_novelty": run_ngram_novelty,
         "packing_efficiency": run_packing_efficiency,
+        "contamination_report": run_contamination_report,
         "lsh+star_clusters": run_lsh_clusters,
         "blocking_audit(n≈const)": run_blocking_audit,
         "containment_pairs": run_containment,

@@ -2207,3 +2207,54 @@ def ngram_novelty(docs: DataFrame, n: int = NGRAM_NOVELTY_N) -> DataFrame:
             ),
         )
     )
+
+
+def contamination_report(
+    docs: DataFrame, source_col: str = "source", **kwargs
+) -> DataFrame:
+    """Per-source benchmark-contamination report — the curation
+    dashboard over ``contamination_flags``: WHICH sources leak eval
+    data is the actionable question (a contaminated source gets
+    dropped or re-filtered wholesale; the per-doc flags alone don't
+    localize the leak). Keyword args pass through to
+    ``contamination_flags``.
+
+    Exact integer semantics per source (training docs only — the
+    held-out benchmark slice is excluded by construction):
+    ``contamination_permille = n_contaminated · 1000 div n_docs``,
+    plus the total and max hit-gram counts for severity.
+
+    Scale shape: ``contamination_flags``'s plan (broadcast gram probe,
+    one doc_id groupBy) + the source attach on uniformly-spread doc_id
+    + ONE map-side-combined rollup to |sources| rows.
+
+    Returns (source, n_docs, n_contaminated, contamination_permille,
+    total_hit_grams, max_hit_grams).
+    """
+    flags = contamination_flags(docs, **kwargs)
+    j = flags.join(
+        docs.select("doc_id", F.col(source_col).alias("source")), "doc_id"
+    )
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum("n_hit_grams").cast("long").alias("total_hit_grams"),
+        F.max("n_hit_grams").cast("long").alias("max_hit_grams"),
+    )
+    z = F.lit(0).cast("long")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_contaminated",
+        F.when(
+            F.col("n_docs") > 0,
+            F.floor((F.col("n_contaminated") * 1000) / F.col("n_docs"))
+            .cast("long"),
+        )
+        .otherwise(z)
+        .alias("contamination_permille"),
+        "total_hit_grams",
+        "max_hit_grams",
+    )

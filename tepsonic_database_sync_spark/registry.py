@@ -2207,6 +2207,64 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(load_table(spark, sf_dir, "documents"))
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source benchmark-contamination rates — the report that
+    localizes WHICH sources leak eval data (the actionable curation
+    unit). Design in operators/dedup.py::contamination_report."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    return contamination_report(load_table(spark, sf_dir, "documents"))
+
+
+def _contamination_report_oracle() -> str:
+    """DuckDB twin: the decontaminate oracle body + the source attach
+    + one per-source rollup with the integer permille."""
+    return f"""
+WITH {{toks}}{{shingles}},
+f AS (
+  SELECT doc_id, shingles,
+         {_D_H60.format(e="'bench:' || CAST(doc_id AS VARCHAR)")} % 100 < 5
+           AS is_bench
+  FROM sh
+),
+bg AS (SELECT DISTINCT unnest(shingles) AS g FROM f WHERE is_bench),
+tr AS (SELECT doc_id, unnest(shingles) AS g FROM f WHERE NOT is_bench),
+hits AS (
+  SELECT tr.doc_id, count(*) AS nh FROM tr JOIN bg USING (g)
+  GROUP BY tr.doc_id
+),
+flags AS (
+  SELECT f.doc_id,
+         CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_grams,
+         coalesce(h.nh, 0) >= 1 AS contaminated
+  FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id
+  WHERE NOT f.is_bench
+),
+j AS (
+  SELECT fl.*, d.source
+  FROM flags fl JOIN documents d ON d.doc_id = fl.doc_id
+),
+a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+         CAST(sum(n_hit_grams) AS BIGINT) AS total_hit_grams,
+         CAST(max(n_hit_grams) AS BIGINT) AS max_hit_grams
+  FROM j GROUP BY source
+)
+SELECT source, n_docs, n_contaminated,
+       CAST(CASE WHEN n_docs > 0
+            THEN n_contaminated * 1000 // n_docs
+            ELSE 0 END AS BIGINT) AS contamination_permille,
+       total_hit_grams, max_hit_grams
+FROM a
+""".format(toks=_D_TOKS, shingles=_D_SHINGLES)
+
+
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with the benchmark gram set carried as a Bloom
     bitset (the exact-broadcast-outgrown shape: billions of grams = MBs
@@ -10429,6 +10487,7 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
     "ann_ivf_topk": (q_ann_ivf_topk, _O["ann_ivf_topk"]),
     "decontaminate": (q_decontaminate, _O["decontaminate"]),
+    "contamination_report": (q_contamination_report, _contamination_report_oracle()),
     "dedup_canonicalize": (q_dedup_canonicalize, _O["dedup_canonicalize"]),
     "dedup_clusters": (q_dedup_clusters, _O["dedup_clusters"]),
     "dedup_clusters_star": (q_dedup_clusters_star, _O["dedup_clusters"]),
@@ -10620,12 +10679,12 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # (s1_rest_ingest, model_score, model_score_hist,
 # tpch_q15_top_supplier, the stream twins, j5, stream_tumbling, p1,
 # f1, bfs_hops) and the front of the r11 block through the natural
-# cut — with THIRTEEN swaps displacing the least-stale thirteen of
-# the natural 50 (stream_dedup, stream_enrich, rollup_multires,
-# tpch_q5_region_revenue, tpch_q12_priority_counts, tpch_q13_custdist,
-# tpch_q18_big_orders, skew_salted_agg, skew_salted_join, dq_checks,
-# dataset_split, outliers_p99, mom_growth — all r11-green, they head
-# the r16 queue):
+# cut — with FOURTEEN swaps displacing the least-stale fourteen of
+# the natural 50 (stream_sessions, stream_dedup, stream_enrich,
+# rollup_multires, tpch_q5_region_revenue, tpch_q12_priority_counts,
+# tpch_q13_custdist, tpch_q18_big_orders, skew_salted_agg,
+# skew_salted_join, dq_checks, dataset_split, outliers_p99,
+# mom_growth — all r11-green, they head the r16 queue):
 #   - j2_match_partial + multimodal_phash_dedup — the r15
 #     lambda-capture audit fixes (lower(name) / hex(payload) captured
 #     in positional transform lambdas — O(n²)/row; hash-identical at
@@ -10639,8 +10698,9 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #     a _bpe_chain_parts parameter, not a post-hoc string replace
 #     (ADVICE r14; emitted SQL byte-identical, re-certified anyway);
 #   - ccnet_buckets_pct + line_dedup + vocab_coverage +
-#     lang_mix_audit + packing_efficiency + ngram_novelty — the
-#     round's SIX additions (new entries are always in-window).
+#     lang_mix_audit + packing_efficiency + ngram_novelty +
+#     contamination_report — the round's SEVEN additions (new entries
+#     are always in-window).
 # After r15 the last-green floor is r11.
 _R15_WINDOW = [
     "s10_report", "s2_full_scan", "s8_upsert",
@@ -10655,7 +10715,7 @@ _R15_WINDOW = [
     "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
     "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
     "set_except", "events_json", "stream_sliding",
-    "stream_sessions", "packing_efficiency", "ngram_novelty",
+    "contamination_report", "packing_efficiency", "ngram_novelty",
     "j2_match_partial", "multimodal_phash_dedup", "text_repetition",
     "gopher_rules", "fineweb_filters", "quality_stack",
     "mixture_rebalance_bpe", "ccnet_buckets_pct", "line_dedup",
@@ -10735,6 +10795,7 @@ _TAIL_FRESHNESS = [
     "pack_sequences_bpe", "bpe_fertility", "gopher_rules",
     "ccnet_buckets_pct", "line_dedup", "vocab_coverage",
     "lang_mix_audit", "packing_efficiency", "ngram_novelty",
+    "contamination_report",
 ]
 
 

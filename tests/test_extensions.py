@@ -3429,6 +3429,44 @@ def test_ccnet_buckets_nonvacuous_at_oracle_sf(spark):
     assert buckets == {"head", "middle", "tail"}
 
 
+def test_contamination_report_equals_flag_rollup(spark):
+    """The per-source report must be EXACTLY the groupBy of the
+    certified per-doc flags (recomputed in Python), benchmark slice
+    excluded, integer permille — and non-vacuous at the oracle SF
+    (some source contaminated, none at 0 docs)."""
+    from collections import defaultdict
+
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        contamination_flags,
+        contamination_report,
+    )
+
+    from conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    flags = {r["doc_id"]: r for r in contamination_flags(docs).collect()}
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    want = defaultdict(lambda: [0, 0, 0, 0])  # n, contam, total, mx
+    for doc_id, r in flags.items():
+        w = want[src_of[doc_id]]
+        w[0] += 1
+        w[1] += 1 if r["contaminated"] else 0
+        w[2] += r["n_hit_grams"]
+        w[3] = max(w[3], r["n_hit_grams"])
+    got = {r["source"]: r for r in contamination_report(docs).collect()}
+    assert set(got) == set(want)
+    for s, (n, c, tot, mx) in want.items():
+        g = got[s]
+        assert g["n_docs"] == n and g["n_contaminated"] == c
+        assert g["total_hit_grams"] == tot and g["max_hit_grams"] == mx
+        assert g["contamination_permille"] == (c * 1000) // n
+    assert any(r["n_contaminated"] > 0 for r in got.values())
+
+
 def test_packing_efficiency_laws_on_crafted_counts(spark):
     """The audit recomputed by hand on a crafted count frame fed
     straight into pack_from_counts (ctx 10): shard A = [4, 8, 3]
