@@ -258,8 +258,10 @@ HEADLINE = [
     "ngram_novelty",
     "packing_efficiency",
     # r15 cont.: per-source contamination rates (broadcast gram probe
-    # + one source rollup)
+    # + one source rollup) and per-doc unigram entropy (one token
+    # aggregate + doc rollup on the portable integer log)
     "contamination_report",
+    "token_entropy",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -354,6 +354,15 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_token_entropy():
+        # r15: one (doc_id, token) aggregate + doc rollup — linear by
+        # construction; the probe certifies no hidden join/window crept in
+        from tepsonic_database_sync_spark.operators.text import (
+            token_entropy,
+        )
+
+        token_entropy(docs).write.format("noop").mode("overwrite").save()
+
     def run_lang_mix():
         # r15: chunk generator + row-local lang-ID + two map-side
         # combined aggregates — should track fineweb's linear shape
@@ -373,6 +382,7 @@ def _doc_ops(docs, factor: int = 1):
         "ngram_novelty": run_ngram_novelty,
         "packing_efficiency": run_packing_efficiency,
         "contamination_report": run_contamination_report,
+        "token_entropy": run_token_entropy,
         "lsh+star_clusters": run_lsh_clusters,
         "blocking_audit(n≈const)": run_blocking_audit,
         "containment_pairs": run_containment,

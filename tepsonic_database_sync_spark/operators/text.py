@@ -1360,6 +1360,85 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document unigram token entropy in milli-nats — the
+    information-density quality signal (low entropy = repeated
+    boilerplate/gibberish keyboard mashes; entropy filters appear in
+    the C4/Gopher-family ablations as the cheap repetition-adjacent
+    gate). Exact integer fixed point on the portable ``iln_milli``:
+
+    ``H = ln n − (1/n)·Σ c·ln c`` over per-doc type counts c (n total
+    tokens), so ``h_milli = iln_milli(n·1000) − (Σ c·max(0,
+    iln_milli(c·1000))) div n``. The per-term clamp is load-bearing:
+    ``iln_milli(1000)`` reads −10 (the in-octave interpolation dips
+    below the true ln 1 = 0), and an unclamped negative Σ would sit on
+    the ONE integer-division divergence between the engines (Spark
+    ``div`` truncates toward zero, DuckDB ``//`` floors — they differ
+    exactly on negative inexact quotients). Clamped, every operand is
+    non-negative, truncation == floor, and two boundary laws become
+    EXACT even under the interpolated log (pinned in tests): an
+    all-distinct doc scores eta exactly 1000 (the Σ term is
+    identically 0, so H ≡ ln n), an all-same doc exactly 0 (s =
+    n·iln(n·1000); monotone iln also bounds 0 ≤ h ≤ ln n generally).
+    ``eta_permille = h_milli·1000 div iln_milli(n·1000)`` (the
+    normalized efficiency, 0 for n < 2); empty docs all-zero.
+
+    Scale shape: ONE map-side-combined (doc_id, token) count + the
+    doc_id rollup — both uniform keys, no join, no window.
+
+    Returns (doc_id, n_tokens, n_types, h_milli, eta_permille).
+    """
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    )
+    c = t.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(
+            F.col("c")
+            * F.greatest(iln_milli(F.col("c") * 1000), F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    # the same clamp on the outer term: iln_milli(1000) = −10, so a
+    # single-token doc would read h = −10 unclamped
+    ln_n = F.greatest(
+        iln_milli(F.col("n_tokens") * 1000), F.lit(0).cast("long")
+    )
+    h = (ln_n - F.expr("s div n_tokens")).cast("long")
+    z = lambda col: F.coalesce(col, F.lit(0)).cast("long")  # noqa: E731
+    out = per.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        h.alias("h_milli"),
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.floor((h * 1000) / ln_n).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("eta_permille"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            z(F.col("n_tokens")).alias("n_tokens"),
+            z(F.col("n_types")).alias("n_types"),
+            z(F.col("h_milli")).alias("h_milli"),
+            z(F.col("eta_permille")).alias("eta_permille"),
+        )
+    )
+
+
 def top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
     """Corpus heavy hitters: top-k terms by frequency (ties → term order).
 

@@ -2291,6 +2291,59 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram entropy (milli-nats, portable integer log) +
+    normalized efficiency — the information-density quality gate.
+    Design + the two exact boundary laws in
+    operators/text.py::token_entropy."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def _token_entropy_oracle() -> str:
+    """DuckDB twin: same per-(doc, token) counts, same _d_iln integer
+    log with the same per-term greatest(0, ·) clamp (load-bearing —
+    see the operator docstring: unclamped, a negative Σ would sit on
+    the trunc-vs-floor division divergence), same divisions."""
+    iln_c = f"greatest(0, {_d_iln('c * 1000')})"
+    iln_n = f"greatest(0, {_d_iln('n_tokens * 1000')})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM t GROUP BY doc_id, tok
+),
+per AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * ({iln_c})) AS BIGINT) AS s
+  FROM c GROUP BY doc_id
+),
+o AS (
+  SELECT doc_id, n_tokens, n_types,
+         CAST(({iln_n}) - s // n_tokens AS BIGINT) AS h_milli,
+         CAST({iln_n} AS BIGINT) AS ln_n
+  FROM per
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_types, 0) AS BIGINT) AS n_types,
+       CAST(coalesce(h_milli, 0) AS BIGINT) AS h_milli,
+       CAST(CASE WHEN coalesce(n_tokens, 0) >= 2
+            THEN h_milli * 1000 // ln_n
+            ELSE 0 END AS BIGINT) AS eta_permille
+FROM (SELECT doc_id FROM documents) d LEFT JOIN o USING (doc_id)
+"""
+
+
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-layout audit over the pack_sequences coordinates: per
     shard, window fill rate, boundary-straddle rate and oversize-doc
@@ -10488,6 +10541,7 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf_topk": (q_ann_ivf_topk, _O["ann_ivf_topk"]),
     "decontaminate": (q_decontaminate, _O["decontaminate"]),
     "contamination_report": (q_contamination_report, _contamination_report_oracle()),
+    "token_entropy": (q_token_entropy, _token_entropy_oracle()),
     "dedup_canonicalize": (q_dedup_canonicalize, _O["dedup_canonicalize"]),
     "dedup_clusters": (q_dedup_clusters, _O["dedup_clusters"]),
     "dedup_clusters_star": (q_dedup_clusters_star, _O["dedup_clusters"]),
@@ -10679,8 +10733,9 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # (s1_rest_ingest, model_score, model_score_hist,
 # tpch_q15_top_supplier, the stream twins, j5, stream_tumbling, p1,
 # f1, bfs_hops) and the front of the r11 block through the natural
-# cut — with FOURTEEN swaps displacing the least-stale fourteen of
-# the natural 50 (stream_sessions, stream_dedup, stream_enrich,
+# cut — with FIFTEEN swaps displacing the least-stale fifteen of
+# the natural 50 (stream_sliding, stream_sessions, stream_dedup,
+# stream_enrich,
 # rollup_multires, tpch_q5_region_revenue, tpch_q12_priority_counts,
 # tpch_q13_custdist, tpch_q18_big_orders, skew_salted_agg,
 # skew_salted_join, dq_checks, dataset_split, outliers_p99,
@@ -10699,8 +10754,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #     (ADVICE r14; emitted SQL byte-identical, re-certified anyway);
 #   - ccnet_buckets_pct + line_dedup + vocab_coverage +
 #     lang_mix_audit + packing_efficiency + ngram_novelty +
-#     contamination_report — the round's SEVEN additions (new entries
-#     are always in-window).
+#     contamination_report + token_entropy — the round's EIGHT
+#     additions (new entries are always in-window).
 # After r15 the last-green floor is r11.
 _R15_WINDOW = [
     "s10_report", "s2_full_scan", "s8_upsert",
@@ -10714,7 +10769,7 @@ _R15_WINDOW = [
     "x1_dispatch", "dedup_exact", "text_stats",
     "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
     "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
-    "set_except", "events_json", "stream_sliding",
+    "set_except", "events_json", "token_entropy",
     "contamination_report", "packing_efficiency", "ngram_novelty",
     "j2_match_partial", "multimodal_phash_dedup", "text_repetition",
     "gopher_rules", "fineweb_filters", "quality_stack",
@@ -10795,7 +10850,7 @@ _TAIL_FRESHNESS = [
     "pack_sequences_bpe", "bpe_fertility", "gopher_rules",
     "ccnet_buckets_pct", "line_dedup", "vocab_coverage",
     "lang_mix_audit", "packing_efficiency", "ngram_novelty",
-    "contamination_report",
+    "contamination_report", "token_entropy",
 ]
 
 

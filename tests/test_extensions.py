@@ -3429,6 +3429,47 @@ def test_ccnet_buckets_nonvacuous_at_oracle_sf(spark):
     assert buckets == {"head", "middle", "tail"}
 
 
+def test_token_entropy_boundary_laws_and_python_recompute(spark):
+    """The two EXACT boundary laws (they hold even under the
+    interpolated integer log): an all-distinct doc scores eta exactly
+    1000 (the Σ c·ln c term is identically 0), an all-same doc scores
+    h_milli exactly 0. A mixed doc is recomputed with the same integer
+    log in Python; empty and single-token docs are all-zero."""
+    from tepsonic_database_sync_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # all distinct → eta 1000
+            (2, "x x x x x x"),            # all same → h 0
+            (3, "a a a b b c"),            # mixed
+            (4, ""),
+            (5, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+
+    def iln(x_milli):  # the Spark/DuckDB integer log, in Python
+        import math
+
+        k = math.floor(math.log2(x_milli))
+        p = 2 ** k
+        frac = ((x_milli - p) * 1000) // p
+        return ((k * 1000 + frac) * 693147) // 1000000 - 6908
+
+    assert iln(1000) == -10  # the dip the per-term clamp exists for
+    assert out[1]["eta_permille"] == 1000
+    assert out[1]["h_milli"] == iln(8000)
+    assert out[2]["h_milli"] == 0 and out[2]["eta_permille"] == 0
+    n, counts = 6, [3, 2, 1]
+    h = iln(6000) - sum(c * max(0, iln(c * 1000)) for c in counts) // n
+    assert out[3]["h_milli"] == h
+    assert out[3]["eta_permille"] == (h * 1000) // iln(6000)
+    assert out[3]["n_types"] == 3
+    assert out[4]["n_tokens"] == 0 and out[4]["h_milli"] == 0
+    assert out[5]["h_milli"] == 0 and out[5]["eta_permille"] == 0
+
+
 def test_contamination_report_equals_flag_rollup(spark):
     """The per-source report must be EXACTLY the groupBy of the
     certified per-doc flags (recomputed in Python), benchmark slice
