@@ -2231,6 +2231,8 @@ def contamination_report(
     Returns (source, n_docs, n_contaminated, contamination_permille,
     total_hit_grams, max_hit_grams).
     """
+    from tepsonic_database_sync_spark.operators.text import _permille
+
     flags = contamination_flags(docs, **kwargs)
     j = flags.join(
         docs.select("doc_id", F.col(source_col).alias("source")), "doc_id"
@@ -2243,18 +2245,13 @@ def contamination_report(
         F.sum("n_hit_grams").cast("long").alias("total_hit_grams"),
         F.max("n_hit_grams").cast("long").alias("max_hit_grams"),
     )
-    z = F.lit(0).cast("long")
     return agg.select(
         "source",
         "n_docs",
         "n_contaminated",
-        F.when(
-            F.col("n_docs") > 0,
-            F.floor((F.col("n_contaminated") * 1000) / F.col("n_docs"))
-            .cast("long"),
-        )
-        .otherwise(z)
-        .alias("contamination_permille"),
+        _permille(F.col("n_contaminated"), F.col("n_docs")).alias(
+            "contamination_permille"
+        ),
         "total_hit_grams",
         "max_hit_grams",
     )

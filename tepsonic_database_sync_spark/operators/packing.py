@@ -129,10 +129,9 @@ def packing_efficiency(
         .cast("long")
         .alias("n_oversize"),
     )
+    from tepsonic_database_sync_spark.operators.text import _permille as pm
+
     z = F.lit(0).cast("long")
-    pm = lambda num, den: (  # noqa: E731
-        F.when(den > 0, F.floor((num * 1000) / den).cast("long")).otherwise(z)
-    )
     return agg.select(
         shard,
         "n_docs",

@@ -1414,14 +1414,23 @@ def token_entropy(docs: DataFrame) -> DataFrame:
     )
     h = (ln_n - F.expr("s div n_tokens")).cast("long")
     z = lambda col: F.coalesce(col, F.lit(0)).cast("long")  # noqa: E731
+    # materialize h/ln_n as named columns so eta is a true integer
+    # ``div`` (doctrine uniformity; both operands are non-negative and
+    # bounded, so this is value-identical to the previous floor(/))
     out = per.select(
         "doc_id",
         "n_tokens",
         "n_types",
         h.alias("h_milli"),
+        ln_n.alias("ln_n"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "h_milli",
         F.when(
             F.col("n_tokens") >= 2,
-            F.floor((h * 1000) / ln_n).cast("long"),
+            F.expr("(h_milli * 1000) div ln_n").cast("long"),
         )
         .otherwise(F.lit(0).cast("long"))
         .alias("eta_permille"),

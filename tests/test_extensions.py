@@ -3836,7 +3836,18 @@ def test_ccnet_buckets_pct_sort_only_over_distinct_hist(
     assert "FlatMapGroupsInPandas" not in plan
     assert "Window" in plan
     assert "Sort " in plan and "HashAggregate" in plan
-    assert plan.index("Sort ") < plan.index("HashAggregate")
+    # scope the compare to the WINDOW's Sort subtree (ADVICE r15): the
+    # plan's first "Sort " belongs to a different branch here, so
+    # anchor at the Window node — in the top-down print the Window's
+    # input Sort is the first Sort below it — and require that subtree
+    # to aggregate before it scans (a raw-row percentile sort would
+    # read Sort → Scan with no HashAggregate in between)
+    below_window = plan[plan.index("Window") :]
+    below_sort = below_window[below_window.index("Sort ") :]
+    assert "HashAggregate" in below_sort
+    assert below_sort.index("HashAggregate") < below_sort.index(
+        "Scan parquet"
+    )
 
 
 def test_mixture_rebalance_bpe_cap_branch_fires(spark):

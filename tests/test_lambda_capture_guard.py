@@ -56,15 +56,55 @@ def _is_f_call(node: ast.AST, names: set[str]) -> bool:
 
 
 def _collect_fcol_names(fn: ast.AST) -> set[str]:
-    """Names assigned (anywhere in the enclosing function) from
-    F.col(...) — the only name-binding accepted as a column."""
-    cols: set[str] = set()
+    """Names whose EVERY binding in the enclosing function is from
+    F.col(...). A name that is ever rebound to anything else — even
+    after a clean F.col binding — is rejected (ADVICE r15: set-wise
+    collection let ``x = F.col('a'); x = F.hex(x)`` evade the guard).
+    ``ast.walk`` order is not source order, so an "ever rebound"
+    rule is used instead of "last binding": order-independent and
+    strictly conservative."""
+    col_bound: set[str] = set()
+    rebound: set[str] = set()
+
+    def _reject_all(target: ast.AST) -> None:
+        for n in ast.walk(target):
+            if isinstance(n, ast.Name):
+                rebound.add(n.id)
+
     for node in ast.walk(fn):
-        if isinstance(node, ast.Assign) and _is_f_call(node.value, {"col"}):
+        if isinstance(node, ast.Assign):
+            ok = _is_f_call(node.value, {"col"})
             for t in node.targets:
-                if isinstance(t, ast.Name):
-                    cols.add(t.id)
-    return cols
+                if isinstance(t, ast.Name) and ok:
+                    col_bound.add(t.id)
+                else:
+                    _reject_all(t)
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            if (
+                isinstance(node, ast.AnnAssign)
+                and isinstance(node.target, ast.Name)
+                and node.value is not None
+                and _is_f_call(node.value, {"col"})
+            ):
+                col_bound.add(node.target.id)
+            else:
+                _reject_all(node.target)
+        elif isinstance(node, ast.NamedExpr):
+            if isinstance(node.target, ast.Name) and _is_f_call(
+                node.value, {"col"}
+            ):
+                col_bound.add(node.target.id)
+            else:
+                _reject_all(node.target)
+        elif isinstance(node, (ast.For, ast.AsyncFor)):
+            _reject_all(node.target)
+        elif isinstance(node, (ast.With, ast.AsyncWith)):
+            for item in node.items:
+                if item.optional_vars is not None:
+                    _reject_all(item.optional_vars)
+        elif isinstance(node, ast.comprehension):
+            _reject_all(node.target)
+    return col_bound - rebound
 
 
 def _indexed_operands(lam: ast.Lambda):
@@ -144,6 +184,35 @@ def f(docs):
     fn = tree.body[0]
     fcol_names = _collect_fcol_names(fn)
     assert "hx" not in fcol_names
+    hits = [
+        op
+        for node in ast.walk(fn)
+        if _is_f_call(node, {"transform"})
+        and _is_f_call(node.args[0], {"sequence"})
+        and isinstance(node.args[1], ast.Lambda)
+        for op, _ in _indexed_operands(node.args[1])
+        if not _operand_ok(op, fcol_names, {"docs"}, "x", "f")
+    ]
+    assert len(hits) == 1 and isinstance(hits[0], ast.Name)
+
+
+def test_guard_catches_the_rebind_evasion_shape():
+    """A name first bound to F.col(...) then REBOUND to an expression
+    must not pass (ADVICE r15): set-wise F.col collection would accept
+    ``x`` here even though the indexed operand is F.hex(F.col(...))."""
+    bad = '''
+def f(docs):
+    x = F.col("payload")
+    x = F.hex(x)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.substring(x, i, 2),
+    )
+'''
+    tree = ast.parse(bad)
+    fn = tree.body[0]
+    fcol_names = _collect_fcol_names(fn)
+    assert "x" not in fcol_names
     hits = [
         op
         for node in ast.walk(fn)
