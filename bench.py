@@ -40,9 +40,12 @@ Timing protocol (BENCH_r02 onward):
 - Output protocol (r8 onward): full 3-decimal warm+cold detail is
   written to BENCH_DETAIL.json; the single stdout JSON line carries
   2-decimal warm timings and is kept under a fixed byte budget
-  (cheapest queries elided first, count in "queries_elided") because
-  the driver's tail capture truncated the r7 line (BENCH_r07
-  parsed: null).
+  because the driver's tail capture truncated the r7 line (BENCH_r07
+  parsed: null). r16 onward (VERDICT r15 item 2) the line carries the
+  COMPLETE per-query map as a positional array "q" in HEADLINE-as-run
+  order ("q_names" in BENCH_DETAIL.json; "qh" fingerprints the name
+  list) instead of a named dict that elided 48/126 entries at r15 —
+  "queries_elided" is now structurally 0.
 - Contention index (r14 onward, VERDICT r13 item 3): a fixed
   xxhash64-fold calibration probe runs min-of-3 before AND after the
   headline loop; "calib" in the stdout line (min of the two) and
@@ -383,6 +386,7 @@ def main() -> None:
     # artifact was truncated mid-line by the driver's bounded tail
     # capture (parsed: null), so warm+cold in one line is too long.
     calib_post = _calibration(spark)
+    ran = list(warm)  # HEADLINE order, filtered to what actually ran
     detail = {
         "metric": "headline_queries_total",
         "value": round(sum(warm.values()), 3),
@@ -390,6 +394,9 @@ def main() -> None:
         "unit": "sec",
         "queries": warm,
         "queries_cold": cold,
+        # the stdout line's positional array is aligned with this list
+        # (and with bench.py's HEADLINE constant at the recorded commit)
+        "q_names": ran,
         "sf": sf,
         "runs": runs,
         # contention index: min-of-3 fixed xxhash64 fold, taken before
@@ -402,34 +409,43 @@ def main() -> None:
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
-    # key order matters: the driver records only the last 2000 bytes of
-    # stdout (BENCH_r08's "tail"), so the headline totals sit at the END
-    # of the object — a truncated head loses cheap per-query entries,
-    # never "value"/"value_cold" (VERDICT r8 item 3)
-    line_queries = {k: round(v, 2) for k, v in warm.items()}
+    # Output scheme (r16 onward, VERDICT r15 item 2): the driver records
+    # only the last 2000 bytes of stdout, and the old named per-query
+    # dict (~25 bytes/entry) stopped fitting once HEADLINE passed ~75
+    # queries — BENCH_r15 elided 48 of 126 entries, degrading the
+    # round-over-round per-query comparability the adjudication
+    # discipline depends on. The line now carries the FULL map as a
+    # positional 2-decimal array "q" aligned with the HEADLINE order as
+    # run (recorded verbatim as "q_names" in BENCH_DETAIL.json and
+    # fingerprinted here as "qh" = first 8 hex of sha256 of the
+    # comma-joined names, so the judge can verify alignment against the
+    # committed bench.py). ~6 bytes/entry → 126 queries ≈ 850 bytes,
+    # inside the tail with room for growth. Key order still matters:
+    # headline totals sit at the END of the object so a truncated head
+    # can never lose "value"/"value_cold" (VERDICT r8 item 3).
+    import hashlib
+
+    qh = hashlib.sha256(",".join(ran).encode()).hexdigest()[:8]
     out = {
         "metric": "headline_queries_total",
         "unit": "sec",
-        "queries": line_queries,
+        "qn": len(ran),
+        "qh": qh,
+        "q": [round(warm[k], 2) for k in ran],
+        "queries_elided": 0,
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
         "calib": round(min(calib_pre, calib_post), 2),
         "value_cold": round(sum(cold.values()), 3),
         "value": round(sum(warm.values()), 3),
     }
-    # keep the WHOLE line inside the driver's 2000-byte tail capture: if
-    # it would run long, move the CHEAPEST queries out of the line (they
-    # are in BENCH_DETAIL.json either way) — the expensive ones carry
-    # the grade
+    # safety valve: if the array form ever outgrows the tail (it would
+    # take ~300 headliners), drop to 1-decimal before eliding anything
     budget = 1900
     encoded = json.dumps(out, separators=(",", ":"))
     if len(encoded) > budget:
-        for name in sorted(line_queries, key=line_queries.get):
-            del line_queries[name]
-            out["queries_elided"] = len(warm) - len(line_queries)
-            encoded = json.dumps(out, separators=(",", ":"))
-            if len(encoded) <= budget:
-                break
+        out["q"] = [round(warm[k], 1) for k in ran]
+        encoded = json.dumps(out, separators=(",", ":"))
     print(encoded)
 
 
