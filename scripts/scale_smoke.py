@@ -96,6 +96,18 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_substring_dedup_spans():
+        # the published maximal-span rule: same gram aggregation as
+        # substring_dedup plus row-local islands — the curve should sit
+        # ON substring_dedup's (the islands pass adds no shuffle)
+        from tepsonic_database_sync_spark.operators.dedup import (
+            substring_dedup_spans,
+        )
+
+        substring_dedup_spans(docs, n=8, min_span=50).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     def run_lsh_clusters():
         pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(
             eager=True
@@ -375,6 +387,7 @@ def _doc_ops(docs, factor: int = 1):
     return {
         "text_repetition": run_repetition,
         "substring_dedup": run_substring_dedup,
+        "substring_spans": run_substring_dedup_spans,
         "ccnet_buckets_pct": run_ccnet_pct,
         "line_dedup": run_line_dedup,
         "vocab_coverage": run_vocab_coverage,

@@ -1505,10 +1505,135 @@ def substring_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
     return _reconstruct_kept(toked, removed)
 
 
-def _reconstruct_kept(toked: DataFrame, removed: DataFrame) -> DataFrame:
-    """Shared kept-text reconstruction for ``substring_dedup`` and its
-    incremental form: join the per-doc sorted removal-position arrays
-    back onto the tokenized corpus and rebuild the surviving text.
+def substring_dedup_spans(
+    docs: DataFrame, n: int = 8, min_span: int = 50
+) -> DataFrame:
+    """ExactSubstr with the PUBLISHED removal rule — Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (ACL
+    2022) remove *maximal duplicated spans of at least 50 tokens*, not
+    every duplicated n-gram occurrence. ``substring_dedup`` above is
+    the gram-granular treatment (every non-canonical duplicated n-gram
+    position goes); this variant coalesces the duplicated positions of
+    each doc into MAXIMAL contiguous spans and removes only spans of
+    ``min_span``+ tokens, leaving short incidental overlaps (quotes,
+    idioms, named entities) untouched — the paper's actual
+    training-data transformation (their §3.1 threshold; default 50).
+
+    Deterministic semantics (both engines, bit-identical):
+
+    - duplicated positions per doc = exactly ``substring_dedup``'s
+      removal set (non-canonical occurrences of corpus-duplicated
+      n-grams, span-union, keep-first canonical rule);
+    - those positions are coalesced gaps-and-islands style into
+      maximal runs; a run of length ≥ ``min_span`` is removed whole,
+      shorter runs are kept in full;
+    - kept_text = surviving tokens in original order, space-joined.
+
+    Scale shape: the gram aggregation and gram-keyed join are shared
+    with ``substring_dedup`` (map-side-combined min-struct/count — the
+    intrinsic published cost). The islands pass adds NOTHING
+    distributed: the per-doc removal positions are already collected
+    to one sorted array by the existing doc_id aggregate, and the
+    span coalescing is row-local array math (start-index filter +
+    per-span slice bounds — O(len) per doc, SQL-string transforms, so
+    no expression capture). No window over raw corpus rows, no new
+    shuffle, no join beyond ``substring_dedup``'s own.
+
+    Returns (doc_id, n_tokens, removed_tokens, kept_tokens, kept_text,
+    n_spans, max_span_tokens) for EVERY doc — n_spans / max_span_tokens
+    describe the REMOVED (≥ min_span) spans, 0 when nothing qualifies.
+    """
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    toked = docs.select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
+    )
+    grams = (
+        toked.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n} + 1),"
+                    f" i -> struct(i AS i, concat_ws(' ', slice(t, i, {n})) AS g))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.i", "x.g")
+    )
+    canon = (
+        grams.groupBy("g")
+        .agg(
+            F.min(F.struct("doc_id", "i")).alias("can"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("g", F.col("can.doc_id").alias("c_doc"), F.col("can.i").alias("c_i"))
+    )
+    dup_pos = (
+        grams.join(canon, "g")
+        .filter(~((F.col("doc_id") == F.col("c_doc")) & (F.col("i") == F.col("c_i"))))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("dp"))
+    )
+    # Row-local gaps-and-islands over the sorted distinct positions:
+    # `starts` = 1-based indices into dp where a new run begins; span j
+    # runs from dp[starts[j]] to dp[starts[j+1] - 1] (or dp[last]).
+    # All SQL-string transforms over the materialized dp column.
+    spans = dup_pos.select(
+        "doc_id",
+        F.expr(
+            "filter(sequence(1, size(dp)), k -> k = 1"
+            " OR element_at(dp, k) != element_at(dp, k - 1) + 1)"
+        ).alias("starts"),
+        "dp",
+    ).select(
+        "doc_id",
+        F.expr(
+            "filter(transform(sequence(1, size(starts)),"
+            " j -> named_struct("
+            "   'lo', element_at(dp, element_at(starts, j)),"
+            "   'hi', element_at(dp, if(j < size(starts),"
+            "         element_at(starts, j + 1) - 1, size(dp))))),"
+            f" s -> s.hi - s.lo + 1 >= {min_span})"
+        ).alias("qual"),
+    )
+    removed = spans.select(
+        "doc_id",
+        F.when(
+            F.size("qual") > 0,
+            F.expr("flatten(transform(qual, s -> sequence(s.lo, s.hi)))"),
+        ).alias("rp"),
+        F.size("qual").cast("long").alias("n_spans"),
+        F.coalesce(
+            F.expr(
+                "array_max(transform(qual, s -> s.hi - s.lo + 1))"
+            ).cast("long"),
+            F.lit(0),
+        ).alias("max_span_tokens"),
+    )
+    return _reconstruct_kept(
+        toked, removed, passthrough=("n_spans", "max_span_tokens")
+    )
+
+
+def _reconstruct_kept(
+    toked: DataFrame,
+    removed: DataFrame,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared kept-text reconstruction for ``substring_dedup``, its
+    incremental form and the maximal-span variant: join the per-doc
+    sorted removal-position arrays back onto the tokenized corpus and
+    rebuild the surviving text. ``passthrough`` names extra BIGINT
+    columns on ``removed`` to carry through (null → 0 for docs with no
+    removal row), appended after ``kept_text``.
 
     LINEAR per doc (r12 — VERDICT r11 flagged the previous
     ``filter(t, idx -> !array_contains(rp, idx))`` form as
@@ -1550,6 +1675,10 @@ def _reconstruct_kept(toked: DataFrame, removed: DataFrame) -> DataFrame:
             )
             .otherwise(F.concat_ws(" ", kept_expr))
             .alias("kept_text"),
+            *(
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in passthrough
+            ),
         )
     )
 

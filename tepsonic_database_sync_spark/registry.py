@@ -4738,6 +4738,105 @@ FROM toked t LEFT JOIN kept k ON t.doc_id = k.doc_id
 """
 
 
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. (ACL 2022) ExactSubstr with the PUBLISHED removal
+    rule: maximal duplicated spans of ≥ 50 tokens are removed whole,
+    shorter incidental overlaps survive (the paper's §3.1 threshold —
+    `substring_dedup` is the gram-granular treatment, this is the
+    published one). Gaps-and-islands coalescing is row-local over the
+    per-doc sorted removal positions; non-vacuous at the oracle SF
+    (island lengths there span 11–93 tokens around the 50 cut, so both
+    the removed and the kept-short-island branches fire). Design +
+    100 TB note in operators/dedup.py::substring_dedup_spans."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    return substring_dedup_spans(
+        load_table(spark, sf_dir, "documents"), n=8, min_span=50
+    )
+
+
+def _substring_dedup_spans_oracle(n: int = 8, min_span: int = 50) -> str:
+    """DuckDB twin of dedup.substring_dedup_spans: the substring_dedup
+    oracle's removal positions, coalesced gaps-and-islands style
+    (pos − row_number per doc), spans < min_span dropped, removal and
+    reconstruction from the qualifying spans only."""
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS g
+  FROM toked, unnest(range(1, len(t) - {n} + 2)) AS r(i)
+  WHERE len(t) >= {n}
+),
+occ AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+         count(*) OVER (PARTITION BY g) AS cnt
+  FROM grams
+),
+dup_pos AS (
+  SELECT DISTINCT o.doc_id, p.pos
+  FROM occ o, unnest(range(o.i, o.i + {n})) AS p(pos)
+  WHERE o.cnt > 1 AND o.rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup_pos
+),
+spans AS (
+  SELECT doc_id, min(pos) AS lo, max(pos) AS hi
+  FROM isl GROUP BY doc_id, grp
+),
+qual AS (
+  SELECT doc_id, lo, hi, hi - lo + 1 AS slen
+  FROM spans WHERE hi - lo + 1 >= {min_span}
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(max(slen) AS BIGINT) AS max_span_tokens
+  FROM qual GROUP BY doc_id
+),
+rem_pos AS (
+  SELECT DISTINCT q.doc_id, p.pos
+  FROM qual q, unnest(range(q.lo, q.hi + 1)) AS p(pos)
+),
+tok_pos AS (
+  SELECT doc_id, pos, t[pos] AS tok
+  FROM toked, unnest(range(1, len(t) + 1)) AS p(pos)
+),
+kept AS (
+  SELECT tp.doc_id,
+         CAST(count(r.pos) AS BIGINT) AS removed_tokens,
+         coalesce(
+           string_agg(tok, ' ' ORDER BY tp.pos)
+             FILTER (WHERE r.pos IS NULL),
+           '') AS kept_text
+  FROM tok_pos tp
+  LEFT JOIN rem_pos r ON tp.doc_id = r.doc_id AND tp.pos = r.pos
+  GROUP BY tp.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(t.t) - coalesce(k.removed_tokens, 0) AS BIGINT)
+         AS kept_tokens,
+       coalesce(k.kept_text, '') AS kept_text,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s.max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+FROM toked t
+LEFT JOIN kept k ON t.doc_id = k.doc_id
+LEFT JOIN stats s ON t.doc_id = s.doc_id
+"""
+
+
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary perceptual-hash near-dup: byte-gram SimHash signatures over
     asset payloads, banded hamming candidate pairs, exact bit_count
@@ -10430,6 +10529,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "dup_substring_rate": (q_dup_substring_rate, _dup_substring_rate_oracle()),
     # --- NEW in r11 (took the time_resample fill slot) ------------------
     "substring_dedup": (q_substring_dedup, _substring_dedup_oracle()),
+    "substring_dedup_spans": (
+        q_substring_dedup_spans,
+        _substring_dedup_spans_oracle(),
+    ),
     # --- NEW in r11 (took the runtime_filter_join fill slot) ------------
     "semdedup": (q_semdedup, _semdedup_oracle()),
     # --- NEW in r12 (displaced active_users to the r13 queue) -----------
@@ -10851,6 +10954,7 @@ _TAIL_FRESHNESS = [
     "ccnet_buckets_pct", "line_dedup", "vocab_coverage",
     "lang_mix_audit", "packing_efficiency", "ngram_novelty",
     "contamination_report", "token_entropy",
+    "substring_dedup_spans",
 ]
 
 

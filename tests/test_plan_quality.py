@@ -1066,6 +1066,21 @@ def test_substring_dedup_aggregates_map_side(spark, registry_plans):
     assert "CartesianProduct" not in plan
 
 
+def test_substring_dedup_spans_islands_are_row_local(spark, registry_plans):
+    """The maximal-span variant must add NOTHING distributed on top of
+    substring_dedup: same map-side-combined gram aggregate (partial
+    min/count), gram-keyed equi-join, and the gaps-and-islands
+    coalescing as row-local array math — NO Window over corpus rows
+    (the oracle twin uses row_number, the engine must not), no
+    nested-loop join."""
+    plan = registry_plans["substring_dedup_spans"]
+    assert "partial_count" in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_semdedup_pairs_are_cluster_equijoin(spark, registry_plans):
     """SemDeDup's whole point is cluster-blocked comparison: the pair
     step must be a cent_id-keyed equi-join over the (checkpointed)

@@ -3863,6 +3863,134 @@ def test_substring_dedup_matches_reference(spark, doc_toks, n):
 
 
 # ---------------------------------------------------------------------------
+# substring dedup SPANS (the published maximal-span removal rule)
+# ---------------------------------------------------------------------------
+
+
+def _substring_dedup_spans_ref(docs, n, min_span):
+    """Pure-Python twin of dedup.substring_dedup_spans: the
+    substring_dedup removal set, coalesced into maximal contiguous
+    runs, runs < min_span kept."""
+    from collections import defaultdict
+
+    occs = defaultdict(list)
+    per_doc = {}
+    for did, toks in docs:
+        toks = [t for t in toks if t != ""]
+        per_doc[did] = toks
+        for i in range(len(toks) - n + 1):
+            occs[" ".join(toks[i : i + n])].append((did, i))
+    dup = defaultdict(set)
+    for g, os_ in occs.items():
+        if len(os_) > 1:
+            canon = min(os_)
+            for did, i in os_:
+                if (did, i) != canon:
+                    dup[did].update(range(i, i + n))
+    out = []
+    for did, toks in per_doc.items():
+        pos = sorted(dup[did])
+        spans = []
+        for p in pos:
+            if spans and p == spans[-1][1] + 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        qual = [(lo, hi) for lo, hi in spans if hi - lo + 1 >= min_span]
+        rm = {p for lo, hi in qual for p in range(lo, hi + 1)}
+        kept = [t for i, t in enumerate(toks) if i not in rm]
+        out.append(
+            (
+                did,
+                len(toks),
+                len(rm),
+                len(kept),
+                " ".join(kept),
+                len(qual),
+                max((hi - lo + 1 for lo, hi in qual), default=0),
+            )
+        )
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_toks=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=9),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+    min_span=st.integers(min_value=2, max_value=6),
+)
+def test_substring_dedup_spans_matches_reference(
+    spark, doc_toks, n, min_span
+):
+    """substring_dedup_spans == the maximal-span reference on random
+    tiny corpora — the 3-symbol alphabet makes duplicated runs dense,
+    so sub-threshold islands (kept), qualifying islands (removed) and
+    multi-island docs all occur; kept_text compared verbatim. NOTE the
+    1-based/0-based difference between engine positions and the
+    reference's enumerate() is invisible here by design — only span
+    LENGTHS and surviving tokens are compared."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    docs = [(i + 1, toks) for i, toks in enumerate(doc_toks)]
+    df = spark.createDataFrame(
+        [(did, " ".join(toks)) for did, toks in docs],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (
+            r["doc_id"],
+            r["n_tokens"],
+            r["removed_tokens"],
+            r["kept_tokens"],
+            r["kept_text"],
+            r["n_spans"],
+            r["max_span_tokens"],
+        )
+        for r in substring_dedup_spans(df, n=n, min_span=min_span).collect()
+    )
+    assert got == _substring_dedup_spans_ref(docs, n, min_span)
+
+
+def test_substring_dedup_spans_threshold_branches(spark):
+    """Crafted corpus pinning the published rule directly: a duplicated
+    run of exactly min_span tokens is removed whole, a duplicated run
+    one token shorter survives in full, and the doc that owns the
+    canonical (first) occurrence keeps its copy."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    long_dup = " ".join(f"w{i}" for i in range(6))  # 6-token run
+    short_dup = " ".join(f"s{i}" for i in range(5))  # 5-token run
+    rows = [
+        (1, f"{long_dup} alpha {short_dup}"),  # canonical owner: kept whole
+        (2, f"beta {long_dup} gamma"),  # 6-token island ≥ 6 → removed
+        (3, f"delta {short_dup} epsilon"),  # 5-token island < 6 → kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in substring_dedup_spans(df, n=3, min_span=6).collect()
+    }
+    assert got[1]["removed_tokens"] == 0 and got[1]["n_spans"] == 0
+    assert got[2]["removed_tokens"] == 6
+    assert got[2]["n_spans"] == 1 and got[2]["max_span_tokens"] == 6
+    assert got[2]["kept_text"] == "beta gamma"
+    assert got[3]["removed_tokens"] == 0 and got[3]["n_spans"] == 0
+    assert got[3]["kept_text"] == f"delta {short_dup} epsilon"
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup vs an exact integer reference
 # ---------------------------------------------------------------------------
 
