@@ -117,6 +117,16 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_fuzzy_keep_best():
+        # quality-aware fuzzy keeper: dominated by the lsh+star cost
+        # above; the added quality join + min-struct argmax should be
+        # curve-invisible
+        from tepsonic_database_sync_spark.operators.dedup import (
+            fuzzy_keep_best,
+        )
+
+        fuzzy_keep_best(docs).write.format("noop").mode("overwrite").save()
+
     def run_blocking_audit():
         # PREFIX_TAU_PERMILLE is the shared constant from operators.dedup
         # (the registry re-exports it) — one source of truth, and this
@@ -397,6 +407,7 @@ def _doc_ops(docs, factor: int = 1):
         "contamination_report": run_contamination_report,
         "token_entropy": run_token_entropy,
         "lsh+star_clusters": run_lsh_clusters,
+        "fuzzy_keep_best": run_fuzzy_keep_best,
         "blocking_audit(n≈const)": run_blocking_audit,
         "containment_pairs": run_containment,
         "prefix_pairs_full": run_prefix_full,

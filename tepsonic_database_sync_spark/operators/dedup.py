@@ -908,6 +908,62 @@ def keep_best_dedup(docs: DataFrame, fingerprint: Column | None = None) -> DataF
     )
 
 
+def fuzzy_keep_best(docs: DataFrame) -> DataFrame:
+    """Quality-aware keeper per FUZZY duplicate cluster — the
+    production survivor policy (FineWeb / RefinedWeb): near-duplicate
+    clusters come from MinHash-LSH + connected components, and the
+    cluster's survivor is its HIGHEST-quality member (ties → min
+    doc_id), not the first-crawled one. ``keep_best_dedup`` above is
+    the exact-fingerprint form; this composes the repo's fuzzy tier:
+    ``minhash_sig_array`` → ``lsh_candidate_pairs`` →
+    ``connected_components_star`` → row-local ``quality_expr`` →
+    deterministic per-cluster argmax.
+
+    Scale shape: candidate generation is banded LSH (never all-pairs),
+    components are the window-aggregate star rounds (one exchange per
+    round), quality is a row-local expression computed in the same
+    narrow (doc_id, quality) projection the cluster join consumes —
+    text never shuffles. The argmax is min(struct(-quality, doc_id)) —
+    algebraic, so the keeper choice is map-side partial-combined with
+    NO window (a million-copy cluster ships one candidate struct per
+    map task). The pair frame is localCheckpointed: the star rounds
+    consume it iteratively and must not re-run the LSH banding per
+    round.
+
+    Returns (cluster_id, keeper_doc_id, quality, n_members) — one row
+    per cluster including singletons (n_members = 1, keeper = self).
+    """
+    from tepsonic_database_sync_spark.operators.text import quality_expr
+
+    if "n_chars" not in docs.columns:  # _with_shingles carries it
+        docs = docs.withColumn("n_chars", F.length("text").cast("long"))
+    pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(
+        eager=True
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    clusters = connected_components_star(pairs, nodes)
+    scored = docs.select(
+        "doc_id", quality_expr(F.col("text")).alias("quality")
+    )
+    j = clusters.join(
+        scored, clusters["node"] == scored["doc_id"]
+    ).select(F.col("comp").alias("cluster_id"), "doc_id", "quality")
+    agg = j.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("quality")).alias("nq"), F.col("doc_id").alias("d")
+            )
+        ).alias("k"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+    return agg.select(
+        "cluster_id",
+        F.col("k.d").alias("keeper_doc_id"),
+        (-F.col("k.nq")).cast("long").alias("quality"),
+        "n_members",
+    )
+
+
 # Canonical prefix-filter similarity threshold. Lives HERE (not in the
 # registry) so measurement scripts can share it without compiling all
 # 183 registry entries; the registry and its DuckDB oracles import this

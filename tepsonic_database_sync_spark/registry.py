@@ -1166,6 +1166,132 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_dedup(corpus, fingerprint=set_fp)
 
 
+def q_dedup_fuzzy_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper per FUZZY cluster (FineWeb/RefinedWeb
+    survivor policy) over the dedup_keep_best injected corpus: LOW-id
+    copies are repetition-damaged (first token repeated 30× — near-dup
+    under 3-shingle MinHash, degraded quality flags), HIGH-id copies
+    are clean. Clusters come from LSH + star contraction, the keeper
+    is the quality argmax — where damage dropped a flag the clean
+    HIGH-id copy must win, the opposite of the min-id rule; singleton
+    clusters keep themselves. Design + 100 TB shape in
+    operators/dedup.py::fuzzy_keep_best."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import fuzzy_keep_best
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    damaged = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.concat(F.lit(" "), F.element_at(tokens(F.col("text")), 1)), 30
+            ),
+        ).alias("text"),
+    )
+    clean = d.select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    return fuzzy_keep_best(damaged.unionByName(clean))
+
+
+def _dedup_fuzzy_keep_best_oracle() -> str:
+    """DuckDB twin of dedup.fuzzy_keep_best over the injected corpus:
+    the dedup_clusters oracle's MinHash/banding/recursive-closure
+    pipeline (cluster_id = min reachable id — the star-contraction
+    label) rebuilt over the damaged+clean corpus, joined to the
+    dedup_keep_best quality CTE, keeper via row_number (quality DESC,
+    doc_id)."""
+    h60 = _D_H60.format(e="s")
+    return rf"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id,
+         text || repeat(' ' || regexp_split_to_array(lower(trim(text)),
+                                                     '\s+')[1], 30) AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+),
+toks AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+           list_transform(range(0, len(t) - 2),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [] END AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (SELECT doc_id, ({h60} % {_P31}) AS h FROM ex),
+{_D_KS},
+sigs AS (
+  SELECT doc_id, CAST(ks.i AS INT) AS i,
+         CAST(min((ks.a * hx.h + ks.b) % {_P31}) AS BIGINT) AS sig
+  FROM hx, ks GROUP BY doc_id, ks.i
+),
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ',')) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT c.doc_id,
+         CAST(least(c.doc_id, coalesce(m.mn, c.doc_id)) AS BIGINT)
+           AS cluster_id
+  FROM corpus c
+  LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+    ON c.doc_id = m.src
+),
+s AS (
+  SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         CASE WHEN len(t) > 0 THEN (len(list_distinct(t)) * 1000) // len(t)
+              ELSE 0 END AS uniq_permille,
+         CASE WHEN len(t) > 0 THEN ({_sw(_SW["en"])} * 1000) // len(t)
+              ELSE 0 END AS stopword_permille
+  FROM toks
+),
+q AS (
+  SELECT doc_id, CAST(
+      (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 25 ELSE 0 END)
+    + (CASE WHEN stopword_permille BETWEEN 20 AND 600 THEN 25 ELSE 0 END)
+    + (CASE WHEN n_punct * 1000 < n_chars * 300 THEN 25 ELSE 0 END)
+    + (CASE WHEN uniq_permille > 300 THEN 25 ELSE 0 END) AS BIGINT) AS quality
+  FROM s
+),
+j AS (
+  SELECT comp.cluster_id, comp.doc_id, q.quality
+  FROM comp JOIN q ON comp.doc_id = q.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS nm
+  FROM j
+)
+SELECT cluster_id, CAST(doc_id AS BIGINT) AS keeper_doc_id, quality,
+       CAST(nm AS BIGINT) AS n_members
+FROM r WHERE rn = 1
+"""
+
+
 def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every order binned into its priority-group spend quartile — the
     exact quantile boundaries broadcast back onto the fact side, one
@@ -10765,6 +10891,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "active_users": (q_active_users, _O["active_users"]),
     "quantile_bucketize": (q_quantile_bucketize, _O["quantile_bucketize"]),
     "dedup_keep_best": (q_dedup_keep_best, _O["dedup_keep_best"]),
+    "dedup_fuzzy_keep_best": (
+        q_dedup_fuzzy_keep_best,
+        _dedup_fuzzy_keep_best_oracle(),
+    ),
     "growth_accounting": (q_growth_accounting, _O["growth_accounting"]),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -10954,7 +11084,7 @@ _TAIL_FRESHNESS = [
     "ccnet_buckets_pct", "line_dedup", "vocab_coverage",
     "lang_mix_audit", "packing_efficiency", "ngram_novelty",
     "contamination_report", "token_entropy",
-    "substring_dedup_spans",
+    "substring_dedup_spans", "dedup_fuzzy_keep_best",
 ]
 
 

@@ -1081,6 +1081,23 @@ def test_substring_dedup_spans_islands_are_row_local(spark, registry_plans):
     assert "CartesianProduct" not in plan
 
 
+def test_fuzzy_keep_best_argmax_is_map_side_no_cartesian(
+    spark, registry_plans
+):
+    """The fuzzy keeper's per-cluster argmax must be the algebraic
+    min(struct(-quality, doc_id)) — partial-combined map-side, never a
+    per-cluster window over the joined frame — and nothing in the
+    visible plan (the LSH/star subtree sits behind a localCheckpoint)
+    may be a nested-loop join."""
+    plan = registry_plans["dedup_fuzzy_keep_best"]
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the keeper agg itself must not be window-ranked: the only purpose
+    # of min-struct is to avoid exactly that shape on skewed clusters
+    assert "row_number" not in plan
+
+
 def test_semdedup_pairs_are_cluster_equijoin(spark, registry_plans):
     """SemDeDup's whole point is cluster-blocked comparison: the pair
     step must be a cent_id-keyed equi-join over the (checkpointed)

@@ -3991,6 +3991,58 @@ def test_substring_dedup_spans_threshold_branches(spark):
 
 
 # ---------------------------------------------------------------------------
+# fuzzy_keep_best (quality-aware keeper per LSH cluster)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_keep_best_quality_beats_min_id(spark):
+    """Crafted corpus pinning the survivor policy on all three branches
+    (the hashing is fixed constants, so the LSH collisions below are
+    deterministic for these exact strings): a damaged LOW-id near-dup
+    loses to its clean HIGH-id twin on quality; an exact-copy pair ties
+    and breaks to min id; a singleton keeps itself."""
+    from pyspark.sql import functions as F
+
+    from tepsonic_database_sync_spark.operators.dedup import (
+        fuzzy_keep_best,
+        lsh_candidate_pairs,
+        minhash_sig_array,
+    )
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while many people "
+        "watch from the old stone bridge near town"
+    )
+    rows = [
+        (1, base + " the" * 40),  # damaged: uniq_permille flag drops
+        (2, base),  # clean twin, HIGHER id — must win on quality
+        (10, "completely unrelated text about quantum tensor algebra "
+             "methods and their numerical stability properties in practice"),
+        (11, "completely unrelated text about quantum tensor algebra "
+             "methods and their numerical stability properties in practice"),
+        (20, "a lone short singleton document mentioning turtles and "
+             "rivers gently flowing beneath autumn leaves forever onwards"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # precondition: the crafted near-dup pair actually LSH-collides
+    # (deterministic — fixed md5 + affine coefficients)
+    pairs = sorted(
+        (r["a_id"], r["b_id"])
+        for r in lsh_candidate_pairs(
+            minhash_sig_array(
+                df.withColumn("n_chars", F.length("text").cast("long"))
+            )
+        ).collect()
+    )
+    assert (1, 2) in pairs and (10, 11) in pairs
+    got = sorted(
+        (r["cluster_id"], r["keeper_doc_id"], r["quality"], r["n_members"])
+        for r in fuzzy_keep_best(df).collect()
+    )
+    assert got == [(1, 2, 100, 2), (10, 10, 100, 2), (20, 20, 100, 1)]
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup vs an exact integer reference
 # ---------------------------------------------------------------------------
 
