@@ -265,6 +265,12 @@ HEADLINE = [
     # aggregate + doc rollup on the portable integer log)
     "contamination_report",
     "token_entropy",
+    # r16: the published maximal-span ExactSubstr removal (substring
+    # dedup's gram aggregate + row-local islands) and the quality-aware
+    # fuzzy cluster keeper (LSH + star CC + min-struct argmax) — tracked
+    # from birth
+    "substring_dedup_spans",
+    "dedup_fuzzy_keep_best",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -10613,7 +10613,7 @@ FROM pred GROUP BY 1, 2
 
 # name → (spark callable, oracle sql | None) — the CATALOG. Definition
 # order here is historical; the driver-facing order (window contract)
-# is rebuilt below from _R15_WINDOW + _TAIL_FRESHNESS.
+# is rebuilt below from _R16_WINDOW + _TAIL_FRESHNESS.
 #
 # Historical allocation notes (r8): Round-8 allocation: the 19 new r8
 # operators (batch 1 bfs_hops … layout_prune, batch 2
@@ -10990,46 +10990,53 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #     contamination_report + token_entropy — the round's EIGHT
 #     additions (new entries are always in-window).
 # After r15 the last-green floor is r11.
-_R15_WINDOW = [
-    "s10_report", "s2_full_scan", "s8_upsert",
-    "scd2_history", "sync_merge_resync", "sync_pipeline",
-    "sync_summary", "x2_quarantine", "window_funnel",
-    "item_cooccur", "s1_rest_ingest", "model_score",
-    "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
-    "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
-    "p1_norm_name", "f1_status_filter", "bfs_hops",
-    "j1_match_exact", "s3_filtered_scan", "s9_backfill",
-    "x1_dispatch", "dedup_exact", "text_stats",
-    "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
-    "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
-    "set_except", "events_json", "token_entropy",
-    "contamination_report", "packing_efficiency", "ngram_novelty",
-    "j2_match_partial", "multimodal_phash_dedup", "text_repetition",
-    "gopher_rules", "fineweb_filters", "quality_stack",
-    "mixture_rebalance_bpe", "ccnet_buckets_pct", "line_dedup",
-    "vocab_coverage", "lang_mix_audit",
+# r16 window allocation (VERDICT r15 next-round 1 + SURVEY "Round-16
+# natural queue head"): the natural window = the first 50 tail entries
+# in queue order — the fifteen r11-green entries displaced by the r15
+# swaps (stream_sliding, stream_sessions, stream_dedup, stream_enrich,
+# rollup_multires, the tpch_q5/q12/q13/q18 block, skew_salted_agg,
+# skew_salted_join, dq_checks, dataset_split, outliers_p99, mom_growth)
+# retire FIRST, then the r11 remainder through the natural cut — with
+# FIVE swaps displacing the least-stale five of the natural 50
+# (compaction_plan, interval_concurrency, ewma, group_moments,
+# hll_registers — all r11-green, they head the r17 queue):
+#   - token_entropy — eta_permille restructured to a true integer div
+#     over materialized columns (VERDICT r15 item 5; value-identical);
+#   - contamination_report + packing_efficiency — consolidated onto the
+#     shared text._permille builder (ADVICE r15; value-identical);
+#   - substring_dedup_spans + dedup_fuzzy_keep_best — the round's TWO
+#     additions (the published ExactSubstr maximal-span removal rule
+#     and the quality-aware fuzzy cluster keeper; new entries are
+#     always in-window).
+# After r16 the last-green floor is r12.
+_R16_WINDOW = [
+    "stream_sliding", "stream_sessions", "stream_dedup",
+    "stream_enrich", "rollup_multires", "tpch_q5_region_revenue",
+    "tpch_q12_priority_counts", "tpch_q13_custdist", "tpch_q18_big_orders",
+    "skew_salted_agg", "skew_salted_join", "dq_checks",
+    "dataset_split", "outliers_p99", "mom_growth",
+    "cohort_retention", "stratified_sample", "percentiles",
+    "text_lang_id", "text_quality", "containment_pairs",
+    "mmr_rerank", "graph_components", "dedup_clusters_star",
+    "embed_dedup_clusters", "dedup_canonicalize", "semdedup",
+    "kmv_distinct", "dup_substring_rate", "mg_summary",
+    "dsir_select", "text_fingerprint", "text_top_terms",
+    "text_winnow", "text_chunks", "text_scrub",
+    "decontaminate_bloom", "time_resample", "runtime_filter_join",
+    "token_pmi", "zorder_stats", "weighted_sample",
+    "cdc_incremental_agg", "match_fuzzy", "psi_drift",
+    "token_entropy", "contamination_report", "packing_efficiency",
+    "substring_dedup_spans", "dedup_fuzzy_keep_best",
 ]
 
 _TAIL_FRESHNESS = [
-    "s10_report", "s2_full_scan", "s8_upsert",
-    "scd2_history", "sync_merge_resync", "sync_pipeline",
-    "sync_summary", "x2_quarantine", "window_funnel",
-    "item_cooccur", "s1_rest_ingest", "model_score",
-    "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
-    "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
-    "p1_norm_name", "f1_status_filter", "bfs_hops",
-    "j1_match_exact", "s3_filtered_scan", "s9_backfill",
-    "x1_dispatch", "dedup_exact", "text_stats",
-    "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
-    "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
-    "set_except", "events_json", "stream_sliding",
-    "stream_sessions", "stream_dedup", "stream_enrich",
-    "rollup_multires", "tpch_q5_region_revenue", "tpch_q12_priority_counts",
-    "tpch_q13_custdist", "tpch_q18_big_orders", "skew_salted_agg",
-    "skew_salted_join", "dq_checks", "dataset_split",
-    "outliers_p99", "mom_growth", "cohort_retention",
-    "stratified_sample", "percentiles", "text_lang_id",
-    "text_quality", "containment_pairs", "multimodal_phash_dedup",
+    "stream_sliding", "stream_sessions", "stream_dedup",
+    "stream_enrich", "rollup_multires", "tpch_q5_region_revenue",
+    "tpch_q12_priority_counts", "tpch_q13_custdist", "tpch_q18_big_orders",
+    "skew_salted_agg", "skew_salted_join", "dq_checks",
+    "dataset_split", "outliers_p99", "mom_growth",
+    "cohort_retention", "stratified_sample", "percentiles",
+    "text_lang_id", "text_quality", "containment_pairs",
     "mmr_rerank", "graph_components", "dedup_clusters_star",
     "embed_dedup_clusters", "dedup_canonicalize", "semdedup",
     "kmv_distinct", "dup_substring_rate", "mg_summary",
@@ -11063,41 +11070,54 @@ _TAIL_FRESHNESS = [
     "tpch_q3_topk", "tpch_q10_returns", "tpch_q6_sql",
     "tpch_q17_small_qty", "tpch_q22_idle_custs", "rollup_sales",
     "pivot_segment_priority", "unpivot", "text_lm_score",
-    "fineweb_filters", "snapshot_dedup", "snapshot_dedup_incremental",
-    "kcore", "count_distinct", "window_running_total",
-    "multimodal_stats", "multimodal_frames", "multimodal_features",
-    "multimodal_resize", "text_bm25", "text_repetition",
-    "sketch_distinct", "sketch_percentile", "sketch_topk",
-    "asof_join", "range_join", "sessionize_batch",
-    "set_intersect", "tpch_q2_min_cost", "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit",
-    "tpch_q14_promo_share", "tpch_q16_supplier_cnt", "tpch_q19_disjunctive",
-    "tpch_q20_excess_suppliers", "tpch_q21_waiting", "a3_merge_idempotent",
-    "a4_stock_totals", "ann_bruteforce_topk", "ann_ivf_topk",
-    "decontaminate", "dedup_clusters", "dedup_jaccard_banded",
-    "dedup_minhash_lsh", "dedup_simhash", "embed_neardup",
-    "j2_match_partial", "j3_item_lookup", "kmeans_train",
+    "snapshot_dedup", "snapshot_dedup_incremental", "kcore",
+    "count_distinct", "window_running_total", "multimodal_stats",
+    "multimodal_frames", "multimodal_features", "multimodal_resize",
+    "text_bm25", "sketch_distinct", "sketch_percentile",
+    "sketch_topk", "asof_join", "range_join",
+    "sessionize_batch", "set_intersect", "tpch_q2_min_cost",
+    "tpch_q4_order_priority", "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_profit", "tpch_q14_promo_share", "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive", "tpch_q20_excess_suppliers", "tpch_q21_waiting",
+    "a3_merge_idempotent", "a4_stock_totals", "ann_bruteforce_topk",
+    "ann_ivf_topk", "decontaminate", "dedup_clusters",
+    "dedup_jaccard_banded", "dedup_minhash_lsh", "dedup_simhash",
+    "embed_neardup", "j3_item_lookup", "kmeans_train",
     "mixture_sample", "pack_sequences", "mixture_rebalance",
-    "bpe_train", "dedup_edit_verified", "quality_stack",
-    "bpe_encode", "mixture_rebalance_bpe", "ccnet_buckets",
-    "pack_sequences_bpe", "bpe_fertility", "gopher_rules",
+    "bpe_train", "dedup_edit_verified", "bpe_encode",
+    "ccnet_buckets", "pack_sequences_bpe", "bpe_fertility",
+    "substring_dedup_spans", "dedup_fuzzy_keep_best", "s10_report",
+    "s2_full_scan", "s8_upsert", "scd2_history",
+    "sync_merge_resync", "sync_pipeline", "sync_summary",
+    "x2_quarantine", "window_funnel", "item_cooccur",
+    "s1_rest_ingest", "model_score", "model_score_hist",
+    "tpch_q15_top_supplier", "stream_stream_join", "stream_conversion",
+    "j5_valid_skip_split", "stream_tumbling", "p1_norm_name",
+    "f1_status_filter", "bfs_hops", "j1_match_exact",
+    "s3_filtered_scan", "s9_backfill", "x1_dispatch",
+    "dedup_exact", "text_stats", "funnel",
+    "p3_uid_coalesce", "p4_cents_to_dollars", "p6_resolve_variant",
+    "window_topk_per_cust", "window_range_frame", "set_except",
+    "events_json", "token_entropy", "contamination_report",
+    "packing_efficiency", "ngram_novelty", "j2_match_partial",
+    "multimodal_phash_dedup", "text_repetition", "gopher_rules",
+    "fineweb_filters", "quality_stack", "mixture_rebalance_bpe",
     "ccnet_buckets_pct", "line_dedup", "vocab_coverage",
-    "lang_mix_audit", "packing_efficiency", "ngram_novelty",
-    "contamination_report", "token_entropy",
-    "substring_dedup_spans", "dedup_fuzzy_keep_best",
+    "lang_mix_audit",
 ]
+
 
 
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the
 # guard against the r8 silent-drop failure mode and must survive
 # ``python -O`` (which strips asserts) (ADVICE r9).
-if len(_R15_WINDOW) != 50:
-    raise RuntimeError(f"window must be exactly 50, got {len(_R15_WINDOW)}")
-if len(set(_R15_WINDOW)) != 50:
+if len(_R16_WINDOW) != 50:
+    raise RuntimeError(f"window must be exactly 50, got {len(_R16_WINDOW)}")
+if len(set(_R16_WINDOW)) != 50:
     raise RuntimeError("duplicate name in window")
-_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R15_WINDOW)]
+_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R16_WINDOW)]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    n: _REGISTRY_DEF[n] for n in (*_R15_WINDOW, *_tail)
+    n: _REGISTRY_DEF[n] for n in (*_R16_WINDOW, *_tail)
 }
 if set(REGISTRY) != set(_REGISTRY_DEF):
     raise RuntimeError(
