@@ -271,6 +271,9 @@ HEADLINE = [
     # from birth
     "substring_dedup_spans",
     "dedup_fuzzy_keep_best",
+    # r16 cont.: MinHash-LSH fuzzy eval decontamination (broadcast bench
+    # band probe + exact-Jaccard verify) — tracked from birth
+    "decontaminate_fuzzy",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -127,6 +127,28 @@ def _doc_ops(docs, factor: int = 1):
 
         fuzzy_keep_best(docs).write.format("noop").mode("overwrite").save()
 
+    def run_decontaminate_fuzzy():
+        # fuzzy eval decontamination: bench = perturbed 5% slice (grows
+        # with the corpus here, worst case — production bench sides are
+        # fixed-size); the train side streams through one broadcast
+        # band probe + verify
+        from tepsonic_database_sync_spark.functions.hashing import h60
+        from tepsonic_database_sync_spark.operators.dedup import (
+            decontaminate_fuzzy,
+        )
+
+        bench = docs.filter(
+            h60(F.concat(F.lit("fz:"), F.col("doc_id").cast("string")))
+            % 100
+            < 5
+        ).select(
+            (F.col("doc_id") + 20000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzeval")).alias("text"),
+        )
+        decontaminate_fuzzy(docs, bench, tau_permille=950).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     def run_blocking_audit():
         # PREFIX_TAU_PERMILLE is the shared constant from operators.dedup
         # (the registry re-exports it) — one source of truth, and this
@@ -408,6 +430,7 @@ def _doc_ops(docs, factor: int = 1):
         "token_entropy": run_token_entropy,
         "lsh+star_clusters": run_lsh_clusters,
         "fuzzy_keep_best": run_fuzzy_keep_best,
+        "decontaminate_fuzzy": run_decontaminate_fuzzy,
         "blocking_audit(n≈const)": run_blocking_audit,
         "containment_pairs": run_containment,
         "prefix_pairs_full": run_prefix_full,

@@ -964,6 +964,107 @@ def fuzzy_keep_best(docs: DataFrame) -> DataFrame:
     )
 
 
+def decontaminate_fuzzy(
+    train: DataFrame,
+    bench: DataFrame,
+    tau_permille: int = 800,
+    n: int = 3,
+) -> DataFrame:
+    """FUZZY eval-set decontamination — the near-duplicate complement
+    of the exact gram probe (``contamination_flags``): a training doc
+    is contaminated if its 3-shingle Jaccard with ANY benchmark doc
+    reaches ``tau_permille``. Exact gram probes miss lightly-edited
+    leaks (whitespace damage, appended boilerplate, small insertions);
+    the fuzzy tier is what production decontamination runs next to the
+    exact one (the Stack/StarCoder and Llama-family pipelines pair
+    them the same way).
+
+    Candidates via MinHash-LSH banding ACROSS the two corpora (one
+    banded equi-join train×bench — never all-pairs), then EXACT
+    shingle-set Jaccard verification on candidates only (the
+    dedup_jaccard_banded rule: inter/union over the distinct shingle
+    arrays, integer permille). Best match per train doc is the
+    deterministic ``min(struct(-jaccard, bench_id))`` — algebraic, so
+    map-side partial-combined, no window.
+
+    Scale shape: the benchmark side is SMALL by construction (eval
+    suites are thousands of docs; the corpus is billions), so both the
+    banded bench frame and the bench shingle arrays are broadcast —
+    the train corpus streams through one map-side band probe + one
+    verify projection and never shuffles on its own size. If the bench
+    side ever outgrows broadcast, drop the two hints: both joins are
+    key-wide equi-joins (band_key / b_id) and AQE takes over.
+
+    Returns (doc_id, best_bench_id, best_jaccard_permille,
+    contaminated) for EVERY train doc — best_bench_id is -1 when no
+    candidate verified (jaccard 0, contaminated false).
+    """
+    if "n_chars" not in train.columns:
+        train = train.withColumn("n_chars", F.length("text").cast("long"))
+    if "n_chars" not in bench.columns:
+        bench = bench.withColumn("n_chars", F.length("text").cast("long"))
+    tb = _banded(minhash_sig_array(train, n=n), MINHASH_K, LSH_BAND_SIZE).select(
+        F.col("doc_id").alias("t_id"), "band", "band_key"
+    )
+    bb = _banded(minhash_sig_array(bench, n=n), MINHASH_K, LSH_BAND_SIZE).select(
+        F.col("doc_id").alias("b_id"), "band", "band_key"
+    )
+    cand = (
+        tb.join(F.broadcast(bb), ["band", "band_key"])
+        .select("t_id", "b_id")
+        .distinct()
+    )
+    tsh = _with_shingles(train, n).select(
+        F.col("doc_id").alias("t_id"), F.col("shingles").alias("t_sh")
+    )
+    bsh = _with_shingles(bench, n).select(
+        F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")
+    )
+    inter = F.size(F.array_intersect("t_sh", "b_sh")).cast("long")
+    v = (
+        cand.join(tsh, "t_id")
+        .join(F.broadcast(bsh), "b_id")
+        .select(
+            "t_id",
+            "b_id",
+            inter.alias("inter"),
+            (F.size("t_sh") + F.size("b_sh")).cast("long").alias("sz"),
+        )
+        .select(
+            "t_id",
+            "b_id",
+            F.when(
+                F.col("sz") - F.col("inter") > 0,
+                F.expr("(1000 * inter) div (sz - inter)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("jp"),
+        )
+    )
+    best = v.groupBy("t_id").agg(
+        F.min(
+            F.struct((-F.col("jp")).alias("nj"), F.col("b_id").alias("b"))
+        ).alias("k")
+    )
+    return (
+        train.select("doc_id")
+        .join(best, train["doc_id"] == best["t_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("k.b"), F.lit(-1)).cast("long").alias(
+                "best_bench_id"
+            ),
+            F.coalesce(-F.col("k.nj"), F.lit(0)).cast("long").alias(
+                "best_jaccard_permille"
+            ),
+            (F.coalesce(-F.col("k.nj"), F.lit(0)) >= tau_permille).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 # Canonical prefix-filter similarity threshold. Lives HERE (not in the
 # registry) so measurement scripts can share it without compiling all
 # 183 registry entries; the registry and its DuckDB oracles import this

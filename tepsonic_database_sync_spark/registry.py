@@ -2333,6 +2333,112 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(load_table(spark, sf_dir, "documents"))
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY eval decontamination — the near-dup complement of the
+    exact gram probe: a deterministic 5% slice becomes the benchmark
+    side PERTURBED (one appended token — the lightly-edited leak the
+    exact probe misses: one new trailing 3-shingle, so Jaccard =
+    S/(S+1)), bench ids shifted +20M. Training side = ALL originals.
+    At tau 950/1000 the perturbed twins of shingle-rich docs (S >= 19)
+    flag as contaminated while shorter docs surface as candidates
+    BELOW the threshold — both verify branches fire at the oracle SF
+    (26 contaminated / 7 below at sf0.01, jp spanning 818-989).
+    Design + 100 TB shape in
+    operators/dedup.py::decontaminate_fuzzy."""
+    from tepsonic_database_sync_spark.functions.hashing import h60
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        decontaminate_fuzzy,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(
+        h60(F.concat(F.lit("fz:"), F.col("doc_id").cast("string"))) % 100 < 5
+    ).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzeval")).alias("text"),
+    )
+    return decontaminate_fuzzy(d, bench, tau_permille=950)
+
+
+def _decontaminate_fuzzy_oracle(tau_permille: int = 950) -> str:
+    """DuckDB twin of dedup.decontaminate_fuzzy over the perturbed 5%
+    bench slice: the minhash/banding CTEs built once over the tagged
+    union of both sides, cross-side band join, exact distinct-shingle
+    Jaccard verify (the dedup_jaccard_banded rule), best match per
+    train doc via row_number (jaccard DESC, bench_id)."""
+    h60 = _D_H60.format(e="s")
+    split = _D_H60.format(e="'fz:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, 0 AS is_bench FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text || ' zzeval' AS text, 1 AS is_bench
+  FROM documents WHERE {split} % 100 < 5
+),
+toks AS (
+  SELECT doc_id, is_bench,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id, is_bench,
+         CASE WHEN len(t) >= 3 THEN list_distinct(
+           list_transform(range(0, len(t) - 2),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         ELSE [] END AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (SELECT doc_id, ({h60} % {_P31}) AS h FROM ex),
+{_D_KS},
+sigs AS (
+  SELECT doc_id, CAST(ks.i AS INT) AS i,
+         CAST(min((ks.a * hx.h + ks.b) % {_P31}) AS BIGINT) AS sig
+  FROM hx, ks GROUP BY doc_id, ks.i
+),
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ',')) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS t_id, b.doc_id AS b_id
+  FROM banded t JOIN banded b
+    ON t.band = b.band AND t.band_key = b.band_key
+  WHERE t.doc_id < 20000000 AND b.doc_id >= 20000000
+),
+v AS (
+  SELECT c.t_id, c.b_id,
+         CAST(len(list_intersect(st.shingles, sb.shingles)) AS BIGINT)
+           AS inter,
+         CAST(len(st.shingles) + len(sb.shingles) AS BIGINT) AS sz
+  FROM cand c
+  JOIN sh st ON st.doc_id = c.t_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+),
+jp AS (
+  SELECT t_id, b_id,
+         CAST(CASE WHEN sz - inter > 0
+              THEN (1000 * inter) // (sz - inter) ELSE 0 END AS BIGINT)
+           AS jp
+  FROM v
+),
+best AS (
+  SELECT t_id, b_id, jp,
+         row_number() OVER (PARTITION BY t_id
+                            ORDER BY jp DESC, b_id) AS rn
+  FROM jp
+)
+SELECT d.doc_id,
+       CAST(coalesce(b.b_id, -1) AS BIGINT) AS best_bench_id,
+       CAST(coalesce(b.jp, 0) AS BIGINT) AS best_jaccard_permille,
+       coalesce(b.jp, 0) >= {tau_permille} AS contaminated
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.t_id
+"""
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source benchmark-contamination rates — the report that
     localizes WHICH sources leak eval data (the actionable curation
@@ -10769,6 +10875,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, _O["ann_bruteforce_topk"]),
     "ann_ivf_topk": (q_ann_ivf_topk, _O["ann_ivf_topk"]),
     "decontaminate": (q_decontaminate, _O["decontaminate"]),
+    "decontaminate_fuzzy": (
+        q_decontaminate_fuzzy,
+        _decontaminate_fuzzy_oracle(),
+    ),
     "contamination_report": (q_contamination_report, _contamination_report_oracle()),
     "token_entropy": (q_token_entropy, _token_entropy_oracle()),
     "dedup_canonicalize": (q_dedup_canonicalize, _O["dedup_canonicalize"]),
@@ -10997,17 +11107,19 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # rollup_multires, the tpch_q5/q12/q13/q18 block, skew_salted_agg,
 # skew_salted_join, dq_checks, dataset_split, outliers_p99, mom_growth)
 # retire FIRST, then the r11 remainder through the natural cut — with
-# FIVE swaps displacing the least-stale five of the natural 50
-# (compaction_plan, interval_concurrency, ewma, group_moments,
-# hll_registers — all r11-green, they head the r17 queue):
+# SIX swaps displacing the least-stale six of the natural 50
+# (psi_drift, compaction_plan, interval_concurrency, ewma,
+# group_moments, hll_registers — all r11-green, they head the r17
+# queue):
 #   - token_entropy — eta_permille restructured to a true integer div
 #     over materialized columns (VERDICT r15 item 5; value-identical);
 #   - contamination_report + packing_efficiency — consolidated onto the
 #     shared text._permille builder (ADVICE r15; value-identical);
-#   - substring_dedup_spans + dedup_fuzzy_keep_best — the round's TWO
-#     additions (the published ExactSubstr maximal-span removal rule
-#     and the quality-aware fuzzy cluster keeper; new entries are
-#     always in-window).
+#   - substring_dedup_spans + dedup_fuzzy_keep_best +
+#     decontaminate_fuzzy — the round's THREE additions (the published
+#     ExactSubstr maximal-span removal rule, the quality-aware fuzzy
+#     cluster keeper, and MinHash-LSH fuzzy eval decontamination; new
+#     entries are always in-window).
 # After r16 the last-green floor is r12.
 _R16_WINDOW = [
     "stream_sliding", "stream_sessions", "stream_dedup",
@@ -11024,9 +11136,9 @@ _R16_WINDOW = [
     "text_winnow", "text_chunks", "text_scrub",
     "decontaminate_bloom", "time_resample", "runtime_filter_join",
     "token_pmi", "zorder_stats", "weighted_sample",
-    "cdc_incremental_agg", "match_fuzzy", "psi_drift",
-    "token_entropy", "contamination_report", "packing_efficiency",
-    "substring_dedup_spans", "dedup_fuzzy_keep_best",
+    "cdc_incremental_agg", "match_fuzzy", "token_entropy",
+    "contamination_report", "packing_efficiency", "substring_dedup_spans",
+    "dedup_fuzzy_keep_best", "decontaminate_fuzzy",
 ]
 
 _TAIL_FRESHNESS = [
@@ -11086,7 +11198,8 @@ _TAIL_FRESHNESS = [
     "mixture_sample", "pack_sequences", "mixture_rebalance",
     "bpe_train", "dedup_edit_verified", "bpe_encode",
     "ccnet_buckets", "pack_sequences_bpe", "bpe_fertility",
-    "substring_dedup_spans", "dedup_fuzzy_keep_best", "s10_report",
+    "substring_dedup_spans", "dedup_fuzzy_keep_best", "decontaminate_fuzzy",
+    "s10_report",
     "s2_full_scan", "s8_upsert", "scd2_history",
     "sync_merge_resync", "sync_pipeline", "sync_summary",
     "x2_quarantine", "window_funnel", "item_cooccur",

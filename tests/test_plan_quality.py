@@ -1098,6 +1098,20 @@ def test_fuzzy_keep_best_argmax_is_map_side_no_cartesian(
     assert "row_number" not in plan
 
 
+def test_decontaminate_fuzzy_broadcasts_bench_side(spark, registry_plans):
+    """Fuzzy decontamination must probe the SMALL benchmark side as a
+    broadcast (both the banded frame and the shingle arrays — the
+    train corpus streams and never shuffles on its own size), verify
+    on an equi-join, and pick the best match with the algebraic
+    min-struct, never a per-doc window."""
+    plan = registry_plans["decontaminate_fuzzy"]
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "row_number" not in plan
+
+
 def test_semdedup_pairs_are_cluster_equijoin(spark, registry_plans):
     """SemDeDup's whole point is cluster-blocked comparison: the pair
     step must be a cent_id-keyed equi-join over the (checkpointed)

@@ -4043,6 +4043,59 @@ def test_fuzzy_keep_best_quality_beats_min_id(spark):
 
 
 # ---------------------------------------------------------------------------
+# decontaminate_fuzzy (MinHash-LSH fuzzy eval decontamination)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_fuzzy_three_branches(spark):
+    """Crafted train/bench pair pinning all three outcomes (fixed
+    hashing → the LSH collisions below are deterministic for these
+    exact strings): a one-token-perturbed leak verifies above tau; a
+    three-token-perturbed near-match surfaces as a candidate BELOW tau
+    (flagging it would be a false positive — the verify step is the
+    point); a disjoint doc has no candidate at all (-1, 0, false)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        decontaminate_fuzzy,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    second = (
+        "red orange yellow green blue indigo violet crimson scarlet amber "
+        "teal navy maroon olive coral salmon ivory beige"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base),
+            (2, second),
+            (3, "totally disjoint content about volcanic minerals and "
+                "deep sea currents"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(101, base + " zzeval"), (102, second + " zz1 zz2 zz3")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (
+            r["doc_id"],
+            r["best_bench_id"],
+            r["best_jaccard_permille"],
+            r["contaminated"],
+        )
+        for r in decontaminate_fuzzy(train, bench, tau_permille=900).collect()
+    )
+    assert got == [
+        (1, 101, 956, True),
+        (2, 102, 842, False),
+        (3, -1, 0, False),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup vs an exact integer reference
 # ---------------------------------------------------------------------------
 
