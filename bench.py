@@ -272,8 +272,10 @@ HEADLINE = [
     "substring_dedup_spans",
     "dedup_fuzzy_keep_best",
     # r16 cont.: MinHash-LSH fuzzy eval decontamination (broadcast bench
-    # band probe + exact-Jaccard verify) — tracked from birth
+    # band probe + exact-Jaccard verify) and the per-source boilerplate
+    # census (distinct line pass + min-struct argmax) — tracked from birth
     "decontaminate_fuzzy",
+    "boilerplate_report",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

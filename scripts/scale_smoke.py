@@ -149,6 +149,35 @@ def _doc_ops(docs, factor: int = 1):
             "noop"
         ).mode("overwrite").save()
 
+    def run_boilerplate_report():
+        # per-source boilerplate census over the footer-injected corpus
+        # (the registry's injection, scaled): 40% of docs in half the
+        # sources get a source footer line
+        from tepsonic_database_sync_spark.functions.hashing import h60
+        from tepsonic_database_sync_spark.operators.dedup import (
+            boilerplate_report,
+        )
+
+        inj = (
+            h60(F.concat(F.lit("bp:"), F.col("doc_id").cast("string")))
+            % 100
+            < 40
+        ) & (h60(F.concat(F.lit("bps:"), F.col("source"))) % 2 == 0)
+        corpus = docs.withColumn(
+            "text",
+            F.when(
+                inj,
+                F.concat(
+                    F.col("text"),
+                    F.lit(chr(10) + "standard footer for "),
+                    F.col("source"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        boilerplate_report(corpus).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def run_blocking_audit():
         # PREFIX_TAU_PERMILLE is the shared constant from operators.dedup
         # (the registry re-exports it) — one source of truth, and this
@@ -431,6 +460,7 @@ def _doc_ops(docs, factor: int = 1):
         "lsh+star_clusters": run_lsh_clusters,
         "fuzzy_keep_best": run_fuzzy_keep_best,
         "decontaminate_fuzzy": run_decontaminate_fuzzy,
+        "boilerplate_report": run_boilerplate_report,
         "blocking_audit(n≈const)": run_blocking_audit,
         "containment_pairs": run_containment,
         "prefix_pairs_full": run_prefix_full,

@@ -2412,6 +2412,100 @@ def line_dedup(
     )
 
 
+def boilerplate_report(
+    docs: DataFrame, source_col: str = "source", min_docs: int = 3
+) -> DataFrame:
+    """Per-source boilerplate-line census — the curation report that
+    tells a pipeline WHICH sources ship template lines (nav bars,
+    cookie banners, footers) and how much of the source they cover.
+    RefinedWeb/CCNet REMOVE repeated lines (``line_dedup``); this is
+    the measurement that decides whether a source needs that pass at
+    all, or should be dropped wholesale (a source whose top line sits
+    in 90% of its docs is a template farm).
+
+    Deterministic semantics (both engines): lines normalized by
+    ``text.norm_lines_expr`` (lower/trim, empties dropped); a line is
+    BOILERPLATE for a source iff it appears in ≥ ``min_docs`` DISTINCT
+    docs of that source (distinct docs, not occurrences — a 100×
+    within-doc repeat is repetition, not boilerplate); the TOP line is
+    the one in the most distinct docs, ties broken by the smaller line
+    string.
+
+    Scale shape: one distinct pass on (source, line, doc_id) —
+    partial-combined, within-doc repeats collapse map-side — then ONE
+    (source, line) count, a per-source argmax via the algebraic
+    min(struct(-cnt, line)) (no window), and one equi-join back from
+    the boilerplate lines for the affected-docs permille. Output is
+    |sources| rows; every join key is the wide (source, line) space or
+    uniform doc_id — no hot reduce key. The keys carry raw normalized
+    lines (not h60) because the report itself needs the string; at
+    100 TB swap the census key to h60 and re-attach the top line by a
+    final |sources|-row lookup if line widths dominate the shuffle.
+
+    Returns (source, n_docs, n_boiler_lines, top_line, top_line_docs,
+    coverage_permille, boiler_doc_permille) — all-zero/'' for sources
+    with no qualifying line.
+    """
+    from tepsonic_database_sync_spark.operators.text import (
+        _permille,
+        norm_lines_expr,
+    )
+
+    base = docs.select(
+        "doc_id", F.col(source_col).alias("source")
+    )
+    n_docs = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    # distinct (source, line, doc) — the census unit
+    sld = (
+        docs.select(
+            "doc_id",
+            F.col(source_col).alias("source"),
+            F.explode(norm_lines_expr(F.col("text"))).alias("line"),
+        )
+        .distinct()
+    )
+    counts = sld.groupBy("source", "line").agg(
+        F.count("*").cast("long").alias("in_docs")
+    )
+    boiler = counts.filter(F.col("in_docs") >= min_docs)
+    top = boiler.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_boiler_lines"),
+        F.min(
+            F.struct(
+                (-F.col("in_docs")).alias("nc"), F.col("line").alias("l")
+            )
+        ).alias("k"),
+    )
+    # docs touched by ANY boilerplate line of their source
+    touched = (
+        sld.join(boiler.select("source", "line"), ["source", "line"])
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("boiler_docs"))
+    )
+    z = lambda c: F.coalesce(c, F.lit(0)).cast("long")  # noqa: E731
+    return (
+        n_docs.join(top, "source", "left")
+        .join(touched, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            z(F.col("n_boiler_lines")).alias("n_boiler_lines"),
+            F.coalesce(F.col("k.l"), F.lit("")).alias("top_line"),
+            z(-F.col("k.nc")).alias("top_line_docs"),
+            _permille(z(-F.col("k.nc")), F.col("n_docs")).alias(
+                "coverage_permille"
+            ),
+            _permille(z(F.col("boiler_docs")), F.col("n_docs")).alias(
+                "boiler_doc_permille"
+            ),
+        )
+    )
+
+
 NGRAM_NOVELTY_N = 8
 
 

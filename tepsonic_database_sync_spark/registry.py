@@ -2439,6 +2439,111 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.t_id
 """
 
 
+def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-line census: which sources ship template
+    lines (≥ 3 distinct docs sharing a normalized line), their top
+    line, and the share of the source's docs it covers — the report
+    that decides whether a source needs line_dedup or a wholesale
+    drop. The raw corpus has no per-source repeated line, so the entry
+    runs over a footer-injected corpus (the line_dedup convention): a
+    deterministic 40% of docs get a source-specific footer line, but
+    ONLY in the sources whose own hash is even — half the sources
+    report their footer as top line, the other half stay all-zero, so
+    both branches are non-vacuous at the oracle SF. Design + 100 TB
+    note in operators/dedup.py::boilerplate_report."""
+    from tepsonic_database_sync_spark.functions.hashing import h60
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        boilerplate_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    inj = (
+        h60(F.concat(F.lit("bp:"), F.col("doc_id").cast("string"))) % 100
+        < 40
+    ) & (h60(F.concat(F.lit("bps:"), F.col("source"))) % 2 == 0)
+    corpus = d.withColumn(
+        "text",
+        F.when(
+            inj,
+            F.concat(
+                F.col("text"),
+                F.lit(chr(10) + "standard footer for "),
+                F.col("source"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return boilerplate_report(corpus)
+
+
+def _boilerplate_report_oracle(min_docs: int = 3) -> str:
+    """DuckDB twin of dedup.boilerplate_report over the footer-injected
+    corpus: same normalized lines as the line_dedup oracle, distinct
+    (source, line, doc) census, boilerplate cut at min_docs distinct
+    docs, top line via row_number (in_docs DESC, line)."""
+    from tepsonic_database_sync_spark.functions.hashing import h60_sql
+
+    inj_doc = h60_sql("'bp:' || CAST(doc_id AS VARCHAR)")
+    inj_src = h60_sql("'bps:' || source")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, source,
+         CASE WHEN ({inj_doc}) % 100 < 40 AND ({inj_src}) % 2 = 0
+              THEN text || chr(10) || 'standard footer for ' || source
+              ELSE text END AS text
+  FROM documents
+),
+lns AS (
+  SELECT DISTINCT doc_id, source, l[i] AS line
+  FROM (SELECT doc_id, source,
+               list_filter(list_transform(string_split(text, chr(10)),
+                           x -> lower(trim(x))), x -> x <> '') AS l
+        FROM corpus),
+       unnest(range(1, len(l) + 1)) AS r(i)
+),
+nd AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM corpus GROUP BY source
+),
+counts AS (
+  SELECT source, line, CAST(count(*) AS BIGINT) AS in_docs
+  FROM lns GROUP BY source, line
+),
+boiler AS (SELECT * FROM counts WHERE in_docs >= {min_docs}),
+ranked AS (
+  SELECT source, line, in_docs,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY in_docs DESC, line) AS rn
+  FROM boiler
+),
+nb AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_boiler_lines
+  FROM boiler GROUP BY source
+),
+touched AS (
+  SELECT l.source, CAST(count(DISTINCT l.doc_id) AS BIGINT) AS boiler_docs
+  FROM lns l JOIN boiler b ON l.source = b.source AND l.line = b.line
+  GROUP BY l.source
+)
+SELECT nd.source, nd.n_docs,
+       CAST(coalesce(nb.n_boiler_lines, 0) AS BIGINT) AS n_boiler_lines,
+       coalesce(r.line, '') AS top_line,
+       CAST(coalesce(r.in_docs, 0) AS BIGINT) AS top_line_docs,
+       CAST(CASE WHEN nd.n_docs > 0
+            THEN (coalesce(r.in_docs, 0) * 1000) // nd.n_docs
+            ELSE 0 END AS BIGINT) AS coverage_permille,
+       CAST(CASE WHEN nd.n_docs > 0
+            THEN (coalesce(t.boiler_docs, 0) * 1000) // nd.n_docs
+            ELSE 0 END AS BIGINT) AS boiler_doc_permille
+FROM nd
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON nd.source = r.source
+LEFT JOIN nb ON nd.source = nb.source
+LEFT JOIN touched t ON nd.source = t.source
+"""
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source benchmark-contamination rates — the report that
     localizes WHICH sources leak eval data (the actionable curation
@@ -10879,6 +10984,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
         q_decontaminate_fuzzy,
         _decontaminate_fuzzy_oracle(),
     ),
+    "boilerplate_report": (
+        q_boilerplate_report,
+        _boilerplate_report_oracle(),
+    ),
     "contamination_report": (q_contamination_report, _contamination_report_oracle()),
     "token_entropy": (q_token_entropy, _token_entropy_oracle()),
     "dedup_canonicalize": (q_dedup_canonicalize, _O["dedup_canonicalize"]),
@@ -11107,18 +11216,19 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # rollup_multires, the tpch_q5/q12/q13/q18 block, skew_salted_agg,
 # skew_salted_join, dq_checks, dataset_split, outliers_p99, mom_growth)
 # retire FIRST, then the r11 remainder through the natural cut — with
-# SIX swaps displacing the least-stale six of the natural 50
-# (psi_drift, compaction_plan, interval_concurrency, ewma,
-# group_moments, hll_registers — all r11-green, they head the r17
-# queue):
+# SEVEN swaps displacing the least-stale seven of the natural 50
+# (match_fuzzy, psi_drift, compaction_plan, interval_concurrency,
+# ewma, group_moments, hll_registers — all r11-green, they head the
+# r17 queue):
 #   - token_entropy — eta_permille restructured to a true integer div
 #     over materialized columns (VERDICT r15 item 5; value-identical);
 #   - contamination_report + packing_efficiency — consolidated onto the
 #     shared text._permille builder (ADVICE r15; value-identical);
 #   - substring_dedup_spans + dedup_fuzzy_keep_best +
-#     decontaminate_fuzzy — the round's THREE additions (the published
-#     ExactSubstr maximal-span removal rule, the quality-aware fuzzy
-#     cluster keeper, and MinHash-LSH fuzzy eval decontamination; new
+#     decontaminate_fuzzy + boilerplate_report — the round's FOUR
+#     additions (the published ExactSubstr maximal-span removal rule,
+#     the quality-aware fuzzy cluster keeper, MinHash-LSH fuzzy eval
+#     decontamination, and the per-source boilerplate census; new
 #     entries are always in-window).
 # After r16 the last-green floor is r12.
 _R16_WINDOW = [
@@ -11136,9 +11246,9 @@ _R16_WINDOW = [
     "text_winnow", "text_chunks", "text_scrub",
     "decontaminate_bloom", "time_resample", "runtime_filter_join",
     "token_pmi", "zorder_stats", "weighted_sample",
-    "cdc_incremental_agg", "match_fuzzy", "token_entropy",
-    "contamination_report", "packing_efficiency", "substring_dedup_spans",
-    "dedup_fuzzy_keep_best", "decontaminate_fuzzy",
+    "cdc_incremental_agg", "token_entropy", "contamination_report",
+    "packing_efficiency", "substring_dedup_spans", "dedup_fuzzy_keep_best",
+    "decontaminate_fuzzy", "boilerplate_report",
 ]
 
 _TAIL_FRESHNESS = [
@@ -11199,7 +11309,7 @@ _TAIL_FRESHNESS = [
     "bpe_train", "dedup_edit_verified", "bpe_encode",
     "ccnet_buckets", "pack_sequences_bpe", "bpe_fertility",
     "substring_dedup_spans", "dedup_fuzzy_keep_best", "decontaminate_fuzzy",
-    "s10_report",
+    "boilerplate_report", "s10_report",
     "s2_full_scan", "s8_upsert", "scd2_history",
     "sync_merge_resync", "sync_pipeline", "sync_summary",
     "x2_quarantine", "window_funnel", "item_cooccur",

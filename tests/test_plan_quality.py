@@ -1112,6 +1112,18 @@ def test_decontaminate_fuzzy_broadcasts_bench_side(spark, registry_plans):
     assert "row_number" not in plan
 
 
+def test_boilerplate_report_argmax_is_map_side(spark, registry_plans):
+    """The per-source top-line choice must be the algebraic
+    min(struct(-in_docs, line)) — map-side partial-combined, no
+    window rank — and nothing may nested-loop (every join is on
+    (source, line) or source)."""
+    plan = registry_plans["boilerplate_report"]
+    assert "partial_min" in plan
+    assert "row_number" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_semdedup_pairs_are_cluster_equijoin(spark, registry_plans):
     """SemDeDup's whole point is cluster-blocked comparison: the pair
     step must be a cent_id-keyed equi-join over the (checkpointed)

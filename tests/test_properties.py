@@ -4096,6 +4096,47 @@ def test_decontaminate_fuzzy_three_branches(spark):
 
 
 # ---------------------------------------------------------------------------
+# boilerplate_report (per-source template-line census)
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_report_census_laws(spark):
+    """Crafted corpus pinning the census rules: distinct DOCS (not
+    occurrences — within-doc repeats must not qualify a line), the
+    min_docs cut, the (in_docs DESC, line) tie-break, and the all-zero
+    row for a source with no qualifying line."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        boilerplate_report,
+    )
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        # source a: footer in 3 docs; "menu home" in 3 docs (tie on
+        # count → lexicographically smaller "menu home" wins top_line);
+        # one doc repeats the footer 3× WITHIN itself (still 1 doc)
+        (1, f"alpha one\n{footer}\nmenu home", "a"),
+        (2, f"beta two\n{footer}\n{footer}\n{footer}\nmenu home", "a"),
+        (3, f"gamma three\n{footer}\nmenu home", "a"),
+        (4, "delta four only unique content", "a"),
+        # source b: footer in only 2 distinct docs (< 3 → no boiler),
+        # plus a doc that repeats a line 5× within itself only
+        (5, f"epsilon five\n{footer}", "b"),
+        (6, f"zeta six\n{footer}", "b"),
+        (7, "eta\neta\neta\neta\neta", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in boilerplate_report(df, min_docs=3).collect()}
+    a, b = got["a"], got["b"]
+    assert a["n_docs"] == 4 and a["n_boiler_lines"] == 2
+    assert a["top_line"] == "menu home"  # tie at 3 docs → smaller line
+    assert a["top_line_docs"] == 3 and a["coverage_permille"] == 750
+    assert a["boiler_doc_permille"] == 750  # docs 1-3 touched, 4 not
+    assert b["n_docs"] == 3 and b["n_boiler_lines"] == 0
+    assert b["top_line"] == "" and b["top_line_docs"] == 0
+    assert b["coverage_permille"] == 0 and b["boiler_doc_permille"] == 0
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup vs an exact integer reference
 # ---------------------------------------------------------------------------
 
