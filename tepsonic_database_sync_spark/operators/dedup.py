@@ -1620,6 +1620,20 @@ def substring_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
     for EVERY doc — reconstruction is the linear-time shared body
     ``_reconstruct_kept`` (r12; see its docstring for the bound).
     """
+    toked, dup_pos = _substr_removal_positions(docs, n)
+    removed = dup_pos.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("rp")
+    )
+    return _reconstruct_kept(toked, removed)
+
+
+def _substr_removal_positions(docs: DataFrame, n: int):
+    """Shared ExactSubstr removal-position builder for
+    ``substring_dedup`` and ``substring_dedup_spans``: tokenized corpus
+    + the DISTINCT (doc_id, pos) set of non-canonical duplicated-gram
+    positions (canonical = (doc_id, i)-lexicographic min per gram,
+    chosen INSIDE the one map-side-combined gram aggregate — min-struct
+    and count are both algebraic). Returns (toked, positions)."""
     from tepsonic_database_sync_spark.operators.text import tokens
 
     toked = docs.select(
@@ -1648,7 +1662,7 @@ def substring_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
         .filter(F.col("cnt") > 1)
         .select("g", F.col("can.doc_id").alias("c_doc"), F.col("can.i").alias("c_i"))
     )
-    removed = (
+    positions = (
         grams.join(canon, "g")
         .filter(~((F.col("doc_id") == F.col("c_doc")) & (F.col("i") == F.col("c_i"))))
         .select(
@@ -1656,10 +1670,8 @@ def substring_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
             F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
         )
         .distinct()
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("rp"))
     )
-    return _reconstruct_kept(toked, removed)
+    return toked, positions
 
 
 def substring_dedup_spans(
@@ -1700,44 +1712,9 @@ def substring_dedup_spans(
     n_spans, max_span_tokens) for EVERY doc — n_spans / max_span_tokens
     describe the REMOVED (≥ min_span) spans, 0 when nothing qualifies.
     """
-    from tepsonic_database_sync_spark.operators.text import tokens
-
-    toked = docs.select(
-        "doc_id",
-        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
-    )
-    grams = (
-        toked.filter(F.size("t") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(t) - {n} + 1),"
-                    f" i -> struct(i AS i, concat_ws(' ', slice(t, i, {n})) AS g))"
-                )
-            ).alias("x"),
-        )
-        .select("doc_id", "x.i", "x.g")
-    )
-    canon = (
-        grams.groupBy("g")
-        .agg(
-            F.min(F.struct("doc_id", "i")).alias("can"),
-            F.count("*").cast("long").alias("cnt"),
-        )
-        .filter(F.col("cnt") > 1)
-        .select("g", F.col("can.doc_id").alias("c_doc"), F.col("can.i").alias("c_i"))
-    )
-    dup_pos = (
-        grams.join(canon, "g")
-        .filter(~((F.col("doc_id") == F.col("c_doc")) & (F.col("i") == F.col("c_i"))))
-        .select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("dp"))
+    toked, positions = _substr_removal_positions(docs, n)
+    dup_pos = positions.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("dp")
     )
     # Row-local gaps-and-islands over the sorted distinct positions:
     # `starts` = 1-based indices into dp where a new run begins; span j
