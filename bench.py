@@ -276,6 +276,9 @@ HEADLINE = [
     # census (distinct line pass + min-struct argmax) — tracked from birth
     "decontaminate_fuzzy",
     "boilerplate_report",
+    # r16 cont.: duplicate-cluster size distribution (lsh+star + two
+    # map-side aggregates) — tracked from birth
+    "dedup_cluster_census",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

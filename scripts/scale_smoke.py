@@ -178,6 +178,18 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_cluster_census():
+        # cluster-size census: the lsh+star substrate plus two map-side
+        # aggregates and a broadcast 1-row total — should sit on the
+        # lsh+star curve
+        from tepsonic_database_sync_spark.operators.dedup import (
+            dedup_cluster_census,
+        )
+
+        dedup_cluster_census(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def run_blocking_audit():
         # PREFIX_TAU_PERMILLE is the shared constant from operators.dedup
         # (the registry re-exports it) — one source of truth, and this
@@ -461,6 +473,7 @@ def _doc_ops(docs, factor: int = 1):
         "fuzzy_keep_best": run_fuzzy_keep_best,
         "decontaminate_fuzzy": run_decontaminate_fuzzy,
         "boilerplate_report": run_boilerplate_report,
+        "cluster_census": run_cluster_census,
         "blocking_audit(n≈const)": run_blocking_audit,
         "containment_pairs": run_containment,
         "prefix_pairs_full": run_prefix_full,

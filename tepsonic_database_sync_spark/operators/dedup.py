@@ -2389,6 +2389,67 @@ def line_dedup(
     )
 
 
+def dedup_cluster_census(docs: DataFrame) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the corpus-health report
+    the FineWeb/RefinedWeb ablations plot before choosing a dedup
+    policy: how many near-dup clusters exist at each size, what share
+    of the corpus sits in them, and an example cluster id per size (the
+    thing an engineer actually goes and reads). A corpus whose mass
+    sits in large clusters needs aggressive dedup; one that is mostly
+    singletons doesn't — this report is the decision input, the dedup
+    operators above are the treatment.
+
+    Clusters are the repo's certified fuzzy tier (MinHash-LSH pairs →
+    star-contraction components, labels = min member id). Census rules
+    (deterministic): per size, n_clusters, n_docs = size·n_clusters,
+    doc_share_permille = n_docs·1000 div corpus size, example_cluster =
+    the smallest cluster id of that size. Singletons are counted (size
+    1 row) — the report must say how much of the corpus is NOT
+    duplicated.
+
+    Scale shape: on top of the pair/CC substrate, ONE map-side count
+    per cluster label, ONE count per size (output is |distinct sizes|
+    rows — tens), and the corpus total as a broadcast 1-row aggregate.
+    No window, no driver-side state.
+
+    Returns (cluster_size, n_clusters, n_docs, doc_share_permille,
+    example_cluster) ordered by nothing (the driver compare sorts).
+    """
+    from tepsonic_database_sync_spark.operators.text import _permille
+
+    if "n_chars" not in docs.columns:
+        docs = docs.withColumn("n_chars", F.length("text").cast("long"))
+    pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(
+        eager=True
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components_star(pairs, nodes)
+    sizes = comp.groupBy("comp").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    total = docs.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.min("comp").cast("long").alias("example_cluster"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            _permille(
+                F.col("cluster_size") * F.col("n_clusters"),
+                F.col("n_total"),
+            ).alias("doc_share_permille"),
+            "example_cluster",
+        )
+    )
+
+
 def boilerplate_report(
     docs: DataFrame, source_col: str = "source", min_docs: int = 3
 ) -> DataFrame:

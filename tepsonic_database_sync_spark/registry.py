@@ -2439,6 +2439,72 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.t_id
 """
 
 
+def q_dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution over the raw corpus — the
+    decision input for the dedup policy (at the oracle SF: 453
+    singletons, 22 pairs, 1 triple — three sizes, all branches live).
+    Same certified LSH + star-contraction clusters as
+    dedup_clusters_star; census rules in
+    operators/dedup.py::dedup_cluster_census."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        dedup_cluster_census,
+    )
+
+    return dedup_cluster_census(load_table(spark, sf_dir, "documents"))
+
+
+def _dedup_cluster_census_oracle() -> str:
+    """DuckDB twin: the dedup_clusters recursive-closure labels →
+    per-label counts → per-size census with the integer permille and
+    min example id."""
+    return f"""
+WITH RECURSIVE {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ',')) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT d.doc_id,
+         CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT)
+           AS cluster_id
+  FROM documents d
+  LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+    ON d.doc_id = m.src
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+SELECT s.cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(s.cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN t.n_total > 0
+            THEN (s.cluster_size * count(*) * 1000) // t.n_total
+            ELSE 0 END AS BIGINT) AS doc_share_permille,
+       CAST(min(s.cluster_id) AS BIGINT) AS example_cluster
+FROM sizes s, tot t
+GROUP BY s.cluster_size, t.n_total
+"""
+
+
 def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate-line census: which sources ship template
     lines (≥ 3 distinct docs sharing a normalized line), their top
@@ -10988,6 +11054,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
         q_boilerplate_report,
         _boilerplate_report_oracle(),
     ),
+    "dedup_cluster_census": (
+        q_dedup_cluster_census,
+        _dedup_cluster_census_oracle(),
+    ),
     "contamination_report": (q_contamination_report, _contamination_report_oracle()),
     "token_entropy": (q_token_entropy, _token_entropy_oracle()),
     "dedup_canonicalize": (q_dedup_canonicalize, _O["dedup_canonicalize"]),
@@ -11216,20 +11286,21 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # rollup_multires, the tpch_q5/q12/q13/q18 block, skew_salted_agg,
 # skew_salted_join, dq_checks, dataset_split, outliers_p99, mom_growth)
 # retire FIRST, then the r11 remainder through the natural cut — with
-# SEVEN swaps displacing the least-stale seven of the natural 50
-# (match_fuzzy, psi_drift, compaction_plan, interval_concurrency,
-# ewma, group_moments, hll_registers — all r11-green, they head the
-# r17 queue):
+# EIGHT swaps displacing the least-stale eight of the natural 50
+# (cdc_incremental_agg, match_fuzzy, psi_drift, compaction_plan,
+# interval_concurrency, ewma, group_moments, hll_registers — all
+# r11-green, they head the r17 queue):
 #   - token_entropy — eta_permille restructured to a true integer div
 #     over materialized columns (VERDICT r15 item 5; value-identical);
 #   - contamination_report + packing_efficiency — consolidated onto the
 #     shared text._permille builder (ADVICE r15; value-identical);
 #   - substring_dedup_spans + dedup_fuzzy_keep_best +
-#     decontaminate_fuzzy + boilerplate_report — the round's FOUR
-#     additions (the published ExactSubstr maximal-span removal rule,
-#     the quality-aware fuzzy cluster keeper, MinHash-LSH fuzzy eval
-#     decontamination, and the per-source boilerplate census; new
-#     entries are always in-window).
+#     decontaminate_fuzzy + boilerplate_report + dedup_cluster_census
+#     — the round's FIVE additions (the published ExactSubstr
+#     maximal-span removal rule, the quality-aware fuzzy cluster
+#     keeper, MinHash-LSH fuzzy eval decontamination, the per-source
+#     boilerplate census, and the duplicate-cluster size distribution;
+#     new entries are always in-window).
 # After r16 the last-green floor is r12.
 _R16_WINDOW = [
     "stream_sliding", "stream_sessions", "stream_dedup",
@@ -11246,9 +11317,9 @@ _R16_WINDOW = [
     "text_winnow", "text_chunks", "text_scrub",
     "decontaminate_bloom", "time_resample", "runtime_filter_join",
     "token_pmi", "zorder_stats", "weighted_sample",
-    "cdc_incremental_agg", "token_entropy", "contamination_report",
-    "packing_efficiency", "substring_dedup_spans", "dedup_fuzzy_keep_best",
-    "decontaminate_fuzzy", "boilerplate_report",
+    "token_entropy", "contamination_report", "packing_efficiency",
+    "substring_dedup_spans", "dedup_fuzzy_keep_best", "decontaminate_fuzzy",
+    "boilerplate_report", "dedup_cluster_census",
 ]
 
 _TAIL_FRESHNESS = [
@@ -11309,7 +11380,7 @@ _TAIL_FRESHNESS = [
     "bpe_train", "dedup_edit_verified", "bpe_encode",
     "ccnet_buckets", "pack_sequences_bpe", "bpe_fertility",
     "substring_dedup_spans", "dedup_fuzzy_keep_best", "decontaminate_fuzzy",
-    "boilerplate_report", "s10_report",
+    "boilerplate_report", "dedup_cluster_census", "s10_report",
     "s2_full_scan", "s8_upsert", "scd2_history",
     "sync_merge_resync", "sync_pipeline", "sync_summary",
     "x2_quarantine", "window_funnel", "item_cooccur",

@@ -1124,6 +1124,22 @@ def test_boilerplate_report_argmax_is_map_side(spark, registry_plans):
     assert "CartesianProduct" not in plan
 
 
+def test_dedup_cluster_census_no_nested_loop_broadcast_total(
+    spark, registry_plans
+):
+    """The census must add only map-side aggregates on top of the CC
+    substrate: the corpus total attaches as a broadcast 1-row frame
+    (the only acceptable cross join — singleRow build side), and
+    nothing may nested-loop over data."""
+    plan = registry_plans["dedup_cluster_census"]
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    # the broadcast 1-row corpus-total attach is the ONLY acceptable
+    # nested-loop in this plan (single-row build side); a second one
+    # would mean a data-sized product crept in
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_semdedup_pairs_are_cluster_equijoin(spark, registry_plans):
     """SemDeDup's whole point is cluster-blocked comparison: the pair
     step must be a cent_id-keyed equi-join over the (checkpointed)

@@ -4137,6 +4137,45 @@ def test_boilerplate_report_census_laws(spark):
 
 
 # ---------------------------------------------------------------------------
+# dedup_cluster_census (duplicate-cluster size distribution)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_cluster_census_laws(spark):
+    """Crafted corpus pinning the census rules: a 3-copy cluster, a
+    2-copy cluster, and singletons produce one row per size with
+    n_docs = size·n_clusters summing to the corpus, integer permille
+    shares, and example_cluster = the smallest label of that size.
+    Exact copies guarantee the LSH collisions (J = 1)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        dedup_cluster_census,
+    )
+
+    a = ("the quick brown fox jumps over a lazy dog while many people "
+         "watch from the old stone bridge near town")
+    b = ("completely unrelated text about quantum tensor algebra methods "
+         "and their numerical stability properties in practice")
+    rows = [
+        (1, a), (2, a), (3, a),  # size-3 cluster, label 1
+        (10, b), (11, b),  # size-2 cluster, label 10
+        (20, "a lone short singleton document mentioning turtles and "
+             "rivers gently flowing beneath autumn leaves onwards"),
+        (21, "another singleton with entirely distinct vocabulary about "
+             "medieval cartography and compass construction techniques"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["cluster_size"]: r for r in dedup_cluster_census(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
+    assert got[3]["example_cluster"] == 1
+    assert got[2]["n_clusters"] == 1 and got[2]["example_cluster"] == 10
+    assert got[1]["n_clusters"] == 2 and got[1]["n_docs"] == 2
+    assert sum(r["n_docs"] for r in got.values()) == 7
+    assert got[3]["doc_share_permille"] == 3000 // 7
+    assert got[1]["doc_share_permille"] == 2000 // 7
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup vs an exact integer reference
 # ---------------------------------------------------------------------------
 
