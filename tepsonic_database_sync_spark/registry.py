@@ -11289,7 +11289,8 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # EIGHT swaps displacing the least-stale eight of the natural 50
 # (cdc_incremental_agg, match_fuzzy, psi_drift, compaction_plan,
 # interval_concurrency, ewma, group_moments, hll_registers — all
-# r11-green, they head the r17 queue):
+# r12-green, they head the r17 queue; every r11-green entry stays
+# in-window, so the floor still moves r11 → r12 as handed off):
 #   - token_entropy — eta_permille restructured to a true integer div
 #     over materialized columns (VERDICT r15 item 5; value-identical);
 #   - contamination_report + packing_efficiency — consolidated onto the
