@@ -135,6 +135,28 @@ def _operand_ok(
     return False
 
 
+def test_no_row_at_a_time_python_udfs_in_package():
+    """Package-wide doctrine pin (previously verified by ad-hoc grep in
+    the round verdicts): no ``F.udf`` / ``@udf`` / ``@F.udf`` anywhere
+    in the operator tree. All Python-boundary work must be
+    Arrow-batched (mapInPandas / applyInPandas /
+    applyInPandasWithState) — a row-at-a-time UDF is a 10-100×
+    regression on the hot path and must not ship silently."""
+    offenders = []
+    for path in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if _is_f_call(node, {"udf"}):
+                offenders.append(f"{path.name}:{node.lineno} F.udf")
+            elif (
+                isinstance(node, ast.Name)
+                and node.id == "udf"
+                and isinstance(getattr(node, "ctx", None), ast.Load)
+            ):
+                offenders.append(f"{path.name}:{node.lineno} bare udf")
+    assert not offenders, offenders
+
+
 def test_no_expression_capture_in_positional_transforms():
     violations = []
     for path in sorted(PKG.rglob("*.py")):

@@ -1054,6 +1054,23 @@ def test_no_cartesian_product_in_any_registry_query(registry_plans):
     assert not offenders, offenders
 
 
+def test_no_row_python_eval_in_any_registry_query(registry_plans):
+    """Blanket invariant over the ENTIRE registry: no query may compile
+    a BatchEvalPython node — the row-at-a-time Python boundary. The
+    sanctioned Python boundaries (MapInPandas /
+    FlatMapGroupsInPandas / ArrowEvalPython) are Arrow-batched and
+    pinned per-operator where they are deliberate; BatchEvalPython
+    anywhere means a plain Python UDF crept into a plan."""
+    from tepsonic_database_sync_spark import registry as R
+
+    offenders = [
+        name
+        for name in R.REGISTRY
+        if "BatchEvalPython" in registry_plans.get_or_error(name)
+    ]
+    assert not offenders, offenders
+
+
 def test_substring_dedup_aggregates_map_side(spark, registry_plans):
     """ExactSubstr removal must pick the canonical occurrence inside the
     ONE gram-count aggregation (min(struct) + count are both algebraic
