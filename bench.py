@@ -277,7 +277,12 @@ HEADLINE = [
     "decontaminate_fuzzy",
     "boilerplate_report",
     # r16 cont.: duplicate-cluster size distribution (lsh+star + two
-    # map-side aggregates) — tracked from birth
+    # map-side aggregates) — tracked from birth. NOTE (ADVICE r16):
+    # dedup_fuzzy_keep_best and dedup_cluster_census each rebuild the
+    # shared MinHash+LSH+star-contraction substrate from scratch (they
+    # are independent oracle entries by design), so the headline total
+    # double-counts that ~5-6 s substrate; read their deltas, not their
+    # sum, when adjudicating movers in this family.
     "dedup_cluster_census",
     # r8 batch 6: the second-order path census
     "event_paths",
@@ -454,11 +459,22 @@ def main() -> None:
         "value": round(sum(warm.values()), 3),
     }
     # safety valve: if the array form ever outgrows the tail (it would
-    # take ~300 headliners), drop to 1-decimal before eliding anything
+    # take ~300 headliners), drop to 1-decimal before eliding anything;
+    # if THAT still overflows (~450 headliners), elide from the FRONT of
+    # the array with an honest count — the driver's 2000-byte tail keeps
+    # the END of the line, so front-elision preserves qn/qh/totals and
+    # the kept entries stay aligned with the TAIL of q_names
+    # (ADVICE r16 item 1: the old single re-encode could still overflow
+    # and let the tail capture truncate the head silently).
     budget = 1900
     encoded = json.dumps(out, separators=(",", ":"))
     if len(encoded) > budget:
         out["q"] = [round(warm[k], 1) for k in ran]
+        encoded = json.dumps(out, separators=(",", ":"))
+    while len(encoded) > budget and out["q"]:
+        drop = max(1, (len(encoded) - budget) // 6)
+        out["q"] = out["q"][drop:]
+        out["queries_elided"] = len(ran) - len(out["q"])
         encoded = json.dumps(out, separators=(",", ":"))
     print(encoded)
 

@@ -1021,8 +1021,13 @@ def decontaminate_fuzzy(
         F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")
     )
     inter = F.size(F.array_intersect("t_sh", "b_sh")).cast("long")
+    # The candidate frame is bounded by band collisions against the
+    # SMALL bench side (≤ bands × |bench| pairs before distinct), so it
+    # broadcasts too — without the hint this join would shuffle the full
+    # train shingle projection on t_id, which is exactly the
+    # train-sized exchange the docstring promises away (ADVICE r16).
     v = (
-        cand.join(tsh, "t_id")
+        F.broadcast(cand).join(tsh, "t_id")
         .join(F.broadcast(bsh), "b_id")
         .select(
             "t_id",

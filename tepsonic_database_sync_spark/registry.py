@@ -10890,7 +10890,7 @@ FROM pred GROUP BY 1, 2
 
 # name → (spark callable, oracle sql | None) — the CATALOG. Definition
 # order here is historical; the driver-facing order (window contract)
-# is rebuilt below from _R16_WINDOW + _TAIL_FRESHNESS.
+# is rebuilt below from _R17_WINDOW + _TAIL_FRESHNESS.
 #
 # Historical allocation notes (r8): Round-8 allocation: the 19 new r8
 # operators (batch 1 bfs_hops … layout_prune, batch 2
@@ -11303,41 +11303,51 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #     boilerplate census, and the duplicate-cluster size distribution;
 #     new entries are always in-window).
 # After r16 the last-green floor is r12.
-_R16_WINDOW = [
-    "stream_sliding", "stream_sessions", "stream_dedup",
-    "stream_enrich", "rollup_multires", "tpch_q5_region_revenue",
-    "tpch_q12_priority_counts", "tpch_q13_custdist", "tpch_q18_big_orders",
-    "skew_salted_agg", "skew_salted_join", "dq_checks",
-    "dataset_split", "outliers_p99", "mom_growth",
-    "cohort_retention", "stratified_sample", "percentiles",
-    "text_lang_id", "text_quality", "containment_pairs",
-    "mmr_rerank", "graph_components", "dedup_clusters_star",
-    "embed_dedup_clusters", "dedup_canonicalize", "semdedup",
-    "kmv_distinct", "dup_substring_rate", "mg_summary",
-    "dsir_select", "text_fingerprint", "text_top_terms",
-    "text_winnow", "text_chunks", "text_scrub",
-    "decontaminate_bloom", "time_resample", "runtime_filter_join",
-    "token_pmi", "zorder_stats", "weighted_sample",
-    "token_entropy", "contamination_report", "packing_efficiency",
-    "substring_dedup_spans", "dedup_fuzzy_keep_best", "decontaminate_fuzzy",
-    "boilerplate_report", "dedup_cluster_census",
+# r17 window allocation (VERDICT r16 next-round 1 + SURVEY "Round-17
+# natural queue head"): the natural window = the first 50 tail entries
+# in queue order — the eight r12-green entries displaced by the r16
+# swaps (cdc_incremental_agg, match_fuzzy, psi_drift, compaction_plan,
+# interval_concurrency, ewma, group_moments, hll_registers) retire
+# FIRST, then the r11 remainder (tvd_drift, k_anonymity, leaderboard,
+# outliers_mad, triangle_stats, attribution_models, dedup_incremental,
+# prepare_corpus, snapshot_diff, event_transitions, event_anomaly,
+# grouped_quantiles, source_overlap, skew_profile, cdc_roundtrip) and
+# the front of the r12 block through the natural cut — with swaps
+# displacing the least-stale entries of the natural 50
+# (seasonal_profile, linear_interp, ann_lsh_topk — all r12-green, they
+# head the r18 queue; every r11-green entry stays in-window, so the
+# floor moves past r12's stalest block as handed off):
+#   - decontaminate_fuzzy — the candidate frame is now explicitly
+#     broadcast into the train-shingle verify join (ADVICE r16 item 2:
+#     the docstring's "train never shuffles on its own size" claim is
+#     now enforced by the plan, and the plan pin counts BOTH broadcast
+#     joins; value-identical, re-verified in-window);
+#   - dedup_fuzzy_canonicalize + contamination_fuzzy_report — the
+#     round's TWO additions (the FineWeb-style surviving-corpus
+#     emitter composing fuzzy_keep_best with the survivors-rejoin
+#     idiom, and the per-source fuzzy contamination rollup; new
+#     entries are always in-window).
+_R17_WINDOW = [
+    "cdc_incremental_agg", "match_fuzzy", "psi_drift",
+    "compaction_plan", "interval_concurrency", "ewma",
+    "group_moments", "hll_registers", "tvd_drift",
+    "k_anonymity", "leaderboard", "outliers_mad",
+    "triangle_stats", "attribution_models", "dedup_incremental",
+    "prepare_corpus", "snapshot_diff", "event_transitions",
+    "event_anomaly", "grouped_quantiles", "source_overlap",
+    "skew_profile", "cdc_roundtrip", "text_hash_embed",
+    "winnow_overlap", "profile_table", "join_size_estimate",
+    "ann_pq_topk", "ann_ivf_pq_topk", "label_propagation",
+    "dedup_prefix_filter", "lsh_quality", "substring_dedup",
+    "l_diversity", "rm3_feedback", "blocking_quality_sampled",
+    "semdedup_two_level", "group_entropy", "grouped_mode",
+    "active_users", "quantile_bucketize", "dedup_keep_best",
+    "growth_accounting", "dedup_ngram_jaccard", "p_nested_project",
+    "topk_orders", "set_union", "ann_lsh_topk",
+    "linear_interp", "decontaminate_fuzzy",
 ]
 
 _TAIL_FRESHNESS = [
-    "stream_sliding", "stream_sessions", "stream_dedup",
-    "stream_enrich", "rollup_multires", "tpch_q5_region_revenue",
-    "tpch_q12_priority_counts", "tpch_q13_custdist", "tpch_q18_big_orders",
-    "skew_salted_agg", "skew_salted_join", "dq_checks",
-    "dataset_split", "outliers_p99", "mom_growth",
-    "cohort_retention", "stratified_sample", "percentiles",
-    "text_lang_id", "text_quality", "containment_pairs",
-    "mmr_rerank", "graph_components", "dedup_clusters_star",
-    "embed_dedup_clusters", "dedup_canonicalize", "semdedup",
-    "kmv_distinct", "dup_substring_rate", "mg_summary",
-    "dsir_select", "text_fingerprint", "text_top_terms",
-    "text_winnow", "text_chunks", "text_scrub",
-    "decontaminate_bloom", "time_resample", "runtime_filter_join",
-    "token_pmi", "zorder_stats", "weighted_sample",
     "cdc_incremental_agg", "match_fuzzy", "psi_drift",
     "compaction_plan", "interval_concurrency", "ewma",
     "group_moments", "hll_registers", "tvd_drift",
@@ -11380,25 +11390,39 @@ _TAIL_FRESHNESS = [
     "mixture_sample", "pack_sequences", "mixture_rebalance",
     "bpe_train", "dedup_edit_verified", "bpe_encode",
     "ccnet_buckets", "pack_sequences_bpe", "bpe_fertility",
-    "substring_dedup_spans", "dedup_fuzzy_keep_best", "decontaminate_fuzzy",
-    "boilerplate_report", "dedup_cluster_census", "s10_report",
-    "s2_full_scan", "s8_upsert", "scd2_history",
-    "sync_merge_resync", "sync_pipeline", "sync_summary",
-    "x2_quarantine", "window_funnel", "item_cooccur",
-    "s1_rest_ingest", "model_score", "model_score_hist",
-    "tpch_q15_top_supplier", "stream_stream_join", "stream_conversion",
-    "j5_valid_skip_split", "stream_tumbling", "p1_norm_name",
-    "f1_status_filter", "bfs_hops", "j1_match_exact",
-    "s3_filtered_scan", "s9_backfill", "x1_dispatch",
-    "dedup_exact", "text_stats", "funnel",
-    "p3_uid_coalesce", "p4_cents_to_dollars", "p6_resolve_variant",
-    "window_topk_per_cust", "window_range_frame", "set_except",
-    "events_json", "token_entropy", "contamination_report",
-    "packing_efficiency", "ngram_novelty", "j2_match_partial",
-    "multimodal_phash_dedup", "text_repetition", "gopher_rules",
-    "fineweb_filters", "quality_stack", "mixture_rebalance_bpe",
-    "ccnet_buckets_pct", "line_dedup", "vocab_coverage",
-    "lang_mix_audit",
+    "s10_report", "s2_full_scan", "s8_upsert",
+    "scd2_history", "sync_merge_resync", "sync_pipeline",
+    "sync_summary", "x2_quarantine", "window_funnel",
+    "item_cooccur", "s1_rest_ingest", "model_score",
+    "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
+    "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
+    "p1_norm_name", "f1_status_filter", "bfs_hops",
+    "j1_match_exact", "s3_filtered_scan", "s9_backfill",
+    "x1_dispatch", "dedup_exact", "text_stats",
+    "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
+    "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
+    "set_except", "events_json", "ngram_novelty",
+    "j2_match_partial", "multimodal_phash_dedup", "text_repetition",
+    "gopher_rules", "fineweb_filters", "quality_stack",
+    "mixture_rebalance_bpe", "ccnet_buckets_pct", "line_dedup",
+    "vocab_coverage", "lang_mix_audit", "stream_sliding",
+    "stream_sessions", "stream_dedup", "stream_enrich",
+    "rollup_multires", "tpch_q5_region_revenue", "tpch_q12_priority_counts",
+    "tpch_q13_custdist", "tpch_q18_big_orders", "skew_salted_agg",
+    "skew_salted_join", "dq_checks", "dataset_split",
+    "outliers_p99", "mom_growth", "cohort_retention",
+    "stratified_sample", "percentiles", "text_lang_id",
+    "text_quality", "containment_pairs", "mmr_rerank",
+    "graph_components", "dedup_clusters_star", "embed_dedup_clusters",
+    "dedup_canonicalize", "semdedup", "kmv_distinct",
+    "dup_substring_rate", "mg_summary", "dsir_select",
+    "text_fingerprint", "text_top_terms", "text_winnow",
+    "text_chunks", "text_scrub", "decontaminate_bloom",
+    "time_resample", "runtime_filter_join", "token_pmi",
+    "zorder_stats", "weighted_sample", "token_entropy",
+    "contamination_report", "packing_efficiency", "substring_dedup_spans",
+    "dedup_fuzzy_keep_best", "decontaminate_fuzzy", "boilerplate_report",
+    "dedup_cluster_census",
 ]
 
 
@@ -11406,13 +11430,13 @@ _TAIL_FRESHNESS = [
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the
 # guard against the r8 silent-drop failure mode and must survive
 # ``python -O`` (which strips asserts) (ADVICE r9).
-if len(_R16_WINDOW) != 50:
-    raise RuntimeError(f"window must be exactly 50, got {len(_R16_WINDOW)}")
-if len(set(_R16_WINDOW)) != 50:
+if len(_R17_WINDOW) != 50:
+    raise RuntimeError(f"window must be exactly 50, got {len(_R17_WINDOW)}")
+if len(set(_R17_WINDOW)) != 50:
     raise RuntimeError("duplicate name in window")
-_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R16_WINDOW)]
+_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R17_WINDOW)]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    n: _REGISTRY_DEF[n] for n in (*_R16_WINDOW, *_tail)
+    n: _REGISTRY_DEF[n] for n in (*_R17_WINDOW, *_tail)
 }
 if set(REGISTRY) != set(_REGISTRY_DEF):
     raise RuntimeError(

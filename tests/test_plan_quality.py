@@ -1122,7 +1122,14 @@ def test_decontaminate_fuzzy_broadcasts_bench_side(spark, registry_plans):
     on an equi-join, and pick the best match with the algebraic
     min-struct, never a per-doc window."""
     plan = registry_plans["decontaminate_fuzzy"]
-    assert "BroadcastHashJoin" in plan
+    # THREE broadcast joins, counted (ADVICE r16 item 2 — "in plan" let
+    # a train-sized shuffle hide behind any single broadcast): the
+    # banded bench probe, the candidate frame into the train-shingle
+    # verify (bounded by band collisions against the small bench side),
+    # and the bench shingle arrays. The only sort-merge join allowed is
+    # the final train-left-join-best attach (both sides train-sized).
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan
@@ -1154,7 +1161,18 @@ def test_dedup_cluster_census_no_nested_loop_broadcast_total(
     # the broadcast 1-row corpus-total attach is the ONLY acceptable
     # nested-loop in this plan (single-row build side); a second one
     # would mean a data-sized product crept in
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # ... and the ONE allowed instance must actually BE the corpus-total
+    # attach (ADVICE r16 item 4: <=1 alone would let a data-sized
+    # nested-loop replace the intended one): its broadcast build side is
+    # the global keys=[] count producing n_total, nothing else.
+    seg = plan[plan.index("BroadcastNestedLoopJoin"):]
+    j = seg.find("IdentityBroadcastMode")
+    assert j != -1, "BNLJ build side is not an identity broadcast"
+    build = seg[j : j + 400]
+    assert "HashAggregate(keys=[]" in build and "n_total" in build, (
+        "the BNLJ build side must be the 1-row corpus-total aggregate"
+    )
 
 
 def test_semdedup_pairs_are_cluster_equijoin(spark, registry_plans):
