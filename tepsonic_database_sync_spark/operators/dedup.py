@@ -1690,8 +1690,30 @@ def substring_dedup_spans(
     position goes); this variant coalesces the duplicated positions of
     each doc into MAXIMAL contiguous spans and removes only spans of
     ``min_span``+ tokens, leaving short incidental overlaps (quotes,
-    idioms, named entities) untouched — the paper's actual
-    training-data transformation (their §3.1 threshold; default 50).
+    idioms, named entities) untouched — the paper's removal *rule*
+    (their §3.1 threshold; default 50) applied to this repo's
+    duplicate-position substrate.
+
+    DOCUMENTED DEVIATION (over-approximation) — VERDICT r16 item 3:
+    the paper's substrate is suffix-array maximal repeats, i.e. a
+    removed span is a single verbatim substring that appears
+    elsewhere in the corpus as one piece. This operator's substrate
+    is ``substring_dedup``'s n-gram chain, so a coalesced island can
+    SPLICE runs of grams that are duplicated against *different*
+    source documents: positions 1..40 duplicated against doc A and
+    positions 41..80 against doc B coalesce into one 80-token island
+    and get removed, even though no single 80-token verbatim copy
+    exists anywhere. The deviation is strictly over-approximating
+    (every paper-removable span is also removed here — a verbatim
+    ≥ min_span repeat is a fortiori a contiguous run of duplicated
+    grams; the converse can over-remove at splice points), which is
+    the conservative direction for decontamination-style cleaning,
+    and it is the same direction as the A2/J2 deviation doctrine.
+    Pipelines needing the paper's exact per-source-verified semantics
+    should verify spans against a single matching source before
+    removal (extend the span's first gram back to its canonical
+    (doc, pos) and check contiguity) — at the cost of one more
+    gram-keyed join of span-sized frames.
 
     Deterministic semantics (both engines, bit-identical):
 
