@@ -278,12 +278,19 @@ HEADLINE = [
     "boilerplate_report",
     # r16 cont.: duplicate-cluster size distribution (lsh+star + two
     # map-side aggregates) — tracked from birth. NOTE (ADVICE r16):
-    # dedup_fuzzy_keep_best and dedup_cluster_census each rebuild the
-    # shared MinHash+LSH+star-contraction substrate from scratch (they
-    # are independent oracle entries by design), so the headline total
-    # double-counts that ~5-6 s substrate; read their deltas, not their
+    # dedup_fuzzy_keep_best, dedup_cluster_census, and (r17)
+    # dedup_fuzzy_canonicalize each rebuild the shared
+    # MinHash+LSH+star-contraction substrate from scratch (they are
+    # independent oracle entries by design), so the headline total
+    # multi-counts that ~5-6 s substrate; read their deltas, not their
     # sum, when adjudicating movers in this family.
     "dedup_cluster_census",
+    # r17: the fuzzy tier's corpus-out form (keep_best + survivors
+    # rejoin) and the per-source fuzzy-contamination rollup
+    # (decontaminate_fuzzy + source attach + |sources|-row aggregate)
+    # — tracked from birth
+    "dedup_fuzzy_canonicalize",
+    "contamination_fuzzy_report",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -190,6 +190,40 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_fuzzy_canonicalize():
+        # r17: corpus-out fuzzy tier — fuzzy_keep_best's substrate plus
+        # ONE survivors equi-join on doc_id; the curve should sit a
+        # near-constant sliver above fuzzy_keep_best's at both factors
+        from tepsonic_database_sync_spark.operators.dedup import (
+            fuzzy_canonicalize,
+        )
+
+        fuzzy_canonicalize(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def run_contamination_fuzzy_report():
+        # r17: per-source fuzzy-contamination rollup — decontaminate_
+        # fuzzy's plan (same worst-case corpus-growing bench side) plus
+        # the source attach and one |sources|-row aggregate; the curve
+        # should sit ON decontaminate_fuzzy's
+        from tepsonic_database_sync_spark.functions.hashing import h60
+        from tepsonic_database_sync_spark.operators.dedup import (
+            contamination_fuzzy_report,
+        )
+
+        bench = docs.filter(
+            h60(F.concat(F.lit("fz:"), F.col("doc_id").cast("string")))
+            % 100
+            < 5
+        ).select(
+            (F.col("doc_id") + 20000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzeval")).alias("text"),
+        )
+        contamination_fuzzy_report(
+            docs, bench, tau_permille=950
+        ).write.format("noop").mode("overwrite").save()
+
     def run_blocking_audit():
         # PREFIX_TAU_PERMILLE is the shared constant from operators.dedup
         # (the registry re-exports it) — one source of truth, and this
@@ -474,6 +508,8 @@ def _doc_ops(docs, factor: int = 1):
         "decontaminate_fuzzy": run_decontaminate_fuzzy,
         "boilerplate_report": run_boilerplate_report,
         "cluster_census": run_cluster_census,
+        "fuzzy_canonicalize": run_fuzzy_canonicalize,
+        "contam_fuzzy_report": run_contamination_fuzzy_report,
         "blocking_audit(n≈const)": run_blocking_audit,
         "containment_pairs": run_containment,
         "prefix_pairs_full": run_prefix_full,

@@ -1194,22 +1194,27 @@ def q_dedup_fuzzy_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_keep_best(damaged.unionByName(clean))
 
 
-def _dedup_fuzzy_keep_best_oracle() -> str:
-    """DuckDB twin of dedup.fuzzy_keep_best over the injected corpus:
-    the dedup_clusters oracle's MinHash/banding/recursive-closure
-    pipeline (cluster_id = min reachable id — the star-contraction
-    label) rebuilt over the damaged+clean corpus, joined to the
-    dedup_keep_best quality CTE, keeper via row_number (quality DESC,
-    doc_id)."""
+def _fuzzy_injected_chain(cols: str = "") -> str:
+    """Shared WITH-chain for the injected damaged+clean corpus fuzzy
+    oracles: MinHash/banding/recursive-closure clusters (cluster_id =
+    min reachable id — the star-contraction label) + the
+    dedup_keep_best quality CTE + the keeper ranking ``r``
+    (row_number quality DESC, doc_id). ``cols`` threads extra corpus
+    columns (e.g. ", lang, source") through the corpus CTE for
+    oracles that re-attach wide columns; with the default "" the
+    emitted SQL for dedup_fuzzy_keep_best is byte-identical to its
+    pre-refactor form (the mixture_rebalance_bpe parameterization
+    precedent — one definition of the chain, not a post-hoc string
+    replace)."""
     h60 = _D_H60.format(e="s")
     return rf"""
 WITH RECURSIVE corpus AS (
-  SELECT doc_id,
+  SELECT doc_id{cols},
          text || repeat(' ' || regexp_split_to_array(lower(trim(text)),
                                                      '\s+')[1], 30) AS text
   FROM documents
   UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  SELECT doc_id + 10000000 AS doc_id{cols}, text FROM documents
 ),
 toks AS (
   SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS t
@@ -1285,10 +1290,64 @@ r AS (
                                ORDER BY quality DESC, doc_id) AS rn,
          count(*) OVER (PARTITION BY cluster_id) AS nm
   FROM j
-)
+)"""
+
+
+def _dedup_fuzzy_keep_best_oracle() -> str:
+    """DuckDB twin of dedup.fuzzy_keep_best over the injected corpus:
+    the shared ``_fuzzy_injected_chain`` + the keeper projection."""
+    return _fuzzy_injected_chain() + """
 SELECT cluster_id, CAST(doc_id AS BIGINT) AS keeper_doc_id, quality,
        CAST(nm AS BIGINT) AS n_members
 FROM r WHERE rn = 1
+"""
+
+
+def q_dedup_fuzzy_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy tier's corpus-out form over the dedup_keep_best
+    injected corpus (damaged LOW-id copies vs clean HIGH-id copies,
+    lang/source carried through): the surviving documents themselves,
+    one per LSH cluster, keeper by quality argmax, wide columns
+    re-attached only for survivors. n_chars is recomputed from the
+    CORPUS text (the damaged copies are longer than their table row
+    says). Design + 100 TB shape in
+    operators/dedup.py::fuzzy_canonicalize."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        fuzzy_canonicalize,
+    )
+    from tepsonic_database_sync_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    damaged = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.concat(F.lit(" "), F.element_at(tokens(F.col("text")), 1)), 30
+            ),
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    clean = d.select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text", "lang", "source"
+    )
+    return fuzzy_canonicalize(damaged.unionByName(clean))
+
+
+def _dedup_fuzzy_canonicalize_oracle() -> str:
+    """DuckDB twin: the shared ``_fuzzy_injected_chain`` with
+    lang/source threaded through the corpus CTE, keeper rows rejoined
+    to the corpus for the wide columns + corpus-text n_chars."""
+    return _fuzzy_injected_chain(cols=", lang, source") + """
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, c.lang, c.source,
+       CAST(length(c.text) AS BIGINT) AS n_chars, r.quality,
+       CAST(nm AS BIGINT) AS cluster_size
+FROM r JOIN corpus c ON r.doc_id = c.doc_id
+WHERE rn = 1
 """
 
 
@@ -2361,12 +2420,15 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_fuzzy(d, bench, tau_permille=950)
 
 
-def _decontaminate_fuzzy_oracle(tau_permille: int = 950) -> str:
-    """DuckDB twin of dedup.decontaminate_fuzzy over the perturbed 5%
-    bench slice: the minhash/banding CTEs built once over the tagged
-    union of both sides, cross-side band join, exact distinct-shingle
-    Jaccard verify (the dedup_jaccard_banded rule), best match per
-    train doc via row_number (jaccard DESC, bench_id)."""
+def _fuzzy_decon_chain() -> str:
+    """Shared WITH-chain for the perturbed-5%-bench fuzzy
+    decontamination oracles: minhash/banding CTEs built once over the
+    tagged union of both sides, cross-side band join, exact
+    distinct-shingle Jaccard verify (the dedup_jaccard_banded rule),
+    best match per train doc ranked in ``best`` (jaccard DESC,
+    bench_id). Emitted SQL for decontaminate_fuzzy is byte-identical
+    to its pre-refactor form (the _fuzzy_injected_chain /
+    mixture_rebalance_bpe parameterization precedent)."""
     h60 = _D_H60.format(e="s")
     split = _D_H60.format(e="'fz:' || CAST(doc_id AS VARCHAR)")
     return f"""
@@ -2429,13 +2491,86 @@ best AS (
          row_number() OVER (PARTITION BY t_id
                             ORDER BY jp DESC, b_id) AS rn
   FROM jp
-)
+)"""
+
+
+def _decontaminate_fuzzy_oracle(tau_permille: int = 950) -> str:
+    """DuckDB twin of dedup.decontaminate_fuzzy over the perturbed 5%
+    bench slice: the shared ``_fuzzy_decon_chain`` + the per-train-doc
+    left-join projection."""
+    return _fuzzy_decon_chain() + f"""
 SELECT d.doc_id,
        CAST(coalesce(b.b_id, -1) AS BIGINT) AS best_bench_id,
        CAST(coalesce(b.jp, 0) AS BIGINT) AS best_jaccard_permille,
        coalesce(b.jp, 0) >= {tau_permille} AS contaminated
 FROM documents d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.t_id
+"""
+
+
+def q_contamination_fuzzy_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source FUZZY-contamination rollup over the same perturbed
+    5% bench slice as decontaminate_fuzzy (tau 950): which sources
+    leak near-duplicate eval data, at what permille, and the single
+    worst verified (doc, bench, jaccard) triple per source for triage.
+    Non-vacuous at the oracle SF: the 26 contaminated docs spread
+    over a strict subset of the 20 sources, so contaminated and
+    all-clean rows both appear. Design + 100 TB shape in
+    operators/dedup.py::contamination_fuzzy_report."""
+    from tepsonic_database_sync_spark.functions.hashing import h60
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        contamination_fuzzy_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    bench = d.filter(
+        h60(F.concat(F.lit("fz:"), F.col("doc_id").cast("string"))) % 100 < 5
+    ).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzeval")).alias("text"),
+    )
+    return contamination_fuzzy_report(d, bench, tau_permille=950)
+
+
+def _contamination_fuzzy_report_oracle(tau_permille: int = 950) -> str:
+    """DuckDB twin: the shared ``_fuzzy_decon_chain`` + the per-doc
+    flags rejoined to the source column, rolled up per source with the
+    integer permille and the worst-match argmin replayed as row_number
+    (jaccard DESC, doc_id)."""
+    return _fuzzy_decon_chain() + f"""
+, flags AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(b.b_id, -1) AS BIGINT) AS best_bench_id,
+         CAST(coalesce(b.jp, 0) AS BIGINT) AS jp,
+         coalesce(b.jp, 0) >= {tau_permille} AS contaminated
+  FROM documents d
+  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.t_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY jp DESC, doc_id) AS srn
+  FROM flags
+),
+rollup AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS n_contaminated
+  FROM flags GROUP BY source
+)
+SELECT r.source,
+       CAST(r.n_docs AS BIGINT) AS n_docs,
+       CAST(r.n_contaminated AS BIGINT) AS n_contaminated,
+       CAST(CASE WHEN r.n_docs > 0
+            THEN (r.n_contaminated * 1000) // r.n_docs ELSE 0 END AS BIGINT)
+         AS contamination_permille,
+       w.jp AS worst_jaccard_permille,
+       CAST(w.doc_id AS BIGINT) AS worst_doc_id,
+       w.best_bench_id AS worst_bench_id
+FROM rollup r JOIN ranked w ON r.source = w.source AND w.srn = 1
 """
 
 
@@ -11184,6 +11319,14 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
         q_dedup_fuzzy_keep_best,
         _dedup_fuzzy_keep_best_oracle(),
     ),
+    "dedup_fuzzy_canonicalize": (
+        q_dedup_fuzzy_canonicalize,
+        _dedup_fuzzy_canonicalize_oracle(),
+    ),
+    "contamination_fuzzy_report": (
+        q_contamination_fuzzy_report,
+        _contamination_fuzzy_report_oracle(),
+    ),
     "growth_accounting": (q_growth_accounting, _O["growth_accounting"]),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _O["dedup_ngram_jaccard"]),
     "p_nested_project": (q_p_nested_project, _O["p_nested_project"]),
@@ -11343,8 +11486,8 @@ _R17_WINDOW = [
     "semdedup_two_level", "group_entropy", "grouped_mode",
     "active_users", "quantile_bucketize", "dedup_keep_best",
     "growth_accounting", "dedup_ngram_jaccard", "p_nested_project",
-    "topk_orders", "set_union", "ann_lsh_topk",
-    "linear_interp", "decontaminate_fuzzy",
+    "topk_orders", "set_union", "decontaminate_fuzzy",
+    "dedup_fuzzy_canonicalize", "contamination_fuzzy_report",
 ]
 
 _TAIL_FRESHNESS = [
@@ -11422,7 +11565,8 @@ _TAIL_FRESHNESS = [
     "zorder_stats", "weighted_sample", "token_entropy",
     "contamination_report", "packing_efficiency", "substring_dedup_spans",
     "dedup_fuzzy_keep_best", "decontaminate_fuzzy", "boilerplate_report",
-    "dedup_cluster_census",
+    "dedup_cluster_census", "dedup_fuzzy_canonicalize",
+    "contamination_fuzzy_report",
 ]
 
 

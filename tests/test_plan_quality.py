@@ -1550,3 +1550,38 @@ def test_ngram_novelty_keeper_is_map_side_min_no_nested_loop(
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_fuzzy_canonicalize_keeper_is_map_side_rejoin_only(
+    spark, registry_plans
+):
+    """The corpus-out fuzzy tier must stay on fuzzy_keep_best's plan:
+    algebraic min-struct keeper (partial_min, no window rank, no
+    window at all — unlike min-id canonicalize, which windows over
+    labels), no nested-loop anywhere, and the only addition is the
+    doc_id equi-join that re-attaches wide columns for survivors."""
+    plan = registry_plans["dedup_fuzzy_canonicalize"]
+    assert "partial_min" in plan
+    assert "row_number" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_fuzzy_report_stays_on_decon_plan(
+    spark, registry_plans
+):
+    """The per-source rollup must inherit decontaminate_fuzzy's plan
+    (three counted broadcast joins — banded bench probe, candidate
+    frame, bench shingles; the train corpus never shuffles on its own
+    size) and add only the source attach plus ONE map-side-combined
+    aggregate; the worst-match choice is the algebraic min-struct,
+    never a per-source window."""
+    plan = registry_plans["contamination_fuzzy_report"]
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "row_number" not in plan
+    assert "Window" not in plan

@@ -4921,3 +4921,106 @@ def test_snapshot_store_merge_fold_equals_batch(spark, caps, split):
         map(tuple, snapshot_winners(snapshot_store_merge(store, newer)).collect())
     )
     assert inc == batch
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_canonicalize (fuzzy tier's corpus-out form: quality keepers + rejoin)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_canonicalize_emits_surviving_corpus(spark):
+    """Crafted corpus (the fuzzy_keep_best fixture with lang/source
+    attached) pinning the corpus-out contract: exactly the keeper docs
+    survive — the clean HIGH-id twin over its damaged LOW-id near-dup,
+    min id on an exact-copy tie, singleton kept — each carrying ITS OWN
+    wide columns (not the cluster-mate's) and an n_chars recomputed
+    from its actual text."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        fuzzy_canonicalize,
+    )
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while many people "
+        "watch from the old stone bridge near town"
+    )
+    dup = (
+        "completely unrelated text about quantum tensor algebra "
+        "methods and their numerical stability properties in practice"
+    )
+    single = (
+        "a lone short singleton document mentioning turtles and "
+        "rivers gently flowing beneath autumn leaves forever onwards"
+    )
+    rows = [
+        (1, base + " the" * 40, "en", "srcDAMAGED"),
+        (2, base, "en", "srcCLEAN"),
+        (10, dup, "de", "srcT1"),
+        (11, dup, "fr", "srcT2"),
+        (20, single, "es", "srcS"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = sorted(
+        (
+            r["doc_id"], r["lang"], r["source"], r["n_chars"],
+            r["quality"], r["cluster_size"],
+        )
+        for r in fuzzy_canonicalize(df).collect()
+    )
+    assert got == [
+        (2, "en", "srcCLEAN", len(base), 100, 2),
+        (10, "de", "srcT1", len(dup), 100, 2),
+        (20, "es", "srcS", len(single), 100, 1),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# contamination_fuzzy_report (per-source fuzzy-contamination rollup)
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_fuzzy_report_rollup_laws(spark):
+    """Crafted train/bench (the decontaminate_fuzzy fixture with
+    sources attached) pinning the rollup rules: the integer permille
+    over train docs, the worst verified match per source (jaccard
+    DESC, doc_id — here srcA's sub-tau candidate must NOT win over its
+    contaminated sibling), and the all-clean source reporting
+    (0, min-doc, -1)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        contamination_fuzzy_report,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    second = (
+        "red orange yellow green blue indigo violet crimson scarlet amber "
+        "teal navy maroon olive coral salmon ivory beige"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base, "srcA"),
+            (2, second, "srcA"),
+            (3, "totally disjoint content about volcanic minerals and "
+                "deep sea currents", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(101, base + " zzeval"), (102, second + " zz1 zz2 zz3")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (
+            r["source"], r["n_docs"], r["n_contaminated"],
+            r["contamination_permille"], r["worst_jaccard_permille"],
+            r["worst_doc_id"], r["worst_bench_id"],
+        )
+        for r in contamination_fuzzy_report(
+            train, bench, tau_permille=900
+        ).collect()
+    )
+    assert got == [
+        ("srcA", 2, 1, 500, 956, 1, 101),
+        ("srcB", 1, 0, 0, 0, 3, -1),
+    ]
