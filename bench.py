@@ -291,6 +291,10 @@ HEADLINE = [
     # — tracked from birth
     "dedup_fuzzy_canonicalize",
     "contamination_fuzzy_report",
+    # r17 cont.: paper-exact ExactSubstr span verification (the family
+    # gram aggregate + the island-gram occurrence join) — tracked from
+    # birth
+    "substring_dedup_spans_verified",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

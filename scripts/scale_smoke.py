@@ -108,6 +108,21 @@ def _doc_ops(docs, factor: int = 1):
             "noop"
         ).mode("overwrite").save()
 
+    def run_substring_spans_verified():
+        # r17: paper-exact per-span verbatim verification — the family's
+        # shared gram aggregate (canon localCheckpointed, consumed by
+        # both the removal chain and the occurrence index) plus the
+        # island-gram occurrence join; the curve should track
+        # substring_dedup's shape with a roughly constant factor for
+        # the second gram-keyed join
+        from tepsonic_database_sync_spark.operators.dedup import (
+            substring_dedup_spans_verified,
+        )
+
+        substring_dedup_spans_verified(docs, n=8, min_span=50).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     def run_lsh_clusters():
         pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(
             eager=True
@@ -495,6 +510,7 @@ def _doc_ops(docs, factor: int = 1):
         "text_repetition": run_repetition,
         "substring_dedup": run_substring_dedup,
         "substring_spans": run_substring_dedup_spans,
+        "spans_verified": run_substring_spans_verified,
         "ccnet_buckets_pct": run_ccnet_pct,
         "line_dedup": run_line_dedup,
         "vocab_coverage": run_vocab_coverage,

@@ -1734,13 +1734,12 @@ def substring_dedup(docs: DataFrame, n: int = 8) -> DataFrame:
     return _reconstruct_kept(toked, removed)
 
 
-def _substr_removal_positions(docs: DataFrame, n: int):
-    """Shared ExactSubstr removal-position builder for
-    ``substring_dedup`` and ``substring_dedup_spans``: tokenized corpus
-    + the DISTINCT (doc_id, pos) set of non-canonical duplicated-gram
-    positions (canonical = (doc_id, i)-lexicographic min per gram,
-    chosen INSIDE the one map-side-combined gram aggregate — min-struct
-    and count are both algebraic). Returns (toked, positions)."""
+def _substr_gram_frames(docs: DataFrame, n: int):
+    """Shared ExactSubstr gram substrate: tokenized corpus, the
+    (doc_id, i, g) gram frame, and the duplicated-gram canonical frame
+    (canonical = (doc_id, i)-lexicographic min per gram, chosen INSIDE
+    the one map-side-combined gram aggregate — min-struct and count
+    are both algebraic). Returns (toked, grams, canon)."""
     from tepsonic_database_sync_spark.operators.text import tokens
 
     toked = docs.select(
@@ -1769,7 +1768,14 @@ def _substr_removal_positions(docs: DataFrame, n: int):
         .filter(F.col("cnt") > 1)
         .select("g", F.col("can.doc_id").alias("c_doc"), F.col("can.i").alias("c_i"))
     )
-    positions = (
+    return toked, grams, canon
+
+
+def _noncanon_positions(grams: DataFrame, canon: DataFrame, n: int) -> DataFrame:
+    """The DISTINCT (doc_id, pos) set of non-canonical duplicated-gram
+    positions — the removal substrate shared by the ExactSubstr
+    family."""
+    return (
         grams.join(canon, "g")
         .filter(~((F.col("doc_id") == F.col("c_doc")) & (F.col("i") == F.col("c_i"))))
         .select(
@@ -1778,7 +1784,14 @@ def _substr_removal_positions(docs: DataFrame, n: int):
         )
         .distinct()
     )
-    return toked, positions
+
+
+def _substr_removal_positions(docs: DataFrame, n: int):
+    """Shared ExactSubstr removal-position builder for
+    ``substring_dedup`` and ``substring_dedup_spans``.
+    Returns (toked, positions)."""
+    toked, grams, canon = _substr_gram_frames(docs, n)
+    return toked, _noncanon_positions(grams, canon, n)
 
 
 def substring_dedup_spans(
@@ -1880,6 +1893,179 @@ def substring_dedup_spans(
             ).cast("long"),
             F.lit(0),
         ).alias("max_span_tokens"),
+    )
+    return _reconstruct_kept(
+        toked, removed, passthrough=("n_spans", "max_span_tokens")
+    )
+
+
+def substring_dedup_spans_verified(
+    docs: DataFrame, n: int = 8, min_span: int = 50
+) -> DataFrame:
+    """ExactSubstr maximal-span removal with PER-SPAN VERBATIM
+    VERIFICATION — closes ``substring_dedup_spans``'s documented
+    gram-chain over-approximation (VERDICT r16 item 3's second
+    option): a removed span must be a single verbatim substring that
+    appears elsewhere in the corpus as ONE PIECE, which is Lee et
+    al.'s suffix-array maximal-repeat semantics. The plain spans
+    operator can SPLICE grams duplicated against different source
+    documents into one island; this variant checks each qualifying
+    island against actual sources and removes only the verbatim-
+    matched sub-spans of ``min_span``+ tokens.
+
+    Exact semantics (both engines, bit-identical):
+
+    - islands = ``substring_dedup_spans``'s qualifying (≥ min_span)
+      maximal runs of non-canonical duplicated-gram positions;
+    - for each island, every gram start p in [lo, hi-n+1] is joined to
+      ALL corpus occurrences (e, q) of that gram (canonical ones too —
+      the verbatim source usually IS the canonical copy), excluding
+      only the exact self-occurrence (e, q) = (d, p);
+    - per (island, e, delta=q−p): maximal contiguous runs of matched
+      starts p1..p2 certify a verbatim token match over
+      [p1, p2+n−1] (overlapping n-grams at one offset force token
+      equality across the whole run); runs with p2−p1+n ≥ min_span
+      are removed — the union over all (e, delta) per doc;
+    - kept_text reconstruction and stats as in the spans operator,
+      over the COALESCED verified removal islands.
+
+    A verbatim ≥ min_span repeat is always inside one island (all its
+    grams are duplicated), so restricting verification to qualifying
+    islands loses nothing; a spliced island with no single ≥ min_span
+    verbatim source is now KEPT — the false-removal branch the plain
+    operator documents away.
+
+    Scale shape: the gram aggregate and the non-canonical position
+    join are the family's shared intrinsic cost; ``canon`` is
+    localCheckpointed because BOTH the removal chain and the
+    occurrence index consume it (O(duplicated grams) distributed
+    storage buys not re-running the corpus-wide gram aggregate
+    twice). The verify adds: one doc-keyed equi-join (islands →
+    token arrays), one gram-keyed equi-join (island gram starts →
+    duplicated-gram occurrences — bounded by the SAME occurrence
+    frame the removal join already shuffles), one
+    (doc, island, e, delta) aggregate whose groups are bounded by
+    island length, and one per-doc distinct union. Run detection and
+    coalescing are row-local SQL-string array math over materialized
+    sorted arrays — NO window over corpus rows, no nested loop.
+
+    Returns (doc_id, n_tokens, removed_tokens, kept_tokens, kept_text,
+    n_spans, max_span_tokens) for EVERY doc — stats describe the
+    VERIFIED removed spans. ``min_span`` must be ≥ n (a verbatim
+    repeat shorter than the gram width is invisible to the substrate).
+    """
+    toked, grams, canon = _substr_gram_frames(docs, n)
+    canon = canon.localCheckpoint(eager=True)
+    positions = _noncanon_positions(grams, canon, n)
+    dup_pos = positions.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("dp")
+    )
+    islands = (
+        dup_pos.select(
+            "doc_id",
+            F.expr(
+                "filter(sequence(1, size(dp)), k -> k = 1"
+                " OR element_at(dp, k) != element_at(dp, k - 1) + 1)"
+            ).alias("starts"),
+            "dp",
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, size(starts)),"
+                    " j -> named_struct("
+                    "   'lo', element_at(dp, element_at(starts, j)),"
+                    "   'hi', element_at(dp, if(j < size(starts),"
+                    "         element_at(starts, j + 1) - 1, size(dp))))),"
+                    f" s -> s.hi - s.lo + 1 >= {min_span})"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.lo").alias("lo"), F.col("s.hi").alias("hi"))
+    )
+    # island gram starts with their gram strings, built row-locally
+    # from the doc's token array (the small (p, g) array is
+    # materialized BEFORE the explode, so t never travels per-gram)
+    ig = (
+        islands.join(toked, "doc_id")
+        .select(
+            "doc_id",
+            "lo",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(lo, hi - {n} + 1),"
+                    f" p -> struct(p AS p, concat_ws(' ', slice(t, p, {n})) AS g))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "lo", "x.p", "x.g")
+    )
+    # all occurrences of corpus-duplicated grams (canonical included)
+    occ = grams.join(canon.select("g"), "g").select(
+        F.col("doc_id").alias("e"), F.col("i").alias("q"), "g"
+    )
+    m = (
+        ig.join(occ, "g")
+        .filter(~((F.col("e") == F.col("doc_id")) & (F.col("q") == F.col("p"))))
+        .select(
+            "doc_id", "lo", "p", "e", (F.col("q") - F.col("p")).alias("delta")
+        )
+    )
+    per_src = m.groupBy("doc_id", "lo", "e", "delta").agg(
+        F.sort_array(F.collect_list("p")).alias("mp")
+    )
+    vruns = (
+        per_src.select(
+            "doc_id",
+            F.expr(
+                "filter(sequence(1, size(mp)), k -> k = 1"
+                " OR element_at(mp, k) != element_at(mp, k - 1) + 1)"
+            ).alias("rstarts"),
+            "mp",
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, size(rstarts)),"
+                    " j -> named_struct("
+                    "   'a', element_at(mp, element_at(rstarts, j)),"
+                    "   'b', element_at(mp, if(j < size(rstarts),"
+                    "         element_at(rstarts, j + 1) - 1, size(mp))))),"
+                    f" r -> r.b - r.a + {n} >= {min_span})"
+                )
+            ).alias("r"),
+        )
+        .select("doc_id", "r.a", "r.b")
+    )
+    vpos = vruns.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(a, b + {n} - 1)")).alias("pos"),
+    ).distinct()
+    removed = (
+        vpos.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("rp"))
+        .select(
+            "doc_id",
+            "rp",
+            F.expr(
+                "filter(sequence(1, size(rp)), k -> k = 1"
+                " OR element_at(rp, k) != element_at(rp, k - 1) + 1)"
+            ).alias("vstarts"),
+        )
+        .select(
+            "doc_id",
+            "rp",
+            F.size("vstarts").cast("long").alias("n_spans"),
+            F.expr(
+                "array_max(transform(sequence(1, size(vstarts)),"
+                " j -> (if(j < size(vstarts),"
+                "       element_at(rp, element_at(vstarts, j + 1) - 1),"
+                "       element_at(rp, size(rp)))"
+                "   - element_at(rp, element_at(vstarts, j))) + 1))"
+            ).cast("long").alias("max_span_tokens"),
+        )
     )
     return _reconstruct_kept(
         toked, removed, passthrough=("n_spans", "max_span_tokens")

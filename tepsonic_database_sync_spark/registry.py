@@ -5375,6 +5375,173 @@ LEFT JOIN stats s ON t.doc_id = s.doc_id
 """
 
 
+# Shared injected blocks for the VERIFIED spans entry: one 60-token
+# verbatim-duplicated block (the verified-removal branch) and a 30+30
+# splice whose halves are duplicated against DIFFERENT docs (the
+# false-removal branch the verification exists to reject). Synthetic
+# q-prefixed tokens never collide with the natural corpus.
+_VSPAN_A = " ".join(f"qa{i}" for i in range(1, 61))
+_VSPAN_C = " ".join(f"qc{i}" for i in range(1, 31))
+_VSPAN_D = " ".join(f"qd{i}" for i in range(1, 31))
+
+
+def q_substring_dedup_spans_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lee et al. ExactSubstr with PER-SPAN VERBATIM VERIFICATION —
+    the paper-exact upgrade of substring_dedup_spans (VERDICT r16
+    item 3, second option): a qualifying island is removed only where
+    a single contiguous verbatim source covers ≥ min_span of it.
+    Corpus = raw documents + five injected docs exercising both
+    branches at every SF: a 60-token block duplicated verbatim across
+    two docs (removed, verified) and a 30+30 splice whose halves are
+    duplicated against different docs (the plain spans operator
+    removes all 60; verification rejects it — no single source spans
+    the junction). Design + 100 TB shape in
+    operators/dedup.py::substring_dedup_spans_verified."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        substring_dedup_spans_verified,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inj = spark.createDataFrame(
+        [
+            (30000001, _VSPAN_A + " uniq1a uniq1b"),
+            (30000002, _VSPAN_A + " uniq2a uniq2b"),
+            (30000003, _VSPAN_C + " uniq3a uniq3b"),
+            (30000004, "uniq4a uniq4b " + _VSPAN_D),
+            (30000005, _VSPAN_C + " " + _VSPAN_D),
+        ],
+        "doc_id long, text string",
+    )
+    return substring_dedup_spans_verified(
+        d.unionByName(inj), n=8, min_span=50
+    )
+
+
+def _substring_dedup_spans_verified_oracle(
+    n: int = 8, min_span: int = 50
+) -> str:
+    """DuckDB twin of dedup.substring_dedup_spans_verified over the
+    injected corpus: the spans oracle's island chain + island gram
+    starts rejoined to ALL duplicated-gram occurrences, per
+    (island, e, delta) contiguous runs (pos − row_number), runs
+    shorter than min_span tokens dropped, removal/stats/reconstruction
+    from the verified positions only."""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 30000001 AS doc_id, '{_VSPAN_A} uniq1a uniq1b' AS text
+  UNION ALL SELECT 30000002, '{_VSPAN_A} uniq2a uniq2b'
+  UNION ALL SELECT 30000003, '{_VSPAN_C} uniq3a uniq3b'
+  UNION ALL SELECT 30000004, 'uniq4a uniq4b {_VSPAN_D}'
+  UNION ALL SELECT 30000005, '{_VSPAN_C} {_VSPAN_D}'
+),
+toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS g
+  FROM toked, unnest(range(1, len(t) - {n} + 2)) AS r(i)
+  WHERE len(t) >= {n}
+),
+occ AS (
+  SELECT doc_id, i, g,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+         count(*) OVER (PARTITION BY g) AS cnt
+  FROM grams
+),
+dup_pos AS (
+  SELECT DISTINCT o.doc_id, p.pos
+  FROM occ o, unnest(range(o.i, o.i + {n})) AS p(pos)
+  WHERE o.cnt > 1 AND o.rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup_pos
+),
+spans AS (
+  SELECT doc_id, min(pos) AS lo, max(pos) AS hi
+  FROM isl GROUP BY doc_id, grp
+),
+qual AS (
+  SELECT doc_id, lo, hi FROM spans WHERE hi - lo + 1 >= {min_span}
+),
+ig AS (
+  SELECT q.doc_id, q.lo, gp.p,
+         array_to_string(list_slice(t.t, gp.p, gp.p + {n - 1}), ' ') AS g
+  FROM qual q JOIN toked t ON q.doc_id = t.doc_id,
+       unnest(range(q.lo, q.hi - {n} + 2)) AS gp(p)
+),
+docc AS (SELECT doc_id AS e, i AS qq, g FROM occ WHERE cnt > 1),
+m AS (
+  SELECT ig.doc_id, ig.lo, ig.p, d.e, d.qq - ig.p AS delta
+  FROM ig JOIN docc d ON ig.g = d.g
+  WHERE NOT (d.e = ig.doc_id AND d.qq = ig.p)
+),
+rg AS (
+  SELECT doc_id, lo, e, delta, p,
+         p - row_number() OVER (PARTITION BY doc_id, lo, e, delta
+                                ORDER BY p) AS r
+  FROM m
+),
+runs AS (
+  SELECT doc_id, min(p) AS a, max(p) AS b
+  FROM rg GROUP BY doc_id, lo, e, delta, r
+),
+vruns AS (SELECT doc_id, a, b FROM runs WHERE b - a + {n} >= {min_span}),
+v_pos AS (
+  SELECT DISTINCT v.doc_id, p.pos
+  FROM vruns v, unnest(range(v.a, v.b + {n})) AS p(pos)
+),
+visl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM v_pos
+),
+vspans AS (
+  SELECT doc_id, min(pos) AS lo, max(pos) AS hi
+  FROM visl GROUP BY doc_id, grp
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(max(hi - lo + 1) AS BIGINT) AS max_span_tokens
+  FROM vspans GROUP BY doc_id
+),
+tok_pos AS (
+  SELECT doc_id, pos, t[pos] AS tok
+  FROM toked, unnest(range(1, len(t) + 1)) AS p(pos)
+),
+kept AS (
+  SELECT tp.doc_id,
+         CAST(count(r.pos) AS BIGINT) AS removed_tokens,
+         coalesce(
+           string_agg(tok, ' ' ORDER BY tp.pos)
+             FILTER (WHERE r.pos IS NULL),
+           '') AS kept_text
+  FROM tok_pos tp
+  LEFT JOIN v_pos r ON tp.doc_id = r.doc_id AND tp.pos = r.pos
+  GROUP BY tp.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(t.t) - coalesce(k.removed_tokens, 0) AS BIGINT)
+         AS kept_tokens,
+       coalesce(k.kept_text, '') AS kept_text,
+       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s.max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+FROM toked t
+LEFT JOIN kept k ON t.doc_id = k.doc_id
+LEFT JOIN stats s ON t.doc_id = s.doc_id
+"""
+
+
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary perceptual-hash near-dup: byte-gram SimHash signatures over
     asset payloads, banded hamming candidate pairs, exact bit_count
@@ -11071,6 +11238,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
         q_substring_dedup_spans,
         _substring_dedup_spans_oracle(),
     ),
+    "substring_dedup_spans_verified": (
+        q_substring_dedup_spans_verified,
+        _substring_dedup_spans_verified_oracle(),
+    ),
     # --- NEW in r11 (took the runtime_filter_join fill slot) ------------
     "semdedup": (q_semdedup, _semdedup_oracle()),
     # --- NEW in r12 (displaced active_users to the r13 queue) -----------
@@ -11455,20 +11626,23 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # outliers_mad, triangle_stats, attribution_models, dedup_incremental,
 # prepare_corpus, snapshot_diff, event_transitions, event_anomaly,
 # grouped_quantiles, source_overlap, skew_profile, cdc_roundtrip) and
-# the front of the r12 block through the natural cut — with swaps
-# displacing the least-stale entries of the natural 50
-# (seasonal_profile, linear_interp, ann_lsh_topk — all r12-green, they
-# head the r18 queue; every r11-green entry stays in-window, so the
-# floor moves past r12's stalest block as handed off):
+# the front of the r12 block through the natural cut — with FOUR swaps
+# displacing the least-stale four of the natural 50
+# (seasonal_profile, linear_interp, ann_lsh_topk, set_union — all
+# r12-green, they head the r18 queue; every r11-green entry stays
+# in-window, so the floor moves past r12's stalest block as handed
+# off):
 #   - decontaminate_fuzzy — the candidate frame is now explicitly
 #     broadcast into the train-shingle verify join (ADVICE r16 item 2:
 #     the docstring's "train never shuffles on its own size" claim is
-#     now enforced by the plan, and the plan pin counts BOTH broadcast
-#     joins; value-identical, re-verified in-window);
-#   - dedup_fuzzy_canonicalize + contamination_fuzzy_report — the
-#     round's TWO additions (the FineWeb-style surviving-corpus
-#     emitter composing fuzzy_keep_best with the survivors-rejoin
-#     idiom, and the per-source fuzzy contamination rollup; new
+#     now enforced by the plan, and the plan pin counts all THREE
+#     broadcast joins; value-identical, re-verified in-window);
+#   - dedup_fuzzy_canonicalize + contamination_fuzzy_report +
+#     substring_dedup_spans_verified — the round's THREE additions
+#     (the FineWeb-style surviving-corpus emitter composing
+#     fuzzy_keep_best with the survivors-rejoin idiom, the per-source
+#     fuzzy contamination rollup, and the paper-exact per-span
+#     verbatim verification of the ExactSubstr removal rule; new
 #     entries are always in-window).
 _R17_WINDOW = [
     "cdc_incremental_agg", "match_fuzzy", "psi_drift",
@@ -11486,8 +11660,8 @@ _R17_WINDOW = [
     "semdedup_two_level", "group_entropy", "grouped_mode",
     "active_users", "quantile_bucketize", "dedup_keep_best",
     "growth_accounting", "dedup_ngram_jaccard", "p_nested_project",
-    "topk_orders", "set_union", "decontaminate_fuzzy",
-    "dedup_fuzzy_canonicalize", "contamination_fuzzy_report",
+    "topk_orders", "decontaminate_fuzzy", "dedup_fuzzy_canonicalize",
+    "contamination_fuzzy_report", "substring_dedup_spans_verified",
 ]
 
 _TAIL_FRESHNESS = [
@@ -11566,7 +11740,7 @@ _TAIL_FRESHNESS = [
     "contamination_report", "packing_efficiency", "substring_dedup_spans",
     "dedup_fuzzy_keep_best", "decontaminate_fuzzy", "boilerplate_report",
     "dedup_cluster_census", "dedup_fuzzy_canonicalize",
-    "contamination_fuzzy_report",
+    "contamination_fuzzy_report", "substring_dedup_spans_verified",
 ]
 
 

@@ -1585,3 +1585,22 @@ def test_contamination_fuzzy_report_stays_on_decon_plan(
     assert "partial_min" in plan
     assert "row_number" not in plan
     assert "Window" not in plan
+
+
+def test_substring_spans_verified_no_window_no_nested_loop(
+    spark, registry_plans
+):
+    """The verified spans operator must keep the whole verify chain in
+    equi-joins and aggregates: run detection and span coalescing are
+    row-local array math over materialized sorted arrays (the DuckDB
+    twin uses row_number islands — the engine must NOT), and nothing
+    may nested-loop. Five sort-merge joins are the chain's budget
+    (non-canonical positions, islands→token arrays, island
+    grams→occurrences, and the reconstruction attach; the canonical
+    frame sits behind a localCheckpoint)."""
+    plan = registry_plans["substring_dedup_spans_verified"]
+    assert "Window" not in plan
+    assert "row_number" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 5

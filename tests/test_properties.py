@@ -5024,3 +5024,57 @@ def test_contamination_fuzzy_report_rollup_laws(spark):
         ("srcA", 2, 1, 500, 956, 1, 101),
         ("srcB", 1, 0, 0, 0, 3, -1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup_spans_verified (paper-exact per-span verbatim verification)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_verified_rejects_splice(spark):
+    """Crafted corpus pinning the verification law that separates this
+    operator from substring_dedup_spans: a 60-token block duplicated
+    VERBATIM across two docs is removed by both (the non-canonical
+    copy), but a 30+30 splice — each half duplicated against a
+    DIFFERENT doc, never adjacent anywhere else — forms a 60-token
+    island that the plain operator removes and the verified one must
+    KEEP (no single verbatim source spans the junction: per-source
+    runs are 30 tokens, below min_span)."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        substring_dedup_spans,
+        substring_dedup_spans_verified,
+    )
+
+    a = " ".join(f"qa{i}" for i in range(1, 61))
+    c = " ".join(f"qc{i}" for i in range(1, 31))
+    d = " ".join(f"qd{i}" for i in range(1, 31))
+    rows = [
+        (1, a + " uniq1a uniq1b"),   # canonical holder of block A
+        (2, a + " uniq2a uniq2b"),   # verbatim dup of A
+        (3, c + " uniq3a uniq3b"),   # canonical holder of C
+        (4, "uniq4a uniq4b " + d),   # canonical holder of D
+        (5, c + " " + d),            # splice: C+D never adjacent elsewhere
+        (6, "totally unrelated short text here nothing repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        r["doc_id"]: (r["removed_tokens"], r["n_spans"], r["max_span_tokens"])
+        for r in substring_dedup_spans(df).collect()
+    }
+    ver = {
+        r["doc_id"]: (
+            r["removed_tokens"], r["n_spans"], r["max_span_tokens"],
+            r["kept_text"],
+        )
+        for r in substring_dedup_spans_verified(df).collect()
+    }
+    # the true verbatim dup: removed identically by both operators
+    assert plain[2] == (60, 1, 60)
+    assert ver[2][:3] == (60, 1, 60)
+    assert ver[2][3] == "uniq2a uniq2b"
+    # the splice: plain removes all 60, verified keeps everything
+    assert plain[5] == (60, 1, 60)
+    assert ver[5] == (0, 0, 0, c + " " + d)
+    # canonical holders and the singleton never lose tokens
+    for did in (1, 3, 4, 6):
+        assert ver[did][0] == 0
