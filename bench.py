@@ -292,9 +292,11 @@ HEADLINE = [
     "dedup_fuzzy_canonicalize",
     "contamination_fuzzy_report",
     # r17 cont.: paper-exact ExactSubstr span verification (the family
-    # gram aggregate + the island-gram occurrence join) — tracked from
-    # birth
+    # gram aggregate + the island-gram occurrence join) and the
+    # cross-source near-dup matrix (banded-verify pairs + broadcast
+    # source attaches) — tracked from birth
     "substring_dedup_spans_verified",
+    "source_neardup_matrix",
     # r8 batch 6: the second-order path census
     "event_paths",
     "match_cascade",

@@ -205,6 +205,19 @@ def _doc_ops(docs, factor: int = 1):
             "overwrite"
         ).save()
 
+    def run_source_neardup_matrix():
+        # r17: cross-source near-dup matrix — the banded-verify pair
+        # substrate plus two broadcast source attaches and one
+        # |sources|²-bounded rollup; the curve should track the
+        # banded-pairs family
+        from tepsonic_database_sync_spark.operators.dedup import (
+            source_neardup_matrix,
+        )
+
+        source_neardup_matrix(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def run_fuzzy_canonicalize():
         # r17: corpus-out fuzzy tier — fuzzy_keep_best's substrate plus
         # ONE survivors equi-join on doc_id; the curve should sit a
@@ -526,6 +539,7 @@ def _doc_ops(docs, factor: int = 1):
         "cluster_census": run_cluster_census,
         "fuzzy_canonicalize": run_fuzzy_canonicalize,
         "contam_fuzzy_report": run_contamination_fuzzy_report,
+        "src_neardup_matrix": run_source_neardup_matrix,
         "blocking_audit(n≈const)": run_blocking_audit,
         "containment_pairs": run_containment,
         "prefix_pairs_full": run_prefix_full,

@@ -857,6 +857,90 @@ def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def source_neardup_matrix(
+    docs: DataFrame, tau_permille: int = 600, n: int = 3
+) -> DataFrame:
+    """Cross-source NEAR-DUPLICATE matrix — the doc-level complement of
+    ``source_overlap`` (which measures gram-set overlap): per unordered
+    source pair, how many verified near-duplicate DOCUMENT pairs
+    (exact shingle Jaccard ≥ ``tau_permille``) span the two sources,
+    the strongest match, and an example pair for review. This is the
+    dump-overlap analysis web-crawl curation runs before mixing
+    sources (later CC dumps near-duplicate earlier ones; mirrors
+    near-duplicate their upstreams) — same-source rows report
+    WITHIN-source near-dup pressure on the same scale.
+
+    Exact integer semantics: verified pairs come from
+    ``ngram_jaccard_pairs_banded`` (banded LSH candidates, exact
+    distinct-shingle verify, ``min_inter ≥ 2`` so the union is never
+    zero); ``jaccard_permille = 1000·inter div union``; the source
+    pair is normalized (lexicographic least first) WITH its doc ids
+    swapped in step, so the example always reads (source_a's doc,
+    source_b's doc); the strongest match per cell is the algebraic
+    ``min(struct(-jaccard, a_id, b_id))`` — no window. Cells with no
+    verified pair are omitted (emitting them would force a |sources|²
+    product for no signal — the ``source_overlap`` rule).
+
+    Scale shape: candidate generation is the banded equi-join (never
+    all-pairs); the verified pair frame is bounded by band collisions,
+    so BOTH source attaches broadcast it against the streaming
+    (doc_id, source) projection — the corpus never shuffles on its own
+    size here; the rollup is one map-side-combined aggregate to at
+    most |sources|² rows.
+
+    Returns (source_a, source_b, n_pairs, max_jaccard_permille,
+    example_a_id, example_b_id).
+    """
+    if "n_chars" not in docs.columns:  # _with_shingles carries it
+        docs = docs.withColumn("n_chars", F.length("text").cast("long"))
+    pairs = ngram_jaccard_pairs_banded(docs, n=n)
+    v = pairs.select(
+        "a_id",
+        "b_id",
+        F.expr("(1000 * inter_size) div (union_size)").cast("long").alias(
+            "jp"
+        ),
+    ).filter(F.col("jp") >= tau_permille)
+    src = docs.select("doc_id", "source")
+    m1 = F.broadcast(v).join(
+        src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")),
+        "a_id",
+    )
+    m = F.broadcast(m1).join(
+        src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")),
+        "b_id",
+    )
+    norm = m.select(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+        F.when(F.col("sa") <= F.col("sb"), F.col("a_id"))
+        .otherwise(F.col("b_id"))
+        .alias("ea"),
+        F.when(F.col("sa") <= F.col("sb"), F.col("b_id"))
+        .otherwise(F.col("a_id"))
+        .alias("eb"),
+        "jp",
+    )
+    agg = norm.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min(
+            F.struct(
+                (-F.col("jp")).alias("nj"),
+                F.col("ea").alias("a"),
+                F.col("eb").alias("b"),
+            )
+        ).alias("k"),
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        (-F.col("k.nj")).cast("long").alias("max_jaccard_permille"),
+        F.col("k.a").cast("long").alias("example_a_id"),
+        F.col("k.b").cast("long").alias("example_b_id"),
+    )
+
+
 def keep_best_dedup(docs: DataFrame, fingerprint: Column | None = None) -> DataFrame:
     """Quality-aware exact dedup: one survivor per identical-content
     cluster, chosen by HIGHEST quality score (ties → min doc_id) instead

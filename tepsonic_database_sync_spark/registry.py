@@ -5375,6 +5375,86 @@ LEFT JOIN stats s ON t.doc_id = s.doc_id
 """
 
 
+def q_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate matrix over the RAW corpus — the
+    doc-level complement of source_overlap: per unordered source pair,
+    the verified (exact Jaccard ≥ 600‰) near-dup document pairs, the
+    strongest match, and an example pair. Non-vacuous at every SF
+    without injection (sf0.01: 23 cells from 25 verified pairs,
+    including one same-source cell; sf0.001: 26 cells / 2 same-source).
+    Design + 100 TB shape in
+    operators/dedup.py::source_neardup_matrix."""
+    from tepsonic_database_sync_spark.io import load_table
+    from tepsonic_database_sync_spark.operators.dedup import (
+        source_neardup_matrix,
+    )
+
+    return source_neardup_matrix(
+        load_table(spark, sf_dir, "documents"), tau_permille=600, n=3
+    )
+
+
+def _source_neardup_matrix_oracle(tau_permille: int = 600) -> str:
+    """DuckDB twin: the shared minhash/banding macros → candidate
+    pairs → exact distinct-shingle Jaccard verify (min_inter 2, the
+    banded-pairs rule) → source attach with lexicographic pair
+    normalization (doc ids swapped in step) → per-cell count/max and
+    the strongest-match argmax replayed as row_number (jp DESC, ea,
+    eb)."""
+    return f"""
+WITH {_D_TOKS}{_D_SHINGLES}{_D_MINHASH_SIGS},
+banded AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list_sort(list(CAST(sig AS VARCHAR))), ',')) AS band_key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT p.a_id, p.b_id,
+         CAST((1000 * len(list_intersect(sa.shingles, sb.shingles)))
+              // (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)))
+           AS BIGINT) AS jp
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a_id
+  JOIN sh sb ON sb.doc_id = p.b_id
+  WHERE len(list_intersect(sa.shingles, sb.shingles)) >= 2
+),
+norm AS (
+  SELECT CASE WHEN da.source <= db.source THEN da.source ELSE db.source END
+           AS source_a,
+         CASE WHEN da.source <= db.source THEN db.source ELSE da.source END
+           AS source_b,
+         CASE WHEN da.source <= db.source THEN v.a_id ELSE v.b_id END AS ea,
+         CASE WHEN da.source <= db.source THEN v.b_id ELSE v.a_id END AS eb,
+         v.jp
+  FROM v
+  JOIN documents da ON v.a_id = da.doc_id
+  JOIN documents db ON v.b_id = db.doc_id
+  WHERE v.jp >= {tau_permille}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+                               ORDER BY jp DESC, ea, eb) AS rn
+  FROM norm
+),
+g AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(max(jp) AS BIGINT) AS max_jaccard_permille
+  FROM norm GROUP BY source_a, source_b
+)
+SELECT g.source_a, g.source_b, g.n_pairs, g.max_jaccard_permille,
+       CAST(r.ea AS BIGINT) AS example_a_id,
+       CAST(r.eb AS BIGINT) AS example_b_id
+FROM g JOIN ranked r
+  ON g.source_a = r.source_a AND g.source_b = r.source_b AND r.rn = 1
+"""
+
+
 # Shared injected blocks for the VERIFIED spans entry: one 60-token
 # verbatim-duplicated block (the verified-removal branch) and a 30+30
 # splice whose halves are duplicated against DIFFERENT docs (the
@@ -11242,6 +11322,10 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
         q_substring_dedup_spans_verified,
         _substring_dedup_spans_verified_oracle(),
     ),
+    "source_neardup_matrix": (
+        q_source_neardup_matrix,
+        _source_neardup_matrix_oracle(),
+    ),
     # --- NEW in r11 (took the runtime_filter_join fill slot) ------------
     "semdedup": (q_semdedup, _semdedup_oracle()),
     # --- NEW in r12 (displaced active_users to the r13 queue) -----------
@@ -11626,23 +11710,24 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 # outliers_mad, triangle_stats, attribution_models, dedup_incremental,
 # prepare_corpus, snapshot_diff, event_transitions, event_anomaly,
 # grouped_quantiles, source_overlap, skew_profile, cdc_roundtrip) and
-# the front of the r12 block through the natural cut — with FOUR swaps
-# displacing the least-stale four of the natural 50
-# (seasonal_profile, linear_interp, ann_lsh_topk, set_union — all
-# r12-green, they head the r18 queue; every r11-green entry stays
-# in-window, so the floor moves past r12's stalest block as handed
-# off):
+# the front of the r12 block through the natural cut — with FIVE swaps
+# displacing the least-stale five of the natural 50
+# (seasonal_profile, linear_interp, ann_lsh_topk, set_union,
+# topk_orders — all r12-green, they head the r18 queue; every
+# r11-green entry stays in-window, so the floor moves past r12's
+# stalest block as handed off):
 #   - decontaminate_fuzzy — the candidate frame is now explicitly
 #     broadcast into the train-shingle verify join (ADVICE r16 item 2:
 #     the docstring's "train never shuffles on its own size" claim is
 #     now enforced by the plan, and the plan pin counts all THREE
 #     broadcast joins; value-identical, re-verified in-window);
 #   - dedup_fuzzy_canonicalize + contamination_fuzzy_report +
-#     substring_dedup_spans_verified — the round's THREE additions
-#     (the FineWeb-style surviving-corpus emitter composing
-#     fuzzy_keep_best with the survivors-rejoin idiom, the per-source
-#     fuzzy contamination rollup, and the paper-exact per-span
-#     verbatim verification of the ExactSubstr removal rule; new
+#     substring_dedup_spans_verified + source_neardup_matrix — the
+#     round's FOUR additions (the FineWeb-style surviving-corpus
+#     emitter composing fuzzy_keep_best with the survivors-rejoin
+#     idiom, the per-source fuzzy contamination rollup, the
+#     paper-exact per-span verbatim verification of the ExactSubstr
+#     removal rule, and the cross-source near-duplicate matrix; new
 #     entries are always in-window).
 _R17_WINDOW = [
     "cdc_incremental_agg", "match_fuzzy", "psi_drift",
@@ -11660,8 +11745,9 @@ _R17_WINDOW = [
     "semdedup_two_level", "group_entropy", "grouped_mode",
     "active_users", "quantile_bucketize", "dedup_keep_best",
     "growth_accounting", "dedup_ngram_jaccard", "p_nested_project",
-    "topk_orders", "decontaminate_fuzzy", "dedup_fuzzy_canonicalize",
+    "decontaminate_fuzzy", "dedup_fuzzy_canonicalize",
     "contamination_fuzzy_report", "substring_dedup_spans_verified",
+    "source_neardup_matrix",
 ]
 
 _TAIL_FRESHNESS = [
@@ -11741,6 +11827,7 @@ _TAIL_FRESHNESS = [
     "dedup_fuzzy_keep_best", "decontaminate_fuzzy", "boilerplate_report",
     "dedup_cluster_census", "dedup_fuzzy_canonicalize",
     "contamination_fuzzy_report", "substring_dedup_spans_verified",
+    "source_neardup_matrix",
 ]
 
 

@@ -1604,3 +1604,20 @@ def test_substring_spans_verified_no_window_no_nested_loop(
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") <= 5
+
+
+def test_source_neardup_matrix_broadcast_attach_no_window(
+    spark, registry_plans
+):
+    """The matrix must attach sources by broadcasting the bounded
+    verified-pair frame against the streaming (doc_id, source)
+    projection (two explicit hints — the corpus never shuffles on its
+    own size for the attach), pick the strongest match per cell with
+    the algebraic min-struct, and never window or nested-loop."""
+    plan = registry_plans["source_neardup_matrix"]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "row_number" not in plan
+    assert "Window" not in plan

@@ -5078,3 +5078,46 @@ def test_substring_spans_verified_rejects_splice(spark):
     # canonical holders and the singleton never lose tokens
     for did in (1, 3, 4, 6):
         assert ver[did][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# source_neardup_matrix (cross-source near-duplicate matrix)
+# ---------------------------------------------------------------------------
+
+
+def test_source_neardup_matrix_normalization_and_cells(spark):
+    """Crafted corpus pinning the matrix laws: the unordered source
+    pair is normalized lexicographically WITH the example doc ids
+    swapped in step (here the lower doc id belongs to the
+    lexicographically LATER source, so the example must read
+    (source_a's doc, source_b's doc) = (2, 1)); a same-source
+    near-dup pair reports as a diagonal cell at jp 1000; a sub-tau
+    overlap and an unrelated doc contribute nothing."""
+    from tepsonic_database_sync_spark.operators.dedup import (
+        source_neardup_matrix,
+    )
+
+    t1 = " ".join(f"wa{i}" for i in range(1, 21))
+    t2 = " ".join(f"wb{i}" for i in range(1, 21))
+    rows = [
+        (1, t1, "s2"),                       # near-dup of doc 2, LATER source
+        (2, t1 + " extraz", "s1"),           # 18/19 shingles shared -> jp 947
+        (10, t2, "s3"),                      # identical same-source pair
+        (11, t2, "s3"),
+        (20, " ".join(f"wa{i}" for i in range(1, 11))
+             + " " + " ".join(f"wc{i}" for i in range(1, 11)), "s4"),
+        (30, "nothing here resembles anything else in this tiny corpus",
+         "s5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(
+        (
+            r["source_a"], r["source_b"], r["n_pairs"],
+            r["max_jaccard_permille"], r["example_a_id"], r["example_b_id"],
+        )
+        for r in source_neardup_matrix(df, tau_permille=600).collect()
+    )
+    assert got == [
+        ("s1", "s2", 1, 947, 2, 1),
+        ("s3", "s3", 1, 1000, 10, 11),
+    ]
