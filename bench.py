@@ -409,7 +409,15 @@ def main() -> None:
             if i == 0:
                 cold[name] = round(dt, 3)
             best = min(best, dt)
-            # stabilize: don't let one query's GC debt bill the next one
+            # stabilize: don't let one query's GC debt bill the next one.
+            # r17: collect PYTHON garbage first — dead DataFrame wrappers
+            # hold py4j references to JVM plans and checkpointed RDD
+            # blocks; without the Python pass the JVM gc below cannot
+            # release them and checkpoint storage accumulates across the
+            # 135-query session (measured: multi-GB by mid-bench)
+            import gc
+
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
         warm[name] = round(best, 3)
 

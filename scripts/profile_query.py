@@ -27,10 +27,13 @@ from tepsonic_database_sync_spark import registry
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     runs, sf_dir, plan_dir, suffix = 3, "/root/testdata/sf0.1", None, "before"
+    final = False
     names: list[str] = []
     i = 0
     while i < len(args):
-        if args[i] == "--runs":
+        if args[i] == "--final":
+            final = True; i += 1
+        elif args[i] == "--runs":
             runs = int(args[i + 1]); i += 2
         elif args[i] == "--sf":
             sf_dir = args[i + 1]; i += 2
@@ -50,6 +53,12 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         if plan_dir:
             os.makedirs(plan_dir, exist_ok=True)
+            if final:
+                # execute THIS DataFrame's own QueryExecution so AQE
+                # rewrites the plan in place; explain() then shows the
+                # final adaptive plan (isFinalPlan=true) with runtime
+                # join strategies and reused exchanges visible
+                df.collect()
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")

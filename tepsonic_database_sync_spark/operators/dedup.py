@@ -436,10 +436,20 @@ def connected_components_star(
     # took 30 s on a 199-edge sf0.001 graph. The checkpoint-per-round
     # LogicalRDD leaf is what keeps planning O(1) per round; never stack
     # rounds without a materialization boundary between them.
+    from tepsonic_database_sync_spark.functions.lifecycle import (
+        free_local_checkpoint,
+    )
+
     sig = None
     for _ in range(max_iter):
         new_e = _round(E).localCheckpoint(eager=False)
         new_sig = _sig(new_e)
+        # the previous round's checkpoint is superseded the moment the
+        # new one materializes (the _sig collect above) — free its
+        # blocks instead of pinning every round's edge frame for the
+        # session lifetime (r17, functions/lifecycle.py; the round-0
+        # input is a plain plan, where this is a no-op)
+        free_local_checkpoint(E)
         E = new_e
         if new_sig == sig:
             break
@@ -953,15 +963,17 @@ def keep_best_dedup(docs: DataFrame, fingerprint: Column | None = None) -> DataF
     the bag-of-words SET fingerprint the registry query uses) to cluster
     copies whose damage altered the byte content but not the vocabulary.
 
-    Scale shape: the (doc_id, fp, quality) projection is computed in ONE
-    pass (fingerprint + quality are row-local expressions), then a
-    window over per-fingerprint groups — group sizes are duplicate
-    counts, and only the narrow projection shuffles; text never does.
+    Scale shape (r17): the (doc_id, fp, quality) projection is computed
+    in ONE pass (fingerprint + quality are row-local expressions), then
+    the keeper AND the copy count collapse in ONE map-side-combined
+    aggregation — ``min(struct(-quality, doc_id, quality))`` is the
+    algebraic argmax (== row_number ORDER BY quality DESC, doc_id), so
+    a million-copy cluster ships one candidate struct per map task
+    where the pre-r17 window form shuffled and sorted every copy's row.
+    Only the narrow projection moves; text never does.
 
     Returns (fp, keeper_doc_id, quality, n_copies).
     """
-    from pyspark.sql import Window
-
     from tepsonic_database_sync_spark.operators.text import (
         normalize_text,
         quality_expr,
@@ -977,17 +989,23 @@ def keep_best_dedup(docs: DataFrame, fingerprint: Column | None = None) -> DataF
         fp.alias("fp"),
         quality_expr(F.col("text")).alias("quality"),
     )
-    wc = Window.partitionBy("fp")
-    w = Window.partitionBy("fp").orderBy(F.col("quality").desc(), "doc_id")
+    agg = scored.groupBy("fp").agg(
+        F.min(
+            F.struct(
+                (-F.col("quality")).alias("nq"),
+                F.col("doc_id").alias("d"),
+                F.col("quality").alias("q"),
+            )
+        ).alias("k"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
     return (
-        scored.withColumn("n_copies", F.count("*").over(wc).cast("long"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        agg
         .select(
             "fp",
-            F.col("doc_id").alias("keeper_doc_id"),
-            "quality",
-            "n_copies",
+            F.col("k.d").alias("keeper_doc_id"),
+            F.col("k.q").alias("quality"),
+            F.col("n_copies"),
         )
     )
 
@@ -1647,14 +1665,15 @@ def incremental_chunk_dedup_plan(
         "chunk_text",
         h60(F.lower(F.col("chunk_text"))).alias("fp"),
     )
-    w = Window.partitionBy("fp").orderBy(
-        F.col("doc_id").asc(), F.col("idx").asc()
-    )
-    winners = (
-        chunks.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("fp", "doc_id", "idx")
-    )
+    # first occurrence per fingerprint as a map-side-combined
+    # min(struct) argmin (r17 — == row_number ORDER BY doc_id, idx):
+    # duplicate chains collapse on the map side instead of shuffling
+    # and sorting every chunk occurrence
+    winners = chunks.groupBy("fp").agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("idx").alias("i"))
+        ).alias("w")
+    ).select("fp", F.col("w.d").alias("doc_id"), F.col("w.i").alias("idx"))
     existing = store.read_touched(winners.select("fp"))
     fresh = (
         winners

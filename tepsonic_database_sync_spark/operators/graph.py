@@ -362,29 +362,50 @@ def kcore(
     so n rounds always suffice; the unit test pins a chain that
     needs multiple rounds AND reaches the fixed point).
 
-    ``edges`` must be symmetric (src, dst), no self-loops. Returns
-    the surviving (node, degree), degree measured INSIDE the core.
+    ``edges`` must be symmetric (src, dst), no self-loops, and the
+    node keys non-null (the peel joins assume key comparisons never
+    hit SQL null semantics — every caller builds keys by concat of
+    non-null columns). Returns the surviving (node, degree), degree
+    measured INSIDE the core.
 
-    Scale shape: each round = one map-side-combined degree count +
-    two left-semi joins of the edge list against the survivor set
-    (src side, then dst side — both equi-joins AQE can broadcast
-    when the survivor frame is small). The edge frame feeds BOTH the
-    degree count and the join each round, so it is eagerly
-    checkpointed per round (the two-consumer squaring rule —
-    mixture/BPE precedent); ``checkpoint=False`` exposes one uncut
-    round for the plan test.
+    Scale shape (r17): each round = one map-side-combined degree count
+    + two LEFT ANTI joins of the edge list against the REMOVED set —
+    the complement of the pre-r17 left-semi-vs-survivors form, with
+    identical output on symmetric non-null input (src ∈ keep ⟺
+    src ∉ drop, because every src of a live edge has a degree row).
+    The anti form is the scale win: the broadcast side is the nodes
+    that fall OUT this round (empty at the fixed point, small after
+    the first peel), not the surviving node set (≈ the whole graph) —
+    so AQE broadcasts a shrinking frame and the edge list never
+    reshuffles, where the semi form's build side grows with the graph
+    and degrades to shuffling the edges twice per round at scale. The
+    edge frame feeds BOTH the degree count and the join each round, so
+    it is eagerly checkpointed per round (the two-consumer squaring
+    rule — mixture/BPE precedent), and each superseded round's
+    checkpoint is freed as soon as its successor materializes (r17 —
+    an 8-round peel otherwise pins 9 edge-frame snapshots for the
+    session lifetime; ``functions/lifecycle.py``).
+    ``checkpoint=False`` exposes one uncut round for the plan test.
     """
+    from tepsonic_database_sync_spark.functions.lifecycle import (
+        free_local_checkpoint,
+    )
+
     alive = edges
     if checkpoint:
         alive = alive.localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = alive.groupBy("src").agg(F.count("*").cast("long").alias("d"))
-        keep = deg.filter(F.col("d") >= k).select(F.col("src").alias("node"))
-        alive = alive.join(
-            keep.select(F.col("node").alias("src")), "src", "left_semi"
-        ).join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+        drop = deg.filter(F.col("d") < k).select(F.col("src").alias("node"))
+        peeled = alive.join(
+            drop.select(F.col("node").alias("src")), "src", "left_anti"
+        ).join(drop.select(F.col("node").alias("dst")), "dst", "left_anti")
         if checkpoint:
-            alive = alive.localCheckpoint(eager=True)
+            prev = alive
+            alive = peeled.localCheckpoint(eager=True)
+            free_local_checkpoint(prev)
+        else:
+            alive = peeled
     # no trailing degree >= k filter: that would drop a node while its
     # edges still count in neighbors' degrees — an inconsistent half-peel
     # on an unconverged graph. The output is exactly the subgraph after

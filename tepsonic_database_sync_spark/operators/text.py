@@ -2535,6 +2535,7 @@ def bpe_train(
     if checkpoint:
         vocab = vocab.localCheckpoint(eager=True)
     merges = None
+    prev_ckpt = vocab if checkpoint else None
     for k in range(1, n_merges + 1):
         # size guard (r14): a word can FULLY merge to one symbol within
         # n_merges rounds (e.g. t,h,e,</w> after 3 chained merges), and
@@ -2566,6 +2567,12 @@ def bpe_train(
             F.lit(k).cast("long").alias("round"), "p1", "p2", "pair_count"
         )
         merges = rule if merges is None else merges.unionByName(rule)
+        if k == n_merges:
+            # the post-final-merge vocab is never consumed (``merges``
+            # references only the per-round ``best`` frames) — skip the
+            # whole fold + its eager materialization (r17: one full
+            # vocabulary pass saved per call)
+            break
         vocab = (
             vocab.crossJoin(F.broadcast(best.select("p1", "p2")))
             .select(
@@ -2582,7 +2589,25 @@ def bpe_train(
             )
         )
         if checkpoint:
+            # the previous round's vocab checkpoint is superseded once
+            # the new one materializes — free its blocks (r17,
+            # functions/lifecycle.py); the per-round ``best`` frames
+            # stay live (the returned ``merges`` union references them)
+            from tepsonic_database_sync_spark.functions.lifecycle import (
+                free_local_checkpoint,
+            )
+
             vocab = vocab.localCheckpoint(eager=True)
+            free_local_checkpoint(prev_ckpt)
+            prev_ckpt = vocab
+    if checkpoint and prev_ckpt is not None:
+        # the final surviving vocab checkpoint's only consumer (the last
+        # round's eagerly-checkpointed ``best``) has materialized — free it
+        from tepsonic_database_sync_spark.functions.lifecycle import (
+            free_local_checkpoint,
+        )
+
+        free_local_checkpoint(prev_ckpt)
     return merges
 
 

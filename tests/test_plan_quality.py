@@ -1500,11 +1500,16 @@ def test_mixture_rebalance_bpe_plan(spark, registry_plans):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_kcore_rounds_are_semi_joins_no_cartesian(spark, registry_plans):
+def test_kcore_rounds_are_anti_joins_no_cartesian(spark, registry_plans):
     """Each peel round must be one map-side-combined degree count plus
-    two LEFT SEMI survivor joins — no Cartesian, no BNL, no Python.
-    The registry plan shows the checkpointed final round; the uncut
-    per-round shape is pinned via checkpoint=False at one round."""
+    two LEFT ANTI joins against the REMOVED node set (r17 — the
+    complement of the pre-r17 left-semi-vs-survivors form: identical
+    output on the operator's symmetric non-null contract, but the
+    broadcast side is the shrinking drop frame, empty at the fixed
+    point, instead of the whole surviving graph) — no Cartesian, no
+    BNL-as-data-join, no Python. The registry plan shows the
+    checkpointed final round; the uncut per-round shape is pinned via
+    checkpoint=False at one round."""
     from pyspark.sql import functions as F
 
     from tepsonic_database_sync_spark.operators.graph import kcore
@@ -1520,7 +1525,8 @@ def test_kcore_rounds_are_semi_joins_no_cartesian(spark, registry_plans):
     one = kcore(edges, k=2, rounds=1, checkpoint=False)
     rplan = one._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in rplan
-    assert "LeftSemi" in rplan
+    assert "LeftAnti" in rplan
+    assert "LeftSemi" not in rplan
     assert "partial_count" in rplan
 
 
