@@ -28,11 +28,14 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     runs, sf_dir, plan_dir, suffix = 3, "/root/testdata/sf0.1", None, "before"
     final = False
+    conf: dict[str, str] = {}
     names: list[str] = []
     i = 0
     while i < len(args):
         if args[i] == "--final":
             final = True; i += 1
+        elif args[i] == "--conf":
+            k, v = args[i + 1].split("=", 1); conf[k] = v; i += 2
         elif args[i] == "--runs":
             runs = int(args[i + 1]); i += 2
         elif args[i] == "--sf":
@@ -45,7 +48,7 @@ def main() -> None:
             names.append(args[i]); i += 1
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
-    spark = build_session(app_name="profile_query")
+    spark = build_session(app_name="profile_query", extra_conf=conf or None)
     spark.range(1).count()
     qs = registry.queries()
 

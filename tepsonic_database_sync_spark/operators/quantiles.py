@@ -81,9 +81,12 @@ def grouped_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Exact per-group mode (most frequent value, ties → smallest value)
     — the categorical companion of ``grouped_quantiles_exact``, same
     histogram shape: one map-side-combined shuffle to (group, value)
-    counts, then a row_number window over the tiny per-group histogram.
-    NULL values are excluded (a mode of "missing" is a data-quality
-    signal better read from profile_table's null counts).
+    counts, then ONE more map-side-combined aggregation that picks the
+    mode (``min(struct(-cnt, value))`` == row_number ORDER BY cnt DESC,
+    value — r17: replaces the window + the separate total + the rejoin;
+    the histogram is scanned once and nothing is sorted). NULL values
+    are excluded (a mode of "missing" is a data-quality signal better
+    read from profile_table's null counts).
 
     Returns (group_col, n, mode_value, mode_cnt).
     """
@@ -93,21 +96,21 @@ def grouped_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .groupBy(group_col, value_col)
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    tot = hist.groupBy(group_col).agg(F.sum("cnt").cast("long").alias("n"))
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("cnt").desc(), F.col(value_col)
+    agg = hist.groupBy(group_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col(value_col).alias("v"),
+                F.col("cnt").alias("c"),
+            )
+        ).alias("k"),
+        F.sum("cnt").cast("long").alias("n"),
     )
-    top = (
-        hist.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            group_col,
-            F.col(value_col).alias("mode_value"),
-            F.col("cnt").alias("mode_cnt"),
-        )
-    )
-    return top.join(tot, group_col).select(
-        group_col, "n", "mode_value", "mode_cnt"
+    return agg.select(
+        group_col,
+        "n",
+        F.col("k.v").alias("mode_value"),
+        F.col("k.c").alias("mode_cnt"),
     )
 
 

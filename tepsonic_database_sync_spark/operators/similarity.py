@@ -321,6 +321,10 @@ def kmeans_train(emb: DataFrame, n_cells: int = N_CELLS, iters: int = 3) -> Data
 
     Returns long-format centroids: (cent_id, dim, c_mil, n_members).
     """
+    from tepsonic_database_sync_spark.functions.lifecycle import (
+        free_local_checkpoint,
+    )
+
     v = _quantized(emb)
     cents = v.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"),
@@ -328,6 +332,7 @@ def kmeans_train(emb: DataFrame, n_cells: int = N_CELLS, iters: int = 3) -> Data
         F.lit(1).cast("long").alias("n_members"),
     )
     for _ in range(iters):
+        prev_cents = cents
         c = cents.withColumn("c_n2", int_dot(F.col("c_mil"), F.col("c_mil")))
         scored = v.join(F.broadcast(c)).select(
             "vec_id",
@@ -337,11 +342,29 @@ def kmeans_train(emb: DataFrame, n_cells: int = N_CELLS, iters: int = 3) -> Data
                 int_dot(F.col("iv"), F.col("c_mil")), F.col("n2"), F.col("c_n2")
             ).alias("sim"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
+        # argmax centroid as ONE map-side-combined aggregation (r17 —
+        # the semdedup assignment idiom): max over struct(sim,
+        # -cent_id) == row_number ORDER BY sim DESC, cent_id; the k
+        # scored rows per vector collapse map-side, so the exchange
+        # moves one row per vector instead of k (the pre-r17 window
+        # form shuffled and sorted the full N·k scored frame)
         assign = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("vec_id", "iv", "cent_id")
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sim"),
+                        (-F.col("cent_id")).alias("neg_c"),
+                        F.col("cent_id"),
+                        F.col("iv"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "vec_id",
+                F.col("m.iv").alias("iv"),
+                F.col("m.cent_id").alias("cent_id"),
+            )
         )
         comps = assign.select("cent_id", F.posexplode("iv").alias("dim", "val"))
         newc = (
@@ -362,6 +385,10 @@ def kmeans_train(emb: DataFrame, n_cells: int = N_CELLS, iters: int = 3) -> Data
             )
             .localCheckpoint(eager=True)
         )
+        # the previous round's centroid checkpoint is superseded once
+        # the new one materializes (r17, functions/lifecycle.py; round
+        # 0's seed frame is a plain plan — no-op there)
+        free_local_checkpoint(prev_cents)
     return cents.select(
         "cent_id", "n_members", F.posexplode("c_mil").alias("dim", "c_mil")
     ).select(
@@ -543,11 +570,22 @@ def _pq_model(v: DataFrame, m_sub: int, k_codes: int, dim: int):
     scored = sub.join(F.broadcast(cents), "m").withColumn(
         "d2", _int_l2_milli(F.col("siv"), F.col("c"))
     )
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    # argmin sub-centroid as a map-side-combined min(struct) — identical
+    # to row_number ORDER BY d2, cent_id == 1 (r17: one row per
+    # (vec, m) crosses the exchange instead of k_codes)
     assign = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "m", "siv", "cent_id")
+        scored.groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(F.col("d2"), F.col("cent_id"), F.col("siv"))
+            ).alias("a")
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.col("a.siv").alias("siv"),
+            F.col("a.cent_id").alias("cent_id"),
+        )
     )
     comps = assign.select("m", "cent_id", F.posexplode("siv").alias("dim", "val"))
     cents = (
@@ -567,11 +605,11 @@ def _pq_model(v: DataFrame, m_sub: int, k_codes: int, dim: int):
     enc_scored = sub.join(F.broadcast(cents), "m").withColumn(
         "d2", _int_l2_milli(F.col("siv"), F.col("c"))
     )
-    w2 = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    # same argmin-as-aggregate conversion as the training assignment
     codes = (
-        enc_scored.withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "m", F.col("cent_id").alias("code"))
+        enc_scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("a"))
+        .select("vec_id", "m", F.col("a.cent_id").alias("code"))
     )
     return sub, cents, codes
 
@@ -983,6 +1021,7 @@ def semdedup_two_level(
             F.transform(F.col("iv"), lambda x: x * 1000).alias("f_mil"),
         )
     )
+    prev_fc = fc
     for _ in range(iters):
         c = fc.withColumn("f_n2", int_dot(F.col("f_mil"), F.col("f_mil")))
         scored = ca.join(c, "coarse_id").select(
@@ -1034,6 +1073,14 @@ def semdedup_two_level(
             )
             .localCheckpoint(eager=True)
         )
+        # free the superseded previous fine-codebook checkpoint (r17;
+        # the seed frame entering round 0 is a plain plan — no-op)
+        from tepsonic_database_sync_spark.functions.lifecycle import (
+            free_local_checkpoint,
+        )
+
+        free_local_checkpoint(prev_fc)
+        prev_fc = fc
     fcn = fc.withColumn("f_n2", int_dot(F.col("f_mil"), F.col("f_mil")))
     fscored = ca.join(fcn, "coarse_id").select(
         "vec_id",
