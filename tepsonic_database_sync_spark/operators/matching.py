@@ -23,16 +23,37 @@ as the minimum ``(name, _id)`` — documented deviation (SURVEY.md §7).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _pick_first(df: DataFrame, part_col: str, order: list[str]) -> DataFrame:
-    w = Window.partitionBy(part_col).orderBy(*order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+def _pick_first(
+    df: DataFrame,
+    part_col: str,
+    order: list[str],
+    descending: bool = False,
+) -> DataFrame:
+    """Deterministic first row per ``part_col`` group under ``order``
+    (all-ascending, or all-descending with ``descending=True``) — r17:
+    a map-side-combined ``min/max(struct(order…, rest…))`` arg-extremum
+    instead of a row_number window. Identical output at every call
+    site: the order keys always include the unique product id, so the
+    extremum is total and the payload tiebreak fields are never
+    reached; candidate fan-out collapses on the map side instead of
+    shuffling and sorting every candidate row."""
+    others = [c for c in df.columns if c != part_col and c not in order]
+    agg = df.groupBy(part_col).agg(
+        (F.max if descending else F.min)(
+            F.struct(
+                *[F.col(c) for c in order], *[F.col(c) for c in others]
+            )
+        ).alias("__k")
+    )
+    return agg.select(
+        *[
+            F.col(c) if c == part_col else F.col(f"__k.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 
@@ -162,10 +183,16 @@ def valid_skip_split(
 def variant_admin(admin: DataFrame) -> DataFrame:
     """The $in-prefetch lookup table for variant resolution: exact
     case-sensitive name → storage, duplicate names resolved "last wins"
-    (Map overwrite, products.js:129-132) → deterministic max ``_id``."""
-    return _pick_first(
-        admin.select("name", "storage", "_id"), "name", [F.col("_id").desc()]
-    ).drop("_id")
+    (Map overwrite, products.js:129-132) → deterministic max ``_id``
+    (r17: as a map-side-combined ``max(struct(_id, storage))`` argmax —
+    same pick as the previous ``_id DESC`` row_number window, ``_id``
+    is unique so the tiebreak field is never reached)."""
+    agg = admin.select("name", "storage", "_id").groupBy("name").agg(
+        F.max(F.struct(F.col("_id"), F.col("storage").alias("s"))).alias(
+            "__k"
+        )
+    )
+    return agg.select("name", F.col("__k.s").alias("storage"))
 
 
 def delete_variants(s: Column) -> Column:

@@ -4495,7 +4495,7 @@ def q_j3_item_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tepsonic_database_sync_spark.operators.matching import _pick_first
 
     va = _pick_first(
-        admin.select("name", "_id"), "name", [F.col("_id").desc()]
+        admin.select("name", "_id"), "name", ["_id"], descending=True
     )
     j = keyed.join(F.broadcast(va), keyed.gname == va.name, "left")
     return j.select(
