@@ -319,7 +319,10 @@ def connected_components(
 
 
 def connected_components_star(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 50
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 50,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -356,14 +359,28 @@ def connected_components_star(
     scheduling-dominated — SCALE.md r9); the payoff is shuffle VOLUME
     at real scale: two fewer full-edge-frame exchanges per round.
     """
-    E = (
-        edges.select(
-            F.greatest("a_id", "b_id").alias("u"),
-            F.least("a_id", "b_id").alias("v"),
+    # ``edges_canonical=True`` (r17, guide §2.4 "a distinct on data that
+    # is already unique"): the caller certifies the pair frame is
+    # already DISTINCT with a_id < b_id strict (true for every candidate
+    # generator in this repo — lsh_candidate_pairs ends .distinct(),
+    # embedding_neardup_pairs and cooccur_pairs end in a groupBy/unique
+    # join, all with the a < b filter), so the canonicalization below —
+    # a full exchange of the pair frame at any scale — is a provable
+    # no-op and is skipped. Default False keeps the defensive form for
+    # arbitrary inputs.
+    if edges_canonical:
+        E = edges.select(
+            F.col("b_id").alias("u"), F.col("a_id").alias("v")
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    else:
+        E = (
+            edges.select(
+                F.greatest("a_id", "b_id").alias("u"),
+                F.least("a_id", "b_id").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
 
     def _sig(e: DataFrame) -> tuple:
         r = e.agg(
@@ -513,7 +530,7 @@ def canonicalize(docs: DataFrame) -> DataFrame:
     """
     pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(eager=True)
     nodes = docs.select(F.col("doc_id").alias("node"))
-    comp = connected_components_star(pairs, nodes)
+    comp = connected_components_star(pairs, nodes, edges_canonical=True)
     # cluster_size via a window over the labels (one exchange) instead
     # of groupBy + rejoin (two) — near-dup clusters are small, so the
     # per-comp window partition is bounded (r10, same rationale as the
@@ -1043,7 +1060,7 @@ def fuzzy_keep_best(docs: DataFrame) -> DataFrame:
         eager=True
     )
     nodes = docs.select(F.col("doc_id").alias("node"))
-    clusters = connected_components_star(pairs, nodes)
+    clusters = connected_components_star(pairs, nodes, edges_canonical=True)
     scored = docs.select(
         "doc_id", quality_expr(F.col("text")).alias("quality")
     )
@@ -2841,7 +2858,7 @@ def dedup_cluster_census(docs: DataFrame) -> DataFrame:
         eager=True
     )
     nodes = docs.select(F.col("doc_id").alias("node"))
-    comp = connected_components_star(pairs, nodes)
+    comp = connected_components_star(pairs, nodes, edges_canonical=True)
     sizes = comp.groupBy("comp").agg(
         F.count("*").cast("long").alias("cluster_size")
     )

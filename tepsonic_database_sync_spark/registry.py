@@ -1091,7 +1091,7 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = emb.select(F.col("vec_id").alias("node")).unionByName(
         emb.select((F.col("vec_id") + 10000000).alias("node"))
     )
-    comp = connected_components_star(pairs, nodes)
+    comp = connected_components_star(pairs, nodes, edges_canonical=True)
     return comp.select(
         F.col("node").cast("long").alias("vec_id"),
         F.col("comp").cast("long").alias("cluster_id"),
@@ -2347,7 +2347,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(minhash_sig_array(docs)).localCheckpoint(eager=True)
     nodes = docs.select(F.col("doc_id").alias("node"))
-    return connected_components_star(pairs, nodes).select(
+    return connected_components_star(pairs, nodes, edges_canonical=True).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
 
@@ -3625,7 +3625,7 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "b_id"
     )
     nodes = capped.select(F.col("i").alias("node")).distinct()
-    return connected_components_star(edges, nodes)
+    return connected_components_star(edges, nodes, edges_canonical=True)
 
 
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
