@@ -2998,13 +2998,21 @@ def ngram_novelty(docs: DataFrame, n: int = NGRAM_NOVELTY_N) -> DataFrame:
     repeats count as non-novel beyond their first occurrence — same
     rule corpus-wide, no special casing.
 
-    Scale shape: the positional gram generator is the certified
-    ``substring_dedup`` expr (token array materialized as a column —
-    the lambda-capture contract); then ONE map-side-combined min-struct
-    aggregate on the h60 gram key (hot boilerplate grams combine per
-    map task) + the keeper join back on the same key, UNHINTED, + a
-    doc_id-keyed rollup. The same three-shuffle class as line_dedup,
-    measured there.
+    Scale shape (r17 — the keeper join-back is GONE): the positional
+    gram generator is the certified ``substring_dedup`` expr (token
+    array materialized as a column — the lambda-capture contract) and
+    runs ONCE; then ONE map-side-combined min-struct aggregate on the
+    h60 gram key (hot boilerplate grams combine per map task). Each
+    gram key has exactly one corpus-first occurrence, so
+    ``n_novel(doc) = count of keys whose keeper lands in doc`` — a tiny
+    groupBy over the keeper frame — and ``n_grams(doc)`` is just
+    ``max(|tokens| − n + 1, 0)``, read straight off the token array.
+    The pre-r17 form joined the FULL gram-occurrence frame back against
+    the keeper frame on the gram key (second full-size exchange) and
+    re-generated the grams for that side (the aggregate and the join
+    are different subtrees, so no exchange reuse); both costs were pure
+    overhead — the join only recovered a per-occurrence flag whose
+    per-doc sum is already determined by the keeper frame alone.
 
     Returns (doc_id, n_grams, n_novel, novelty_permille).
     """
@@ -3034,23 +3042,21 @@ def ngram_novelty(docs: DataFrame, n: int = NGRAM_NOVELTY_N) -> DataFrame:
     keep = grams.groupBy("k").agg(
         F.min(F.struct("doc_id", "i")).alias("keeper")
     )
-    flagged = grams.join(keep, "k").select(
-        "doc_id",
-        (
-            (F.col("doc_id") == F.col("keeper.doc_id"))
-            & (F.col("i") == F.col("keeper.i"))
-        ).alias("novel"),
+    # exactly ONE occurrence per gram key is corpus-first (the min
+    # struct), so counting keepers per doc IS the per-doc novel count —
+    # no join back against the occurrence frame needed
+    novel = keep.groupBy(F.col("keeper.doc_id").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_novel")
     )
-    per_doc = flagged.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_grams"),
-        F.sum(F.when(F.col("novel"), 1).otherwise(0))
+    per_doc = toked.select(
+        "doc_id",
+        F.greatest(F.size("t").cast("long") - n + 1, F.lit(0))
         .cast("long")
-        .alias("n_novel"),
+        .alias("n_grams"),
     )
     z = lambda c: F.coalesce(c, F.lit(0)).cast("long")  # noqa: E731
     return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        per_doc.join(novel, "doc_id", "left")
         .select(
             "doc_id",
             z(F.col("n_grams")).alias("n_grams"),

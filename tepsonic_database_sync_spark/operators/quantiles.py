@@ -186,10 +186,17 @@ def grouped_mad_outliers(
 
     Returns per group: (group, n, median, mad, n_outliers).
 
-    Scale shape: two histogram passes (values, then deviations), each
-    one map-side-combined shuffle + a window over distinct values; the
-    per-group median/MAD frames broadcast back onto the rows. Nothing
-    sorts raw rows.
+    Scale shape (r17): two passes over raw rows — the value histogram
+    for the median, then ONE deviation histogram (map-side-combined
+    groupBy on (group, deviation)) that serves BOTH the MAD inverse-CDF
+    and the final census: n is the sum of histogram counts and
+    n_outliers a conditional sum of counts, so the census reads
+    distinct-deviation rows, never raw rows. (The pre-r17 form scanned
+    and median-joined the raw rows a third time for the census — guide
+    §2.2, shuffle/scan fewer bytes.) The per-group median/MAD frames
+    broadcast back. Nothing sorts raw rows; the two consumers of the
+    deviation histogram share one exchange (AQE ReusedExchange,
+    plan-asserted).
     """
     rows = df.select(group_col, value_col).filter(
         F.col(value_col).isNotNull()
@@ -197,24 +204,44 @@ def grouped_mad_outliers(
     med = grouped_quantiles_exact(rows, group_col, value_col, (500,)).select(
         group_col, F.col("value").alias("__med")
     )
-    dev = rows.join(F.broadcast(med), group_col).select(
-        group_col,
-        F.col("__med"),
-        F.abs(F.col(value_col) - F.col("__med")).cast("long").alias("__dev"),
+    devhist = (
+        rows.join(F.broadcast(med), group_col)
+        .select(
+            group_col,
+            F.col("__med"),
+            F.abs(F.col(value_col) - F.col("__med"))
+            .cast("long")
+            .alias("__dev"),
+        )
+        .groupBy(group_col, "__med", "__dev")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
-    mad = grouped_quantiles_exact(dev, group_col, "__dev", (500,)).select(
-        group_col, F.col("value").alias("__mad")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__dev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = devhist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    tot = devhist.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("__n")
+    )
+    mad = (
+        cum.join(tot, group_col)
+        .filter(F.lit(1000) * F.col("cum") >= F.lit(500) * F.col("__n"))
+        .groupBy(group_col)
+        .agg(F.min("__dev").cast("long").alias("__mad"))
     )
     return (
-        dev.join(F.broadcast(mad), group_col)
+        devhist.join(F.broadcast(mad), group_col)
         .groupBy(group_col)
         .agg(
-            F.count("*").cast("long").alias("n"),
+            F.sum("cnt").cast("long").alias("n"),
             F.min("__med").cast("long").alias("median"),
             F.min("__mad").cast("long").alias("mad"),
             F.sum(
                 F.when(
-                    F.col("__dev") * 1000 > k_milli * F.col("__mad"), 1
+                    F.col("__dev") * 1000 > k_milli * F.col("__mad"),
+                    F.col("cnt"),
                 ).otherwise(0)
             )
             .cast("long")

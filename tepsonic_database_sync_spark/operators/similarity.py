@@ -278,6 +278,57 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("sim_e6") >= threshold_e6)
 
 
+def embedding_neardup_base_pairs(
+    emb: DataFrame, threshold_e6: int = 990000
+) -> DataFrame:
+    """``embedding_neardup_pairs``'s scoring pass restricted to the
+    ORIGINAL corpus (no id-shifted copy): label-blocked a < b pairs with
+    integer cosine ≥ threshold. Returns (a_id, b_id) distinct, a < b
+    strict.
+
+    This exists for CONNECTIVITY consumers (r17, guide §2.2 "shuffle
+    fewer bytes"): on the demo union corpus (originals ∪ id-shifted
+    copies with identical vectors), every cross/copy pair's similarity
+    equals a base pair's — the full generator therefore scores each
+    base similarity ~4× (orig–orig, orig–copy both orders, copy–copy),
+    and each array dot product is the dominant per-pair cost. A
+    consumer that only needs the union graph's CONNECTED COMPONENTS can
+    instead take these base pairs plus the always-true (i, i + shift)
+    glue edges: every omitted edge (i, j+shift) / (i+shift, j+shift)
+    with sim(i,j) ≥ t connects nodes already connected via i—j plus the
+    glue, so the components — and any min-member cluster labeling — are
+    identical. ``embedding_neardup_pairs`` itself (the declared pair
+    OUTPUT) is unchanged.
+    """
+    v = _quantized(emb)
+    a = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label"),
+        F.col("iv").alias("a_iv"),
+        F.col("n2").alias("a_n2"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label"),
+        F.col("iv").alias("b_iv"),
+        F.col("n2").alias("b_n2"),
+    )
+    pairs = a.join(b, "label").filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            sim_e6(
+                int_dot(F.col("a_iv"), F.col("b_iv")),
+                F.col("a_n2"),
+                F.col("b_n2"),
+            ).alias("sim_e6"),
+        )
+        .filter(F.col("sim_e6") >= threshold_e6)
+        .select("a_id", "b_id")
+    )
+
+
 def sim_e6_sep(dot: Column, na2: Column, nb2: Column) -> Column:
     """Cosine in micro-units with SEPARATE norm divisions:
     round(dot/sqrt(na2)/sqrt(nb2)·1e6). Same value as ``sim_e6`` but

@@ -1075,17 +1075,33 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     into large-star/small-star contraction → (vec_id, cluster_id) with
     cluster_id = min member id. The embedding-space twin of
     `dedup_canonicalize`'s text pipeline; oracle = recursive CTE over
-    the same integer-exact pair predicate."""
+    the same integer-exact pair predicate.
+
+    r17 (guide §2.2): the contraction consumes base-corpus pairs plus
+    the always-true (i, i+10M) glue edges instead of the full
+    4×-redundant union-corpus pair frame — connectivity (hence every
+    min-member cluster label) is provably identical (proof in
+    operators/similarity.py::embedding_neardup_base_pairs), and the
+    dominant cost (one integer dot product per label-blocked pair)
+    drops 4×."""
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.operators.dedup import (
         connected_components_star,
     )
     from tepsonic_database_sync_spark.operators.similarity import (
-        embedding_neardup_pairs,
+        embedding_neardup_base_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs(emb).select("a_id", "b_id")
+    # base pairs are distinct with a_id < b_id strict; the glue edges
+    # (i, i + 10M) are distinct, a < b, and disjoint from them (base
+    # b_id < 10M) — the edges_canonical contract holds for the union
+    pairs = embedding_neardup_base_pairs(emb).unionByName(
+        emb.select(
+            F.col("vec_id").alias("a_id"),
+            (F.col("vec_id") + 10000000).alias("b_id"),
+        )
+    )
     # corpus nodes = original + the id-shifted copy the pair generator
     # unions in (so isolated vectors still get singleton clusters)
     nodes = emb.select(F.col("vec_id").alias("node")).unionByName(
