@@ -127,9 +127,16 @@ def ngram_jaccard_pairs_banded(
     one groupBy; candidates are an equi-join on (band, band_key);
     verification re-joins the shingle arrays only for candidate pairs —
     every step is a narrow projection or an equi-join on well-spread hash
-    keys, never all-pairs."""
-    s = _with_shingles(docs, n)
-    cands = lsh_candidate_pairs(minhash_sig_array(docs, n=n))
+    keys, never all-pairs. The shingle frame feeds THREE consumers
+    (signatures + both verify sides), so it is materialized once
+    (r18, guide §2.4 — the jaccard_pairs_prefix lesson): without the
+    checkpoint the corpus re-tokenizes per consumer."""
+    s = (
+        _with_shingles(docs, n)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
+    )
+    cands = lsh_candidate_pairs(minhash_sig_array(docs, n=n, shingled=s))
     a = s.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
     b = s.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
     pairs = cands.join(a, "a_id").join(b, "b_id")
@@ -140,7 +147,12 @@ def ngram_jaccard_pairs_banded(
     ).filter(F.col("inter_size") >= min_inter)
 
 
-def minhash_sig_array(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
+def minhash_sig_array(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    n: int = 3,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
     """k-wide MinHash signature per document as ONE array row
     (doc_id, sigs: array<long>) — a single groupBy over the shingle hashes.
 
@@ -148,6 +160,13 @@ def minhash_sig_array(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFr
     (a·h31 + b) mod 2^31-1 folded into a single groupBy as k min
     aggregates — no k-fold row or hash blowup. 5-10× faster than the
     naive salt-k-times form at any scale, same collision behavior.
+
+    ``shingled`` (r18, guide §2.4): an optional caller-provided
+    (doc_id, shingles) frame — callers that ALSO consume the shingle
+    arrays (lsh_quality's exact-truth side, the banded verify join)
+    materialize the frame once and pass it here, so the corpus is
+    tokenized+shingled ONCE per query instead of once per consumer.
+    Must be exactly ``_with_shingles(docs, n)``'s output columns.
     """
     from tepsonic_database_sync_spark.functions.hashing import (
         MERSENNE31,
@@ -155,7 +174,7 @@ def minhash_sig_array(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFr
         h31,
     )
 
-    s = _with_shingles(docs, n)
+    s = shingled if shingled is not None else _with_shingles(docs, n)
     hashed = s.select("doc_id", F.explode("shingles").alias("sh")).select(
         "doc_id", h31(F.col("sh")).alias("h")
     )
@@ -1300,7 +1319,10 @@ PREFIX_TAU_PERMILLE = 600
 
 
 def jaccard_pairs_prefix(
-    docs: DataFrame, n: int = 3, tau_permille: int = PREFIX_TAU_PERMILLE
+    docs: DataFrame,
+    n: int = 3,
+    tau_permille: int = PREFIX_TAU_PERMILLE,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT similarity self-join via prefix filtering (AllPairs /
     PPJoin candidate generation, Bayardo et al. / Xiao et al.) — the
@@ -1340,14 +1362,23 @@ def jaccard_pairs_prefix(
     # materialize the shingle frame ONCE: it feeds the frequency pass,
     # the prefix build, and BOTH verification sides — without this the
     # corpus re-tokenizes per consumer (observed 6 FileScans = 6×
-    # split+shingle cost; same lesson as winnow_overlap's posting table)
-    s = (
-        _with_shingles(docs, n)
-        .select(
+    # split+shingle cost; same lesson as winnow_overlap's posting table).
+    # ``shingled`` (r18, guide §2.4): a caller that shares the substrate
+    # with another consumer (lsh_quality's candidate side) passes the
+    # ALREADY-MATERIALIZED (doc_id, shingles) frame instead — the sz
+    # projection off a checkpoint is free, a second checkpoint is not.
+    if shingled is not None:
+        s = shingled.select(
             "doc_id", "shingles", F.size("shingles").cast("long").alias("sz")
         )
-        .localCheckpoint(eager=True)
-    )
+    else:
+        s = (
+            _with_shingles(docs, n)
+            .select(
+                "doc_id", "shingles", F.size("shingles").cast("long").alias("sz")
+            )
+            .localCheckpoint(eager=True)
+        )
     tok = s.select("doc_id", "sz", F.explode("shingles").alias("g"))
     dfreq = tok.groupBy("g").agg(F.count("*").cast("long").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
@@ -2655,20 +2686,32 @@ def edit_verified_pairs(
         docs = docs.withColumn("n_chars", F.lit(None).cast("long"))
     cands = lsh_candidate_pairs(minhash_sig_array(docs))
     # Catalyst's subexpression elimination computes normalize_text once
-    # per row for the prefix and the full length
+    # per row for the prefix and the full length. The frame feeds BOTH
+    # verify attaches, so it is materialized once (r18, guide §2.4 —
+    # before this the a-side and b-side each re-ran the parquet scan +
+    # normalize pass; the checkpoint is the lightweight-proxy table of
+    # guide §8, 2 KB/doc, never the raw corpus).
     nt = docs.select(
         "doc_id",
         F.substring(normalize_text(F.col("text")), 1, max_chars).alias("nt"),
         F.length(normalize_text(F.col("text"))).cast("long").alias("fl"),
-    )
+    ).localCheckpoint(eager=True)
+    # Both attaches broadcast the CANDIDATE-BOUNDED side (r18, guide
+    # §3.2 — the decontaminate_fuzzy precedent): the pair frame is
+    # bounded by band collisions, so it broadcasts, and the corpus-sized
+    # nt proxy STREAMS through both joins instead of being hash-built —
+    # without the hints the planner builds on nt, which is exactly the
+    # corpus-sized build side that dies at 100 TB.
     j = (
-        cands.join(
-            nt.select(
-                F.col("doc_id").alias("a_id"),
-                F.col("nt").alias("na"),
-                F.col("fl").alias("fla"),
-            ),
-            "a_id",
+        F.broadcast(
+            F.broadcast(cands).join(
+                nt.select(
+                    F.col("doc_id").alias("a_id"),
+                    F.col("nt").alias("na"),
+                    F.col("fl").alias("fla"),
+                ),
+                "a_id",
+            )
         )
         .join(
             nt.select(

@@ -194,9 +194,11 @@ def grouped_mad_outliers(
     distinct-deviation rows, never raw rows. (The pre-r17 form scanned
     and median-joined the raw rows a third time for the census — guide
     §2.2, shuffle/scan fewer bytes.) The per-group median/MAD frames
-    broadcast back. Nothing sorts raw rows; the two consumers of the
-    deviation histogram share one exchange (AQE ReusedExchange,
-    plan-asserted).
+    broadcast back. Nothing sorts raw rows; the deviation histogram's
+    identical aggregate subtrees are eligible for AQE exchange reuse at
+    runtime (observed in the executed plan; not pinned by a test —
+    ADVICE r17 — the two-pass structure above is what the plan tests
+    assert).
     """
     rows = df.select(group_col, value_col).filter(
         F.col(value_col).isNotNull()

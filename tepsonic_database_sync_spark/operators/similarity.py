@@ -243,15 +243,28 @@ def ivf_topk(
     )
 
 
+# The id shift of the demo corpus's near-dup copy. ONE constant shared
+# by the pair generator, the glue-edge builder, and the registry's
+# connectivity consumer (ADVICE r17: the literal was duplicated in three
+# places — a generator change would have silently diverged the consumer).
+NEARDUP_COPY_SHIFT = 10_000_000
+# The family's cosine near-dup threshold (micro-units), shared by the
+# generators and the glue-edge gate below.
+NEARDUP_THRESHOLD_E6 = 990_000
+
+
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold_e6: int = 990000
+    emb: DataFrame, threshold_e6: int = NEARDUP_THRESHOLD_E6
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by the coarse
     ``label`` column (IVF-style: compare only within a cell). The demo
     corpus unions an id-shifted copy so true near-dups exist."""
     v = _quantized(emb)
     copy = v.select(
-        (F.col("vec_id") + 10000000).alias("vec_id"), "label", "iv", "n2"
+        (F.col("vec_id") + NEARDUP_COPY_SHIFT).alias("vec_id"),
+        "label",
+        "iv",
+        "n2",
     )
     corpus = v.unionByName(copy)
     a = corpus.select(
@@ -279,7 +292,7 @@ def embedding_neardup_pairs(
 
 
 def embedding_neardup_base_pairs(
-    emb: DataFrame, threshold_e6: int = 990000
+    emb: DataFrame, threshold_e6: int = NEARDUP_THRESHOLD_E6
 ) -> DataFrame:
     """``embedding_neardup_pairs``'s scoring pass restricted to the
     ORIGINAL corpus (no id-shifted copy): label-blocked a < b pairs with
@@ -323,6 +336,34 @@ def embedding_neardup_base_pairs(
                 F.col("a_n2"),
                 F.col("b_n2"),
             ).alias("sim_e6"),
+        )
+        .filter(F.col("sim_e6") >= threshold_e6)
+        .select("a_id", "b_id")
+    )
+
+
+def embedding_neardup_glue_edges(
+    emb: DataFrame, threshold_e6: int = NEARDUP_THRESHOLD_E6
+) -> DataFrame:
+    """The (i, i + NEARDUP_COPY_SHIFT) glue edges that, together with
+    ``embedding_neardup_base_pairs``, reproduce the full union-corpus
+    pair graph's connectivity (proof above). Gated on the EXACT
+    predicate the full generator applies to the copy pair —
+    ``sim_e6(n2, n2, n2) >= threshold`` — so a zero-norm or null
+    embedding (where the generator's NaN/null similarity drops the
+    pair) omits its glue edge identically, instead of silently merging
+    i with its copy (ADVICE r17: the unconditional form was latently
+    divergent on degenerate vectors). For every n2 > 0 the predicate is
+    exactly 1e6 ≥ threshold, i.e. always true — same edges as before on
+    any corpus without degenerate vectors. Returns (a_id, b_id)
+    distinct, a < b strict, disjoint from the base pairs (their b_id
+    < shift)."""
+    return (
+        _quantized(emb)
+        .select(
+            F.col("vec_id").alias("a_id"),
+            (F.col("vec_id") + NEARDUP_COPY_SHIFT).alias("b_id"),
+            sim_e6(F.col("n2"), F.col("n2"), F.col("n2")).alias("sim_e6"),
         )
         .filter(F.col("sim_e6") >= threshold_e6)
         .select("a_id", "b_id")

@@ -1089,23 +1089,25 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star,
     )
     from tepsonic_database_sync_spark.operators.similarity import (
+        NEARDUP_COPY_SHIFT,
         embedding_neardup_base_pairs,
+        embedding_neardup_glue_edges,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     # base pairs are distinct with a_id < b_id strict; the glue edges
-    # (i, i + 10M) are distinct, a < b, and disjoint from them (base
-    # b_id < 10M) — the edges_canonical contract holds for the union
+    # (i, i + shift) are distinct, a < b, gated on the generator's own
+    # copy-pair predicate (ADVICE r17 — degenerate vectors omit their
+    # glue edge exactly as the full generator would), and disjoint from
+    # the base pairs (base b_id < shift) — the edges_canonical contract
+    # holds for the union
     pairs = embedding_neardup_base_pairs(emb).unionByName(
-        emb.select(
-            F.col("vec_id").alias("a_id"),
-            (F.col("vec_id") + 10000000).alias("b_id"),
-        )
+        embedding_neardup_glue_edges(emb)
     )
     # corpus nodes = original + the id-shifted copy the pair generator
     # unions in (so isolated vectors still get singleton clusters)
     nodes = emb.select(F.col("vec_id").alias("node")).unionByName(
-        emb.select((F.col("vec_id") + 10000000).alias("node"))
+        emb.select((F.col("vec_id") + NEARDUP_COPY_SHIFT).alias("node"))
     )
     comp = connected_components_star(pairs, nodes, edges_canonical=True)
     return comp.select(
@@ -3786,9 +3788,16 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE NOTE: inline full-corpus exact truth is the small-SF checkable
     form ONLY — at production scale the audit is
     ``q_blocking_quality_sampled`` (hash-sampled truth, binomial CI);
-    copy THAT pattern, not this one."""
+    copy THAT pattern, not this one.
+
+    r18 (guide §2.4): the truth side (prefix filter) and the candidate
+    side (MinHash) consume the SAME word-shingle substrate; it is
+    materialized once and shared, so the corpus tokenizes+shingles one
+    time per audit instead of once per tier. Values unchanged — both
+    tiers read identical shingle arrays."""
     from tepsonic_database_sync_spark.io import load_table
     from tepsonic_database_sync_spark.operators.dedup import (
+        _with_shingles,
         blocking_quality,
         jaccard_pairs_prefix,
         lsh_candidate_pairs,
@@ -3796,10 +3805,15 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        _with_shingles(docs)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
+    )
     truth = jaccard_pairs_prefix(
-        docs, tau_permille=PREFIX_TAU_PERMILLE
+        docs, tau_permille=PREFIX_TAU_PERMILLE, shingled=sh
     ).select("a_id", "b_id")
-    cand = lsh_candidate_pairs(minhash_sig_array(docs))
+    cand = lsh_candidate_pairs(minhash_sig_array(docs, shingled=sh))
     return blocking_quality(truth, cand)
 
 
