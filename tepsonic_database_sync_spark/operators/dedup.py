@@ -1436,6 +1436,15 @@ def jaccard_pairs_prefix(
     )
     av = s.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
     bv = s.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    # The verify attaches are deliberately UNHINTED (r18 A/B): forcing
+    # the candidate side to broadcast (the edit_verified_pairs §3.2
+    # shape) regressed the prefix family — unlike edit_verified's
+    # 2 KB-capped nt proxy, the attach here carries FULL shingle
+    # arrays, so the pairs+a_sh intermediate round-trips a multi-MB
+    # array payload through the driver (containment measured 3.5 →
+    # 8.8 s min-of-4; this form was neutral). AQE keeps the 100 TB
+    # shape safe the same way as the df attach above: av/bv broadcast
+    # only while they actually fit, SMJ on id keys otherwise.
     pairs = cands.join(av, "a_id").join(bv, "b_id")
     inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("long")
     union = (F.size("a_sh") + F.size("b_sh")).cast("long") - inter
@@ -1788,10 +1797,15 @@ def substring_dup_rate(docs: DataFrame, n: int = 8) -> DataFrame:
     """
     from tepsonic_database_sync_spark.operators.text import tokens
 
+    # toked feeds the gram explode (twice — the dup aggregate and the
+    # covered join recompute grams from it) and the final n_tokens
+    # attach; checkpoint it so the corpus tokenizes once (r18, §2.4 —
+    # same trade as _substr_gram_frames: grams itself stays
+    # recompute-from-toked, its 8-gram strings are ~n× the corpus)
     toked = docs.select(
         "doc_id",
         F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     grams = (
         toked.filter(F.size("t") >= n)
         .select(
@@ -1890,13 +1904,22 @@ def _substr_gram_frames(docs: DataFrame, n: int):
     (doc_id, i, g) gram frame, and the duplicated-gram canonical frame
     (canonical = (doc_id, i)-lexicographic min per gram, chosen INSIDE
     the one map-side-combined gram aggregate — min-struct and count
-    are both algebraic). Returns (toked, grams, canon)."""
+    are both algebraic). Returns (toked, grams, canon).
+
+    ``toked`` is localCheckpointed (r18, guide §2.4): every family
+    member consumes it 2-3× (the gram explode, the island gram rebuild,
+    the kept-text reconstruction), and without the cut each consumer
+    re-scans the parquet and re-tokenizes the corpus. The materialized
+    frame is 1× the corpus token mass — the working set, affordable at
+    any scale. ``grams`` is deliberately NOT materialized: its 8-gram
+    strings are ~n× the corpus, so recompute-from-toked is the
+    scale-correct trade (the docstrings' published-cost note)."""
     from tepsonic_database_sync_spark.operators.text import tokens
 
     toked = docs.select(
         "doc_id",
         F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     grams = (
         toked.filter(F.size("t") >= n)
         .select(
@@ -2107,7 +2130,26 @@ def substring_dedup_spans_verified(
     """
     toked, grams, canon = _substr_gram_frames(docs, n)
     canon = canon.localCheckpoint(eager=True)
-    positions = _noncanon_positions(grams, canon, n)
+    # ONE gram-keyed join feeds both the removal chain and the
+    # occurrence index (r18, guide §2.4): dup_occ = every occurrence of
+    # a corpus-duplicated gram with its canonical (c_doc, c_i) attached.
+    # Before this, `grams` (the full corpus gram explode) was joined
+    # against canon TWICE — once filtered to non-canonical positions,
+    # once g-only for `occ` — re-running the n-gram explode over the
+    # whole corpus. The materialized frame is bounded by the corpus's
+    # DUPLICATION mass (occurrences of duplicated grams only), far
+    # below the full gram frame, so the checkpoint is scale-safe.
+    dup_occ = grams.join(canon, "g").localCheckpoint(eager=True)
+    positions = (
+        dup_occ.filter(
+            ~((F.col("doc_id") == F.col("c_doc")) & (F.col("i") == F.col("c_i")))
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {n} - 1)")).alias("pos"),
+        )
+        .distinct()
+    )
     dup_pos = positions.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("dp")
     )
@@ -2152,8 +2194,10 @@ def substring_dedup_spans_verified(
         )
         .select("doc_id", "lo", "x.p", "x.g")
     )
-    # all occurrences of corpus-duplicated grams (canonical included)
-    occ = grams.join(canon.select("g"), "g").select(
+    # all occurrences of corpus-duplicated grams (canonical included) —
+    # read from the one materialized dup_occ frame, not a second
+    # corpus-wide gram join
+    occ = dup_occ.select(
         F.col("doc_id").alias("e"), F.col("i").alias("q"), "g"
     )
     m = (
@@ -2487,6 +2531,9 @@ def containment_pairs(
     )
     av = s.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
     bv = s.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    # verify attaches deliberately UNHINTED — identical reasoning (and
+    # the same r18 A/B rejection of the forced candidate broadcast:
+    # 3.5 → 8.8 s min-of-4 here) as jaccard_pairs_prefix above.
     pairs = cands.join(av, "a_id").join(bv, "b_id")
     inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("long")
     return (

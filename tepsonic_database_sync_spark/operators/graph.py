@@ -116,11 +116,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     Returns (node, degree, n_triangles, clustering_permille) for EVERY
     node; clustering = 2T/(d(d−1)) in floored permille, 0 for d < 2.
 
-    Scale shape: the oriented edge frame is materialized once and feeds
-    the wedge join, the closing join, and the degree frame; wedges are
-    an equi-join on the middle node, closure an equi-join on the (u, w)
-    pair — never a Cartesian; per-node credit is one explode + one
-    map-side-combined groupBy.
+    Scale shape: the normalized edge frame feeds the degree count AND
+    the orientation join, and the degree frame feeds THREE consumers
+    (both orientation attaches + the final census join), so both are
+    materialized once (r18, guide §2.4 — the two-consumer squaring
+    rule; the r17 final adaptive plan showed the caller's edge
+    generation executing three times, AQE reusing only one exchange);
+    the oriented frame is likewise materialized once and feeds the
+    wedge join, the closing join; wedges are an equi-join on the middle
+    node, closure an equi-join on the (u, w) pair — never a Cartesian;
+    per-node credit is one explode + one map-side-combined groupBy.
     """
     und = (
         edges.select(
@@ -128,11 +133,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
@@ -151,6 +158,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .select("e.u", "e.v")
         .localCheckpoint(eager=True)
     )
+    # both of und's consumers (deg, oriented) are now materialized — its
+    # checkpoint blocks are superseded (r17 lifecycle discipline)
+    from tepsonic_database_sync_spark.functions.lifecycle import (
+        free_local_checkpoint,
+    )
+
+    free_local_checkpoint(und)
     w1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     w2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
     wedges = w1.join(w2, "y")

@@ -2347,8 +2347,16 @@ def rm3_feedback(
         raise ValueError(
             "rm3_feedback: empty corpus — BM25 avgdl is undefined at N=0"
         )
-    s1 = bm25_tfidf(docs, query_terms, k1_milli, b_milli).select(
-        "doc_id", F.col("n_tokens").alias("dl"), "bm25_milli"
+    # pass 1 is consumed FOUR times (feedback top-k, corpus stats,
+    # pass-2 dl attach, final interpolation join) — materialize it once
+    # (r18, guide §2.4/§8): the checkpoint is the narrow
+    # (doc_id, dl, bm25_milli) proxy, 3 longs/doc, never the raw
+    # corpus; before this each consumer re-ran the whole BM25 pass
+    # (the r17 plan showed 16 parquet scans of documents).
+    s1 = (
+        bm25_tfidf(docs, query_terms, k1_milli, b_milli)
+        .select("doc_id", F.col("n_tokens").alias("dl"), "bm25_milli")
+        .localCheckpoint(eager=True)
     )
     fb = (
         s1.orderBy(F.col("bm25_milli").desc(), F.col("doc_id"))

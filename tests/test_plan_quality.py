@@ -1328,13 +1328,16 @@ def test_rm3_feedback_two_pass_shapes(spark, registry_plans):
     """RM3's scale contract: the corpus never shuffles on a term key —
     pass-2 candidates come from the broadcast expansion-term probe
     (hash joins), doc-keyed corpus joins may sort-merge (co-partition
-    at scale), the only BNLs are the four single-row/5-row stat
-    crossJoins (corpus stats ×2, w_tot, df attach), the final top-n is
-    TakeOrderedAndProject, and nothing drops to Python."""
+    at scale), the only visible BNL is the single-row corpus-stats
+    crossJoin (r18: pass 1 and the expansion terms sit behind
+    localCheckpoints, so bm25's internal stat crossJoins and the w_tot
+    attach no longer appear in the final plan — before that the pin
+    was 4), the final top-n is TakeOrderedAndProject, and nothing
+    drops to Python."""
     plan = registry_plans["rm3_feedback"]
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 4
+    assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
 
