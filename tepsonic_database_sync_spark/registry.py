@@ -11302,7 +11302,7 @@ FROM pred GROUP BY 1, 2
 
 # name → (spark callable, oracle sql | None) — the CATALOG. Definition
 # order here is historical; the driver-facing order (window contract)
-# is rebuilt below from _R17_WINDOW + _TAIL_FRESHNESS.
+# is rebuilt below from _R18_WINDOW + _TAIL_FRESHNESS.
 #
 # Historical allocation notes (r8): Round-8 allocation: the 19 new r8
 # operators (batch 1 bfs_hops … layout_prune, batch 2
@@ -11759,43 +11759,32 @@ _REGISTRY_DEF: dict[str, tuple[QueryFn, str | None]] = {
 #     paper-exact per-span verbatim verification of the ExactSubstr
 #     removal rule, and the cross-source near-duplicate matrix; new
 #     entries are always in-window).
-_R17_WINDOW = [
-    "cdc_incremental_agg", "match_fuzzy", "psi_drift",
-    "compaction_plan", "interval_concurrency", "ewma",
-    "group_moments", "hll_registers", "tvd_drift",
-    "k_anonymity", "leaderboard", "outliers_mad",
-    "triangle_stats", "attribution_models", "dedup_incremental",
-    "prepare_corpus", "snapshot_diff", "event_transitions",
-    "event_anomaly", "grouped_quantiles", "source_overlap",
-    "skew_profile", "cdc_roundtrip", "text_hash_embed",
-    "winnow_overlap", "profile_table", "join_size_estimate",
-    "ann_pq_topk", "ann_ivf_pq_topk", "label_propagation",
-    "dedup_prefix_filter", "lsh_quality", "substring_dedup",
-    "l_diversity", "rm3_feedback", "blocking_quality_sampled",
-    "semdedup_two_level", "group_entropy", "grouped_mode",
-    "active_users", "quantile_bucketize", "dedup_keep_best",
-    "growth_accounting", "dedup_ngram_jaccard", "p_nested_project",
-    "decontaminate_fuzzy", "dedup_fuzzy_canonicalize",
-    "contamination_fuzzy_report", "substring_dedup_spans_verified",
-    "source_neardup_matrix",
-]
-
-_TAIL_FRESHNESS = [
-    "cdc_incremental_agg", "match_fuzzy", "psi_drift",
-    "compaction_plan", "interval_concurrency", "ewma",
-    "group_moments", "hll_registers", "tvd_drift",
-    "k_anonymity", "leaderboard", "outliers_mad",
-    "triangle_stats", "attribution_models", "dedup_incremental",
-    "prepare_corpus", "snapshot_diff", "event_transitions",
-    "event_anomaly", "grouped_quantiles", "source_overlap",
-    "skew_profile", "cdc_roundtrip", "text_hash_embed",
-    "winnow_overlap", "profile_table", "join_size_estimate",
-    "ann_pq_topk", "ann_ivf_pq_topk", "label_propagation",
-    "dedup_prefix_filter", "lsh_quality", "substring_dedup",
-    "l_diversity", "rm3_feedback", "blocking_quality_sampled",
-    "semdedup_two_level", "group_entropy", "grouped_mode",
-    "active_users", "quantile_bucketize", "dedup_keep_best",
-    "growth_accounting", "dedup_ngram_jaccard", "p_nested_project",
+# r18 window allocation (VERDICT r17 next-round 3): the natural window =
+# the first 50 tail entries in queue order (topk_orders ... set_intersect,
+# the r12-green swap-displaced head + the r13-floor block), with
+# TWENTY-TWO swaps displacing the least-stale twenty-two of the natural
+# 50 (tpch_q17_small_qty, tpch_q22_idle_custs, rollup_sales,
+# pivot_segment_priority, unpivot, text_lm_score, snapshot_dedup,
+# snapshot_dedup_incremental, count_distinct, window_running_total,
+# the multimodal quartet, text_bm25, sketch_distinct, sketch_percentile,
+# sketch_topk, asof_join, range_join, sessionize_batch, set_intersect —
+# they head the r19 queue) in favour of every entry whose code path was
+# rewritten in r17 or r18 but not driver-verified since (VERDICT r17
+# "What's wrong" item 4 + this round's touched set):
+#   - r17-rewritten, builder-verified only: kcore, graph_components,
+#     embed_dedup_clusters, dedup_canonicalize, dedup_clusters_star,
+#     dedup_cluster_census, dedup_fuzzy_keep_best, bpe_train,
+#     kmeans_train, semdedup, sync_pipeline, sync_summary, s8_upsert,
+#     p6_resolve_variant, j3_item_lookup;
+#   - r18-touched (shared shingle substrate, candidate-broadcast verify,
+#     SHJ basket self-join, gated glue edges, triangle/degree
+#     checkpointing): lsh_quality, dedup_edit_verified,
+#     dedup_jaccard_banded, dedup_minhash_lsh, item_cooccur,
+#     label_propagation, triangle_stats, dedup_prefix_filter (+ the
+#     r17-listed graph/embed entries above).
+# kcore sits in the natural 50 already; every r11/r12-green stale entry
+# not displaced stays, so the floor keeps moving as handed off.
+_R18_WINDOW = [
     "topk_orders", "set_union", "ann_lsh_topk",
     "linear_interp", "seasonal_profile", "grouped_regression",
     "chi_square", "class_balance", "negative_sample",
@@ -11805,59 +11794,93 @@ _TAIL_FRESHNESS = [
     "event_paths", "pagerank", "ohlc_bars",
     "cube_sales", "exists_subquery", "tpch_q1_pricing",
     "tpch_q3_topk", "tpch_q10_returns", "tpch_q6_sql",
-    "tpch_q17_small_qty", "tpch_q22_idle_custs", "rollup_sales",
-    "pivot_segment_priority", "unpivot", "text_lm_score",
-    "snapshot_dedup", "snapshot_dedup_incremental", "kcore",
-    "count_distinct", "window_running_total", "multimodal_stats",
-    "multimodal_frames", "multimodal_features", "multimodal_resize",
-    "text_bm25", "sketch_distinct", "sketch_percentile",
-    "sketch_topk", "asof_join", "range_join",
-    "sessionize_batch", "set_intersect", "tpch_q2_min_cost",
-    "tpch_q4_order_priority", "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_profit", "tpch_q14_promo_share", "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunctive", "tpch_q20_excess_suppliers", "tpch_q21_waiting",
-    "a3_merge_idempotent", "a4_stock_totals", "ann_bruteforce_topk",
-    "ann_ivf_topk", "decontaminate", "dedup_clusters",
-    "dedup_jaccard_banded", "dedup_minhash_lsh", "dedup_simhash",
-    "embed_neardup", "j3_item_lookup", "kmeans_train",
+    "kcore", "lsh_quality", "dedup_edit_verified",
+    "dedup_jaccard_banded", "dedup_minhash_lsh", "item_cooccur",
+    "graph_components", "label_propagation", "embed_dedup_clusters",
+    "triangle_stats", "dedup_prefix_filter", "dedup_canonicalize",
+    "dedup_clusters_star", "dedup_cluster_census", "dedup_fuzzy_keep_best",
+    "bpe_train", "kmeans_train", "semdedup",
+    "sync_pipeline", "sync_summary", "s8_upsert",
+    "p6_resolve_variant", "j3_item_lookup",
+]
+
+_TAIL_FRESHNESS = [
+    "cdc_incremental_agg", "match_fuzzy", "psi_drift",
+    "compaction_plan", "interval_concurrency", "ewma",
+    "group_moments", "hll_registers", "tvd_drift",
+    "k_anonymity", "leaderboard", "outliers_mad",
+    "attribution_models", "dedup_incremental", "prepare_corpus",
+    "snapshot_diff", "event_transitions", "event_anomaly",
+    "grouped_quantiles", "source_overlap", "skew_profile",
+    "cdc_roundtrip", "text_hash_embed", "winnow_overlap",
+    "profile_table", "join_size_estimate", "ann_pq_topk",
+    "ann_ivf_pq_topk", "substring_dedup", "l_diversity",
+    "rm3_feedback", "blocking_quality_sampled", "semdedup_two_level",
+    "group_entropy", "grouped_mode", "active_users",
+    "quantile_bucketize", "dedup_keep_best", "growth_accounting",
+    "dedup_ngram_jaccard", "p_nested_project", "tpch_q17_small_qty",
+    "tpch_q22_idle_custs", "rollup_sales", "pivot_segment_priority",
+    "unpivot", "text_lm_score", "snapshot_dedup",
+    "snapshot_dedup_incremental", "count_distinct", "window_running_total",
+    "multimodal_stats", "multimodal_frames", "multimodal_features",
+    "multimodal_resize", "text_bm25", "sketch_distinct",
+    "sketch_percentile", "sketch_topk", "asof_join",
+    "range_join", "sessionize_batch", "set_intersect",
+    "tpch_q2_min_cost", "tpch_q4_order_priority", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt", "tpch_q19_disjunctive", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting", "a3_merge_idempotent", "a4_stock_totals",
+    "ann_bruteforce_topk", "ann_ivf_topk", "decontaminate",
+    "dedup_clusters", "dedup_simhash", "embed_neardup",
     "mixture_sample", "pack_sequences", "mixture_rebalance",
-    "bpe_train", "dedup_edit_verified", "bpe_encode",
-    "ccnet_buckets", "pack_sequences_bpe", "bpe_fertility",
-    "s10_report", "s2_full_scan", "s8_upsert",
-    "scd2_history", "sync_merge_resync", "sync_pipeline",
-    "sync_summary", "x2_quarantine", "window_funnel",
-    "item_cooccur", "s1_rest_ingest", "model_score",
+    "bpe_encode", "ccnet_buckets", "pack_sequences_bpe",
+    "bpe_fertility", "s10_report", "s2_full_scan",
+    "scd2_history", "sync_merge_resync", "x2_quarantine",
+    "window_funnel", "s1_rest_ingest", "model_score",
     "model_score_hist", "tpch_q15_top_supplier", "stream_stream_join",
     "stream_conversion", "j5_valid_skip_split", "stream_tumbling",
     "p1_norm_name", "f1_status_filter", "bfs_hops",
     "j1_match_exact", "s3_filtered_scan", "s9_backfill",
     "x1_dispatch", "dedup_exact", "text_stats",
     "funnel", "p3_uid_coalesce", "p4_cents_to_dollars",
-    "p6_resolve_variant", "window_topk_per_cust", "window_range_frame",
-    "set_except", "events_json", "ngram_novelty",
-    "j2_match_partial", "multimodal_phash_dedup", "text_repetition",
-    "gopher_rules", "fineweb_filters", "quality_stack",
-    "mixture_rebalance_bpe", "ccnet_buckets_pct", "line_dedup",
-    "vocab_coverage", "lang_mix_audit", "stream_sliding",
-    "stream_sessions", "stream_dedup", "stream_enrich",
-    "rollup_multires", "tpch_q5_region_revenue", "tpch_q12_priority_counts",
-    "tpch_q13_custdist", "tpch_q18_big_orders", "skew_salted_agg",
-    "skew_salted_join", "dq_checks", "dataset_split",
-    "outliers_p99", "mom_growth", "cohort_retention",
-    "stratified_sample", "percentiles", "text_lang_id",
-    "text_quality", "containment_pairs", "mmr_rerank",
-    "graph_components", "dedup_clusters_star", "embed_dedup_clusters",
-    "dedup_canonicalize", "semdedup", "kmv_distinct",
+    "window_topk_per_cust", "window_range_frame", "set_except",
+    "events_json", "ngram_novelty", "j2_match_partial",
+    "multimodal_phash_dedup", "text_repetition", "gopher_rules",
+    "fineweb_filters", "quality_stack", "mixture_rebalance_bpe",
+    "ccnet_buckets_pct", "line_dedup", "vocab_coverage",
+    "lang_mix_audit", "stream_sliding", "stream_sessions",
+    "stream_dedup", "stream_enrich", "rollup_multires",
+    "tpch_q5_region_revenue", "tpch_q12_priority_counts", "tpch_q13_custdist",
+    "tpch_q18_big_orders", "skew_salted_agg", "skew_salted_join",
+    "dq_checks", "dataset_split", "outliers_p99",
+    "mom_growth", "cohort_retention", "stratified_sample",
+    "percentiles", "text_lang_id", "text_quality",
+    "containment_pairs", "mmr_rerank", "kmv_distinct",
     "dup_substring_rate", "mg_summary", "dsir_select",
     "text_fingerprint", "text_top_terms", "text_winnow",
     "text_chunks", "text_scrub", "decontaminate_bloom",
     "time_resample", "runtime_filter_join", "token_pmi",
     "zorder_stats", "weighted_sample", "token_entropy",
     "contamination_report", "packing_efficiency", "substring_dedup_spans",
-    "dedup_fuzzy_keep_best", "decontaminate_fuzzy", "boilerplate_report",
-    "dedup_cluster_census", "dedup_fuzzy_canonicalize",
-    "contamination_fuzzy_report", "substring_dedup_spans_verified",
-    "source_neardup_matrix",
+    "decontaminate_fuzzy", "boilerplate_report", "dedup_fuzzy_canonicalize",
+    "contamination_fuzzy_report", "substring_dedup_spans_verified", "source_neardup_matrix",
+    "topk_orders", "set_union", "ann_lsh_topk",
+    "linear_interp", "seasonal_profile", "grouped_regression",
+    "chi_square", "class_balance", "negative_sample",
+    "inverted_index", "tfidf_doc_sim", "chunk_dedup",
+    "layout_prune", "interval_join", "rrf_fusion",
+    "embed_outliers", "domain_cap", "epoch_order",
+    "event_paths", "pagerank", "ohlc_bars",
+    "cube_sales", "exists_subquery", "tpch_q1_pricing",
+    "tpch_q3_topk", "tpch_q10_returns", "tpch_q6_sql",
+    "kcore", "lsh_quality", "dedup_edit_verified",
+    "dedup_jaccard_banded", "dedup_minhash_lsh", "item_cooccur",
+    "graph_components", "label_propagation", "embed_dedup_clusters",
+    "triangle_stats", "dedup_prefix_filter", "dedup_canonicalize",
+    "dedup_clusters_star", "dedup_cluster_census", "dedup_fuzzy_keep_best",
+    "bpe_train", "kmeans_train", "semdedup",
+    "sync_pipeline", "sync_summary", "s8_upsert",
+    "p6_resolve_variant", "j3_item_lookup",
 ]
 
 
@@ -11865,13 +11888,13 @@ _TAIL_FRESHNESS = [
 # Rotation safety checks: plain ``raise``, NOT ``assert`` — these are the
 # guard against the r8 silent-drop failure mode and must survive
 # ``python -O`` (which strips asserts) (ADVICE r9).
-if len(_R17_WINDOW) != 50:
-    raise RuntimeError(f"window must be exactly 50, got {len(_R17_WINDOW)}")
-if len(set(_R17_WINDOW)) != 50:
+if len(_R18_WINDOW) != 50:
+    raise RuntimeError(f"window must be exactly 50, got {len(_R18_WINDOW)}")
+if len(set(_R18_WINDOW)) != 50:
     raise RuntimeError("duplicate name in window")
-_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R17_WINDOW)]
+_tail = [n for n in _TAIL_FRESHNESS if n not in set(_R18_WINDOW)]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    n: _REGISTRY_DEF[n] for n in (*_R17_WINDOW, *_tail)
+    n: _REGISTRY_DEF[n] for n in (*_R18_WINDOW, *_tail)
 }
 if set(REGISTRY) != set(_REGISTRY_DEF):
     raise RuntimeError(
