@@ -53,6 +53,21 @@ Timing protocol (BENCH_r02 onward):
   timing shift that MOVES WITH calib is ambient CPU-steal, not a code
   regression. Official runs must also be QUIET: never concurrent with
   a driver_sim sweep or test session.
+- Scaling sentinel (r18, VERDICT r17 item 2): a fixed SHUFFLE-bound
+  probe ("sent" in the stdout line, "scale_sentinel" in the detail)
+  runs min-of-2 after the headline loop. At sf0.1 every headliner is
+  overhead-bound (the r17 driver pair measured c8 BEATING c32 on the
+  headline total), so parallelism wins are invisible in "value"; the
+  sentinel's c8/c32 ratio is the scaling check. Like calib it is
+  synthetic (spark.range), deterministic, and never part of "value".
+- Round-over-round alignment (r18, VERDICT r17 item 7): per-query
+  comparison across rounds must JOIN BY NAME via "q_names" in the
+  committed BENCH_DETAIL.json (aligned 1:1 with the stdout "q" array;
+  "qh" fingerprints the name list so the alignment is verifiable).
+  Positional comparison of "q" arrays breaks whenever HEADLINE grows —
+  r17's PERF matched 0 queries that way. r18 adds NO headline entries,
+  so qh is unchanged from r17 (4083e6d0) and even the positional rule
+  works this round.
 """
 
 from __future__ import annotations
@@ -310,6 +325,44 @@ HEADLINE = [
 CALIB_ROWS = 2_000_000_000  # ~2 s quiet on 32 cores — long enough to
 # average over scheduling noise, short enough to not bill the bench
 
+# Scaling sentinel (r18, VERDICT r17 item 2). A PURE-SHUFFLE probe:
+# every row crosses one hash exchange (no giant aggregation hash maps —
+# a high-cardinality groupBy form was tried first and spill-stormed),
+# then a two-phase xor fold reduces each side to one row. Constants are
+# part of the round-over-round contract — never change them.
+SENTINEL_ROWS = 100_000_000  # ~4-5 s quiet at 32 cores, ~4x that at 8 —
+# large enough that the exchange dominates scheduling, small enough not
+# to materially lengthen the driver's low-core bench pass
+SENTINEL_PARTS = 64
+
+
+def _scale_sentinel(spark, runs: int = 2) -> float:
+    """Shuffle-bound scaling probe — the parallelism complement of the
+    compute-bound ``_calibration`` fold (VERDICT r17 item 2: at sf0.1
+    every headliner is scheduling/overhead-bound — the r17 driver pair
+    measured the 8-core bench BEATING the 32-core one — so the headline
+    total cannot see parallelism wins at all). Every row crosses one
+    hash exchange (map-side serialize+compress+write, reduce-side fetch
+    +decompress are the dominant, fully parallel costs), so comparing
+    "sent" across the driver's c32 and c8 runs yields a ratio near the
+    core ratio when the engine scales and near 1 when something
+    serializes. Synthetic by design (spark.range, exactly like calib):
+    fully deterministic, reads no tables, persists nothing, and is NOT
+    included in "value" — it measures the box + engine, not a query.
+    The partition keys are deterministic (pmod of xxhash64 — never
+    rand(), the §2.5 retry hazard).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        spark.range(SENTINEL_ROWS).repartition(
+            SENTINEL_PARTS, F.expr("pmod(xxhash64(id), 1000000)")
+        ).selectExpr("bit_xor(xxhash64(id))").collect()
+        best = min(best, time.time() - t0)
+    return best
+
 
 def _calibration(spark, runs: int = 3) -> float:
     """Contention index (BENCH_r14 onward, VERDICT r13 item 3): a FIXED
@@ -426,6 +479,7 @@ def main() -> None:
     # artifact was truncated mid-line by the driver's bounded tail
     # capture (parsed: null), so warm+cold in one line is too long.
     calib_post = _calibration(spark)
+    sentinel = _scale_sentinel(spark)
     ran = list(warm)  # HEADLINE order, filtered to what actually ran
     detail = {
         "metric": "headline_queries_total",
@@ -444,6 +498,13 @@ def main() -> None:
         # are NOT included in "value"
         "calib_pre": round(calib_pre, 3),
         "calib_post": round(calib_post, 3),
+        # shuffle-bound scaling sentinel (r18): compare across the
+        # driver's c32/c8 runs — NOT included in "value"
+        "scale_sentinel": {
+            "rows": SENTINEL_ROWS,
+            "parts": SENTINEL_PARTS,
+            "sec": round(sentinel, 3),
+        },
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
@@ -476,6 +537,10 @@ def main() -> None:
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
         "calib": round(min(calib_pre, calib_post), 2),
+        # r18: shuffle-bound scaling sentinel (min-of-2, sec) — its
+        # c8/c32 ratio is the parallelism check the headline total
+        # cannot provide at sf0.1; never part of "value"
+        "sent": round(sentinel, 2),
         "value_cold": round(sum(cold.values()), 3),
         "value": round(sum(warm.values()), 3),
     }
