@@ -1233,7 +1233,10 @@ def decontaminate_fuzzy(
     the train corpus streams through one map-side band probe + one
     verify projection and never shuffles on its own size. If the bench
     side ever outgrows broadcast, drop the two hints: both joins are
-    key-wide equi-joins (band_key / b_id) and AQE takes over.
+    key-wide equi-joins (band_key / b_id) and AQE takes over. The train
+    shingle frame is materialized once and shared by the banding and
+    verify consumers (r18, guide §2.4) — one tokenize+shingle pass over
+    the corpus instead of two.
 
     Returns (doc_id, best_bench_id, best_jaccard_permille,
     contaminated) for EVERY train doc — best_bench_id is -1 when no
@@ -1243,9 +1246,20 @@ def decontaminate_fuzzy(
         train = train.withColumn("n_chars", F.length("text").cast("long"))
     if "n_chars" not in bench.columns:
         bench = bench.withColumn("n_chars", F.length("text").cast("long"))
-    tb = _banded(minhash_sig_array(train, n=n), MINHASH_K, LSH_BAND_SIZE).select(
-        F.col("doc_id").alias("t_id"), "band", "band_key"
+    # The TRAIN shingle frame feeds TWO consumers (the MinHash banding
+    # and the verify join), so it is materialized once (r18, guide §2.4
+    # — the lsh_quality lesson): without the checkpoint the full train
+    # corpus re-tokenizes + re-shingles per consumer. The bench side
+    # stays lazy: it is thousands of rows by construction and both its
+    # consumers are driver-broadcast builds anyway.
+    tshingled = (
+        _with_shingles(train, n)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
     )
+    tb = _banded(
+        minhash_sig_array(train, n=n, shingled=tshingled), MINHASH_K, LSH_BAND_SIZE
+    ).select(F.col("doc_id").alias("t_id"), "band", "band_key")
     bb = _banded(minhash_sig_array(bench, n=n), MINHASH_K, LSH_BAND_SIZE).select(
         F.col("doc_id").alias("b_id"), "band", "band_key"
     )
@@ -1254,7 +1268,7 @@ def decontaminate_fuzzy(
         .select("t_id", "b_id")
         .distinct()
     )
-    tsh = _with_shingles(train, n).select(
+    tsh = tshingled.select(
         F.col("doc_id").alias("t_id"), F.col("shingles").alias("t_sh")
     )
     bsh = _with_shingles(bench, n).select(

@@ -394,11 +394,16 @@ def kcore(
     reshuffles, where the semi form's build side grows with the graph
     and degrades to shuffling the edges twice per round at scale. The
     edge frame feeds BOTH the degree count and the join each round, so
-    it is eagerly checkpointed per round (the two-consumer squaring
-    rule — mixture/BPE precedent), and each superseded round's
-    checkpoint is freed as soon as its successor materializes (r17 —
-    an 8-round peel otherwise pins 9 edge-frame snapshots for the
-    session lifetime; ``functions/lifecycle.py``).
+    it is checkpointed per round (the two-consumer squaring rule —
+    mixture/BPE precedent; lazily since r18, with the fixed-point count
+    as the materializing action — one job per round), and each
+    superseded round's checkpoint is freed as soon as its successor
+    materializes (r17 — an 8-round peel otherwise pins 9 edge-frame
+    snapshots for the session lifetime; ``functions/lifecycle.py``).
+    Rounds after the peel's fixed point are identity and are skipped
+    (r18): the per-round edge count detects the empty drop set at zero
+    extra jobs, so a graph that unravels in 2 peels pays 3 rounds, not
+    ``rounds``.
     ``checkpoint=False`` exposes one uncut round for the plan test.
     """
     from tepsonic_database_sync_spark.functions.lifecycle import (
@@ -408,6 +413,7 @@ def kcore(
     alive = edges
     if checkpoint:
         alive = alive.localCheckpoint(eager=True)
+    prev_n = None
     for _ in range(rounds):
         deg = alive.groupBy("src").agg(F.count("*").cast("long").alias("d"))
         drop = deg.filter(F.col("d") < k).select(F.col("src").alias("node"))
@@ -416,8 +422,21 @@ def kcore(
         ).join(drop.select(F.col("node").alias("dst")), "dst", "left_anti")
         if checkpoint:
             prev = alive
-            alive = peeled.localCheckpoint(eager=True)
+            # LAZY checkpoint + count (r18 — the star-contraction r10
+            # job fusion): the count triggers the materialization, so a
+            # round still schedules exactly ONE job, and the edge count
+            # doubles as a fixed-point test. Count equality with the
+            # previous round ⟺ the drop set was empty (every dropped
+            # node holds ≥ 1 live edge, so any removal strictly shrinks
+            # the frame) ⟺ every remaining round is the identity peel —
+            # skip them. Output is bit-identical to the unrolled
+            # fixed-round form at any ``rounds``.
+            alive = peeled.localCheckpoint(eager=False)
+            n_now = alive.count()
             free_local_checkpoint(prev)
+            if n_now == prev_n:
+                break
+            prev_n = n_now
         else:
             alive = peeled
     # no trailing degree >= k filter: that would drop a node while its

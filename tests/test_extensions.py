@@ -3914,3 +3914,26 @@ def test_kcore_peels_chains_and_keeps_the_core(spark):
     # and at rounds=2 the path is only HALF gone (the iterative point)
     mid = dict(_kcore_ref(edge_set, 2, 2))
     assert 10 in mid and 12 not in mid
+
+
+def test_kcore_fixed_point_early_exit_is_value_identical(spark):
+    """r18: past the peel's fixed point every round is the identity, and
+    kcore detects it from the per-round edge count and stops early. A
+    large ``rounds`` budget must return EXACTLY the unrolled reference
+    (which by definition of the fixed point equals the converged core) —
+    the early exit is a scheduling optimization, never a value change."""
+    from tepsonic_database_sync_spark.operators.graph import kcore
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(4, 10), (10, 11), (11, 12)]
+    edge_set = clique + path
+    sym = [(a, b) for a, b in edge_set] + [(b, a) for a, b in edge_set]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    # converges after 3 real peels; rounds=12 must match the 12-round
+    # unroll (== the 4-round one) without the value drifting
+    got = sorted(
+        (r["node"], r["degree"])
+        for r in kcore(edges, k=2, rounds=12).collect()
+    )
+    assert got == _kcore_ref(edge_set, 2, 12)
+    assert got == _kcore_ref(edge_set, 2, 4)
