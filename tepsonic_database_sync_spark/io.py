@@ -35,6 +35,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # broadcast by every consumer and repartitioning them is pure overhead.
 _FAN_OUT_MIN_BYTES = 2_000_000
 
+# CPU-substrate tables (r18): ``documents`` and ``embeddings`` feed
+# per-row CPU-BOUND chains (tokenize → shingle → one md5 per shingle;
+# integer dot products), so for them the byte gate above is the wrong
+# test — the winnow_overlap_pairs lesson, measured again this round: the
+# 594 KB sf0.1 documents file scans as ONE partition, and the MinHash
+# md5 chain (3.8 s of every fuzzy entry) ran on 1 of 32 cores. These
+# names fan out on PARTITION COUNT alone; on a real deployment the scan
+# already arrives with >= cores splits and this stays a no-op.
+_CPU_SUBSTRATE_TABLES = frozenset({"documents", "embeddings"})
+
 # Metadata caches (r17, guide §1.2 "per-task work" at the DRIVER): the
 # bench protocol constructs every query fresh on each timed run, and each
 # ``spark.read.parquet`` pays ~100-130 ms of driver-side footer/schema
@@ -61,7 +71,9 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
-def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+def _fan_out(
+    spark: SparkSession, df: DataFrame, path: str, name: str = ""
+) -> DataFrame:
     """Local-small-file remediation, deliberately a no-op at scale.
 
     The driver's testdata writes ONE parquet row group per table, so the
@@ -76,7 +88,10 @@ def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     well-partitioned.
     """
     try:
-        if os.path.getsize(path) < _FAN_OUT_MIN_BYTES:
+        if (
+            name not in _CPU_SUBSTRATE_TABLES
+            and os.path.getsize(path) < _FAN_OUT_MIN_BYTES
+        ):
             return df
         cores = spark.sparkContext.defaultParallelism
         key = os.path.abspath(path)
@@ -118,7 +133,7 @@ def load_table(
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = _read_parquet(spark, path)
         if fan_out:
-            df = _fan_out(spark, df, path)
+            df = _fan_out(spark, df, path, name)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # Integer division, not `/`: long nanos (~1.7e18) exceed 2^53,
             # so a double intermediate could shift the truncated micros.
@@ -128,7 +143,7 @@ def load_table(
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     df = _read_parquet(spark, path)
     if fan_out:
-        df = _fan_out(spark, df, path)
+        df = _fan_out(spark, df, path, name)
     return df
 
 

@@ -38,6 +38,24 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0 AND
+        # isnotnull(arr)` from every explode(), and predicate pushdown
+        # then substitutes the array ALIAS through the projections below
+        # — duplicating the entire array-building expression chain
+        # (tokenize → shingle zip_with; gram transforms) into a Filter
+        # at the scan, where it re-evaluates per row with the common
+        # subexpressions re-expanded (measured r18 at sf0.1: the MinHash
+        # signature pass 4.9 s → 0.65 s once excluded; the guide §4.4
+        # filter-duplication trap, hit by expressions instead of UDFs).
+        # The filter's only benefit is pruning empty-array rows BEFORE
+        # the Generate — explode already skips them — and enabling scan
+        # pushdown for STORED array columns, which no table in this
+        # engine has. Scale-honest: the duplicated chain doubles
+        # scan-stage CPU at any corpus size.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))

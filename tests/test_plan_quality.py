@@ -300,7 +300,10 @@ def test_model_score_prunes_before_python_exchange(spark, registry_plans):
     plan = registry_plans["model_score"]
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" in plan
-    assert plan.count("Exchange") == 1
+    # keyed exchanges only: the documents loader's round-robin fan-out
+    # (io._fan_out, a no-op at scale) is not part of the operator's
+    # shuffle shape (r18)
+    assert plan.count("Exchange") - plan.count("RoundRobinPartitioning") == 1
     # the parquet scan reads only the model's input columns
     import re
 
@@ -568,7 +571,9 @@ def test_hash_embed_single_partial_aggregated_shuffle_no_python(spark, registry_
     plan = registry_plans["text_hash_embed"]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan
-    assert plan.count("Exchange") == 1
+    # keyed exchanges only — the loader's round-robin fan-out is a
+    # scale-no-op outside the operator's shuffle shape (r18)
+    assert plan.count("Exchange") - plan.count("RoundRobinPartitioning") == 1
 
 
 def test_apply_changeset_broadcasts_drift_sized_changes(spark, registry_plans):
@@ -1238,7 +1243,9 @@ def test_gopher_rules_is_row_local_plus_one_gram_shuffle(
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
-    assert plan.count("Exchange") <= 5, plan.count("Exchange")
+    assert (
+        plan.count("Exchange") - plan.count("RoundRobinPartitioning") <= 5
+    ), plan.count("Exchange")
 
 
 def test_kmv_tournament_has_no_per_set_sort_shuffle(spark, registry_plans):
@@ -1367,7 +1374,9 @@ def test_fineweb_filters_is_row_local_plus_one_line_shuffle(
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
-    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+    assert (
+        plan.count("Exchange") - plan.count("RoundRobinPartitioning") <= 4
+    ), plan.count("Exchange")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

@@ -54,7 +54,9 @@ def test_aggregations_do_partial_aggregation(spark):
     plan = _plan(simhash(docs))
     # partial (map-side) agg before the exchange, final after
     assert plan.count("HashAggregate") >= 2, plan
-    assert plan.count("Exchange") == 1, plan
+    # keyed exchanges only — the documents loader's round-robin fan-out
+    # (io._fan_out, a no-op at scale) sits below the aggregate (r18)
+    assert plan.count("Exchange") - plan.count("RoundRobinPartitioning") == 1, plan
 
 
 def test_lsh_candidates_join_on_equi_keys(spark):
