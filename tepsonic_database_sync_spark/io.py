@@ -35,15 +35,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # broadcast by every consumer and repartitioning them is pure overhead.
 _FAN_OUT_MIN_BYTES = 2_000_000
 
-# CPU-substrate tables (r18): ``documents`` and ``embeddings`` feed
-# per-row CPU-BOUND chains (tokenize → shingle → one md5 per shingle;
-# integer dot products), so for them the byte gate above is the wrong
-# test — the winnow_overlap_pairs lesson, measured again this round: the
-# 594 KB sf0.1 documents file scans as ONE partition, and the MinHash
-# md5 chain (3.8 s of every fuzzy entry) ran on 1 of 32 cores. These
-# names fan out on PARTITION COUNT alone; on a real deployment the scan
-# already arrives with >= cores splits and this stays a no-op.
-_CPU_SUBSTRATE_TABLES = frozenset({"documents", "embeddings"})
+# r18, adjudicated: a first cut fanned out ``documents``/``embeddings``
+# HERE by table name (they feed per-row CPU-bound chains — tokenize →
+# shingle → one md5 per shingle — and the 594 KB sf0.1 documents file
+# scans as ONE partition, so the MinHash md5 chain ran on 1 of 32
+# cores). The driver-protocol bench showed that taxing EVERY consumer
+# at load was wrong: the heavy gram/hash entries won 1.3-2.7×, but
+# ~15 cheap documents consumers (model_score, snapshots, line_dedup,
+# token_*…) paid the exchange for nothing (0.3-0.6×), and the
+# 2000-row embeddings table made the whole ANN/semdedup family pay
+# per-task overhead with zero CPU to spread. The fan-out therefore
+# lives at the CPU-HEAVY OPERATOR HEADS instead — ``fan_out_cpu``
+# below, the winnow_overlap_pairs rule generalized.
 
 # Metadata caches (r17, guide §1.2 "per-task work" at the DRIVER): the
 # bench protocol constructs every query fresh on each timed run, and each
@@ -88,10 +91,7 @@ def _fan_out(
     well-partitioned.
     """
     try:
-        if (
-            name not in _CPU_SUBSTRATE_TABLES
-            and os.path.getsize(path) < _FAN_OUT_MIN_BYTES
-        ):
+        if os.path.getsize(path) < _FAN_OUT_MIN_BYTES:
             return df
         cores = spark.sparkContext.defaultParallelism
         key = os.path.abspath(path)
@@ -105,6 +105,32 @@ def _fan_out(
             return df
         return df.repartition(cores)
     except Exception:  # non-local path / estimation failure: leave the scan alone
+        return df
+
+
+def fan_out_cpu(df: DataFrame) -> DataFrame:
+    """Partition-count fan-out for CPU-bound per-row chains (r18 — the
+    ``winnow_overlap_pairs`` rule generalized): tokenize → shingle →
+    md5-per-shingle and byte-gram hashing are compute-bound per row, so
+    a near-single-partition input runs them on 1-2 cores of local[32]
+    no matter how small the bytes are — the BYTE gate in ``_fan_out``
+    is the wrong test for these chains. Called at the head of the
+    measured CPU-heavy operators only (fanning every consumer at load
+    was benched and rejected: cheap consumers paid the exchange for
+    nothing — see the note above ``_fan_out``).
+
+    On a real deployment the input already arrives with >= cores
+    splits, the gate fails, and this is a no-op — it never reshuffles
+    data that arrives well-partitioned. Round-robin with Spark's
+    default sort-before-repartition keeps retries deterministic
+    (guide §2.5).
+    """
+    try:
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() * 2 < sc.defaultParallelism:
+            return df.repartition(sc.defaultParallelism)
+        return df
+    except Exception:  # estimation failure: leave the input alone
         return df
 
 

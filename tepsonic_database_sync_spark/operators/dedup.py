@@ -66,10 +66,17 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 
 
 def _with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    from tepsonic_database_sync_spark.io import fan_out_cpu
+
     # two-step select: tokens land as an attribute BEFORE shingling, so the
     # split() runs once per row — inlining the expression would re-split
     # per element access inside the transform lambda (observed 5× cost)
-    toked = docs.select("doc_id", "n_chars", tokens(F.col("text")).alias("t"))
+    # fan_out_cpu (r18): the tokenize+shingle+md5 chain downstream is
+    # CPU-bound per row; a near-single-partition corpus would run it on
+    # 1-2 cores (no-op when the input arrives well-split)
+    toked = fan_out_cpu(docs).select(
+        "doc_id", "n_chars", tokens(F.col("text")).alias("t")
+    )
     return toked.select(
         "doc_id", "n_chars", word_shingles(F.col("t"), n).alias("shingles")
     )
@@ -855,7 +862,11 @@ def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
     """
     from tepsonic_database_sync_spark.operators.text import tokens
 
-    toked = docs.select("source", tokens(F.col("text")).alias("t"))
+    from tepsonic_database_sync_spark.io import fan_out_cpu
+
+    # fan_out_cpu (r18): the shingle explode + distinct below is the
+    # CPU-heavy head (no-op on well-split inputs)
+    toked = fan_out_cpu(docs).select("source", tokens(F.col("text")).alias("t"))
     grams = (
         toked.select("source", F.explode(word_shingles(F.col("t"), n)).alias("g"))
         .distinct()
@@ -1816,7 +1827,9 @@ def substring_dup_rate(docs: DataFrame, n: int = 8) -> DataFrame:
     # attach; checkpoint it so the corpus tokenizes once (r18, §2.4 —
     # same trade as _substr_gram_frames: grams itself stays
     # recompute-from-toked, its 8-gram strings are ~n× the corpus)
-    toked = docs.select(
+    from tepsonic_database_sync_spark.io import fan_out_cpu
+
+    toked = fan_out_cpu(docs).select(
         "doc_id",
         F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
     ).localCheckpoint(eager=True)
@@ -1930,7 +1943,9 @@ def _substr_gram_frames(docs: DataFrame, n: int):
     scale-correct trade (the docstrings' published-cost note)."""
     from tepsonic_database_sync_spark.operators.text import tokens
 
-    toked = docs.select(
+    from tepsonic_database_sync_spark.io import fan_out_cpu
+
+    toked = fan_out_cpu(docs).select(
         "doc_id",
         F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
     ).localCheckpoint(eager=True)
@@ -3121,8 +3136,9 @@ def ngram_novelty(docs: DataFrame, n: int = NGRAM_NOVELTY_N) -> DataFrame:
     Returns (doc_id, n_grams, n_novel, novelty_permille).
     """
     from tepsonic_database_sync_spark.operators.text import _permille
+    from tepsonic_database_sync_spark.io import fan_out_cpu
 
-    toked = docs.select(
+    toked = fan_out_cpu(docs).select(
         "doc_id",
         F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("t"),
     )

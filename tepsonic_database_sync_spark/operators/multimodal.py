@@ -230,7 +230,11 @@ def phash_signatures(
     # inside the lambda re-evaluates on every substring access —
     # O(bytes) per gram position, O(bytes²) per asset, catastrophic on
     # real image/audio payloads (a 1 MB asset would re-hex ~10⁶ times)
-    pre = assets.filter(
+    from tepsonic_database_sync_spark.io import fan_out_cpu
+
+    # fan_out_cpu (r18): the hex + per-position byte-gram hashing below
+    # is CPU-bound per row (no-op on well-split inputs)
+    pre = fan_out_cpu(assets).filter(
         F.octet_length(F.col("payload")) >= gram_bytes
     ).select(
         "asset_id",

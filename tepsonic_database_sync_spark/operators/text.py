@@ -416,6 +416,12 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     r_words, r_mwl, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
     r_rep, keep) — flags and keep as 0/1 longs.
     """
+    from tepsonic_database_sync_spark.io import fan_out_cpu
+
+    # fan_out_cpu (r18): the signal projection + repetition gram explode
+    # are CPU-bound per row (no-op on well-split inputs); fanning HERE
+    # covers both consumers (direct + repetition_stats)
+    docs = fan_out_cpu(docs)
     t = F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
     sig = gopher_direct_signals(
         F.col("text"), t, norm_lines_expr(F.col("text"))
@@ -666,7 +672,14 @@ def quality_stack(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     Returns (doc_id, fw_keep, gopher_keep, avg_nll_milli, ppl_bucket,
     keep).
     """
+    from tepsonic_database_sync_spark.io import fan_out_cpu
+
     zero = F.lit(0).cast("long")
+    # fan_out_cpu (r18): the signal projection below (tokenize + regex +
+    # line split, all three gates at once) is the stack's CPU-heaviest
+    # stage and lands in the scan stage un-fanned (no-op on well-split
+    # inputs)
+    docs = fan_out_cpu(docs)
     # ---- the ONE corpus projection: every row-local signal + arrays.
     # Signals come from the SAME builders gopher_rules/fineweb_filters
     # consume (gopher_direct_signals / fineweb_direct_signals /
