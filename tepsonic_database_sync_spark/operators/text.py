@@ -2554,9 +2554,21 @@ def bpe_train(
         ).alias("s"),
     )
     if checkpoint:
-        vocab = vocab.localCheckpoint(eager=True)
+        # LAZY (r18 — the kcore/star job-fusion rule): each round's
+        # eager ``best`` checkpoint is the materializing action for the
+        # vocab frame it reads, so a lazy vocab cut costs ZERO extra
+        # jobs where the old eager form paid one per round (the merge
+        # fold now executes inside the next round's pair-count job).
+        # The free discipline shifts one round back: a vocab checkpoint
+        # is freed only after the NEXT vocab materializes (see the loop
+        # body) — the successor's computation reads its blocks.
+        vocab = vocab.localCheckpoint(eager=False)
     merges = None
+    # prev_ckpt: the newest vocab checkpoint (materialized by the NEXT
+    # best job); prev_vocab: the one before it — strictly superseded
+    # the moment prev_ckpt materializes, freed at that point
     prev_ckpt = vocab if checkpoint else None
+    prev_vocab = None
     for k in range(1, n_merges + 1):
         # size guard (r14): a word can FULLY merge to one symbol within
         # n_merges rounds (e.g. t,h,e,</w> after 3 chained merges), and
@@ -2583,7 +2595,20 @@ def bpe_train(
             F.col("pair_count").desc(), F.col("p1"), F.col("p2")
         ).limit(1)
         if checkpoint:
+            # this eager cut is the round's ONE substantive job: it runs
+            # the pair count over the current vocab, thereby
+            # materializing the (lazy) vocab checkpoint it reads —
+            # which strictly supersedes the previous round's vocab, so
+            # that one is freed HERE (not at the lazy cut below, where
+            # nothing has executed yet)
             best = best.localCheckpoint(eager=True)
+            if prev_vocab is not None:
+                from tepsonic_database_sync_spark.functions.lifecycle import (
+                    free_local_checkpoint,
+                )
+
+                free_local_checkpoint(prev_vocab)
+            prev_vocab = prev_ckpt
         rule = best.select(
             F.lit(k).cast("long").alias("round"), "p1", "p2", "pair_count"
         )
@@ -2610,25 +2635,26 @@ def bpe_train(
             )
         )
         if checkpoint:
-            # the previous round's vocab checkpoint is superseded once
-            # the new one materializes — free its blocks (r17,
-            # functions/lifecycle.py); the per-round ``best`` frames
-            # stay live (the returned ``merges`` union references them)
-            from tepsonic_database_sync_spark.functions.lifecycle import (
-                free_local_checkpoint,
-            )
-
-            vocab = vocab.localCheckpoint(eager=True)
-            free_local_checkpoint(prev_ckpt)
+            # LAZY cut (r18): the next round's eager ``best`` job is the
+            # materializing action — zero extra jobs per round where the
+            # eager form paid one. Freeing happens next round, after the
+            # successor provably materialized (see above); the per-round
+            # ``best`` frames stay live (the returned ``merges`` union
+            # references them).
+            vocab = vocab.localCheckpoint(eager=False)
             prev_ckpt = vocab
-    if checkpoint and prev_ckpt is not None:
-        # the final surviving vocab checkpoint's only consumer (the last
-        # round's eagerly-checkpointed ``best``) has materialized — free it
+    if checkpoint:
+        # after the last round: prev_vocab's successor (prev_ckpt) was
+        # materialized by the final best job, and prev_ckpt's only
+        # consumer (that same best) has completed — free both
         from tepsonic_database_sync_spark.functions.lifecycle import (
             free_local_checkpoint,
         )
 
-        free_local_checkpoint(prev_ckpt)
+        if prev_vocab is not None:
+            free_local_checkpoint(prev_vocab)
+        if prev_ckpt is not None:
+            free_local_checkpoint(prev_ckpt)
     return merges
 
 
